@@ -1,0 +1,112 @@
+package graft.sinks
+
+import graft.core.ValidationMode
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+
+/** Partitioned, size-targeted Parquet sink (SURVEY.md §2.4 W1/W2 + M7).
+  *
+  * Reference semantics preserved:
+  *  - Hive-style `col=value/` partition layout with value normalization —
+  *    lowercase, ISO dates kept verbatim, everything else lowercased with
+  *    `[^a-z0-9_-]` squashed to `_` (parquet_writer.py:88-158,188-199).
+  *    Spark's `write.partitionBy` produces the same layout natively; the
+  *    normalization is applied to the partition column values pre-write.
+  *  - target file size 128–200 MB, default 150
+  *    (parquet_writer.py:33-35, config.py:412-414), estimated by writing a
+  *    ≤1000-row sample and extrapolating bytes/row
+  *    (parquet_writer.py:360-381) → `maxRecordsPerFile`.
+  *  - snappy compression + dictionary encoding (parquet_writer.py:424-429);
+  *    both are Spark parquet defaults, set explicitly anyway.
+  *  - `ingest_date` synthesized as today when it is a partition column but
+  *    absent from the data (parquet_writer.py:98-100).
+  *
+  * Scale note: the write is shuffle-free (dynamic partition write straight
+  * from the task outputs). When many small tasks would fragment partitions,
+  * callers can pre-`repartition(partitionCols)` — left to the caller since
+  * it trades a shuffle for file count.
+  */
+object ParquetSink {
+
+  val MinTargetMb = 128
+  val MaxTargetMb = 200
+  val DefaultTargetMb = 150
+
+  private val IsoDate = "^\\d{4}-\\d{2}-\\d{2}$"
+
+  /** Partition-value normalization (parquet_writer.py:134-155): ISO dates
+    * kept; other values lowercased and non `[a-z0-9_-]` chars → `_`.
+    */
+  def normalizePartitionValue(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.rlike(IsoDate), s)
+      .otherwise(regexp_replace(lower(s), "[^a-z0-9_-]", "_"))
+  }
+
+  /** Synthesize `ingest_date` (M7) + normalize partition values (W1).
+    * Partition column names are lowercased like the reference's path rule.
+    */
+  def preparePartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val withIngest =
+      if (partitionCols.exists(_.equalsIgnoreCase("ingest_date")) &&
+        !df.columns.exists(_.equalsIgnoreCase("ingest_date")))
+        df.withColumn("ingest_date", current_date().cast("string"))
+      else df
+    partitionCols.foldLeft(withIngest) { (d, pc) =>
+      val actual = d.columns.find(_.equalsIgnoreCase(pc)).getOrElse(pc)
+      d.withColumn(pc.toLowerCase, normalizePartitionValue(col(actual)))
+    }
+  }
+
+  /** Estimate rows/file for the size target by sample-write extrapolation,
+    * the reference's own trick (parquet_writer.py:360-381). Returns 0
+    * (= unlimited) when the frame is empty.
+    */
+  def estimateMaxRecordsPerFile(df: DataFrame, targetMb: Int, sampleRows: Int = 1000): Long = {
+    val clamped = math.max(MinTargetMb, math.min(MaxTargetMb, targetMb))
+    val tmp = Files.createTempDirectory("graft-sizing-").resolve(UUID.randomUUID().toString)
+    try {
+      val sample = df.limit(sampleRows).cache()
+      val n = sample.count()
+      if (n == 0) return 0L
+      sample.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      sample.unpersist()
+      val bytes = Files.walk(tmp).filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => Files.size(p)).sum()
+      val bytesPerRow = math.max(1L, bytes / n)
+      math.max(1L, clamped.toLong * 1024L * 1024L / bytesPerRow)
+    } finally {
+      try {
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Output root `bucket/domain/data_product/table/` (cli.py:695-723). */
+  def outputPath(root: String, domain: String, dataProduct: String, table: String): String =
+    Seq(root.stripSuffix("/"), domain, dataProduct, table).mkString("/")
+
+  final case class WriteReport(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long)
+
+  def write(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      targetMb: Int = DefaultTargetMb,
+      mode: SaveMode = SaveMode.Append
+  ): WriteReport = {
+    val prepared = preparePartitions(df, partitionCols)
+    val maxRecords = estimateMaxRecordsPerFile(prepared, targetMb)
+    var w = prepared.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .option("parquet.enable.dictionary", "true")
+    if (maxRecords > 0) w = w.option("maxRecordsPerFile", maxRecords.toString)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols.map(_.toLowerCase): _*)
+    w.parquet(path)
+    WriteReport(path, partitionCols.map(_.toLowerCase), maxRecords)
+  }
+}

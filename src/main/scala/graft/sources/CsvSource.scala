@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.core.{Coercion, DataContract}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV source (SURVEY.md §2.1 S1).
+  *
+  * Reference behavior (src/dativo_ingest/connectors/csv_extractor.py:13-222):
+  * every column is read as a string; the null markers "", "NULL", "null",
+  * "None" become real nulls; options delimiter/quote/encoding/header are
+  * honored; chunked reading is the reference's manual parallelism, which
+  * Spark replaces with file-split parallel scans (vectorized reader), so no
+  * chunk_size knob is needed here.
+  *
+  * Coercion to the contract types is deliberately NOT done here — it is the
+  * separate T1 operator (graft.core.Coercion), exactly like the reference
+  * splits extraction from validation.
+  */
+final case class CsvOptions(
+    delimiter: String = ",",
+    quoteChar: String = "\"",
+    encoding: String = "utf-8",
+    header: Boolean = true
+)
+
+object CsvSource {
+
+  /** All-string scan with reference null-marker semantics. */
+  def read(
+      spark: SparkSession,
+      paths: Seq[String],
+      contract: DataContract,
+      opts: CsvOptions = CsvOptions()
+  ): DataFrame = {
+    val raw = spark.read
+      .schema(contract.rawStructType) // all-string landing schema
+      .option("header", opts.header.toString)
+      .option("sep", opts.delimiter)
+      .option("quote", opts.quoteChar)
+      .option("encoding", opts.encoding)
+      // Spark's own null handling is disabled so the reference's marker
+      // list is the single source of truth:
+      .option("nullValue", null: String)
+      .option("emptyValue", "")
+      .csv(paths: _*)
+    // "", NULL, null, None → real NULL (csv_extractor.py null markers)
+    raw.select(raw.columns.map(c => Coercion.nullifyMarkers(col(c)).as(c)): _*)
+  }
+
+  /** Headerless variant: synthesize column_1..column_N like the reference's
+    * Sheets reader does for missing headers
+    * (google_sheets_extractor.py:257-289).
+    */
+  def readHeaderless(
+      spark: SparkSession,
+      paths: Seq[String],
+      numCols: Int,
+      opts: CsvOptions = CsvOptions()
+  ): DataFrame = {
+    val df = spark.read
+      .option("header", "false")
+      .option("sep", opts.delimiter)
+      .option("quote", opts.quoteChar)
+      .option("inferSchema", "false")
+      .csv(paths: _*)
+    val named = df.toDF((1 to df.columns.length).map(i => s"column_$i"): _*)
+    named.select(named.columns.map(c => Coercion.nullifyMarkers(col(c).cast("string")).as(c)): _*)
+  }
+}
