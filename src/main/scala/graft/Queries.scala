@@ -1,0 +1,310 @@
+package graft
+
+import graft.core._
+import graft.sinks.ParquetSink
+import graft.sources.{CsvOptions, CsvSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Registered operator queries for the driver's correctness gate.
+  *
+  * Each entry exercises one implemented operator from SURVEY.md §2 against
+  * the driver-provided parquet tables, and has a matching ANSI-SQL oracle
+  * in `oracles` (runnable by DuckDB on the same tables). Column names and
+  * types are aligned on both sides — the driver sorts columns by name and
+  * hashes values.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // -------------------------------------------------------------------- S1
+  /** CSV spine: documents → temp CSV (with the reference's 'None' null
+    * marker injected) → all-string CsvSource scan → nullify → coerce to
+    * contract. Exercises S1 + T1 end-to-end.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val contract = DataContract(name = "docs_csv", fields = Seq(
+      ContractField("doc_id", "integer", required = true),
+      ContractField("lang", "string"),
+      ContractField("source", "string"),
+      ContractField("n_chars", "integer")))
+    val staged = t(spark, dir, "documents").select(
+      col("doc_id").cast("string"),
+      when(col("doc_id") % 7 === 0, lit("None")).otherwise(col("lang")).as("lang"),
+      col("source"),
+      col("n_chars").cast("string"))
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_csv_roundtrip_${dir.hashCode}").toString
+    staged.write.mode("overwrite").option("header", "true").csv(tmp)
+    val raw = CsvSource.read(spark, Seq(tmp), contract, CsvOptions())
+    Validation.coerceToContract(raw, contract)
+  }
+
+  // -------------------------------------------------------------------- T1
+  def coerceInteger(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val s = col("o_orderkey").cast(StringType)
+    o.select(
+      col("o_orderkey"),
+      Coercion.toInteger(s, StringType).as("i_pass"),
+      Coercion.toInteger(concat(lit("+"), s), StringType).as("i_plus"),
+      Coercion.toInteger(concat(s, lit(".5")), StringType).as("i_frac"),
+      Coercion.toInteger(col("o_orderpriority"), StringType).as("i_text"),
+      Coercion.toInteger(col("o_totalprice"), DoubleType).as("i_trunc"))
+  }
+
+  def coerceBoolean(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val tok = (col("o_orderkey") % 6)
+    val str = when(tok === 0, "yes").when(tok === 1, "TRUE")
+      .when(tok === 2, "off").when(tok === 3, "0")
+      .when(tok === 4, "2").otherwise("maybe")
+    o.select(
+      col("o_orderkey"),
+      Coercion.toBoolean(str, StringType).as("b_str"),
+      Coercion.toBoolean(col("o_orderkey") % 3, LongType).as("b_num"))
+  }
+
+  def coerceTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val iso = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss")
+    def co(c: org.apache.spark.sql.Column) = Coercion.toTimestampCol(c, StringType)
+    o.select(
+      col("o_orderkey"),
+      co(iso).as("t_iso"),
+      co(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("t_space"),
+      co(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("t_date"),
+      co(concat(iso, lit("Z"))).as("t_zulu"),
+      co(concat(iso, lit("+01:00"))).as("t_offset"),
+      co(date_format(col("o_orderdate"), "yyyy")).as("t_bad_year"),
+      co(date_format(col("o_orderdate"), "yyyy/MM/dd")).as("t_bad_slash"))
+  }
+
+  // -------------------------------------------------------------- T2/T3/T5
+  private def docsContract = DataContract(name = "docs", fields = Seq(
+    ContractField("doc_id", "integer", required = true),
+    ContractField("lang", "string", required = true),
+    ContractField("text", "string"),
+    ContractField("source", "string")))
+
+  /** Raw all-string-ish frame with crafted nulls for the validation ops. */
+  private def docsRaw(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id").cast("string").as("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("text")).as("text"),
+      col("source"))
+
+  def requiredFilterStrict(spark: SparkSession, dir: String): DataFrame =
+    Validation.validate(docsRaw(spark, dir), docsContract,
+      ValidationMode.Strict, s"strict_${System.nanoTime}").data
+
+  def projectWarnExtras(spark: SparkSession, dir: String): DataFrame = {
+    val contract = DataContract(name = "docs2", fields = Seq(
+      ContractField("doc_id", "integer", required = true),
+      ContractField("lang", "string")))
+    val raw = t(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        col("lang"), col("text"), col("source"), col("n_chars"))
+    Validation.validate(raw, contract, ValidationMode.Warn,
+      s"warn_${System.nanoTime}").data
+  }
+
+  /** T4 error summary as a single wide row (same aggregate expressions the
+    * observe() path uses, run as a plain agg so the result IS the query).
+    */
+  def errorSummary(spark: SparkSession, dir: String): DataFrame = {
+    val contract = DataContract(name = "docs3", fields = Seq(
+      ContractField("doc_id", "integer", required = true),
+      ContractField("lang", "string", required = true),
+      ContractField("n_chars", "integer")))
+    val raw = t(spark, dir, "documents").select(
+      col("doc_id").cast("string").as("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 4 === 0, concat(col("n_chars"), lit(".5")))
+        .otherwise(col("n_chars").cast("string")).as("n_chars"))
+    // layout: records, missing_required:{doc_id,lang},
+    //         type_mismatch:{doc_id,n_chars}
+    val m = Validation.errorMetrics(raw, contract)
+    raw.agg(m.head.as("records"),
+      m(1).as("missing_required_doc_id"),
+      m(2).as("missing_required_lang"),
+      m(3).as("type_mismatch_doc_id"),
+      m(4).as("type_mismatch_n_chars"))
+  }
+
+  // ------------------------------------------------------------------- W1
+  def partitionValueNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    p.select(
+      col("p_partkey"),
+      ParquetSink.normalizePartitionValue(col("p_type")).as("v_type"),
+      ParquetSink.normalizePartitionValue(col("p_brand")).as("v_brand"),
+      ParquetSink.normalizePartitionValue(
+        date_format(lit("2021-03-04").cast("date"), "yyyy-MM-dd")).as("v_date"))
+  }
+
+  // ------------------------------------------------------------------- M7
+  def ingestDate(spark: SparkSession, dir: String): DataFrame =
+    ParquetSink.preparePartitions(
+      t(spark, dir, "documents").select("doc_id"), Seq("ingest_date"))
+
+  // ------------------------------------------- analytics / bench headliners
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).as("count_order"))
+
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** events.ts is parquet timestamp[ns]; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong, so normalize to a sortable
+    * microsecond timestamp here (ns ties are impossible in the testdata).
+    */
+  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.schema("ts").dataType match {
+      case LongType =>
+        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+      case _ => e
+    }
+  }
+
+  def eventsLatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    eventsTable(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+  }
+
+  // ------------------------------------------------------ LLM-pipeline ops
+  /** Exact dedup: duplicate the corpus with shifted ids, keep min doc_id
+    * per distinct text (hash groupBy — map-side combine, one shuffle).
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val doubled = d.union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    doubled.groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+
+  /** Token/char counting (whitespace tokenizer). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast(LongType).as("token_count"),
+      length(col("text")).cast(LongType).as("char_count"))
+
+  // ----------------------------------------------------------------- maps
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_roundtrip" -> csvRoundtrip _,
+    "coerce_integer" -> coerceInteger _,
+    "coerce_boolean" -> coerceBoolean _,
+    "coerce_timestamp" -> coerceTimestamp _,
+    "required_filter_strict" -> requiredFilterStrict _,
+    "project_warn_extras" -> projectWarnExtras _,
+    "error_summary" -> errorSummary _,
+    "partition_value_normalize" -> partitionValueNormalize _,
+    "ingest_date" -> ingestDate _,
+    "q1_agg" -> q1Agg _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "events_latest_per_user" -> eventsLatestPerUser _,
+    "dedup_exact" -> dedupExact _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_tokens" -> textTokens _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "csv_roundtrip" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |source, n_chars FROM documents""".stripMargin,
+    "coerce_integer" ->
+      """SELECT o_orderkey, o_orderkey AS i_pass, o_orderkey AS i_plus,
+        |CAST(NULL AS BIGINT) AS i_frac, CAST(NULL AS BIGINT) AS i_text,
+        |CAST(trunc(o_totalprice) AS BIGINT) AS i_trunc FROM orders""".stripMargin,
+    "coerce_boolean" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 6 IN (0, 1) THEN TRUE
+        |     WHEN o_orderkey % 6 IN (2, 3) THEN FALSE
+        |     ELSE CAST(NULL AS BOOLEAN) END AS b_str,
+        |(o_orderkey % 3) <> 0 AS b_num FROM orders""".stripMargin,
+    "coerce_timestamp" ->
+      """SELECT o_orderkey, o_orderdate AS t_iso, o_orderdate AS t_space,
+        |date_trunc('day', o_orderdate) AS t_date, o_orderdate AS t_zulu,
+        |o_orderdate - INTERVAL 1 HOUR AS t_offset,
+        |CAST(NULL AS TIMESTAMP) AS t_bad_year,
+        |CAST(NULL AS TIMESTAMP) AS t_bad_slash FROM orders""".stripMargin,
+    "required_filter_strict" ->
+      """SELECT doc_id, lang,
+        |CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text, source
+        |FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+    "project_warn_extras" ->
+      """SELECT doc_id, lang, CAST(n_chars AS VARCHAR) AS n_chars, source, text
+        |FROM documents""".stripMargin,
+    "error_summary" ->
+      """SELECT CAST(count(*) AS BIGINT) AS records,
+        |CAST(0 AS BIGINT) AS missing_required_doc_id,
+        |CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS missing_required_lang,
+        |CAST(0 AS BIGINT) AS type_mismatch_doc_id,
+        |CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS type_mismatch_n_chars
+        |FROM documents""".stripMargin,
+    "partition_value_normalize" ->
+      """SELECT p_partkey,
+        |regexp_replace(lower(p_type), '[^a-z0-9_-]', '_', 'g') AS v_type,
+        |regexp_replace(lower(p_brand), '[^a-z0-9_-]', '_', 'g') AS v_brand,
+        |'2021-03-04' AS v_date FROM part""".stripMargin,
+    "ingest_date" ->
+      """SELECT doc_id, CAST(current_date AS VARCHAR) AS ingest_date
+        |FROM documents""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |sum(l_extendedprice) AS sum_price,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderpriority""".stripMargin,
+    "events_latest_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY text""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |CAST(length(text) AS BIGINT) AS char_count FROM documents""".stripMargin
+  )
+}

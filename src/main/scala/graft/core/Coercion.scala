@@ -9,23 +9,33 @@ import org.apache.spark.sql.types._
   * Re-expresses the reference's per-record Python coercion
   * (src/dativo_ingest/schema_validator.py:174-263) as codegen-friendly
   * Spark Column expressions — no UDFs, so every cast stays inside
-  * whole-stage codegen and is vectorizable at 100 TB.
+  * whole-stage codegen and is vectorizable at 100 TB. ANSI-safe: all
+  * fallible conversions go through `try_cast`/`try_to_timestamp`, so the
+  * library behaves identically with `spark.sql.ansi.enabled` on or off.
   *
-  * Semantics preserved exactly (golden-tested in CoercionSpec):
-  *  - integer: ints pass, numeric strings parsed, floats truncated toward
-  *    zero (schema_validator.py:197-209; Python `int(float)` truncates and
-  *    Spark's double→long cast matches).
-  *  - float: numerics widen, strings parsed (:212-220).
-  *  - boolean: "true/1/yes/on" → T, "false/0/no/off" → F case-insensitive;
-  *    numeric → (v != 0) (:223-235).
-  *  - timestamp/datetime/date: the reference accepts 7 strptime formats
-  *    (:245-253): ISO with 'T' or ' ', optional .%f fraction, optional 'Z'
-  *    or %z offset, bare date. Spark's string→timestamp cast accepts all of
-  *    them (flexible ISO parser), so one cast covers the whole list.
-  *  - unknown type: passthrough as string (:262-263).
+  * The reference dispatches on the *runtime Python type* of each value
+  * (isinstance checks), so the coercion is source-type aware: a string
+  * `"12.5"` fails integer coercion (`int("12.5")` raises) while a float
+  * value `12.5` truncates to `12` (`int(12.5)`). We mirror that by
+  * dispatching on the column's Spark DataType:
   *
-  * A coercion failure yields NULL (the caller counts those as
-  * `type_mismatch` errors, see Validation).
+  *  - integer (schema_validator.py:197-209): int passes; string parsed
+  *    strictly as an integer literal (`int(s)` — whitespace stripped, no
+  *    fraction, no exponent); float truncated toward zero; bool → 0/1
+  *    (Python bool is an int); anything else → error.
+  *  - float (:212-220): int/float/bool widen; strings via `float(s)`
+  *    (whitespace stripped, fraction/exponent ok); else error.
+  *  - boolean (:223-235): bool passes; string must be one of the 8 tokens
+  *    "true/1/yes/on/false/0/no/off" case-insensitively, NOT trimmed
+  *    (Python does `value.lower()` with no strip); numeric value →
+  *    `bool(v)` i.e. v != 0; else error.
+  *  - timestamp/datetime/date (:238-260): datetime passes; string must
+  *    match one of the 7 strptime formats below, NOT trimmed; else error.
+  *  - string (:193-195): `str(value)` — never fails.
+  *  - unknown type (:262-263): passthrough.
+  *
+  * A coercion failure yields NULL in the coerced output (the caller
+  * counts those as `type_mismatch` errors, see Validation).
   */
 object Coercion {
 
@@ -33,19 +43,21 @@ object Coercion {
   val TrueTokens: Seq[String] = Seq("true", "1", "yes", "on")
   val FalseTokens: Seq[String] = Seq("false", "0", "no", "off")
 
-  /** The reference's accepted timestamp formats
-    * (schema_validator.py:245-253), kept for documentation/tests; the
-    * Spark implementation relies on the built-in flexible cast that
-    * accepts a superset of exactly these shapes.
+  /** The reference's 7 accepted strptime formats
+    * (schema_validator.py:245-253) translated to Spark datetime patterns.
+    * Spark parses `SSSSSS` fractions greedily (1–6 digits), matching
+    * Python's `%f`. `%z` accepts both `+01:00` and `+0100` (and `Z`), so
+    * it maps to two Spark patterns (XXX with colon, xx without).
     */
   val TimestampFormats: Seq[String] = Seq(
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
-    "yyyy-MM-dd'T'HH:mm:ss'Z'",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
     "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
-    "yyyy-MM-dd'T'HH:mm:ssXXX"
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ssxx"
   )
 
   /** CSV null markers (csv_extractor.py: nulls = "", NULL, null, None). */
@@ -55,47 +67,89 @@ object Coercion {
   def nullifyMarkers(c: Column): Column =
     when(c.isin(NullMarkers: _*), lit(null).cast(StringType)).otherwise(c)
 
-  def toInteger(c: Column): Column = {
-    val t = trim(c.cast(StringType))
-    when(t.rlike("^[+-]?\\d+$"), t.cast(LongType))
-      .otherwise(t.cast(DoubleType).cast(LongType)) // truncates toward zero
-  }
-
-  def toDouble(c: Column): Column = trim(c.cast(StringType)).cast(DoubleType)
-
-  def toBoolean(c: Column): Column = {
-    val t = lower(trim(c.cast(StringType)))
-    when(t.isin(TrueTokens: _*), lit(true))
-      .when(t.isin(FalseTokens: _*), lit(false))
-      // numeric → value != 0 (schema_validator.py:231-233)
-      .when(t.rlike("^[+-]?\\d+(\\.\\d+)?$"), t.cast(DoubleType) =!= 0.0)
-      .otherwise(lit(null).cast(BooleanType))
-  }
-
-  def toTimestampCol(c: Column): Column =
-    trim(c.cast(StringType)).cast(TimestampType)
-
-  def toDateCol(c: Column): Column =
-    // Same parser as timestamp (schema_validator.py:238), narrowed to date.
-    toTimestampCol(c).cast(DateType)
-
-  /** Coerce a column to an ODCS logical type. Unknown types pass through
-    * as string (schema_validator.py:262-263, parquet_writer.py:69-71).
+  /** Python `int(str)`: optional sign, digits only, surrounding whitespace
+    * tolerated. (We ignore Python's underscore-separator quirk "1_0".)
     */
-  def coerce(c: Column, odcsType: String): Column =
+  private val IntLiteral = "^[+-]?\\d+$"
+
+  private def isStringy(dt: DataType): Boolean = dt.isInstanceOf[StringType]
+  private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+  private def nullOf(dt: DataType): Column = lit(null).cast(dt)
+
+  def toInteger(c: Column, src: DataType): Column = src match {
+    case ByteType | ShortType | IntegerType | LongType => c.cast(LongType)
+    case BooleanType => c.cast(LongType) // Python: isinstance(True, int)
+    // try_cast: truncates toward zero like int(float); NULL (not an ANSI
+    // error) on overflow/NaN/Infinity, which the reference only hits at
+    // parquet-write time anyway.
+    case _: NumericType  => c.try_cast(LongType)
+    case s if isStringy(s) =>
+      val t = trim(c)
+      when(t.rlike(IntLiteral), t.try_cast(LongType)).otherwise(nullOf(LongType))
+    case _ => nullOf(LongType) // TypeError in the reference
+  }
+
+  def toDouble(c: Column, src: DataType): Column = src match {
+    case _: NumericType | BooleanType => c.cast(DoubleType)
+    case s if isStringy(s)            => trim(c).try_cast(DoubleType)
+    case _                            => nullOf(DoubleType)
+  }
+
+  def toBoolean(c: Column, src: DataType): Column = src match {
+    case BooleanType => c
+    case _: NumericType =>
+      c.cast(DoubleType) =!= 0.0 // bool(v) (schema_validator.py:231-233)
+    case s if isStringy(s) =>
+      val t = lower(c) // deliberately NOT trimmed — Python does value.lower()
+      when(t.isin(TrueTokens: _*), lit(true))
+        .when(t.isin(FalseTokens: _*), lit(false))
+        .otherwise(nullOf(BooleanType))
+    case _ => nullOf(BooleanType)
+  }
+
+  def toTimestampCol(c: Column, src: DataType): Column = src match {
+    case TimestampType => c
+    case DateType      => c.cast(TimestampType) // datetime.combine(d, time.min)
+    case s if isStringy(s) =>
+      // coalesce over the exact format list — NOT Spark's flexible cast,
+      // which accepts a superset the reference rejects.
+      coalesce(TimestampFormats.map(f => try_to_timestamp(c, lit(f))): _*)
+    case _ => nullOf(TimestampType)
+  }
+
+  def toDateCol(c: Column, src: DataType): Column =
+    // Same parser as timestamp (schema_validator.py:238). Documented
+    // divergence: the reference's "date" keeps the full datetime (its
+    // parquet writer widens date→timestamp[us]); Spark-native DateType
+    // truncates the time-of-day instead.
+    toTimestampCol(c, src).cast(DateType)
+
+  /** Coerce a column of Spark type `src` to an ODCS logical type.
+    * Unknown ODCS types pass through (schema_validator.py:262-263); they
+    * land as string downstream (parquet_writer.py:69-71).
+    */
+  def coerce(c: Column, odcsType: String, src: DataType): Column =
     odcsType.trim.toLowerCase match {
-      case "string"                   => c.cast(StringType)
-      case "integer" | "int" | "long" => toInteger(c)
-      case "float" | "double"         => toDouble(c)
-      case "boolean" | "bool"         => toBoolean(c)
-      case "timestamp" | "datetime"   => toTimestampCol(c)
-      case "date"                     => toDateCol(c)
+      case "string"                   => c.cast(StringType) // str() never fails
+      case "integer" | "int" | "long" => toInteger(c, src)
+      case "float" | "double"         => toDouble(c, src)
+      case "boolean" | "bool"         => toBoolean(c, src)
+      case "timestamp" | "datetime"   => toTimestampCol(c, src)
+      case "date"                     => toDateCol(c, src)
       case _                          => c.cast(StringType)
     }
 
-  /** True when coercing `c` to `odcsType` would fail (non-null input became
-    * null output) — the `type_mismatch` predicate used for error counting.
+  /** True when coercing `c` (of Spark type `src`) to `odcsType` would
+    * raise in the reference (non-null input, null coerced output) — the
+    * `type_mismatch` predicate used for error counting and strict-mode
+    * record invalidation.
     */
-  def coercionError(c: Column, odcsType: String): Column =
-    c.isNotNull && coerce(c, odcsType).isNull
+  def coercionError(c: Column, odcsType: String, src: DataType): Column =
+    odcsType.trim.toLowerCase match {
+      case "string" => lit(false) // str(value) never fails
+      case t @ ("integer" | "int" | "long" | "float" | "double" | "boolean" |
+          "bool" | "timestamp" | "datetime" | "date") =>
+        c.isNotNull && coerce(c, t, src).isNull
+      case _ => lit(false) // unknown type: passthrough never fails
+    }
 }

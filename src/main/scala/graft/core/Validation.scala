@@ -30,30 +30,39 @@ final case class ValidationResult(
   * DataFrame transforms so Catalyst can pipeline scan→coerce→filter→write
   * in one whole-stage-codegen pass.
   *
-  * Reference semantics:
-  *  - required-field check: src/dativo_ingest/schema_validator.py:58-143
-  *  - strict drops invalid records; job fails if any dropped
-  *    (cli.py:971-983)
-  *  - warn keeps records untouched, counts errors (:117-127)
-  *  - projection: strict writes only declared fields; warn unions extra
-  *    observed columns typed as string (parquet_writer.py:200-353)
-  *  - error summary: counts by error type and field
-  *    (schema_validator.py:265-302)
+  * Reference semantics (src/dativo_ingest/schema_validator.py:58-143):
+  *  - a record is invalid on ANY error: a null/absent required field
+  *    (`missing_required`) or a failed coercion on any declared field,
+  *    required or not (`type_mismatch`); `is_valid = len(errors)==0`.
+  *  - strict mode drops invalid records (and the job fails if any were
+  *    dropped, cli.py:971-983); output has only declared fields.
+  *  - warn mode keeps every record and appends undeclared columns
+  *    (parquet_writer.py:200-285). Documented divergence: on a failed
+  *    coercion the reference keeps the original value in the (string-typed)
+  *    output cell; we keep a typed NULL so the declared column types hold.
+  *  - error summary counts by error type and field
+  *    (schema_validator.py:265-302).
   */
 object Validation {
 
-  /** Coerce every contract field (T1) from a raw (typically all-string)
-    * frame. Missing declared columns materialize as typed NULLs — the
-    * reference treats an absent key like a null value
-    * (schema_validator.py:77-86).
+  private def fieldSrcType(df: DataFrame): Map[String, DataType] =
+    df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Coerce every contract field (T1) from a raw frame. Missing declared
+    * columns materialize as typed NULLs — the reference treats an absent
+    * key like a null value (schema_validator.py:77-86).
     */
-  def coerceToContract(raw: DataFrame, contract: DataContract): DataFrame = {
-    val present = raw.columns.toSet
-    val cols = contract.fields.map { f =>
-      if (present.contains(f.name)) Coercion.coerce(col(f.name), f.odcsType).as(f.name)
-      else lit(null).cast(f.sparkType).as(f.name)
+  def coerceToContract(raw: DataFrame, contract: DataContract): DataFrame =
+    raw.select(coercedCols(raw, contract): _*)
+
+  private def coercedCols(raw: DataFrame, contract: DataContract): Seq[Column] = {
+    val src = fieldSrcType(raw)
+    contract.fields.map { f =>
+      src.get(f.name) match {
+        case Some(dt) => Coercion.coerce(col(f.name), f.odcsType, dt).as(f.name)
+        case None     => lit(null).cast(f.sparkType).as(f.name)
+      }
     }
-    raw.select(cols: _*)
   }
 
   /** Predicate: every required field present and non-null (T2). */
@@ -65,6 +74,18 @@ object Validation {
     if (checks.isEmpty) lit(true) else checks.reduce(_ && _)
   }
 
+  /** Predicate: the record has NO validation error — all required fields
+    * non-null and no declared field fails coercion (the reference's
+    * `is_valid`, schema_validator.py:134-137).
+    */
+  def validPredicate(contract: DataContract, raw: DataFrame): Column = {
+    val src = fieldSrcType(raw)
+    val noMismatch = contract.fields.flatMap { f =>
+      src.get(f.name).map(dt => !Coercion.coercionError(col(f.name), f.odcsType, dt))
+    }
+    (requiredPredicate(contract, raw) +: noMismatch).reduce(_ && _)
+  }
+
   /** Strict-mode projection: only declared schema fields, declared order
     * (parquet_writer.py:287-353).
     */
@@ -74,7 +95,7 @@ object Validation {
   }
 
   /** Warn-mode projection: declared fields + any extra observed columns
-    * appended as strings (parquet_writer.py:200-285).
+    * appended as strings, in sorted name order (parquet_writer.py:200-285).
     */
   def projectWarn(df: DataFrame, contract: DataContract): DataFrame = {
     val declared = contract.fieldNames
@@ -86,27 +107,31 @@ object Validation {
   /** Error-summary aggregate expressions (T4): one count per
     * (error_type, field), computed in the same job via observe().
     */
-  private def errorMetrics(raw: DataFrame, contract: DataContract): Seq[Column] = {
-    val present = raw.columns.toSet
+  def errorMetrics(raw: DataFrame, contract: DataContract): Seq[Column] = {
+    val src = fieldSrcType(raw)
     val missing = contract.requiredFields.map { f =>
       val cond =
-        if (present.contains(f.name)) col(f.name).isNull else lit(true)
+        if (src.contains(f.name)) col(f.name).isNull else lit(true)
       sum(when(cond, 1L).otherwise(0L)).as(s"missing_required:${f.name}")
     }
-    val mismatch = contract.fields.filter(f => present.contains(f.name)).flatMap { f =>
-      if (f.odcsType.trim.toLowerCase == "string") None
-      else Some(sum(when(Coercion.coercionError(col(f.name), f.odcsType), 1L).otherwise(0L))
-        .as(s"type_mismatch:${f.name}"))
+    val mismatch = contract.fields.flatMap { f =>
+      src.get(f.name).flatMap { dt =>
+        if (f.odcsType.trim.toLowerCase == "string") None
+        else Some(
+          sum(when(Coercion.coercionError(col(f.name), f.odcsType, dt), 1L)
+            .otherwise(0L)).as(s"type_mismatch:${f.name}"))
+      }
     }
-    (count(lit(1)).as("records") +: (missing ++ mismatch))
+    count(lit(1)).as("records") +: (missing ++ mismatch)
   }
 
   /** Full T1–T3 validate+coerce pass over a raw frame.
     *
-    * Strict: coerce → drop records with null required fields → declared
-    * projection. Warn: coerce, keep everything, declared ++ extras
-    * projection. Error counts ride along via observe() on the raw frame so
-    * the source is scanned exactly once.
+    * Strict: drop records with any error → coerce → declared projection.
+    * Warn: coerce, keep everything, declared ++ extras-as-string in ONE
+    * select (a fold of withColumn would nest O(extras) projections).
+    * Error counts ride along via observe() on the raw frame so the source
+    * is scanned exactly once.
     */
   def validate(
       raw: DataFrame,
@@ -114,26 +139,27 @@ object Validation {
       mode: ValidationMode,
       observationName: String = "validation"
   ): ValidationResult = {
-    val observed = raw.observe(observationName, errorMetrics(raw, contract).head,
-      errorMetrics(raw, contract).tail: _*)
-    val coerced = coerceToContract(observed, contract)
+    val metrics = errorMetrics(raw, contract)
+    val observed = raw.observe(observationName, metrics.head, metrics.tail: _*)
     val out = mode match {
       case ValidationMode.Strict =>
-        projectStrict(coerced.filter(requiredPredicate(contract, coerced)), contract)
+        observed
+          .filter(validPredicate(contract, raw))
+          .select(coercedCols(raw, contract): _*)
       case ValidationMode.Warn =>
-        // warn keeps the coerced values; extra raw columns appended as string
         val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
-        val withExtras = extras.foldLeft(coerced) { (d, c) =>
-          d.withColumn(c, observed(c).cast(StringType))
-        }
-        withExtras
+        observed.select(
+          coercedCols(raw, contract) ++
+            extras.map(c => col(c).cast(StringType).as(c)): _*)
     }
     ValidationResult(out, observationName, contract.requiredFields.map(_.name))
   }
 
   /** Map observed metrics → exit code per the reference contract
-    * (cli.py:960-983, :1123-1129): strict + any error ⇒ 2; zero valid
-    * records ⇒ 2; warn + any error ⇒ 1; else 0.
+    * (cli.py:960-983, :1123-1129). Branch order matters: warn-with-errors
+    * is checked before the zero-valid-records failure, because cli.py
+    * tests `has_errors and validation_mode=="warn"` first — warn mode with
+    * errors and zero valid records exits 1 (partial), not 2.
     */
   def exitCode(
       mode: ValidationMode,
@@ -143,11 +169,11 @@ object Validation {
     val errors = metrics.collect {
       case (k, v) if k != "records" && v > 0 => v
     }.sum
-    if (validRecords == 0L) ExitCodes.Failure
-    else if (errors > 0L) mode match {
-      case ValidationMode.Strict => ExitCodes.Failure
+    if (errors > 0L) mode match {
       case ValidationMode.Warn   => ExitCodes.Partial
+      case ValidationMode.Strict => ExitCodes.Failure
     }
+    else if (validRecords == 0L) ExitCodes.Failure
     else ExitCodes.Success
   }
 }
