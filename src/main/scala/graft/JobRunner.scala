@@ -1,0 +1,195 @@
+package graft
+
+import graft.config._
+import graft.core._
+import graft.sinks.ParquetSink
+import graft.sources.{CsvOptions, CsvSource, JdbcSource, SqlDialect, IncrementalSpec}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Paths
+
+/** The §3.1 pipeline driver (reference `_execute_single_job`,
+  * src/dativo_ingest/cli.py:341-1240): parse/validate config → resolve
+  * recipes → registry checks → load asset → plan source → validate/coerce
+  * → partitioned parquet sink → exit code.
+  *
+  * Spark shape: everything composes lazily into ONE action (the sink
+  * write); validation error counts ride along via `observe()`, so a 100 TB
+  * source is scanned exactly once. The reference's batch-at-a-time loop
+  * (cli.py:853-1009) is replaced by Catalyst pipelining.
+  */
+object JobRunner {
+
+  final case class JobReport(
+      exitCode: Int,
+      records: Long,
+      validRecords: Long,
+      errors: Map[String, Long],
+      outputPath: String,
+      validationMode: String
+  )
+
+  /** Resolve a config-relative path against the job file's directory. */
+  private def resolve(jobDir: String, p: String): String = {
+    val path = Paths.get(p)
+    if (path.isAbsolute) p else Paths.get(jobDir, p).toString
+  }
+
+  /** Source planning (cli.py:453-614 routing, minus driver-side SaaS
+    * connectors). Returns the raw DataFrame before validation.
+    */
+  def planSource(spark: SparkSession, src: SourceConfig, contract: DataContract,
+      jobDir: String): DataFrame = {
+    src.connectorType match {
+      case "csv" =>
+        val native = Yaml.map(Yaml.map(src.engine, "options"), "native")
+        val opts = CsvOptions(
+          delimiter = Yaml.str(native, "delimiter").getOrElse(","),
+          quoteChar = Yaml.str(native, "quote_char").getOrElse("\""),
+          encoding = Yaml.str(native, "encoding").getOrElse("utf-8"),
+          header = Yaml.bool(native, "header", dflt = true))
+        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
+          .map(resolve(jobDir, _))
+        require(paths.nonEmpty, "csv source requires files[].path")
+        CsvSource.read(spark, paths, contract, opts)
+      case "parquet" =>
+        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
+          .map(resolve(jobDir, _))
+        require(paths.nonEmpty, "parquet source requires files[].path")
+        spark.read.parquet(paths: _*)
+      case t @ ("postgres" | "mysql") =>
+        val conn = Yaml.map(src.raw, "connection")
+        val url = Yaml.str(conn, "jdbc_url").getOrElse(
+          throw new IllegalArgumentException(s"$t source requires connection.jdbc_url"))
+        val table = src.tables.headOption.getOrElse(
+          throw new IllegalArgumentException(s"$t source requires tables[]"))
+        val dialect = if (t == "postgres") SqlDialect.Postgres else SqlDialect.MySql
+        val inc = src.incremental.map { m =>
+          IncrementalSpec(
+            cursorField = Yaml.str(m, "cursor_field").getOrElse("updated_at"),
+            lastValue = Yaml.str(m, "last_value"),
+            lookbackDays = Yaml.str(m, "lookback_days").map(_.toDouble.toInt))
+        }
+        JdbcSource.read(spark, url,
+          Yaml.str(table, "schema"),
+          Yaml.str(table, "name").getOrElse(
+            throw new IllegalArgumentException("table entry requires name")),
+          dialect, inc)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported source type: $other")
+    }
+  }
+
+  /** Output base path `root/domain/data_product/table` (cli.py:695-723).
+    * Local-path root comes from connection.path; S3 from connection.s3.bucket.
+    */
+  def outputBase(tgt: TargetConfig, contract: DataContract, tenantId: String): String = {
+    val s3 = Yaml.map(tgt.connection, "s3")
+    val root = Yaml.str(tgt.connection, "path")
+      .orElse(Yaml.str(s3, "bucket").map(b => s"s3a://$b"))
+      .getOrElse(sys.props("java.io.tmpdir") + s"/graft_out/$tenantId")
+    ParquetSink.outputPath(root,
+      contract.domain.getOrElse("default"),
+      contract.dataProduct.getOrElse("default"),
+      contract.name)
+  }
+
+  def run(spark: SparkSession, jobYamlPath: String,
+      mode: String = "self_hosted",
+      registry: Registry = Registry.default): JobReport = {
+    val jobDir = Option(Paths.get(jobYamlPath).getParent).map(_.toString).getOrElse(".")
+    val job = JobConfig.fromYaml(jobYamlPath)
+    val srcRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
+      job.sourceConnectorPath.getOrElse(
+        throw new IllegalArgumentException("Source connector path not provided"))))
+    val tgtRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
+      job.targetConnectorPath.getOrElse(
+        throw new IllegalArgumentException("Target connector path not provided"))))
+    val src = job.resolveSource(srcRecipe)
+    val tgt = job.resolveTarget(tgtRecipe)
+    registry.validateJob(src, tgt, mode)
+    val contract = AssetLoader.fromYaml(resolve(jobDir, job.assetPath.getOrElse(
+      throw new IllegalArgumentException("Asset path not provided"))))
+    val vmode = ValidationMode.parse(job.validationMode)
+
+    val raw = planSource(spark, src, contract, jobDir)
+    val obs = Observation(s"validation_${System.nanoTime}")
+    val result = Validation.validate(raw, contract, vmode, obs)
+    val outObs = Observation(s"output_${System.nanoTime}")
+    val out = result.data.observe(outObs, count(lit(1)).as("valid_records"))
+
+    val base = outputBase(tgt, contract, job.tenantId)
+    val partitions =
+      if (tgt.partitioning.nonEmpty) tgt.partitioning else Seq("ingest_date")
+    ParquetSink.write(out, base, partitions, tgt.parquetTargetSizeMb)
+
+    val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val valid = outObs.get("valid_records").asInstanceOf[Long]
+    JobReport(
+      exitCode = Validation.exitCode(vmode, metrics, valid),
+      records = metrics.getOrElse("records", 0L),
+      validRecords = valid,
+      errors = metrics.filter { case (k, v) => k != "records" && v > 0 },
+      outputPath = base,
+      validationMode = job.validationMode)
+  }
+
+  /** Retry with exponential backoff (reference retry_policy.py:23-105;
+    * config.py:475-500 defaults: 3 retries, 5 s initial, ×2, cap 300 s).
+    * Retries only on retryable exit codes; sleeps are capped.
+    */
+  final case class RetryPolicy(
+      maxRetries: Int = 3,
+      initialDelayMs: Long = 5000,
+      multiplier: Double = 2.0,
+      maxDelayMs: Long = 300000,
+      retryableExitCodes: Set[Int] = Set(1, 2))
+
+  def runWithRetry(spark: SparkSession, jobYamlPath: String,
+      policy: RetryPolicy, mode: String = "self_hosted",
+      sleep: Long => Unit = Thread.sleep): JobReport = {
+    var attempt = 0
+    var report = run(spark, jobYamlPath, mode)
+    while (attempt < policy.maxRetries &&
+      policy.retryableExitCodes.contains(report.exitCode)) {
+      val delay = math.min(policy.maxDelayMs,
+        (policy.initialDelayMs * math.pow(policy.multiplier, attempt)).toLong)
+      sleep(delay)
+      attempt += 1
+      report = run(spark, jobYamlPath, mode)
+    }
+    report
+  }
+}
+
+/** CLI verb: `runMain graft.RunJob <job.yaml> [self_hosted|cloud]` —
+  * exits with the reference's 0/1/2 contract.
+  */
+object RunJob {
+  def main(args: Array[String]): Unit = {
+    val jobPath = args(0)
+    val mode = if (args.length > 1) args(1) else "self_hosted"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val report = JobRunner.run(spark, jobPath, mode)
+      System.err.println(
+        s"[graft] records=${report.records} valid=${report.validRecords} " +
+          s"errors=${report.errors} out=${report.outputPath} exit=${report.exitCode}")
+      spark.stop()
+      sys.exit(report.exitCode)
+    } catch {
+      case e: Throwable => // config/registry failures ⇒ exit 2 (cli.py:1006-1067)
+        System.err.println(s"[graft] FAILED: ${e.getMessage}")
+        spark.stop()
+        sys.exit(ExitCodes.Failure)
+    }
+  }
+}

@@ -155,6 +155,31 @@ object Validation {
     ValidationResult(out, observationName, contract.requiredFields.map(_.name))
   }
 
+  /** Observation-object variant of [[validate]] — metrics retrievable via
+    * `obs.get` after the first action on the returned frame.
+    */
+  def validate(
+      raw: DataFrame,
+      contract: DataContract,
+      mode: ValidationMode,
+      obs: org.apache.spark.sql.Observation
+  ): ValidationResult = {
+    val metrics = errorMetrics(raw, contract)
+    val observed = raw.observe(obs, metrics.head, metrics.tail: _*)
+    val out = mode match {
+      case ValidationMode.Strict =>
+        observed
+          .filter(validPredicate(contract, raw))
+          .select(coercedCols(raw, contract): _*)
+      case ValidationMode.Warn =>
+        val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
+        observed.select(
+          coercedCols(raw, contract) ++
+            extras.map(c => col(c).cast(StringType).as(c)): _*)
+    }
+    ValidationResult(out, obs.name, contract.requiredFields.map(_.name))
+  }
+
   /** Map observed metrics → exit code per the reference contract
     * (cli.py:960-983, :1123-1129). Branch order matters: warn-with-errors
     * is checked before the zero-valid-records failure, because cli.py

@@ -1,0 +1,163 @@
+package graft
+
+import graft.config._
+import graft.core.ExitCodes
+import java.nio.file.{Files, Path}
+
+/** End-to-end §3.1 lifecycle: job yaml → csv source → validate → parquet
+  * sink → exit code, matching the reference's smoke-test style
+  * (tests/fixtures/jobs/csv_employee_to_iceberg.yaml + exit contract
+  * cli.py:960-983,1123-1129).
+  */
+class JobRunnerSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  private def fixture(csvRows: Seq[String], mode: String): (Path, String) = {
+    val dir = Files.createTempDirectory("graft-job-")
+    write(dir, "data.csv", ("id,name,score" +: csvRows).mkString("\n"))
+    write(dir, "recipe_csv.yaml",
+      """name: csv
+        |type: csv
+        |roles: [source, target]
+        |default_engine:
+        |  type: native
+        |  options:
+        |    native: {delimiter: ",", quote_char: '"'}
+        |""".stripMargin)
+    write(dir, "recipe_parquet.yaml",
+      """name: parquet
+        |type: parquet
+        |roles: [source, target]
+        |default_engine: {type: native}
+        |""".stripMargin)
+    write(dir, "asset.yaml",
+      """asset:
+        |  name: people
+        |  version: "1.0"
+        |  domain: hr
+        |  data_product: core
+        |  schema:
+        |    - {name: id, type: integer, required: true}
+        |    - {name: name, type: string, required: true}
+        |    - {name: score, type: double, required: false}
+        |""".stripMargin)
+    val out = dir.resolve("out").toString
+    val job = write(dir, "job.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: $mode
+         |source:
+         |  files:
+         |    - {path: data.csv}
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    (dir, job)
+  }
+
+  test("clean strict run: exit 0, typed partitioned output") {
+    val (dir, job) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Success
+    r.records shouldBe 2
+    r.validRecords shouldBe 2
+    r.outputPath shouldBe s"$dir/out/hr/core/people"
+    val back = spark.read.parquet(r.outputPath)
+    back.count() shouldBe 2
+    back.columns should contain("ingest_date") // M7 default partition
+    back.schema("id").dataType.typeName shouldBe "long"
+  }
+
+  test("strict run with errors: invalid rows dropped, exit 2") {
+    val (_, job) = fixture(Seq("1,alice,9.5", ",bob,1.0", "3,carol,oops"), "strict")
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Failure
+    r.validRecords shouldBe 1
+    r.errors.keySet should contain("missing_required:id")
+    r.errors.keySet should contain("type_mismatch:score")
+  }
+
+  test("warn run with errors: everything written, exit 1 (partial)") {
+    val (_, job) = fixture(Seq("1,alice,9.5", ",bob,1.0", "3,carol,oops"), "warn")
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Partial
+    r.validRecords shouldBe 3
+    spark.read.parquet(r.outputPath).count() shouldBe 3
+  }
+
+  test("empty input: exit 2 (no valid records)") {
+    val (_, job) = fixture(Seq.empty, "strict")
+    JobRunner.run(spark, job).exitCode shouldBe ExitCodes.Failure
+  }
+
+  test("registry: unknown connector type rejected") {
+    val (dir, job) = fixture(Seq("1,a,2.0"), "strict")
+    val bad = write(dir, "recipe_bad.yaml",
+      "name: sheets\ntype: google_sheets\nroles: [source]\n")
+    val jb = Files.readString(java.nio.file.Paths.get(job))
+      .replace("recipe_csv.yaml", "recipe_bad.yaml")
+    val job2 = write(dir, "job2.yaml", jb)
+    a[RegistryViolation] should be thrownBy JobRunner.run(spark, job2)
+  }
+
+  test("registry: cloud mode blocks database connectors") {
+    Registry.default.validateConnectorType("postgres", "source")
+    a[RegistryViolation] should be thrownBy
+      Registry.default.validateModeRestriction("postgres", "cloud",
+        Registry.default.connectors("postgres"))
+  }
+
+  test("recipe merge: job overrides recipe engine options one level deep") {
+    val recipe = ConnectorRecipe.fromMap(Yaml.loadString(
+      """type: csv
+        |roles: [source]
+        |default_engine:
+        |  type: native
+        |  options:
+        |    native: {delimiter: ",", encoding: utf-8}
+        |""".stripMargin))
+    val job = JobConfig.fromMap(Yaml.loadString(
+      """tenant_id: t9
+        |source:
+        |  engine:
+        |    options:
+        |      native: {delimiter: ";"}
+        |""".stripMargin))
+    val src = job.resolveSource(recipe)
+    // Python {**a, **b} at the nested level: options replaced wholesale
+    Yaml.map(Yaml.map(src.engine, "options"), "native")("delimiter") shouldBe ";"
+    src.incremental shouldBe None // disabled unless job configures it
+  }
+
+  test("incremental: merged with recipe defaults + tenant state path") {
+    val recipe = ConnectorRecipe.fromMap(Yaml.loadString(
+      """type: postgres
+        |roles: [source]
+        |incremental: {strategy: updated_at, lookback_days_default: 7}
+        |""".stripMargin))
+    val job = JobConfig.fromMap(Yaml.loadString(
+      """tenant_id: acme
+        |source:
+        |  tables:
+        |    - {name: users, object: users}
+        |  incremental: {cursor_field: updated_at}
+        |""".stripMargin))
+    val inc = job.resolveSource(recipe).incremental.get
+    inc("strategy") shouldBe "updated_at"
+    inc("cursor_field") shouldBe "updated_at"
+    inc("state_path").toString should endWith("acme/postgres.users.state.json")
+  }
+
+  test("env-var expansion incl. ${VAR:-default}") {
+    Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
+    Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
+    Yaml.expandEnv("${UNSET_NO_DEFAULT}", Map.empty) shouldBe "${UNSET_NO_DEFAULT}"
+  }
+}
