@@ -75,8 +75,38 @@ object JobRunner {
           Yaml.str(table, "name").getOrElse(
             throw new IllegalArgumentException("table entry requires name")),
           dialect, inc)
+      case "markdown_kv" =>
+        // S10 — native here; the reference declares but never implements it
+        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
+          .map(resolve(jobDir, _))
+        require(paths.nonEmpty, "markdown_kv source requires files[].path")
+        graft.sources.MarkdownKvSource.readRowPerKv(spark, paths)
       case other =>
         throw new IllegalArgumentException(s"Unsupported source type: $other")
+    }
+  }
+
+  /** Markdown-KV target transform (cli.py:856-931): mode `string` renders
+    * each record to `{doc_id, markdown_kv_content}`; mode `structured`
+    * renders then re-parses (`row_per_kv` or `document_level`).
+    */
+  def applyMarkdownKvStorage(df: DataFrame, tgt: TargetConfig): DataFrame = {
+    val storage = Yaml.map(tgt.raw, "markdown_kv_storage")
+    if (storage.isEmpty) df
+    else Yaml.str(storage, "mode") match {
+      case Some("string") => graft.operators.MarkdownKv.toMarkdownKv(df)
+      case Some("structured") =>
+        val rendered = graft.operators.MarkdownKv.toMarkdownKv(df)
+        val now = new java.sql.Timestamp(System.currentTimeMillis())
+        Yaml.str(storage, "structured_pattern").getOrElse("row_per_kv") match {
+          case "document_level" =>
+            graft.operators.MarkdownKv.parseDocumentLevel(
+              rendered, "markdown_kv_content", "doc_id", now).toDF()
+          case _ =>
+            graft.operators.MarkdownKv.parseRowPerKv(
+              rendered, "markdown_kv_content", "doc_id", now).toDF()
+        }
+      case _ => df
     }
   }
 
@@ -112,7 +142,9 @@ object JobRunner {
       throw new IllegalArgumentException("Asset path not provided"))))
     val vmode = ValidationMode.parse(job.validationMode)
 
-    val raw = planSource(spark, src, contract, jobDir)
+    // mdkv transform precedes validation, like the reference's batch loop
+    // (transform at cli.py:856-931, validate_batch at :943)
+    val raw = applyMarkdownKvStorage(planSource(spark, src, contract, jobDir), tgt)
     val obs = Observation(s"validation_${System.nanoTime}")
     val result = Validation.validate(raw, contract, vmode, obs)
     val outObs = Observation(s"output_${System.nanoTime}")

@@ -218,6 +218,29 @@ object Queries {
       size(split(trim(col("text")), "\\s+")).cast(LongType).as("token_count"),
       length(col("text")).cast(LongType).as("char_count"))
 
+  // ------------------------------------------------------- markdown-kv M1-M5
+  private val MdkvT0 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+
+  /** M1: record → markdown-kv string on the documents table. */
+  def mdkvRender(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MarkdownKv.toMarkdownKv(t(spark, dir, "documents"))
+
+  /** M2–M4 roundtrip: render each documents row, reparse as row_per_kv. */
+  def mdkvRoundtripKv(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MarkdownKv.parseRowPerKv(
+      mdkvRender(spark, dir), "markdown_kv_content", "doc_id", MdkvT0)
+      .toDF().select("doc_id", "section", "key", "value", "value_json", "ord")
+
+  /** M5 flattened: document_level parse → one row per nested section. */
+  def mdkvDocLevel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.MarkdownKv.parseDocumentLevel(
+      mdkvRender(spark, dir), "markdown_kv_content", "doc_id", MdkvT0).toDF()
+    docs.select(col("doc_id"), col("title"), explode(col("sections")).as("s"))
+      .select(col("doc_id"), col("title"),
+        col("s.section").as("section"), col("s.level").as("level"),
+        size(col("s.kv")).cast(LongType).as("n_kv"))
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -232,6 +255,9 @@ object Queries {
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
+    "mdkv_render" -> mdkvRender _,
+    "mdkv_roundtrip_kv" -> mdkvRoundtripKv _,
+    "mdkv_doc_level" -> mdkvDocLevel _,
     "dedup_exact" -> dedupExact _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _
@@ -293,6 +319,33 @@ object Queries {
         |  SELECT user_id, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "mdkv_render" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        |'---' || chr(10) || 'doc_id: ' || doc_id || chr(10) || '---' ||
+        |chr(10) || chr(10) || 'text:: ' || text || chr(10) || 'lang:: ' ||
+        |lang || chr(10) || 'source:: ' || source || chr(10) ||
+        |'n_chars:: ' || n_chars AS markdown_kv_content
+        |FROM documents""".stripMargin,
+    "mdkv_roundtrip_kv" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, '_front_matter' AS section,
+        |  'doc_id' AS key, CAST(doc_id AS VARCHAR) AS value,
+        |  CAST(NULL AS VARCHAR) AS value_json, CAST(0 AS BIGINT) AS ord
+        |  FROM documents
+        |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', 'text', text,
+        |  NULL, 1 FROM documents
+        |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', 'lang', lang,
+        |  NULL, 2 FROM documents
+        |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', 'source', source,
+        |  NULL, 3 FROM documents
+        |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', 'n_chars',
+        |  CAST(n_chars AS VARCHAR), CAST(n_chars AS VARCHAR), 4
+        |  FROM documents""".stripMargin,
+    "mdkv_doc_level" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, '_default' AS title,
+        |  '_front_matter' AS section, 0 AS level, CAST(1 AS BIGINT) AS n_kv
+        |  FROM documents
+        |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', '_default', 0, 4
+        |  FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies
         |FROM (SELECT doc_id, text FROM documents
