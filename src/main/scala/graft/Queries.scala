@@ -205,6 +205,37 @@ object Queries {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** Exact-dedup survivor set via the window operator (keep min doc_id). */
+  def dedupExactKeep(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val doubled = d.union(d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    graft.operators.Dedup.dropExactDuplicates(doubled, "doc_id", "text")
+  }
+
+  /** MinHash-LSH near-dup pairs over the documents table (the generator
+    * plants real near-dups). Every pair with exact Jaccard ≥ 0.9 must
+    * surface — banding recall at j = 0.9 with 32×4 is 1 − ~1.5e-15 — and
+    * the exact-Jaccard verify step makes the output equal the all-pairs
+    * oracle without ever running all-pairs.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashNearDupPairs(
+      t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.9)
+
+  /** Blocked exact n-gram Jaccard (block = lang) on documents. */
+  def dedupNgramBlock(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardPairs(
+      t(spark, dir, "documents"), "doc_id", "text", "lang",
+      shingleN = 3, threshold = 0.9)
+
+  /** SimHash near-dup pairs (rows-only check: xxhash64 isn't replicable
+    * in the oracle).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simhashNearDupPairs(
+      t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -259,6 +290,10 @@ object Queries {
     "mdkv_roundtrip_kv" -> mdkvRoundtripKv _,
     "mdkv_doc_level" -> mdkvDocLevel _,
     "dedup_exact" -> dedupExact _,
+    "dedup_exact_keep" -> dedupExactKeep _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_ngram_block" -> dedupNgramBlock _,
+    "dedup_simhash" -> dedupSimhash _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _
   )
@@ -351,6 +386,33 @@ object Queries {
         |FROM (SELECT doc_id, text FROM documents
         |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY text""".stripMargin,
+    "dedup_exact_keep" ->
+      "SELECT doc_id, text FROM documents",
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) * 1.0 /
+        |  len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "dedup_ngram_block" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) * 1.0 /
+        |  len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

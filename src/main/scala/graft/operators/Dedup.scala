@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (fingerprint groupBy), MinHash+LSH (banded), SimHash (chunked),
+  * and blocked n-gram Jaccard.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` higher-order
+  * array expressions — no UDFs, so the whole family stays inside
+  * whole-stage codegen and scales linearly with executors. The only
+  * shuffles are (a) groupBy/self-join on compact hash keys (16-byte
+  * fingerprints / 8-byte band hashes), never on raw document text, and
+  * (b) the candidate-verify joins, whose left side is the candidate-pair
+  * set (tiny relative to the corpus).
+  *
+  * Nearest reference analog: none — the reference has no dedup operator
+  * (SURVEY.md §2.6); this is the BASELINE scale-extension surface.
+  */
+object Dedup {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles, joined with single spaces. Documents
+    * shorter than `n` tokens yield an empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 16-byte content fingerprint over whitespace-normalized lowercase text
+    * (the compact exact-dedup key — grouping by this instead of the raw
+    * text keeps the shuffle payload fixed-width at 100 TB).
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Exact dedup: keep the lowest-id row per distinct (normalized) text.
+    * One shuffle on the 16-byte fingerprint; md5 collisions are
+    * cryptographically negligible.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ------------------------------------------------------------- MinHash-LSH
+
+  /** MinHash signature: k independent hash functions via seeded xxhash64
+    * (the seed rides as a second hashed value), each taking the min over
+    * the shingle set. Returns array<bigint> of length k.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** Banded LSH keys: `bands` hashes, each over `rowsPerBand` consecutive
+    * signature entries (+ the band index, so bands can't collide with each
+    * other). Returns array<bigint> of length `bands`.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)), b))
+
+  /** Band keys computed straight from the shingle set, fused so that each
+    * of the k = bands×rowsPerBand hash functions is evaluated exactly once
+    * per row. (Composing `bandKeys(minhashSignature(...))` instead lets
+    * CollapseProject inline the signature into the band lambda — its
+    * static reference count is 1 — and the whole signature is then
+    * recomputed once PER BAND at runtime: a measured 32× slowdown.)
+    */
+  def bandKeysFromShingles(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(
+        transform(sequence(lit(0), lit(rowsPerBand - 1)),
+          r => array_min(transform(shingles,
+            s => xxhash64(s, b * rowsPerBand + r)))),
+        b))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * Stages: shingle → minhash(k = bands×rowsPerBand) → explode band keys
+    * (shuffle on the 8-byte band hash) → bucket-local self-join for
+    * candidates → distinct pairs → exact Jaccard verify → threshold.
+    * Never an all-pairs comparison; the physical plan contains no
+    * CartesianProduct.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist() // reused by the band explode and both verify joins
+    val banded = sh
+      .select(col("id"),
+        explode(bandKeysFromShingles(col("sh"), bands, rowsPerBand)).as("bk"))
+      .persist() // self-joined below: without this the k hashes run twice
+    val cands = banded.as("x")
+      .join(banded.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** ±1 vote per bit position of a 64-bit hash (bit positions unrolled as
+    * constants — keeps every shift a literal, fully codegen-able).
+    */
+  private def bitVotes(h: Column): Column =
+    array((0 until 64).map(j =>
+      when(shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))): _*)
+
+  /** Per-bit vote tallies over the token multiset (array<bigint>[64]). */
+  def simhashVotes(text: Column): Column =
+    aggregate(tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, tok) => zip_with(acc, bitVotes(xxhash64(tok)), (a, b) => a + b))
+
+  /** Assemble the 64-bit simhash from a (resolved) votes column: bit j is
+    * set when the tally is positive. OR-composition avoids signed-overflow
+    * arithmetic, so it is ANSI-safe.
+    */
+  def simhashFromVotes(votes: Column): Column =
+    (0 until 64).map(j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** df + simhash column, computed in two projections so the votes array
+    * is materialized once (not 64 times).
+    */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String = "simhash"): DataFrame =
+    df.withColumn("__votes", simhashVotes(col(textCol)))
+      .withColumn(outCol, simhashFromVotes(col("__votes")))
+      .drop("__votes")
+
+  /** SimHash near-duplicate pairs: split the 64-bit simhash into four
+    * 16-bit chunks; sharing any chunk makes a candidate (Hamming ≤ 3 over
+    * 4 chunks guarantees one equal chunk by pigeonhole); verify by exact
+    * Hamming distance. Shuffles on the chunk key only.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val hashed = withSimhash(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")), "__t", "sh")
+      .select("id", "sh")
+      .persist() // reused by the chunk explode (×2 via self-join) + verify
+    val chunked = hashed.select(col("id"),
+      explode(array((0 until 4).map(c =>
+        concat_ws(":", lit(c),
+          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("ck"))
+    val cands = chunked.as("x")
+      .join(chunked.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------ blocked Jaccard
+
+  /** Blocked n-gram Jaccard: all pairs WITHIN a blocking key (e.g. lang),
+    * never across the whole corpus. The join shuffles on the block key;
+    * block sizes bound the quadratic cost, so pick keys with bounded
+    * cardinality-per-block at scale (or LSH instead).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    // Inverted-index (postings) similarity join: explode shingles, join on
+    // the shingle itself, count shared shingles per pair, and derive
+    // |A∪B| = n_a + n_b − shared. Exact (identical result to the naive
+    // all-pairs intersect), but cost is Σ_shingle df² instead of
+    // Σ_block |block|²·|sh| — and every stage is a plain shuffle, so it
+    // scales horizontally. Size-ratio prune (j ≥ t ⇒ t ≤ |A|/|B| ≤ 1/t)
+    // cuts the pair stream before the aggregate.
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+    val posts = sh.select(col("blk"), col("id"), col("n"), explode(col("sh")).as("s"))
+      .persist() // both sides of the postings self-join
+    posts.as("x")
+      .join(posts.as("y"),
+        col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
+          col("x.id") < col("y.id") &&
+          col("x.n").cast("double") >= col("y.n") * threshold &&
+          col("y.n").cast("double") >= col("x.n") * threshold)
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words entirely here now today friends"),
+    (5L, "short text")
+  ).toDF("id", "text")
+
+  test("wordShingles: distinct n-grams; short docs empty") {
+    val sh = docs.select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sh(1L) should contain("the quick brown")
+    sh(1L).length shouldBe 7 // 9 tokens -> 7 shingles, all distinct
+    sh(5L) shouldBe empty
+  }
+
+  test("dropExactDuplicates keeps lowest id per normalized text") {
+    val out = Dedup.dropExactDuplicates(
+      docs.union(Seq((6L, "  THE QUICK  brown fox jumps over the lazy dog"))
+        .toDF("id", "text")), "id", "text")
+    out.select("id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L, 5L)
+  }
+
+  test("minhash signature is deterministic and length k") {
+    val sig = docs.filter($"id" === 1)
+      .select(Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 16).as("s"))
+    val a = sig.collect()(0).getSeq[Long](0)
+    val b = sig.collect()(0).getSeq[Long](0)
+    a shouldBe b
+    a.length shouldBe 16
+  }
+
+  test("minhashNearDupPairs finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    got should contain((1L, 2L)) // identical
+    got should contain((1L, 3L)) // 6/8 shingles shared = 0.6
+    got should contain((2L, 3L))
+    got.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
+  test("minhash plan has no CartesianProduct and shuffles on band key") {
+    val plan = Dedup.minhashNearDupPairs(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("simhash: identical texts distance 0; near dups small distance") {
+    val h = Dedup.withSimhash(docs, "text", "sh")
+      .select("id", "sh").as[(Long, Long)].collect().toMap
+    h(1L) shouldBe h(2L)
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be <= 16
+    java.lang.Long.bitCount(h(1L) ^ h(4L)) should be > 16
+  }
+
+  test("simhashNearDupPairs: exact dup surfaces at hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.map(p => (p._1, p._2)) should contain((1L, 2L))
+    pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 shouldBe 0
+  }
+
+  test("ngramJaccardPairs respects blocking") {
+    val blocked = docs.withColumn("blk",
+      when(col("id") <= 3, "a").otherwise("b"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "id", "text", "blk",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+}
