@@ -236,11 +236,63 @@ object Queries {
     graft.operators.Dedup.simhashNearDupPairs(
       t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
+  /** Brute-force cosine top-5 for the first 10 vectors (exact baseline;
+    * broadcast query set, corpus streamed).
+    */
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.operators.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** LSH-bucketed approximate top-5 (the scale path; rows-only check). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.operators.Similarity.lshTopK(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planes = 4, dim = 64)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+
+  /** Multimodal plumbing: text → binary payload → size + content hash
+    * (decode stays stubbed; this exercises the real binary column path).
+    */
+  def multimodalHash(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.assetsFromText(
+      t(spark, dir, "documents"), "doc_id", "text")
+      .select(
+        col("asset_id"),
+        graft.operators.Multimodal.payloadSize(col("payload")).as("payload_size"),
+        graft.operators.Multimodal.contentHash(col("payload")).as("sha256_hex"))
+
+  /** Batched decode through the partition-level decoder (rows-only:
+    * the fake decoder's hash-derived dims aren't SQL-replicable).
+    */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = graft.operators.Multimodal.assetsFromText(
+      t(spark, dir, "documents"), "doc_id", "text")
+      .as[graft.operators.Multimodal.MediaAsset]
+    graft.operators.Multimodal.decodeFeatures(assets)
+      .toDF().drop("byte_histogram")
+  }
+
+  /** Quality signals bundle over documents. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.withQualitySignals(
+      t(spark, dir, "documents").select("doc_id", "text"), "text")
+      .drop("text")
+
+  /** Stopword-scoring language ID with per-language scores. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.withDetectedLanguage(
+      t(spark, dir, "documents").select("doc_id", "text"), "text")
+      .drop("text")
 
   /** Token/char counting (whitespace tokenizer). */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -294,8 +346,14 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_ngram_block" -> dedupNgramBlock _,
     "dedup_simhash" -> dedupSimhash _,
+    "ann_brute_topk" -> annBruteTopK _,
+    "ann_lsh_topk" -> annLshTopK _,
     "text_fingerprint" -> textFingerprint _,
-    "text_tokens" -> textTokens _
+    "text_tokens" -> textTokens _,
+    "multimodal_hash" -> multimodalHash _,
+    "multimodal_features" -> multimodalFeatures _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangId _
   )
 
   val oracles: Map[String, String] = Map(
@@ -413,6 +471,23 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(64),
+        |    i -> qe[i+1] * e[i+1]), (a, b) -> a + b) /
+        |  (sqrt(list_reduce(list_transform(range(64),
+        |    i -> qe[i+1] * qe[i+1]), (a, b) -> a + b)) *
+        |   sqrt(list_reduce(list_transform(range(64),
+        |    i -> e[i+1] * e[i+1]), (a, b) -> a + b))) AS sim
+        |  FROM q, v WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        |FROM r WHERE rank <= 5""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
@@ -420,6 +495,43 @@ object Queries {
     "text_tokens" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
-        |CAST(length(text) AS BIGINT) AS char_count FROM documents""".stripMargin
+        |CAST(length(text) AS BIGINT) AS char_count FROM documents""".stripMargin,
+    "multimodal_hash" ->
+      """SELECT doc_id AS asset_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS payload_size,
+        |sha256(text) AS sha256_hex FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH tok AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS token_count,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) /
+        |    CAST(len(t) AS DOUBLE) AS mean_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(t, x -> x IN ('der','die','und','in','den','von',
+        |    'zu','das','mit','sich','the','and','of','to','is','you','that','it',
+        |    'for','el','la','de','que','y','en','un','ser','se','no','le','et',
+        |    'les','des','du','une','的','是','不','了','在','人','有','我','他',
+        |    '这'))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stopword_ratio
+        |FROM tok""".stripMargin,
+    "text_langid" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is','you','that','it','for'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','en','un','ser','se','no'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','un','du','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(t, x -> x IN ('的','是','不','了','在','人','有','我','他','这'))) AS BIGINT) AS s_zh
+        |  FROM tok)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS detected_lang
+        |FROM s""".stripMargin
   )
 }

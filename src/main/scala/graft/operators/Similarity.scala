@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Two paths, mirroring what a 100 TB training-data pipeline needs:
+  *  - brute-force cosine top-k with a broadcast query set — the exact
+  *    baseline; corpus is streamed, never shuffled, so it scales with
+  *    executors for any corpus size (the query set must stay broadcast-
+  *    small).
+  *  - random-hyperplane LSH bucketing — the scale path for large query
+  *    sets: one shuffle on the bucket key, bucket-local top-k.
+  *
+  * All arithmetic accumulates sequentially in double (floats widened per
+  * element) so results are bit-reproducible across runs and engines.
+  * Pure Column expressions; no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-in-double dot product of two float vectors. */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dotDouble(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dotDouble(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: broadcast the (small) query set against the
+    * corpus, rank by cosine desc with id tiebreak. Self-pairs excluded.
+    * Returns (query_id, neighbor_id, rank, sim).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic Rademacher (±1) component i of hyperplane j, derived
+    * from xxhash64 — no stored plane matrix, identical on every executor.
+    */
+  private def radSign(j: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(j), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Signed projection of a vector onto hyperplane j. */
+  private def planeDot(vec: Column, j: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => element_at(vec, i + 1).cast("double") * radSign(j, i)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH bucket id over `planes` hyperplanes (one sign
+    * bit each). Cosine-similar vectors land in the same bucket with
+    * probability (1 − θ/π)^planes.
+    */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes)
+      .map(j => when(planeDot(vec, j, dim) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int,
+      outCol: String = "bucket"): DataFrame =
+    df.withColumn(outCol, lshBucket(col(vecCol), planes, dim))
+
+  /** Approximate top-k: queries join only their own LSH bucket; exact
+    * cosine rank within the bucket. One shuffle on the bucket key; never
+    * a full cross join. Recall is tunable via `planes` (fewer planes =
+    * bigger buckets = higher recall, more compute).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      dim: Int = 64
+  ): DataFrame = {
+    val c = withLshBucket(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "cv", planes, dim)
+    val q = withLshBucket(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "qv", planes, dim)
+    val scored = c.join(q,
+      c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality signals, stopword-based language identification, and content
+  * fingerprinting. Pure Column expressions (codegen-friendly, no UDFs);
+  * every output is deterministic so the DuckDB oracle can replicate it.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword segment count: word runs + isolated non-word chars
+    * (the usual pre-tokenizer regex `\w+|[^\w\s]`).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Mean token length (characters per token). */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(transform(t, x => length(x).cast("long")), lit(0L),
+      (a, b) => a + b).cast("double") / size(t).cast("double")
+  }
+
+  /** Ratio of punctuation characters (ASCII punct class). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Per-language stopword lists (tiny, classic top-10 function words). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Count of tokens found in a stopword list. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+
+  /** Stopword ratio against the union of all lists (a generic fluency
+    * signal).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val all = Stopwords.flatMap(_._2).distinct
+    stopwordCount(text, all).cast("double") / tokenCount(text).cast("double")
+  }
+
+  /** Winner-takes-all over (lang, score) columns; ties broken by the
+    * given order (language code ascending).
+    */
+  def detectFromScores(scores: Seq[(String, Column)]): Column =
+    scores.foldRight(lit(scores.last._1)) { case ((lang, s), elseCol) =>
+      val isMax = scores.filter(_._1 != lang)
+        .map { case (_, o) => s >= o }
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(elseCol)
+    }
+
+  /** Stopword-scoring language ID. Materializes the five score columns in
+    * one projection (`s_de`…`s_zh`), then the argmax in a second — so each
+    * tokenization/count runs once per row, not once per comparison.
+    */
+  def withDetectedLanguage(df: DataFrame, textCol: String,
+      outCol: String = "detected_lang"): DataFrame = {
+    val scored = Stopwords.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", stopwordCount(col(textCol), words))
+    }
+    scored.withColumn(outCol,
+      detectFromScores(Stopwords.map { case (l, _) => l -> col(s"s_$l") }))
+  }
+
+  /** Quality-signal bundle, one column each. */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("token_count", tokenCount(c))
+      .withColumn("char_count", length(c).cast("long"))
+      .withColumn("mean_token_len", meanTokenLen(c))
+      .withColumn("punct_ratio", punctRatio(c))
+      .withColumn("stopword_ratio", stopwordRatio(c))
+  }
+
+  /** 128-bit content fingerprint (md5 of whitespace-normalized lowercase
+    * text) — same definition as Dedup.fingerprint.
+    */
+  def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (3L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 1
+    (4L, Array(1.0f, 1.0f, 0.0f)),   // 45° to 1
+    (5L, Array(-1.0f, 0.0f, 0.0f))   // opposite to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs((1L, 3L)) shouldBe 1.0 +- 1e-12
+    pairs((1L, 2L)) shouldBe 0.0 +- 1e-12
+    pairs((1L, 5L)) shouldBe -1.0 +- 1e-12
+    pairs((1L, 4L)) shouldBe math.sqrt(0.5) +- 1e-12
+  }
+
+  test("bruteForceTopK: correct ranking with id tiebreak, no self-pair") {
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Long)].collect()
+    out shouldBe Array((3L, 1L), (4L, 2L), (2L, 3L)) // 1.0, .707, 0.0
+  }
+
+  test("lsh buckets: identical direction vectors share a bucket") {
+    val b = Similarity.withLshBucket(vecs, "embedding", planes = 8, dim = 3)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    b(1L) shouldBe b(3L)  // parallel vectors: identical projections
+    b(1L) should not be b(5L) // opposite vector flips every sign bit
+  }
+
+  test("lshTopK returns bucket-local exact ranks") {
+    val out = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 5, planes = 2, dim = 3)
+    val rows = out.select("neighbor_id", "rank", "sim").collect()
+    rows.map(_.getLong(0)) should contain(3L) // same-bucket parallel vec
+    // ranks are contiguous from 1
+    rows.map(_.getLong(1)).sorted shouldBe (1L to rows.length).toArray
+  }
+
+  test("lshTopK plan has no cartesian product") {
+    val plan = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3,
+      planes = 2, dim = 3).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality signals: counts, mean length, punct + stopword ratios") {
+    val df = Seq((1L, "The cat, and the dog!")).toDF("id", "text")
+    val r = TextAnalysis.withQualitySignals(df, "text").collect()(0)
+    r.getAs[Long]("token_count") shouldBe 5
+    r.getAs[Long]("char_count") shouldBe 21
+    // tokens lowered: the cat, and the dog! -> lengths 3+4+3+3+4 = 17
+    r.getAs[Double]("mean_token_len") shouldBe 17.0 / 5
+    r.getAs[Double]("punct_ratio") shouldBe 2.0 / 21
+    r.getAs[Double]("stopword_ratio") shouldBe 3.0 / 5 // the, and, the
+  }
+
+  test("bpe-ish segment count splits words and punctuation") {
+    val df = Seq("don't stop, now").toDF("text")
+    // don + ' + t + stop + , + now = 6
+    df.select(TextAnalysis.bpeishTokenCount(col("text")))
+      .as[Long].collect()(0) shouldBe 6
+  }
+
+  test("language ID picks the max-scoring stopword list with tiebreak") {
+    val df = Seq(
+      (1L, "the cat and the dog is happy"), // en
+      (2L, "el perro y la casa que no es"), // es
+      (3L, "der hund und die katze von zu"), // de
+      (4L, "xyzzy plugh")                    // no stopwords: tie -> de (first)
+    ).toDF("id", "text")
+    val out = TextAnalysis.withDetectedLanguage(df, "text")
+      .select("id", "detected_lang").as[(Long, String)].collect().toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "es"
+    out(3L) shouldBe "de"
+    out(4L) shouldBe "de"
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(("a  B\tc", "A b C")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("x")).as("fx"),
+      TextAnalysis.fingerprint(col("y")).as("fy")).collect()(0)
+    r.getString(0) shouldBe r.getString(1)
+  }
+}
