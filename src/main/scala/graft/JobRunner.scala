@@ -38,8 +38,60 @@ object JobRunner {
   /** Source planning (cli.py:453-614 routing, minus driver-side SaaS
     * connectors). Returns the raw DataFrame before validation.
     */
+  /** Incremental context resolved from the source config + state store. */
+  private final case class IncrementalPlan(
+      store: Option[graft.state.StateStore],
+      strategy: Option[String],
+      cursorField: Option[String],
+      objectName: String,
+      lookbackDays: Int,
+      processedFiles: Seq[String])
+
+  private def incrementalPlan(spark: SparkSession, src: SourceConfig): IncrementalPlan =
+    src.incremental match {
+      case None => IncrementalPlan(None, None, None, "default", 0, Nil)
+      case Some(inc) =>
+        val statePath = Yaml.str(inc, "state_path")
+        IncrementalPlan(
+          store = statePath.map(new graft.state.StateStore(_, spark)),
+          strategy = Yaml.str(inc, "strategy"),
+          cursorField = Yaml.str(inc, "cursor_field"),
+          objectName = src.objects.headOption
+            .orElse(src.files.flatMap(f => Yaml.str(f, "object")).headOption)
+            .orElse(src.tables.flatMap(t => Yaml.str(t, "object")).headOption)
+            .getOrElse("default"),
+          lookbackDays = Yaml.str(inc, "lookback_days")
+            .map(_.toDouble.toInt).getOrElse(0),
+          processedFiles = Nil)
+    }
+
   def planSource(spark: SparkSession, src: SourceConfig, contract: DataContract,
-      jobDir: String): DataFrame = {
+      jobDir: String): DataFrame = planSourceIncremental(spark, src, contract, jobDir)._1
+
+  private def planSourceIncremental(spark: SparkSession, src: SourceConfig,
+      contract: DataContract, jobDir: String): (DataFrame, IncrementalPlan) = {
+    val inc = incrementalPlan(spark, src)
+
+    /** I2: drop files whose mtime hasn't advanced past the recorded state
+      * (validator.py:309-349 via csv_extractor.py:130-150).
+      */
+    def filterFiles(paths: Seq[String]): (Seq[String], IncrementalPlan) =
+      (inc.store, inc.strategy) match {
+        case (Some(st), Some("file_modified_time")) =>
+          val (todo, _) = st.filterUnmodified(paths, inc.lookbackDays)
+          (todo, inc.copy(processedFiles = todo))
+        case _ => (paths, inc.copy(processedFiles = paths))
+      }
+
+    def emptyRaw: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        contract.rawStructType)
+
+    // S11: a custom reader plugin overrides type routing (cli.py:453-470)
+    Yaml.str(src.raw, "custom_reader").foreach { cls =>
+      return (graft.plugins.PluginLoader.loadReader(cls).read(spark, src.raw), inc)
+    }
+
     src.connectorType match {
       case "csv" =>
         val native = Yaml.map(Yaml.map(src.engine, "options"), "native")
@@ -48,15 +100,17 @@ object JobRunner {
           quoteChar = Yaml.str(native, "quote_char").getOrElse("\""),
           encoding = Yaml.str(native, "encoding").getOrElse("utf-8"),
           header = Yaml.bool(native, "header", dflt = true))
-        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
-          .map(resolve(jobDir, _))
-        require(paths.nonEmpty, "csv source requires files[].path")
-        CsvSource.read(spark, paths, contract, opts)
+        val all = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
+        require(all.nonEmpty, "csv source requires files[].path")
+        val (paths, inc2) = filterFiles(all)
+        if (paths.isEmpty) (emptyRaw, inc2)
+        else (CsvSource.read(spark, paths, contract, opts), inc2)
       case "parquet" =>
-        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
-          .map(resolve(jobDir, _))
-        require(paths.nonEmpty, "parquet source requires files[].path")
-        spark.read.parquet(paths: _*)
+        val all = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
+        require(all.nonEmpty, "parquet source requires files[].path")
+        val (paths, inc2) = filterFiles(all)
+        if (paths.isEmpty) (emptyRaw, inc2)
+        else (spark.read.parquet(paths: _*), inc2)
       case t @ ("postgres" | "mysql") =>
         val conn = Yaml.map(src.raw, "connection")
         val url = Yaml.str(conn, "jdbc_url").getOrElse(
@@ -64,23 +118,29 @@ object JobRunner {
         val table = src.tables.headOption.getOrElse(
           throw new IllegalArgumentException(s"$t source requires tables[]"))
         val dialect = if (t == "postgres") SqlDialect.Postgres else SqlDialect.MySql
-        val inc = src.incremental.map { m =>
+        val spec = src.incremental.map { m =>
+          val cursorField = Yaml.str(m, "cursor_field").getOrElse("updated_at")
+          // I4: persisted cursor beats any configured literal (postgres_
+          // extractor.py:268-274)
+          val fromState = inc.store.flatMap(_.cursorLastValue(inc.objectName, cursorField))
           IncrementalSpec(
-            cursorField = Yaml.str(m, "cursor_field").getOrElse("updated_at"),
-            lastValue = Yaml.str(m, "last_value"),
+            cursorField = cursorField,
+            lastValue = fromState.orElse(Yaml.str(m, "last_value")),
             lookbackDays = Yaml.str(m, "lookback_days").map(_.toDouble.toInt))
         }
-        JdbcSource.read(spark, url,
+        (JdbcSource.read(spark, url,
           Yaml.str(table, "schema"),
           Yaml.str(table, "name").getOrElse(
             throw new IllegalArgumentException("table entry requires name")),
-          dialect, inc)
+          dialect, spec), inc)
       case "markdown_kv" =>
         // S10 — native here; the reference declares but never implements it
-        val paths = src.files.flatMap(f => Yaml.str(f, "path"))
-          .map(resolve(jobDir, _))
-        require(paths.nonEmpty, "markdown_kv source requires files[].path")
-        graft.sources.MarkdownKvSource.readRowPerKv(spark, paths)
+        val all = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
+        require(all.nonEmpty, "markdown_kv source requires files[].path")
+        val (paths, inc2) = filterFiles(all)
+        if (paths.isEmpty)
+          (graft.sources.MarkdownKvSource.readRowPerKv(spark, all).limit(0), inc2)
+        else (graft.sources.MarkdownKvSource.readRowPerKv(spark, paths), inc2)
       case other =>
         throw new IllegalArgumentException(s"Unsupported source type: $other")
     }
@@ -144,19 +204,53 @@ object JobRunner {
 
     // mdkv transform precedes validation, like the reference's batch loop
     // (transform at cli.py:856-931, validate_batch at :943)
-    val raw = applyMarkdownKvStorage(planSource(spark, src, contract, jobDir), tgt)
+    val (planned, inc) = planSourceIncremental(spark, src, contract, jobDir)
+    val raw = applyMarkdownKvStorage(planned, tgt)
     val obs = Observation(s"validation_${System.nanoTime}")
     val result = Validation.validate(raw, contract, vmode, obs)
-    val outObs = Observation(s"output_${System.nanoTime}")
-    val out = result.data.observe(outObs, count(lit(1)).as("valid_records"))
 
     val base = outputBase(tgt, contract, job.tenantId)
     val partitions =
       if (tgt.partitioning.nonEmpty) tgt.partitioning else Seq("ingest_date")
-    ParquetSink.write(out, base, partitions, tgt.parquetTargetSizeMb)
+
+    // W2 sizing runs on an OBSERVE-FREE twin of the output plan — its two
+    // sample actions must not consume the validation Observation.
+    val sizingTwin = ParquetSink.preparePartitions(
+      Validation.transform(raw, contract, vmode), partitions)
+    val maxRecords = ParquetSink.estimateMaxRecordsPerFile(
+      sizingTwin, base, tgt.parquetTargetSizeMb)
+
+    // valid-record count + max cursor ride the single write action
+    val outObs = Observation(s"output_${System.nanoTime}")
+    val cursorCol = inc.cursorField.filter(result.data.columns.contains)
+    val outMetrics = count(lit(1)).as("valid_records") +:
+      cursorCol.map(c => max(col(c).cast("string")).as("max_cursor")).toSeq
+    val out = result.data.observe(outObs, outMetrics.head, outMetrics.tail: _*)
+
+    // W6 tags + commit via the strongest available backend (ParquetOnly =
+    // the reference's graceful-degradation path when no Iceberg catalog)
+    val tags = graft.sinks.TagDerivation.deriveAll(
+      contract,
+      classificationOverrides = Yaml.map(job.raw, "classification_overrides")
+        .map { case (k, v) => k -> String.valueOf(v) },
+      finopsOverrides = Yaml.map(job.raw, "finops"),
+      governanceOverrides = Yaml.map(job.raw, "governance_overrides")) ++
+      graft.sinks.TagDerivation.assetProperties(contract)
+    val backend = graft.sinks.CommitBackend.forSession(spark)
+    backend.commit(out, base, contract, partitions, tags,
+      tgt.parquetTargetSizeMb, Some(maxRecords))
 
     val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     val valid = outObs.get("valid_records").asInstanceOf[Long]
+
+    // persist incremental state only after the successful write
+    inc.store.foreach { st =>
+      if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
+        st.updateFileStates(inc.processedFiles)
+      for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
+        st.updateCursorState(inc.objectName, c, v.toString)
+    }
+
     JobReport(
       exitCode = Validation.exitCode(vmode, metrics, valid),
       records = metrics.getOrElse("records", 0L),

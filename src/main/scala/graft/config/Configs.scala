@@ -169,15 +169,22 @@ object AssetLoader {
       throw new IllegalArgumentException("asset definition has no schema fields")
     val team = Yaml.map(m, "team")
     val governance = Yaml.map(m, "governance")
+    val compliance = Yaml.map(m, "compliance")
     DataContract(
       name = Yaml.str(m, "name").getOrElse("asset"),
       version = Yaml.str(m, "version").getOrElse("v1.0"),
       domain = Yaml.str(m, "domain").orElse(Yaml.str(team, "domain")),
       dataProduct = Yaml.str(m, "data_product").orElse(Yaml.str(team, "data_product")),
       owner = Yaml.str(m, "owner").orElse(Yaml.str(team, "owner")),
-      retentionDays = Yaml.str(governance, "retention_days").map(_.toInt),
+      retentionDays = Yaml.str(governance, "retention_days")
+        .orElse(Yaml.str(compliance, "retention_days")).map(_.toInt),
       defaultClassification = Yaml.str(governance, "default_classification"),
       tags = Yaml.map(m, "tags").map { case (k, v) => k -> String.valueOf(v) },
+      complianceClassification = Yaml.seq(compliance, "classification").map(_.toString),
+      regulations = Yaml.seq(compliance, "regulations").map(_.toString),
+      finops = Yaml.map(m, "finops"),
+      sourceType = Yaml.str(m, "source_type"),
+      objectName = Yaml.str(m, "object"),
       fields = schema)
   }
 }

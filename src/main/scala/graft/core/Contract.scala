@@ -66,6 +66,12 @@ final case class DataContract(
     retentionDays: Option[Int] = None,
     defaultClassification: Option[String] = None,
     tags: Map[String, String] = Map.empty,
+    // compliance/finops metadata (config.py:329-375; used by tag derivation)
+    complianceClassification: Seq[String] = Seq.empty,
+    regulations: Seq[String] = Seq.empty,
+    finops: Map[String, Any] = Map.empty,
+    sourceType: Option[String] = None,
+    objectName: Option[String] = None,
     fields: Seq[ContractField]
 ) {
   require(fields.nonEmpty, s"asset '$name' has an empty schema") // config.py:786-823

@@ -125,13 +125,31 @@ object Validation {
     count(lit(1)).as("records") +: (missing ++ mismatch)
   }
 
-  /** Full T1–T3 validate+coerce pass over a raw frame.
-    *
-    * Strict: drop records with any error → coerce → declared projection.
-    * Warn: coerce, keep everything, declared ++ extras-as-string in ONE
-    * select (a fold of withColumn would nest O(extras) projections).
-    * Error counts ride along via observe() on the raw frame so the source
-    * is scanned exactly once.
+  /** The T1–T3 transform WITHOUT metrics instrumentation — strict: drop
+    * records with any error → coerce → declared projection; warn: coerce,
+    * keep everything, declared ++ extras-as-string in ONE select. Use this
+    * twin when a plan must be re-executed freely (e.g. the sink's sizing
+    * sample) without consuming an Observation.
+    */
+  def transform(raw: DataFrame, contract: DataContract, mode: ValidationMode): DataFrame =
+    applyMode(raw, raw, contract, mode)
+
+  private def applyMode(frame: DataFrame, raw: DataFrame, contract: DataContract,
+      mode: ValidationMode): DataFrame = mode match {
+    case ValidationMode.Strict =>
+      frame
+        .filter(validPredicate(contract, raw))
+        .select(coercedCols(raw, contract): _*)
+    case ValidationMode.Warn =>
+      val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
+      frame.select(
+        coercedCols(raw, contract) ++
+          extras.map(c => col(c).cast(StringType).as(c)): _*)
+  }
+
+  /** Full T1–T3 validate+coerce pass over a raw frame. Error counts ride
+    * along via observe() on the raw frame so the source is scanned exactly
+    * once.
     */
   def validate(
       raw: DataFrame,
@@ -141,18 +159,8 @@ object Validation {
   ): ValidationResult = {
     val metrics = errorMetrics(raw, contract)
     val observed = raw.observe(observationName, metrics.head, metrics.tail: _*)
-    val out = mode match {
-      case ValidationMode.Strict =>
-        observed
-          .filter(validPredicate(contract, raw))
-          .select(coercedCols(raw, contract): _*)
-      case ValidationMode.Warn =>
-        val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
-        observed.select(
-          coercedCols(raw, contract) ++
-            extras.map(c => col(c).cast(StringType).as(c)): _*)
-    }
-    ValidationResult(out, observationName, contract.requiredFields.map(_.name))
+    ValidationResult(applyMode(observed, raw, contract, mode), observationName,
+      contract.requiredFields.map(_.name))
   }
 
   /** Observation-object variant of [[validate]] — metrics retrievable via
@@ -166,18 +174,8 @@ object Validation {
   ): ValidationResult = {
     val metrics = errorMetrics(raw, contract)
     val observed = raw.observe(obs, metrics.head, metrics.tail: _*)
-    val out = mode match {
-      case ValidationMode.Strict =>
-        observed
-          .filter(validPredicate(contract, raw))
-          .select(coercedCols(raw, contract): _*)
-      case ValidationMode.Warn =>
-        val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
-        observed.select(
-          coercedCols(raw, contract) ++
-            extras.map(c => col(c).cast(StringType).as(c)): _*)
-    }
-    ValidationResult(out, obs.name, contract.requiredFields.map(_.name))
+    ValidationResult(applyMode(observed, raw, contract, mode), obs.name,
+      contract.requiredFields.map(_.name))
   }
 
   /** Map observed metrics → exit code per the reference contract

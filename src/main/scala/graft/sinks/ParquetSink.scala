@@ -63,25 +63,39 @@ object ParquetSink {
   /** Estimate rows/file for the size target by sample-write extrapolation,
     * the reference's own trick (parquet_writer.py:360-381). Returns 0
     * (= unlimited) when the frame is empty.
+    *
+    * The ≤`sampleRows` sample is written to a hidden temp dir on the SAME
+    * Hadoop filesystem as `outputPath` and measured through the Hadoop FS
+    * API — a driver-local java.nio path would measure 0 bytes on any real
+    * cluster (default FS ≠ driver disk) and silently disable the 128–200 MB
+    * semantic.
+    *
+    * CAUTION: this runs two Spark actions on `df`. Never pass a frame
+    * carrying an `observe()` whose metrics you still need — the sample
+    * actions would satisfy the Observation with partial-scan counts. The
+    * job driver passes the un-observed twin of its output plan.
     */
-  def estimateMaxRecordsPerFile(df: DataFrame, targetMb: Int, sampleRows: Int = 1000): Long = {
+  def estimateMaxRecordsPerFile(df: DataFrame, outputPath: String, targetMb: Int,
+      sampleRows: Int = 1000): Long = {
     val clamped = math.max(MinTargetMb, math.min(MaxTargetMb, targetMb))
-    val tmp = Files.createTempDirectory("graft-sizing-").resolve(UUID.randomUUID().toString)
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(outputPath)
+    val fs = base.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      base.getParent match { case null => base; case p => p },
+      s".graft_sizing_${UUID.randomUUID().toString}")
     try {
-      val sample = df.limit(sampleRows).cache()
-      val n = sample.count()
+      df.limit(sampleRows).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = parts.map(_.getLen).sum
+      // row count from the written files' footers — no extra scan of df
+      val n = df.sparkSession.read.parquet(tmp.toString).count()
       if (n == 0) return 0L
-      sample.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      sample.unpersist()
-      val bytes = Files.walk(tmp).filter(p => p.toString.endsWith(".parquet"))
-        .mapToLong(p => Files.size(p)).sum()
       val bytesPerRow = math.max(1L, bytes / n)
       math.max(1L, clamped.toLong * 1024L * 1024L / bytesPerRow)
     } finally {
-      try {
-        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      try fs.delete(tmp, true) catch { case _: Throwable => () }
     }
   }
 
@@ -91,15 +105,22 @@ object ParquetSink {
 
   final case class WriteReport(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long)
 
+  /** Partitioned, size-targeted write. `maxRecordsPerFile`: pass a
+    * precomputed estimate (from [[estimateMaxRecordsPerFile]] on an
+    * un-observed twin of this plan) or None to estimate here — only safe
+    * when `df` carries no Observation.
+    */
   def write(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String] = Nil,
       targetMb: Int = DefaultTargetMb,
-      mode: SaveMode = SaveMode.Append
+      mode: SaveMode = SaveMode.Append,
+      maxRecordsPerFile: Option[Long] = None
   ): WriteReport = {
     val prepared = preparePartitions(df, partitionCols)
-    val maxRecords = estimateMaxRecordsPerFile(prepared, targetMb)
+    val maxRecords = maxRecordsPerFile.getOrElse(
+      estimateMaxRecordsPerFile(prepared, path, targetMb))
     var w = prepared.write
       .mode(mode)
       .option("compression", "snappy")

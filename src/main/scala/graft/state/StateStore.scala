@@ -1,0 +1,123 @@
+package graft.state
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Incremental-state store (SURVEY.md §2.5 I1–I4): a small JSON document
+  * on the Hadoop filesystem, byte-compatible with the reference's state
+  * files (src/dativo_ingest/validator.py:273-425):
+  *
+  *  - file skip:    `file_<id>`            → {"last_modified": iso, "file_id": id}
+  *  - cursor:       `<object>.<cursor>`    → {"last_value": v, "updated_at": iso}
+  *
+  * Deliberately NOT a Spark state store — the reference's state is a tiny
+  * per-job doc; a Hadoop-FS JSON file works identically on local disk,
+  * HDFS, or s3a:// and needs no streaming checkpoint machinery.
+  */
+final class StateStore(statePath: String, hadoopConf: Configuration) {
+
+  def this(statePath: String, spark: SparkSession) =
+    this(statePath, spark.sessionState.newHadoopConf())
+
+  private val path = new Path(statePath)
+  private def fs: FileSystem = path.getFileSystem(hadoopConf)
+
+  private def mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  /** validator.py:277-294 — empty map when absent or corrupt. */
+  def read(): Map[String, Map[String, String]] =
+    try {
+      if (!fs.exists(path)) Map.empty
+      else {
+        val in = fs.open(path)
+        try {
+          val tree = mapper.readTree(in)
+          tree.properties().asScala.map { e =>
+            val inner = e.getValue.properties().asScala.map { f =>
+              f.getKey -> f.getValue.asText()
+            }.toMap
+            e.getKey -> inner
+          }.toMap
+        } finally in.close()
+      }
+    } catch { case _: Exception => Map.empty }
+
+  /** validator.py:296-307 — parent dirs created, whole doc rewritten. */
+  def write(state: Map[String, Map[String, String]]): Unit = {
+    Option(path.getParent).foreach(fs.mkdirs(_))
+    val out = fs.create(path, true)
+    try {
+      val root = mapper.createObjectNode()
+      state.toSeq.sortBy(_._1).foreach { case (k, inner) =>
+        val node = root.putObject(k)
+        inner.toSeq.sortBy(_._1).foreach { case (ik, iv) => node.put(ik, iv) }
+      }
+      out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    } finally out.close()
+  }
+
+  // ---------------------------------------------------------- file skip (I2)
+
+  /** validator.py:309-349 — ISO string compare; lookback disables skip. */
+  def shouldSkipFile(fileId: String, currentModified: String,
+      lookbackDays: Int = 0): Boolean = {
+    val state = read()
+    state.get(s"file_$fileId").flatMap(_.get("last_modified")) match {
+      case Some(last) if last.nonEmpty =>
+        currentModified <= last && lookbackDays == 0
+      case _ => false
+    }
+  }
+
+  /** validator.py:351-367. */
+  def updateFileState(fileId: String, modifiedTime: String): Unit =
+    write(read() + (s"file_$fileId" ->
+      Map("last_modified" -> modifiedTime, "file_id" -> fileId)))
+
+  // ------------------------------------------------------------- cursor (I4)
+
+  /** postgres_extractor.py:268-274 — last cursor value for `object.field`. */
+  def cursorLastValue(objectName: String, cursorField: String): Option[String] =
+    read().get(s"$objectName.$cursorField").flatMap(_.get("last_value"))
+
+  /** postgres_extractor.py:317-328 — persist the max cursor. The Spark
+    * port computes a true max(cursor) aggregate rather than trusting
+    * "last row of last batch" (which the reference only gets away with
+    * because of its ORDER BY).
+    */
+  def updateCursorState(objectName: String, cursorField: String,
+      lastValue: String): Unit = {
+    val key = s"$objectName.$cursorField"
+    val prev = read().getOrElse(key, Map.empty)
+    write(read() + (key -> (prev ++ Map(
+      "last_value" -> lastValue,
+      "updated_at" -> java.time.LocalDateTime.now().toString))))
+  }
+
+  // ------------------------------------------------- file listing helper
+
+  /** Partition a concrete file list into (toProcess, skipped) using the
+    * FS modification times — the Spark-side equivalent of the reference's
+    * per-file skip loop (csv_extractor.py:130-150).
+    */
+  def filterUnmodified(paths: Seq[String], lookbackDays: Int = 0): (Seq[String], Seq[String]) = {
+    val results = paths.map { p =>
+      val st: FileStatus = new Path(p).getFileSystem(hadoopConf).getFileStatus(new Path(p))
+      val iso = java.time.Instant.ofEpochMilli(st.getModificationTime).toString
+      (p, iso, shouldSkipFile(p, iso, lookbackDays))
+    }
+    (results.filterNot(_._3).map(_._1), results.filter(_._3).map(_._1))
+  }
+
+  /** Record current mtimes after a successful run. */
+  def updateFileStates(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      val st = new Path(p).getFileSystem(hadoopConf).getFileStatus(new Path(p))
+      updateFileState(p, java.time.Instant.ofEpochMilli(st.getModificationTime).toString)
+    }
+}

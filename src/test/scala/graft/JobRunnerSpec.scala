@@ -155,6 +155,41 @@ class JobRunnerSpec extends SparkSpec {
     inc("state_path").toString should endWith("acme/postgres.users.state.json")
   }
 
+  test("incremental file_modified_time: rerun skips unchanged files") {
+    val (dir, _) = fixture(Seq("1,alice,9.5"), "strict")
+    val out = dir.resolve("out2").toString
+    val state = dir.resolve("state.json").toString
+    val job = write(dir, "job_inc.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |source:
+         |  files:
+         |    - {path: data.csv}
+         |  incremental:
+         |    strategy: file_modified_time
+         |    state_path: $state
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    val r1 = JobRunner.run(spark, job)
+    r1.exitCode shouldBe ExitCodes.Success
+    r1.records shouldBe 1
+    // rerun: file unchanged -> skipped entirely -> zero records, exit 2
+    val r2 = JobRunner.run(spark, job)
+    r2.records shouldBe 0
+    r2.exitCode shouldBe ExitCodes.Failure
+    spark.read.parquet(r1.outputPath).count() shouldBe 1 // nothing appended
+    // touch the file with new content -> processed again
+    Thread.sleep(1100) // fs mtime granularity
+    Files.writeString(dir.resolve("data.csv"), "id,name,score\n9,zoe,1.0\n")
+    val r3 = JobRunner.run(spark, job)
+    r3.records shouldBe 1
+    spark.read.parquet(r1.outputPath).count() shouldBe 2
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
