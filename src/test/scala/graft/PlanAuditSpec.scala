@@ -1,0 +1,47 @@
+package graft
+
+/** Plan audits: the plans we ship must be the plans we'd want at 100 TB —
+  * pushdown reaching the scan, broadcast where a side is small, codegen
+  * spans wide, and never a cartesian product.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3 join broadcasts the dimension side") {
+    val p = plan("q3_join_agg")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q1 agg has partial aggregation (map-side combine)") {
+    val p = plan("q1_agg")
+    p should include("HashAggregate")
+    "Exchange".r.findAllIn(p).length shouldBe 1 // one shuffle, after partial agg
+  }
+
+  test("no cartesian products anywhere in registered queries") {
+    for ((name, _) <- Queries.all) {
+      withClue(s"$name: ") {
+        plan(name) should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("parquet scans prune columns (ReadSchema is narrow)") {
+    val p = plan("text_fingerprint")
+    val read = p.split("\n").find(_.contains("ReadSchema")).getOrElse("")
+    read should include("doc_id")
+    read should include("text")
+    read should not include "n_chars" // unused column pruned from the scan
+  }
+
+  test("strict-filter pipeline stays in whole-stage codegen") {
+    // executedPlan.toString marks codegen stages with "*(n)"; the observe
+    // CollectMetrics node is the only barrier in the pipeline
+    val p = plan("required_filter_strict")
+    "\\*\\(\\d+\\)".r.findAllIn(p).length should be >= 2
+  }
+}
