@@ -240,6 +240,14 @@ object JobRunner {
     backend.commit(out, base, contract, partitions, tags,
       tgt.parquetTargetSizeMb, Some(maxRecords))
 
+    // W9 catalog push — never fatal (cli.py:1139-1205)
+    Yaml.str(tgt.catalog, "type").foreach { ct =>
+      graft.catalog.CatalogFactory.forType(ct).foreach { client =>
+        graft.catalog.CatalogFactory.pushAfterCommit(
+          client, contract, tags, Seq(src.connectorType))
+      }
+    }
+
     val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     val valid = outObs.get("valid_records").asInstanceOf[Long]
 

@@ -1,0 +1,94 @@
+package graft
+
+import graft.config.Yaml
+import org.apache.spark.sql.SparkSession
+
+/** Orchestration (§3.3; reference orchestrated.py:154-439 + retry_policy
+  * .py:23-105): schedules = cron XOR interval_seconds per job, executed
+  * with retry/backoff. Dagster itself is not ported — the Spark-native
+  * shape is a driver scheduling loop over a long-lived SparkSession (one
+  * JVM, no per-run process spawn), with the same RetryPolicy semantics.
+  */
+object Orchestrator {
+
+  /** config.py:1070-1097: exactly one of cron / interval_seconds. */
+  final case class Schedule(
+      name: String,
+      jobPath: String,
+      intervalSeconds: Option[Long],
+      cron: Option[String],
+      retry: JobRunner.RetryPolicy) {
+    require(intervalSeconds.isDefined ^ cron.isDefined,
+      s"schedule '$name': exactly one of cron / interval_seconds")
+  }
+
+  /** Minimal 5-field cron matcher (minute hour dom month dow): `*`,
+    * lists, and `*`/n steps — the subset the reference's fixtures use.
+    */
+  def cronMatches(cron: String, t: java.time.LocalDateTime): Boolean = {
+    val fields = cron.trim.split("\\s+")
+    require(fields.length == 5, s"bad cron: $cron")
+    def ok(spec: String, value: Int): Boolean = spec match {
+      case "*" => true
+      case s if s.startsWith("*/") => value % s.drop(2).toInt == 0
+      case s => s.split(",").exists(_.toInt == value)
+    }
+    ok(fields(0), t.getMinute) && ok(fields(1), t.getHour) &&
+      ok(fields(2), t.getDayOfMonth) && ok(fields(3), t.getMonthValue) &&
+      ok(fields(4), t.getDayOfWeek.getValue % 7)
+  }
+
+  /** Next fire time strictly after `from`. Interval schedules fire every
+    * n seconds; cron schedules at the next matching minute.
+    */
+  def nextRun(s: Schedule, from: java.time.LocalDateTime): java.time.LocalDateTime =
+    s.intervalSeconds match {
+      case Some(n) => from.plusSeconds(n)
+      case None =>
+        var t = from.plusMinutes(1).withSecond(0).withNano(0)
+        var guard = 0
+        while (!cronMatches(s.cron.get, t) && guard < 527040) { // ≤ 1 year
+          t = t.plusMinutes(1); guard += 1
+        }
+        t
+    }
+
+  /** Load a runner config (config.py:1108-1159 shape). */
+  def loadSchedules(path: String): Seq[Schedule] =
+    Yaml.seq(Yaml.loadFile(path), "schedules").collect {
+      case m: Map[String, Any] @unchecked =>
+        val retry = Yaml.map(m, "retry_config")
+        Schedule(
+          name = Yaml.str(m, "name").getOrElse("schedule"),
+          jobPath = Yaml.str(m, "job_path").getOrElse(
+            throw new IllegalArgumentException("schedule missing job_path")),
+          intervalSeconds = Yaml.str(m, "interval_seconds").map(_.toDouble.toLong),
+          cron = Yaml.str(m, "cron"),
+          retry = JobRunner.RetryPolicy(
+            maxRetries = Yaml.str(retry, "max_retries").map(_.toDouble.toInt).getOrElse(3),
+            initialDelayMs = Yaml.str(retry, "initial_delay_seconds")
+              .map(s => (s.toDouble * 1000).toLong).getOrElse(5000L),
+            multiplier = Yaml.str(retry, "multiplier").map(_.toDouble).getOrElse(2.0),
+            maxDelayMs = Yaml.str(retry, "max_delay_seconds")
+              .map(s => (s.toDouble * 1000).toLong).getOrElse(300000L)))
+    }
+
+  /** One scheduling tick: run every schedule whose next-run time has
+    * arrived; returns updated next-run times. Pure w.r.t. the clock so
+    * tests drive it with a virtual one (orchestrated.py's loop, minus
+    * the daemon).
+    */
+  def tick(
+      spark: SparkSession,
+      due: Seq[(Schedule, java.time.LocalDateTime)],
+      now: java.time.LocalDateTime,
+      runJob: (SparkSession, String, JobRunner.RetryPolicy) => Int =
+        (s, p, r) => JobRunner.runWithRetry(s, p, r).exitCode
+  ): Seq[(Schedule, java.time.LocalDateTime, Option[Int])] =
+    due.map { case (sched, at) =>
+      if (!now.isBefore(at)) {
+        val exit = runJob(spark, sched.jobPath, sched.retry)
+        (sched, nextRun(sched, now), Some(exit))
+      } else (sched, at, None)
+    }
+}

@@ -60,6 +60,30 @@ final case class JdbcPartitioning(
   */
 object JdbcSource {
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** MySQL BLOB rule (S3; mysql_extractor.py:337-347): a BLOB column is
+    * utf-8-decoded when its bytes are valid utf-8, else base64-encoded —
+    * Python's `bytes.decode("utf-8")` try/except split. A binary→string
+    * cast wraps the raw bytes unvalidated, so `is_valid_utf8` is the
+    * exact probe (Spark 4's `decode` would throw on malformed input).
+    */
+  def blobToString(c: Column): Column = {
+    val s = c.cast(org.apache.spark.sql.types.StringType)
+    when(is_valid_utf8(s), s).otherwise(base64(c))
+  }
+
+  /** Apply the BLOB rule to every binary column of a scanned frame. */
+  def stringifyBlobs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.BinaryType)
+        blobToString(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   /** Build the pushdown subquery. Matches the reference's WHERE semantics;
     * golden-tested in JdbcSourceSpec against the reference's query strings.
     */

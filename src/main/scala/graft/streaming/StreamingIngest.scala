@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.core.{DataContract, Validation, ValidationMode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming formulation of the ingestion spine (the Spark-
+  * native upgrade of the reference's incremental batch, SURVEY.md §2.5):
+  * `readStream` file source + checkpoint REPLACES the JSON-state file
+  * skip — the checkpoint tracks processed files exactly once, surviving
+  * restarts, with no driver-side mtime bookkeeping.
+  *
+  * `Trigger.AvailableNow` gives the reference's oneshot semantics (drain
+  * everything new, then stop); a processing-time trigger turns the same
+  * pipeline into a continuous ingester. Beyond-reference: watermarked
+  * event-time windows over the stream.
+  */
+object StreamingIngest {
+
+  /** Streaming CSV scan with the S1 semantics (all-string contract schema;
+    * null markers applied downstream by the shared coercion).
+    */
+  def readCsvStream(spark: SparkSession, dir: String, contract: DataContract,
+      header: Boolean = true, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream
+      .schema(contract.rawStructType)
+      .option("header", header.toString)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
+    val raw = r.csv(dir)
+    raw.select(raw.columns.map(c =>
+      graft.core.Coercion.nullifyMarkers(col(c)).as(c)): _*)
+  }
+
+  /** Validated streaming sink: the same T1–T3 transform, written as
+    * partitioned parquet with exactly-once file tracking. Returns the
+    * started query; AvailableNow by default (oneshot parity).
+    */
+  def ingest(raw: DataFrame, contract: DataContract, mode: ValidationMode,
+      outPath: String, checkpoint: String,
+      partitionCols: Seq[String] = Seq("ingest_date"),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val validated = Validation.transform(raw, contract, mode)
+    val prepared = graft.sinks.ParquetSink.preparePartitions(validated, partitionCols)
+    var w = prepared.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols.map(_.toLowerCase): _*)
+    w.start()
+  }
+
+  /** Beyond-reference: watermarked tumbling-window event counts — the
+    * canonical streaming aggregation (late data beyond the watermark is
+    * dropped; state is bounded).
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("events"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col(keyCol),
+        col("events"),
+        col("sum_value"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+class OrchestratorSpec extends SparkSpec {
+  import Orchestrator._
+
+  private val retry = JobRunner.RetryPolicy()
+
+  test("schedule requires exactly one of cron / interval") {
+    an[IllegalArgumentException] should be thrownBy
+      Schedule("s", "j.yaml", Some(60), Some("* * * * *"), retry)
+    an[IllegalArgumentException] should be thrownBy
+      Schedule("s", "j.yaml", None, None, retry)
+  }
+
+  test("cron matcher: wildcards, lists, steps") {
+    val t = LocalDateTime.of(2024, 3, 4, 10, 30) // a Monday
+    cronMatches("* * * * *", t) shouldBe true
+    cronMatches("30 10 * * *", t) shouldBe true
+    cronMatches("0 10 * * *", t) shouldBe false
+    cronMatches("*/15 * * * *", t) shouldBe true
+    cronMatches("* * * * 1", t) shouldBe true // Monday = 1
+    cronMatches("* * * * 0", t) shouldBe false
+  }
+
+  test("nextRun: interval adds seconds; cron finds next matching minute") {
+    val s1 = Schedule("i", "j", Some(300), None, retry)
+    val t = LocalDateTime.of(2024, 1, 1, 0, 0, 30)
+    nextRun(s1, t) shouldBe t.plusSeconds(300)
+    val s2 = Schedule("c", "j", None, Some("15 * * * *"), retry)
+    nextRun(s2, t) shouldBe LocalDateTime.of(2024, 1, 1, 0, 15)
+  }
+
+  test("tick runs due schedules with retry and reschedules them") {
+    val s = Schedule("every-min", "job.yaml", Some(60), None, retry)
+    val now = LocalDateTime.of(2024, 1, 1, 12, 0)
+    var ran = Vector.empty[String]
+    val out = tick(spark,
+      Seq((s, now.minusSeconds(1)), (s.copy(name = "later"), now.plusMinutes(5))),
+      now,
+      runJob = (_, path, _) => { ran :+= path; 0 })
+    ran shouldBe Vector("job.yaml")
+    out.head._3 shouldBe Some(0)
+    out.head._2 shouldBe now.plusSeconds(60)
+    out(1)._3 shouldBe None // not due yet
+  }
+
+  test("runner config loads schedules with retry settings") {
+    val dir = Files.createTempDirectory("orch-")
+    val p = dir.resolve("runner.yaml")
+    Files.writeString(p,
+      """schedules:
+        |  - name: nightly
+        |    job_path: jobs/a.yaml
+        |    cron: "0 2 * * *"
+        |    retry_config: {max_retries: 5, initial_delay_seconds: 1}
+        |  - name: fast
+        |    job_path: jobs/b.yaml
+        |    interval_seconds: 30
+        |""".stripMargin)
+    val ss = Orchestrator.loadSchedules(p.toString)
+    ss.map(_.name) shouldBe Seq("nightly", "fast")
+    ss.head.retry.maxRetries shouldBe 5
+    ss.head.retry.initialDelayMs shouldBe 1000
+    ss(1).intervalSeconds shouldBe Some(30)
+  }
+}
