@@ -137,6 +137,22 @@ object Queries {
       m(4).as("type_mismatch_n_chars"))
   }
 
+  /** T4 retained error details: first 100 under (record_id, field) order. */
+  def errorSamples(spark: SparkSession, dir: String): DataFrame = {
+    val contract = DataContract(name = "docs4", fields = Seq(
+      ContractField("doc_id", "integer", required = true),
+      ContractField("lang", "string", required = true),
+      ContractField("n_chars", "integer")))
+    val raw = t(spark, dir, "documents").select(
+      col("doc_id").cast("string").as("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(null)).otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 4 === 0, concat(col("n_chars"), lit(".5")))
+        .otherwise(col("n_chars").cast("string")).as("n_chars"))
+    Validation.errorDetails(raw, contract, "doc_id")
+      .withColumn("record_id", col("record_id").cast(LongType))
+      .orderBy("record_id", "field").limit(100)
+  }
+
   // ------------------------------------------------------------------- W1
   def partitionValueNormalize(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
@@ -333,6 +349,7 @@ object Queries {
     "required_filter_strict" -> requiredFilterStrict _,
     "project_warn_extras" -> projectWarnExtras _,
     "error_summary" -> errorSummary _,
+    "error_samples" -> errorSamples _,
     "partition_value_normalize" -> partitionValueNormalize _,
     "ingest_date" -> ingestDate _,
     "q1_agg" -> q1Agg _,
@@ -390,6 +407,17 @@ object Queries {
         |CAST(0 AS BIGINT) AS type_mismatch_doc_id,
         |CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS type_mismatch_n_chars
         |FROM documents""".stripMargin,
+    "error_samples" ->
+      """SELECT record_id, field, error_type, message FROM (
+        |  SELECT doc_id AS record_id, 'lang' AS field,
+        |    'missing_required' AS error_type,
+        |    'Required field ''lang'' is missing' AS message
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'n_chars', 'type_mismatch',
+        |    'Field ''n_chars'' type mismatch'
+        |  FROM documents WHERE doc_id % 4 = 0)
+        |ORDER BY record_id, field LIMIT 100""".stripMargin,
     "partition_value_normalize" ->
       """SELECT p_partkey,
         |regexp_replace(lower(p_type), '[^a-z0-9_-]', '_', 'g') AS v_type,

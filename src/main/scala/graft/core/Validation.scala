@@ -125,6 +125,42 @@ object Validation {
     count(lit(1)).as("records") +: (missing ++ mismatch)
   }
 
+  /** Per-record error details (T4's retained-error surface,
+    * schema_validator.py:265-302: the reference keeps the first 100 error
+    * dicts). Returns one row per (record, field, error_type); callers
+    * order + limit — e.g. `.orderBy("record_id", "field").limit(100)` for
+    * the reference's first-100 semantics under a deterministic order.
+    */
+  def errorDetails(raw: DataFrame, contract: DataContract, idCol: String): DataFrame = {
+    val src = fieldSrcType(raw)
+    val errs: Seq[Column] =
+      contract.requiredFields.map { f =>
+        val cond =
+          if (src.contains(f.name)) col(f.name).isNull else lit(true)
+        when(cond, struct(
+          lit(f.name).as("field"),
+          lit("missing_required").as("error_type"),
+          lit(s"Required field '${f.name}' is missing").as("message")))
+          .otherwise(lit(null))
+      } ++
+        contract.fields.flatMap { f =>
+          src.get(f.name).flatMap { dt =>
+            if (f.odcsType.trim.toLowerCase == "string") None
+            else Some(
+              when(Coercion.coercionError(col(f.name), f.odcsType, dt), struct(
+                lit(f.name).as("field"),
+                lit("type_mismatch").as("error_type"),
+                lit(s"Field '${f.name}' type mismatch").as("message")))
+                .otherwise(lit(null)))
+          }
+        }
+    raw.select(col(idCol).as("record_id"), array(errs: _*).as("__errs"))
+      .select(col("record_id"), explode(col("__errs")).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("record_id"), col("e.field").as("field"),
+        col("e.error_type").as("error_type"), col("e.message").as("message"))
+  }
+
   /** The T1–T3 transform WITHOUT metrics instrumentation — strict: drop
     * records with any error → coerce → declared projection; warn: coerce,
     * keep everything, declared ++ extras-as-string in ONE select. Use this
