@@ -230,14 +230,14 @@ object Queries {
 
   /** MinHash-LSH near-dup pairs over the documents table (the generator
     * plants real near-dups). Every pair with exact Jaccard ≥ 0.9 must
-    * surface — banding recall at j = 0.9 with 32×4 is 1 − ~1.5e-15 — and
+    * surface — banding recall at j = 0.9 with 16×4 is 1 − ~3.8e-8 — and
     * the exact-Jaccard verify step makes the output equal the all-pairs
     * oracle without ever running all-pairs.
     */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.minhashNearDupPairs(
       t(spark, dir, "documents"), "doc_id", "text",
-      shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.9)
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
 
   /** Blocked exact n-gram Jaccard (block = lang) on documents. */
   def dedupNgramBlock(spark: SparkSession, dir: String): DataFrame =

