@@ -141,6 +141,57 @@ object JobRunner {
         if (paths.isEmpty)
           (graft.sources.MarkdownKvSource.readRowPerKv(spark, all).limit(0), inc2)
         else (graft.sources.MarkdownKvSource.readRowPerKv(spark, paths), inc2)
+      case "google_sheets" =>
+        // S4 — driver-side API fetch; the client class is injectable
+        // (api_class), mirroring the reference's mockable service object
+        val api = graft.plugins.PluginLoader.load(
+          Yaml.str(src.raw, "api_class").getOrElse(
+            throw new IllegalArgumentException(
+              "google_sheets source requires api_class (a SheetsApi impl)")),
+          classOf[graft.sources.GoogleSheets.SheetsApi])
+        val sheets = Yaml.seq(src.raw, "spreadsheets")
+          .collect { case m: Map[String, Any] @unchecked => m }
+        require(sheets.nonEmpty, "google_sheets source requires spreadsheets[]")
+        val frames = sheets.map { s =>
+          graft.sources.GoogleSheets.read(spark, api,
+            Yaml.str(s, "id").getOrElse(
+              throw new IllegalArgumentException("spreadsheet entry requires id")),
+            Yaml.str(s, "range").getOrElse("A:ZZ"),
+            Yaml.bool(s, "has_header", dflt = true))
+        }
+        (frames.reduce(_ unionByName _), inc)
+      case "gdrive_csv" =>
+        // S5 — list → skip → download → S1 scan
+        val api = graft.plugins.PluginLoader.load(
+          Yaml.str(src.raw, "api_class").getOrElse(
+            throw new IllegalArgumentException(
+              "gdrive_csv source requires api_class (a DriveApi impl)")),
+          classOf[graft.sources.GDriveCsv.DriveApi])
+        val (df, processed) = graft.sources.GDriveCsv.read(spark, api, contract,
+          folderId = Yaml.str(src.raw, "folder_id"),
+          query = Yaml.str(src.raw, "query"),
+          state = inc.store)
+        (df, inc.copy(processedFiles = processed.map(_.id)))
+      case t @ ("stripe" | "hubspot" | "airbyte") =>
+        // S6/S7/S8 — Airbyte subprocess; `command` override makes the
+        // protocol path testable without docker
+        val airbyte = Yaml.map(Yaml.map(src.engine, "options"), "airbyte")
+        val command = Yaml.seq(airbyte, "command").map(_.toString) match {
+          case Nil =>
+            graft.sources.AirbyteSource.dockerCommand(
+              Yaml.str(airbyte, "docker_image").getOrElse(
+                throw new IllegalArgumentException(
+                  s"$t source requires engine.options.airbyte.docker_image")))
+          case custom => custom
+        }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val configJson = mapper.writeValueAsString(
+          mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+            scala.jdk.CollectionConverters.MapHasAsJava(
+              src.credentials.map { case (k, v) => k -> String.valueOf(v) }).asJava))
+        val r = graft.sources.AirbyteSource.fromProcess(spark, command, configJson,
+          src.objects.toSet, contract)
+        (r.df, inc)
       case other =>
         throw new IllegalArgumentException(s"Unsupported source type: $other")
     }

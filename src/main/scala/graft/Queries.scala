@@ -196,10 +196,18 @@ object Queries {
     val e = t(spark, dir, "events")
     e.schema("ts").dataType match {
       case LongType =>
-        e.withColumn("ts", timestamp_micros((col("ts") / 1000).cast(LongType)))
+        // integral div: double division would ROUND the microseconds while
+        // every ns-aware engine truncates
+        e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => e
     }
   }
+
+  /** Gap-based sessionization over events (30-min gap). */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.sessions(
+      eventsTable(spark, dir), "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("user_id", "session_id", "session_start", "session_end", "n_events")
 
   def eventsLatestPerUser(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -355,6 +363,7 @@ object Queries {
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
+    "events_sessionize" -> eventsSessionize _,
     "mdkv_render" -> mdkvRender _,
     "mdkv_roundtrip_kv" -> mdkvRoundtripKv _,
     "mdkv_doc_level" -> mdkvDocLevel _,
@@ -467,6 +476,24 @@ object Queries {
         |  FROM documents
         |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', '_default', 0, 4
         |  FROM documents""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev IS NULL OR
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) > 1800
+        |  THEN 1 ELSE 0 END AS new_s FROM g),
+        |s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies
         |FROM (SELECT doc_id, text FROM documents

@@ -144,11 +144,51 @@ object Registry {
       |    allowed_in_cloud: false
       |    supports_incremental: true
       |    incremental_strategy_default: updated_at
+      |  google_sheets:
+      |    roles: [source, target]
+      |    category: files
+      |    default_engine: native
+      |    engines_supported: [native]
+      |    allowed_in_cloud: true
+      |    supports_incremental: true
+      |    incremental_strategy_default: spreadsheet_modified_time
+      |  gdrive_csv:
+      |    roles: [source]
+      |    category: files
+      |    default_engine: native
+      |    engines_supported: [native]
+      |    allowed_in_cloud: true
+      |    supports_incremental: true
+      |    incremental_strategy_default: file_modified_time
+      |  stripe:
+      |    roles: [source]
+      |    category: payments
+      |    default_engine: airbyte
+      |    engines_supported: [airbyte, native]
+      |    allowed_in_cloud: true
+      |    supports_incremental: true
+      |    incremental_strategy_default: created
+      |  hubspot:
+      |    roles: [source]
+      |    category: crm
+      |    default_engine: airbyte
+      |    engines_supported: [airbyte, native]
+      |    allowed_in_cloud: true
+      |    supports_incremental: true
+      |    incremental_strategy_default: updated_after
       |  iceberg:
       |    roles: [target]
       |    default_engine: native
       |    engines_supported: [native, spark]
       |  s3:
+      |    roles: [source, target]
+      |    default_engine: native
+      |    engines_supported: [native]
+      |  minio:
+      |    roles: [source, target]
+      |    default_engine: native
+      |    engines_supported: [native]
+      |  azure_blob:
       |    roles: [source, target]
       |    default_engine: native
       |    engines_supported: [native]

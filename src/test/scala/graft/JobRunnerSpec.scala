@@ -100,7 +100,7 @@ class JobRunnerSpec extends SparkSpec {
   test("registry: unknown connector type rejected") {
     val (dir, job) = fixture(Seq("1,a,2.0"), "strict")
     val bad = write(dir, "recipe_bad.yaml",
-      "name: sheets\ntype: google_sheets\nroles: [source]\n")
+      "name: carrier\ntype: carrier_pigeon\nroles: [source]\n")
     val jb = Files.readString(java.nio.file.Paths.get(job))
       .replace("recipe_csv.yaml", "recipe_bad.yaml")
     val job2 = write(dir, "job2.yaml", jb)
