@@ -116,9 +116,20 @@ object ParquetSink {
       partitionCols: Seq[String] = Nil,
       targetMb: Int = DefaultTargetMb,
       mode: SaveMode = SaveMode.Append,
-      maxRecordsPerFile: Option[Long] = None
+      maxRecordsPerFile: Option[Long] = None,
+      coalescePartitions: Boolean = false
   ): WriteReport = {
-    val prepared = preparePartitions(df, partitionCols)
+    val prepared0 = preparePartitions(df, partitionCols)
+    // Optional shuffle-for-file-count trade: hash-repartition on the
+    // partition columns so each Hive partition is written by few tasks
+    // (otherwise every task writes a sliver of every partition — at 1000
+    // executors × 1000 partitions that is 1M small files). Off by default
+    // because it adds a full shuffle; maxRecordsPerFile still bounds the
+    // upper file size either way.
+    val prepared =
+      if (coalescePartitions && partitionCols.nonEmpty)
+        prepared0.repartition(partitionCols.map(c => col(c.toLowerCase)): _*)
+      else prepared0
     val maxRecords = maxRecordsPerFile.getOrElse(
       estimateMaxRecordsPerFile(prepared, path, targetMb))
     var w = prepared.write
