@@ -45,11 +45,13 @@ object JobRunner {
       cursorField: Option[String],
       objectName: String,
       lookbackDays: Int,
-      processedFiles: Seq[String])
+      processedFiles: Seq[String] = Nil, // local/Hadoop FS paths
+      processedDriveFiles: Seq[(String, String)] = Nil, // (driveId, mtime)
+      airbyteState: Option[String] = None)
 
   private def incrementalPlan(spark: SparkSession, src: SourceConfig): IncrementalPlan =
     src.incremental match {
-      case None => IncrementalPlan(None, None, None, "default", 0, Nil)
+      case None => IncrementalPlan(None, None, None, "default", 0)
       case Some(inc) =>
         val statePath = Yaml.str(inc, "state_path")
         IncrementalPlan(
@@ -61,8 +63,7 @@ object JobRunner {
             .orElse(src.tables.flatMap(t => Yaml.str(t, "object")).headOption)
             .getOrElse("default"),
           lookbackDays = Yaml.str(inc, "lookback_days")
-            .map(_.toDouble.toInt).getOrElse(0),
-          processedFiles = Nil)
+            .map(_.toDouble.toInt).getOrElse(0))
     }
 
   def planSource(spark: SparkSession, src: SourceConfig, contract: DataContract,
@@ -171,7 +172,10 @@ object JobRunner {
           folderId = Yaml.str(src.raw, "folder_id"),
           query = Yaml.str(src.raw, "query"),
           state = inc.store)
-        (df, inc.copy(processedFiles = processed.map(_.id)))
+        // Drive ids are NOT filesystem paths — carry (id, mtime) so the
+        // post-commit persist updates Drive-keyed state directly
+        (df, inc.copy(processedDriveFiles =
+          processed.map(f => f.id -> f.modifiedTime)))
       case t @ ("stripe" | "hubspot" | "airbyte") =>
         // S6/S7/S8 — Airbyte subprocess; `command` override makes the
         // protocol path testable without docker
@@ -185,13 +189,19 @@ object JobRunner {
           case custom => custom
         }
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val configJson = mapper.writeValueAsString(
-          mapper.valueToTree[com.fasterxml.jackson.databind.JsonNode](
-            scala.jdk.CollectionConverters.MapHasAsJava(
-              src.credentials.map { case (k, v) => k -> String.valueOf(v) }).asJava))
-        val r = graft.sources.AirbyteSource.fromProcess(spark, command, configJson,
-          src.objects.toSet, contract)
-        (r.df, inc)
+        val configNode = mapper.createObjectNode()
+        src.credentials.foreach { case (k, v) =>
+          configNode.put(k, String.valueOf(v))
+        }
+        // feed the last persisted STATE back to the connector — this is
+        // what makes stripe/hubspot runs incremental
+        // (engine_framework.py:286-304)
+        inc.store
+          .flatMap(_.cursorLastValue(inc.objectName, "airbyte_state"))
+          .foreach(s => configNode.set("state", mapper.readTree(s)))
+        val r = graft.sources.AirbyteSource.fromProcess(spark, command,
+          mapper.writeValueAsString(configNode), src.objects.toSet, contract)
+        (r.df, inc.copy(airbyteState = r.lastState))
       case other =>
         throw new IllegalArgumentException(s"Unsupported source type: $other")
     }
@@ -274,9 +284,33 @@ object JobRunner {
     // valid-record count + max cursor ride the single write action
     val outObs = Observation(s"output_${System.nanoTime}")
     val cursorCol = inc.cursorField.filter(result.data.columns.contains)
+    // max on the NATIVE type (lexicographic max of "9" beats "20"), cast
+    // to string only for state persistence
     val outMetrics = count(lit(1)).as("valid_records") +:
-      cursorCol.map(c => max(col(c).cast("string")).as("max_cursor")).toSeq
+      cursorCol.map(c => max(col(c)).cast("string").as("max_cursor")).toSeq
     val out = result.data.observe(outObs, outMetrics.head, outMetrics.tail: _*)
+
+    // W8: a google_sheets TARGET bypasses the parquet backend — rows go
+    // to the sheet via the driver-side append (small by construction).
+    // The collect() action satisfies both observations.
+    if (tgt.connectorType == "google_sheets") {
+      val api = graft.plugins.PluginLoader.load(
+        Yaml.str(tgt.raw, "api_class").getOrElse(
+          throw new IllegalArgumentException(
+            "google_sheets target requires api_class (a SheetsApi impl)")),
+        classOf[graft.sources.GoogleSheets.SheetsApi])
+      val sheetId = Yaml.str(tgt.raw, "spreadsheet_id").getOrElse(
+        throw new IllegalArgumentException(
+          "google_sheets target requires spreadsheet_id"))
+      graft.sources.GoogleSheets.write(out, api, sheetId,
+        Yaml.str(tgt.raw, "range").getOrElse("A1"))
+      val m = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+      val v = outObs.get("valid_records").asInstanceOf[Long]
+      return JobReport(Validation.exitCode(vmode, m, v),
+        m.getOrElse("records", 0L), v,
+        m.filter { case (k, x) => k != "records" && x > 0 },
+        s"sheets:$sheetId", job.validationMode)
+    }
 
     // W6 tags + commit via the strongest available backend (ParquetOnly =
     // the reference's graceful-degradation path when no Iceberg catalog)
@@ -306,6 +340,11 @@ object JobRunner {
     inc.store.foreach { st =>
       if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
         st.updateFileStates(inc.processedFiles)
+      inc.processedDriveFiles.foreach { case (id, mtime) =>
+        st.updateFileState(id, mtime) // Drive ids, never FS-stat'ed
+      }
+      inc.airbyteState.foreach(
+        st.updateCursorState(inc.objectName, "airbyte_state", _))
       for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
         st.updateCursorState(inc.objectName, c, v.toString)
     }
@@ -330,18 +369,32 @@ object JobRunner {
       maxDelayMs: Long = 300000,
       retryableExitCodes: Set[Int] = Set(1, 2))
 
+  /** Retry guard: a rerun is only safe when nothing was committed —
+    * validation exit codes are deterministic AND the commit appends, so
+    * retrying a job that already wrote rows would duplicate them (the
+    * reference has the same retryable_exit_codes=[1,2] default and the
+    * same append hazard; we add the no-data-committed guard).
+    */
   def runWithRetry(spark: SparkSession, jobYamlPath: String,
       policy: RetryPolicy, mode: String = "self_hosted",
       sleep: Long => Unit = Thread.sleep): JobReport = {
+    def attemptRun(): JobReport =
+      try run(spark, jobYamlPath, mode)
+      catch {
+        case e: Exception => // failure before any commit ⇒ retryable exit 2
+          System.err.println(s"[graft] attempt failed: ${e.getMessage}")
+          JobReport(ExitCodes.Failure, 0L, 0L, Map.empty, "", "error")
+      }
     var attempt = 0
-    var report = run(spark, jobYamlPath, mode)
+    var report = attemptRun()
     while (attempt < policy.maxRetries &&
-      policy.retryableExitCodes.contains(report.exitCode)) {
+      policy.retryableExitCodes.contains(report.exitCode) &&
+      report.validRecords == 0L) {
       val delay = math.min(policy.maxDelayMs,
         (policy.initialDelayMs * math.pow(policy.multiplier, attempt)).toLong)
       sleep(delay)
       attempt += 1
-      report = run(spark, jobYamlPath, mode)
+      report = attemptRun()
     }
     report
   }

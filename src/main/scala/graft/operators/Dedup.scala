@@ -55,40 +55,15 @@ object Dedup {
 
   // ------------------------------------------------------------- MinHash-LSH
 
-  /** MinHash signature: k independent hash functions via seeded xxhash64
-    * (the seed rides as a second hashed value), each taking the min over
-    * the shingle set. Returns array<bigint> of length k.
+  /** Row-wise MinHash signature (array<bigint> of length k) — for callers
+    * that need the signature as a column. NOTE: higher-order lambdas are
+    * interpreted; the pipeline below uses the equivalent (same seeding:
+    * xxhash64(xxhash64(shingle), i)) explode+HashAggregate formulation,
+    * which stays in whole-stage codegen.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
-
-  /** Banded LSH keys: `bands` hashes, each over `rowsPerBand` consecutive
-    * signature entries (+ the band index, so bands can't collide with each
-    * other). Returns array<bigint> of length `bands`.
-    */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)), b))
-
-  /** Band keys computed straight from (pre-hashed int64) shingles, fused
-    * so that each of the k = bands×rowsPerBand hash functions is evaluated
-    * exactly once per row. (Composing `bandKeys(minhashSignature(...))`
-    * instead lets CollapseProject inline the signature into the band
-    * lambda — its static reference count is 1 — and the whole signature is
-    * then recomputed once PER BAND at runtime: a measured 32× slowdown.)
-    *
-    * Takes int64 shingle hashes, not strings: each variable-length string
-    * is hashed ONCE per row upstream, and the k seeded re-hashes work on
-    * fixed 8-byte longs — ~4× cheaper than k string hashes.
-    */
-  def bandKeysFromHashes(shingleHashes: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(
-        transform(sequence(lit(0), lit(rowsPerBand - 1)),
-          r => array_min(transform(shingleHashes,
-            h => xxhash64(h, b * rowsPerBand + r)))),
-        b))
+      i => array_min(transform(shingles, s => xxhash64(xxhash64(s), i))))
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -101,6 +76,11 @@ object Dedup {
     * 1 − 3.8e-8 at j = 0.9 (and the exact-Jaccard verify keeps
     * precision at 1.0 regardless). The generated aggregate has k min
     * columns; k beyond ~128 mostly buys janino compile time.
+    *
+    * Caching: intermediate frames are persist()ed because they feed
+    * multiple downstream joins; they stay cached for the session. In a
+    * long-lived loop over many corpora, call
+    * `spark.catalog.clearCache()` between rounds.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */

@@ -80,11 +80,28 @@ object AirbyteSource {
   def fromProcess(spark: SparkSession, command: Seq[String], configJson: String,
       streams: Set[String], contract: DataContract): ExtractResult = {
     val pb = new ProcessBuilder(command.asJava)
-    pb.redirectErrorStream(false)
     val proc = pb.start()
-    val stdin = proc.getOutputStream
-    stdin.write(configJson.getBytes("UTF-8"))
-    stdin.close()
+    // Drain stderr on a daemon thread — a chatty connector fills the
+    // ~64KB OS pipe buffer otherwise and deadlocks the extract. The last
+    // lines are kept for the failure message.
+    val errTail = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+    val drainer = new Thread(() => {
+      val er = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getErrorStream, "UTF-8"))
+      try Iterator.continually(er.readLine()).takeWhile(_ != null).foreach { l =>
+        errTail.addLast(l)
+        while (errTail.size() > 50) errTail.pollFirst()
+      } finally er.close()
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    // a connector that never reads stdin (or exits early) breaks the
+    // pipe — that's its prerogative, not an extract failure
+    try {
+      val stdin = proc.getOutputStream
+      stdin.write(configJson.getBytes("UTF-8"))
+      stdin.close()
+    } catch { case _: java.io.IOException => () }
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
     try {
@@ -92,7 +109,9 @@ object AirbyteSource {
       val result = fromMessages(spark, lines, streams, contract)
       val exit = proc.waitFor()
       if (exit != 0)
-        throw new RuntimeException(s"airbyte connector exited with code $exit")
+        throw new RuntimeException(
+          s"airbyte connector exited with code $exit; stderr tail: " +
+            errTail.asScala.mkString(" | "))
       result
     } finally reader.close()
   }

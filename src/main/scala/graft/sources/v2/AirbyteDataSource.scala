@@ -87,10 +87,14 @@ private[v2] class AirbyteReaderFactory(schema: StructType, command: Seq[String],
     new PartitionReader[InternalRow] {
       private val proc = {
         val pb = new ProcessBuilder(command.asJava)
+        // discard stderr — an undrained pipe deadlocks chatty connectors
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
-        val in = p.getOutputStream
-        in.write(config.getBytes("UTF-8"))
-        in.close()
+        try { // stdin-ignoring commands break the pipe; tolerated
+          val in = p.getOutputStream
+          in.write(config.getBytes("UTF-8"))
+          in.close()
+        } catch { case _: java.io.IOException => () }
         p
       }
       private val reader = new java.io.BufferedReader(

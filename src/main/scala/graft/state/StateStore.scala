@@ -93,8 +93,9 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
   def updateCursorState(objectName: String, cursorField: String,
       lastValue: String): Unit = {
     val key = s"$objectName.$cursorField"
-    val prev = read().getOrElse(key, Map.empty)
-    write(read() + (key -> (prev ++ Map(
+    val state = read()
+    val prev = state.getOrElse(key, Map.empty)
+    write(state + (key -> (prev ++ Map(
       "last_value" -> lastValue,
       "updated_at" -> java.time.LocalDateTime.now().toString))))
   }
@@ -103,21 +104,33 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
 
   /** Partition a concrete file list into (toProcess, skipped) using the
     * FS modification times — the Spark-side equivalent of the reference's
-    * per-file skip loop (csv_extractor.py:130-150).
+    * per-file skip loop (csv_extractor.py:130-150). The state doc is read
+    * ONCE for the whole list (per-file read() would be O(n) S3 GETs).
     */
   def filterUnmodified(paths: Seq[String], lookbackDays: Int = 0): (Seq[String], Seq[String]) = {
+    val state = read()
     val results = paths.map { p =>
       val st: FileStatus = new Path(p).getFileSystem(hadoopConf).getFileStatus(new Path(p))
       val iso = java.time.Instant.ofEpochMilli(st.getModificationTime).toString
-      (p, iso, shouldSkipFile(p, iso, lookbackDays))
+      val skip = state.get(s"file_$p").flatMap(_.get("last_modified")) match {
+        case Some(last) if last.nonEmpty => iso <= last && lookbackDays == 0
+        case _                           => false
+      }
+      (p, iso, skip)
     }
     (results.filterNot(_._3).map(_._1), results.filter(_._3).map(_._1))
   }
 
-  /** Record current mtimes after a successful run. */
-  def updateFileStates(paths: Seq[String]): Unit =
-    paths.foreach { p =>
+  /** Record current mtimes after a successful run — one read + one write
+    * for the whole batch.
+    */
+  def updateFileStates(paths: Seq[String]): Unit = {
+    val updates = paths.map { p =>
       val st = new Path(p).getFileSystem(hadoopConf).getFileStatus(new Path(p))
-      updateFileState(p, java.time.Instant.ofEpochMilli(st.getModificationTime).toString)
+      s"file_$p" -> Map(
+        "last_modified" -> java.time.Instant.ofEpochMilli(st.getModificationTime).toString,
+        "file_id" -> p)
     }
+    write(read() ++ updates)
+  }
 }

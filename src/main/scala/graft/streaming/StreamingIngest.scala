@@ -56,14 +56,18 @@ object StreamingIngest {
     * dropped; state is bounded).
     */
   def windowedEventCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowDuration: String, watermarkDelay: String): DataFrame =
-    events
+      windowDuration: String, watermarkDelay: String,
+      valueCol: Option[String] = Some("value")): DataFrame = {
+    val aggs = count(lit(1)).as("events") +:
+      valueCol.filter(events.columns.contains)
+        .map(v => sum(v).as("sum_value")).toSeq
+    val grouped = events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
-      .agg(count(lit(1)).as("events"), sum("value").as("sum_value"))
-      .select(
-        col("window.start").as("window_start"),
-        col(keyCol),
-        col("events"),
-        col("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outCols = col("window.start").as("window_start") +: col(keyCol) +:
+      col("events") +:
+      (if (grouped.columns.contains("sum_value")) Seq(col("sum_value")) else Nil)
+    grouped.select(outCols: _*)
+  }
 }
