@@ -178,6 +178,16 @@ object Queries {
         sum("l_extendedprice").as("sum_price"),
         count(lit(1)).as("count_order"))
 
+  /** q6-style filter + agg: predicate pushdown reaches the parquet scan,
+    * single-row result.
+    */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
@@ -362,6 +372,7 @@ object Queries {
     "ingest_date" -> ingestDate _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
+    "q6_filter_agg" -> q6FilterAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
     "events_sessionize" -> eventsSessionize _,
     "mdkv_render" -> mdkvRender _,
@@ -444,6 +455,10 @@ object Queries {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderpriority""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT sum(l_extendedprice * l_discount) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "events_latest_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
