@@ -47,6 +47,7 @@ object JobRunner {
       lookbackDays: Int,
       processedFiles: Seq[String] = Nil, // local/Hadoop FS paths
       processedDriveFiles: Seq[(String, String)] = Nil, // (driveId, mtime)
+      processedSpreadsheets: Seq[(String, String)] = Nil, // (sheetId, mtime)
       airbyteState: Option[String] = None)
 
   private def incrementalPlan(spark: SparkSession, src: SourceConfig): IncrementalPlan =
@@ -153,14 +154,25 @@ object JobRunner {
         val sheets = Yaml.seq(src.raw, "spreadsheets")
           .collect { case m: Map[String, Any] @unchecked => m }
         require(sheets.nonEmpty, "google_sheets source requires spreadsheets[]")
-        val frames = sheets.map { s =>
-          graft.sources.GoogleSheets.read(spark, api,
-            Yaml.str(s, "id").getOrElse(
-              throw new IllegalArgumentException("spreadsheet entry requires id")),
+        // I3: skip whole spreadsheets whose API modifiedTime hasn't
+        // advanced past the recorded state (validator.py:369-425)
+        val withMtime = sheets.map { s =>
+          val id = Yaml.str(s, "id").getOrElse(
+            throw new IllegalArgumentException("spreadsheet entry requires id"))
+          (s, id, api.modifiedTime(id))
+        }
+        val todo = withMtime.filterNot { case (_, id, mt) =>
+          inc.store.exists(_.shouldSkipSpreadsheet(id, mt, inc.lookbackDays))
+        }
+        val frames = todo.map { case (s, id, _) =>
+          graft.sources.GoogleSheets.read(spark, api, id,
             Yaml.str(s, "range").getOrElse("A:ZZ"),
             Yaml.bool(s, "has_header", dflt = true))
         }
-        (frames.reduce(_ unionByName _), inc)
+        val df =
+          if (frames.isEmpty) emptyRaw else frames.reduce(_ unionByName _)
+        (df, inc.copy(processedDriveFiles = Nil,
+          processedSpreadsheets = todo.map { case (_, id, mt) => id -> mt }))
       case "gdrive_csv" =>
         // S5 — list → skip → download → S1 scan
         val api = graft.plugins.PluginLoader.load(
@@ -342,6 +354,9 @@ object JobRunner {
         st.updateFileStates(inc.processedFiles)
       inc.processedDriveFiles.foreach { case (id, mtime) =>
         st.updateFileState(id, mtime) // Drive ids, never FS-stat'ed
+      }
+      inc.processedSpreadsheets.foreach { case (id, mtime) =>
+        st.updateSpreadsheetState(id, mtime)
       }
       inc.airbyteState.foreach(
         st.updateCursorState(inc.objectName, "airbyte_state", _))

@@ -79,6 +79,22 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
     write(read() + (s"file_$fileId" ->
       Map("last_modified" -> modifiedTime, "file_id" -> fileId)))
 
+  // ---------------------------------------------------- spreadsheet skip (I3)
+
+  /** validator.py:369-425 — same compare as files, `spreadsheet_` key. */
+  def shouldSkipSpreadsheet(spreadsheetId: String, currentModified: String,
+      lookbackDays: Int = 0): Boolean = {
+    read().get(s"spreadsheet_$spreadsheetId").flatMap(_.get("last_modified")) match {
+      case Some(last) if last.nonEmpty =>
+        currentModified <= last && lookbackDays == 0
+      case _ => false
+    }
+  }
+
+  def updateSpreadsheetState(spreadsheetId: String, modifiedTime: String): Unit =
+    write(read() + (s"spreadsheet_$spreadsheetId" ->
+      Map("last_modified" -> modifiedTime, "spreadsheet_id" -> spreadsheetId)))
+
   // ------------------------------------------------------------- cursor (I4)
 
   /** postgres_extractor.py:268-274 — last cursor value for `object.field`. */

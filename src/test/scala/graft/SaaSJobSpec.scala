@@ -64,6 +64,22 @@ class SaaSJobSpec extends SparkSpec {
     spark.read.parquet(r.outputPath).columns should contain("id")
   }
 
+  test("google_sheets incremental (I3): rerun skips unchanged spreadsheet") {
+    val dir = Files.createTempDirectory("sheets-inc-")
+    val job = scaffold("google_sheets",
+      s"""  api_class: graft.FixtureSheetsApi
+         |  spreadsheets:
+         |    - {id: sheet-9, range: "A1:B3"}
+         |  incremental:
+         |    strategy: spreadsheet_modified_time
+         |    state_path: ${dir.resolve("state.json")}""".stripMargin)
+    JobRunner.run(spark, job).validRecords shouldBe 2
+    // FixtureSheetsApi reports a constant modifiedTime -> skipped now
+    val r2 = JobRunner.run(spark, job)
+    r2.records shouldBe 0
+    r2.exitCode shouldBe graft.core.ExitCodes.Failure // reference: no valid rows
+  }
+
   test("gdrive_csv job (S5): list/download route end-to-end") {
     val job = scaffold("gdrive_csv", "  api_class: graft.FixtureDriveApi")
     val r = JobRunner.run(spark, job)
