@@ -287,6 +287,14 @@ object Queries {
       k = 5, planes = 4, dim = 64)
   }
 
+  /** Embedding-cosine near-dup pairs (rows-only: multi-table LSH recall
+    * is not oracle-modelable; the testdata's max pair cosine is ~0.51).
+    */
+  def annCosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, planes = 4, tables = 8)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -385,6 +393,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
+    "ann_cosine_neardup" -> annCosineNearDup _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,

@@ -81,6 +81,47 @@ object Similarity {
       outCol: String = "bucket"): DataFrame =
     df.withColumn(outCol, lshBucket(col(vecCol), planes, dim))
 
+  /** Embedding-cosine near-duplicate pairs via MULTI-TABLE hyperplane
+    * LSH: `tables` independent bucketings of `planes` sign bits each; a
+    * pair is a candidate when it shares a bucket in ANY table
+    * (OR-amplification — recall 1 − (1 − (1−θ/π)^planes)^tables), then
+    * exact cosine verifies. Shuffles only on (table, bucket) keys; no
+    * cross join. Tune planes up for precision (smaller buckets), tables
+    * up for recall.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // bucket of table t uses plane seeds [t*planes, (t+1)*planes)
+    val buckets = (0 until tables).map { t =>
+      val b = (0 until planes)
+        .map(p => when(planeDot(col("v"), t * planes + p, dim) > 0,
+          lit(1L << p)).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c))
+      concat_ws(":", lit(t), b)
+    }
+    val bucketed = base
+      .select(col("id"), explode(array(buckets: _*)).as("bk"))
+      .persist() // both sides of the self-join
+    val cands = bucketed.as("x")
+      .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Approximate top-k: queries join only their own LSH bucket; exact
     * cosine rank within the bucket. One shuffle on the bucket key; never
     * a full cross join. Recall is tunable via `planes` (fewer planes =

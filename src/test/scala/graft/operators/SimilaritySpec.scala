@@ -49,6 +49,17 @@ class SimilaritySpec extends SparkSpec {
     rows.map(_.getLong(1)).sorted shouldBe (1L to rows.length).toArray
   }
 
+  test("cosineNearDupPairs: near-identical vectors found, others not") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) 1e-4f else 0f) }
+    val other = Array.tabulate(16)(i => math.cos(i * 2.3).toFloat)
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, planes = 4, tables = 8, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   test("lshTopK plan has no cartesian product") {
     val plan = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3,
       planes = 2, dim = 3).queryExecution.executedPlan.toString
