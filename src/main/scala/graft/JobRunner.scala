@@ -333,7 +333,7 @@ object JobRunner {
       finopsOverrides = Yaml.map(job.raw, "finops"),
       governanceOverrides = Yaml.map(job.raw, "governance_overrides")) ++
       graft.sinks.TagDerivation.assetProperties(contract)
-    val backend = graft.sinks.CommitBackend.forSession(spark)
+    val backend = graft.sinks.CommitBackend.forTarget(spark, tgt.catalog)
     backend.commit(out, base, contract, partitions, tags,
       tgt.parquetTargetSizeMb, Some(maxRecords))
 

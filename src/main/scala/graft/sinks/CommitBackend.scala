@@ -90,6 +90,86 @@ object ParquetOnly extends CommitBackend {
   }
 }
 
+/** Catalog-table backend (W4/W5): table DDL + append + properties through
+  * the DataSourceV2 `writeTo` API against ANY configured Spark catalog —
+  * the session catalog here, an Iceberg/Nessie catalog
+  * (`spark.sql.catalog.nessie = org.apache.iceberg.spark.SparkCatalog`
+  * with `ref` = tenant branch) in a deployment: same code path, per
+  * SURVEY §7's CommitBackend isolation. The reference's W2 size target
+  * maps to the `write.target-file-size-bytes` table property.
+  *
+  * Degradation parity (cli.py:1056-1110, iceberg_committer.py:675-693):
+  * any catalog/commit failure falls back to [[ParquetOnly]] at
+  * `location` and the job still succeeds.
+  */
+final case class CatalogTableBackend(catalogName: String, namespace: String)
+    extends CommitBackend {
+  val name = s"catalog:$catalogName"
+
+  def tableFqn(contract: DataContract): String =
+    s"$catalogName.$namespace.${contract.name}"
+
+  def ensureTable(spark: SparkSession, location: String, contract: DataContract,
+      partitionCols: Seq[String]): Unit = () // DDL folded into first commit
+
+  def commit(df: DataFrame, location: String, contract: DataContract,
+      partitionCols: Seq[String], properties: Map[String, String],
+      targetMb: Int, maxRecordsPerFile: Option[Long]): CommitResult = {
+    val spark = df.sparkSession
+    val fqn = tableFqn(contract)
+    try {
+      val prepared = ParquetSink.preparePartitions(df, partitionCols)
+      // spark.catalog.tableExists can't resolve 3-part names; probe the
+      // analyzer directly
+      val exists =
+        try { spark.table(fqn); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!exists) {
+        var w = prepared.writeTo(fqn)
+          .tableProperty("write.target-file-size-bytes",
+            (targetMb.toLong * 1024 * 1024).toString)
+        properties.foreach { case (k, v) => w = w.tableProperty(k, v) }
+        if (partitionCols.nonEmpty)
+          w.partitionedBy(
+            org.apache.spark.sql.functions.col(partitionCols.head.toLowerCase),
+            partitionCols.tail.map(c =>
+              org.apache.spark.sql.functions.col(c.toLowerCase)): _*)
+            .create()
+        else w.create()
+      } else {
+        try prepared.writeTo(fqn).append()
+        catch {
+          // session-catalog (V1) tables reject the V2 write path; real
+          // V2 catalogs (Iceberg/Nessie) never hit this branch
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("v1 table") =>
+            prepared.write.mode(SaveMode.Append).insertInto(fqn)
+        }
+        // idempotent property diff (iceberg_committer.py:221-305)
+        val existing = spark.sql(s"SHOW TBLPROPERTIES $fqn").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val changed = TagDerivation.diffProperties(existing, properties)
+        if (changed.nonEmpty) {
+          val props = changed.map { case (k, v) =>
+            s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+          }.mkString(", ")
+          spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ($props)")
+        }
+      }
+      CommitResult(committed = true, backend = name, location = fqn,
+        snapshotId = None, properties = properties)
+    } catch {
+      case e: Exception =>
+        // graceful degradation: files land as plain parquet, job succeeds
+        System.err.println(
+          s"[graft] catalog commit to $fqn failed (${e.getMessage}); " +
+            "degrading to parquet-only")
+        ParquetOnly.commit(df, location, contract, partitionCols, properties,
+          targetMb, maxRecordsPerFile)
+    }
+  }
+}
+
 object CommitBackend {
 
   /** Iceberg runtime present? (reflective probe — no compile-time dep). */
@@ -98,10 +178,17 @@ object CommitBackend {
       Class.forName("org.apache.iceberg.spark.SparkCatalog"); true
     } catch { case _: Throwable => false }
 
-  /** Pick the strongest available backend; the Iceberg implementation
-    * would use `df.writeTo(table).append()` against a Nessie catalog
-    * configured with `ref` = tenant branch — activated only when the jar
-    * ships (design per SURVEY §7: isolate behind this trait).
+  /** Pick the backend: a configured catalog (target `catalog.name` +
+    * optional `catalog.namespace`) gets the table backend; otherwise the
+    * parquet-only degradation path.
     */
+  def forTarget(spark: SparkSession, catalogConf: Map[String, Any]): CommitBackend =
+    catalogConf.get("name").map(String.valueOf) match {
+      case Some(cat) if cat.nonEmpty =>
+        CatalogTableBackend(cat,
+          catalogConf.get("namespace").map(String.valueOf).getOrElse("default"))
+      case _ => ParquetOnly
+    }
+
   def forSession(spark: SparkSession): CommitBackend = ParquetOnly
 }
