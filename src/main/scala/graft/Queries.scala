@@ -213,6 +213,29 @@ object Queries {
     }
   }
 
+  /** Rollup aggregation (subtotals + grand total). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+
+  /** Running count per customer — window frame demo. */
+  def windowRunningCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("running_orders"))
+  }
+
+  /** Exact distinct count per group. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("distinct_users"),
+        count(lit(1)).as("events"))
+
   /** Gap-based sessionization over events (30-min gap). */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Sessionize.sessions(
@@ -383,6 +406,9 @@ object Queries {
     "q6_filter_agg" -> q6FilterAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
     "events_sessionize" -> eventsSessionize _,
+    "agg_rollup" -> aggRollup _,
+    "window_running_count" -> windowRunningCount _,
+    "distinct_users" -> distinctUsers _,
     "mdkv_render" -> mdkvRender _,
     "mdkv_roundtrip_kv" -> mdkvRoundtripKv _,
     "mdkv_doc_level" -> mdkvDocLevel _,
@@ -464,6 +490,20 @@ object Queries {
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "window_running_count" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(count(*) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_orders
+        |FROM orders""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+        |CAST(count(*) AS BIGINT) AS events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q6_filter_agg" ->
       """SELECT sum(l_extendedprice * l_discount) AS revenue,
         |CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
