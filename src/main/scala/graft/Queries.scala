@@ -286,6 +286,16 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", "text", "lang",
       shingleN = 3, threshold = 0.9)
 
+  /** Near-dup REMOVAL: LSH pairs → transitive connected components →
+    * keep each cluster's min-id survivor. Oracle replays the clustering
+    * with a recursive CTE over the exact all-pairs graph.
+    */
+  def dedupMinhashDrop(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropNearDuplicates(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
+      .select("doc_id")
+
   /** SimHash near-dup pairs (rows-only check: xxhash64 isn't replicable
     * in the oracle).
     */
@@ -415,6 +425,7 @@ object Queries {
     "dedup_exact" -> dedupExact _,
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash" -> dedupMinhash _,
+    "dedup_minhash_drop" -> dedupMinhashDrop _,
     "dedup_ngram_block" -> dedupNgramBlock _,
     "dedup_simhash" -> dedupSimhash _,
     "ann_brute_topk" -> annBruteTopK _,
@@ -577,6 +588,26 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "dedup_minhash_drop" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_block" ->
       """WITH tok AS (SELECT doc_id, lang,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -131,6 +131,65 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Connected components over a near-dup pair set by min-label
+    * propagation: every node adopts the smallest id reachable from it.
+    * O(cluster diameter) join rounds — near-dup clusters are shallow, so
+    * convergence is fast; each round is one shuffle on the edge key.
+    * Returns (id, component) where component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component") < col("l.component"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate REMOVAL: detect pairs with MinHash-LSH, cluster them
+    * transitively, and keep only each cluster's lowest-id row (plus every
+    * row in no cluster). This is what a curation pipeline actually runs —
+    * pair detection alone under-removes chains (A≈B≈C with A≉C must
+    * still collapse to one survivor).
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** ±1 vote per bit position of a 64-bit hash (bit positions unrolled as

@@ -71,6 +71,31 @@ class DedupSpec extends SparkSpec {
     pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 shouldBe 0
   }
 
+  test("connectedComponents: chains collapse transitively") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    cc(1L) shouldBe 1L
+    cc(2L) shouldBe 1L
+    cc(3L) shouldBe 1L // reached only through 2
+    cc(10L) shouldBe 10L
+    cc(11L) shouldBe 10L
+  }
+
+  test("dropNearDuplicates keeps one survivor per transitive cluster") {
+    // a ≈ b (differ in last word), b ≈ c (differ in first word); a vs c
+    // differ in both — the chain must still collapse to just `a`
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "omega beta gamma delta epsilon zeta eta theta kappa"),
+      (9L, "completely unrelated words appear in this document here")
+    ).toDF("id", "text")
+    val out = Dedup.dropNearDuplicates(docs, "id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.6)
+    out.select("id").as[Long].collect().sorted shouldBe Array(1L, 9L)
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val blocked = docs.withColumn("blk",
       when(col("id") <= 3, "a").otherwise("b"))
