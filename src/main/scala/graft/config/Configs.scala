@@ -174,7 +174,9 @@ object AssetLoader {
       name = Yaml.str(m, "name").getOrElse("asset"),
       version = Yaml.str(m, "version").getOrElse("v1.0"),
       domain = Yaml.str(m, "domain").orElse(Yaml.str(team, "domain")),
-      dataProduct = Yaml.str(m, "data_product").orElse(Yaml.str(team, "data_product")),
+      dataProduct = Yaml.str(m, "data_product")
+        .orElse(Yaml.str(m, "dataProduct")) // flat ODCS uses camelCase
+        .orElse(Yaml.str(team, "data_product")),
       owner = Yaml.str(m, "owner").orElse(Yaml.str(team, "owner")),
       retentionDays = Yaml.str(governance, "retention_days")
         .orElse(Yaml.str(compliance, "retention_days")).map(_.toInt),

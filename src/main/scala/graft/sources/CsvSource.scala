@@ -26,24 +26,33 @@ final case class CsvOptions(
 
 object CsvSource {
 
-  /** All-string scan with reference null-marker semantics. */
+  /** All-string scan with reference null-marker semantics.
+    *
+    * With a header row the FILE's own column names are used (every column
+    * string-typed) and the contract is applied BY NAME downstream —
+    * forcing the contract schema positionally would silently mis-assign
+    * values when the file reorders or adds columns, where the reference
+    * (pandas read_csv + per-record dict validation) matches by name.
+    * Headerless files fall back to the contract's declared order.
+    */
   def read(
       spark: SparkSession,
       paths: Seq[String],
       contract: DataContract,
       opts: CsvOptions = CsvOptions()
   ): DataFrame = {
-    val raw = spark.read
-      .schema(contract.rawStructType) // all-string landing schema
+    var reader = spark.read
       .option("header", opts.header.toString)
       .option("sep", opts.delimiter)
       .option("quote", opts.quoteChar)
       .option("encoding", opts.encoding)
+      .option("inferSchema", "false") // every column lands as string
       // Spark's own null handling is disabled so the reference's marker
       // list is the single source of truth:
       .option("nullValue", null: String)
       .option("emptyValue", "")
-      .csv(paths: _*)
+    if (!opts.header) reader = reader.schema(contract.rawStructType)
+    val raw = reader.csv(paths: _*)
     // "", NULL, null, None → real NULL (csv_extractor.py null markers)
     raw.select(raw.columns.map(c => Coercion.nullifyMarkers(col(c)).as(c)): _*)
   }
