@@ -26,6 +26,40 @@ class ReferenceFixtureSpec extends SparkSpec {
     c.fields.exists(_.required) shouldBe true
   }
 
+  test("reference strict-validation fixture: invalid product row fails the job") {
+    val productAsset =
+      "/root/reference/tests/fixtures/assets/csv/v1.0/product.yaml"
+    val invalidSeed =
+      "/root/reference/tests/fixtures/seeds/adventureworks/Product_invalid.csv"
+    assume(Files.exists(Paths.get(productAsset)) &&
+      Files.exists(Paths.get(invalidSeed)))
+    val dir = Files.createTempDirectory("ref-product-")
+    def w(n: String, c: String) = Files.writeString(dir.resolve(n), c)
+    w("recipe_csv.yaml",
+      "name: csv\ntype: csv\nroles: [source]\ndefault_engine: {type: native}\n")
+    w("recipe_parquet.yaml",
+      "name: parquet\ntype: parquet\nroles: [source, target]\n" +
+        "default_engine: {type: native}\n")
+    w("job.yaml",
+      s"""tenant_id: test_tenant
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: $productAsset
+         |schema_validation_mode: strict
+         |source:
+         |  files:
+         |    - {path: $invalidSeed}
+         |target:
+         |  connection: {path: ${dir.resolve("out")}}
+         |""".stripMargin)
+    val r = JobRunner.run(spark, dir.resolve("job.yaml").toString)
+    // csv_product_strict_validation.yaml's expectation: strict fails
+    r.exitCode shouldBe ExitCodes.Failure
+    r.records shouldBe 5
+    r.validRecords should be < 5L
+    r.errors.getOrElse("missing_required:ProductID", 0L) shouldBe 1L
+  }
+
   test("reference smoke job: warn-mode run over the real seed CSV") {
     assume(Files.exists(Paths.get(refAsset)) && Files.exists(Paths.get(refSeed)))
     val dir = Files.createTempDirectory("ref-fixture-")
