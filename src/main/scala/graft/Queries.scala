@@ -357,6 +357,15 @@ object Queries {
       .toDF().drop("byte_histogram")
   }
 
+  /** Deterministic frame sampling over binary payloads (4 chunks). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameSample(
+      graft.operators.Multimodal.assetsFromText(
+        t(spark, dir, "documents"), "doc_id", "text"),
+      "payload", "asset_id", n = 4)
+      .select(col("asset_id"), col("frame_no").cast(LongType).as("frame_no"),
+        col("frame_payload").cast(StringType).as("frame_text"))
+
   /** Quality signals bundle over documents. */
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.withQualitySignals(
@@ -435,6 +444,7 @@ object Queries {
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_frames" -> multimodalFrames _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _
   )
@@ -650,6 +660,17 @@ object Queries {
       """SELECT doc_id AS asset_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS payload_size,
         |sha256(text) AS sha256_hex FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS ck
+        |  FROM documents),
+        |i AS (SELECT unnest(range(4)) AS frame_no)
+        |SELECT d.doc_id AS asset_id, CAST(i.frame_no AS BIGINT) AS frame_no,
+        |  substr(d.text, CAST(i.frame_no * d.ck + 1 AS BIGINT), d.ck)
+        |    AS frame_text
+        |FROM d CROSS JOIN i
+        |WHERE length(substr(d.text, CAST(i.frame_no * d.ck + 1 AS BIGINT),
+        |  d.ck)) > 0""".stripMargin,
     "text_quality" ->
       """WITH tok AS (SELECT doc_id, text,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)
