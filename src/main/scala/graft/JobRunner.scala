@@ -155,22 +155,32 @@ object JobRunner {
           .collect { case m: Map[String, Any] @unchecked => m }
         require(sheets.nonEmpty, "google_sheets source requires spreadsheets[]")
         // I3: skip whole spreadsheets whose API modifiedTime hasn't
-        // advanced past the recorded state (validator.py:369-425)
+        // advanced past the recorded state (validator.py:369-425);
+        // one state read for the whole list
         val withMtime = sheets.map { s =>
           val id = Yaml.str(s, "id").getOrElse(
             throw new IllegalArgumentException("spreadsheet entry requires id"))
           (s, id, api.modifiedTime(id))
         }
-        val todo = withMtime.filterNot { case (_, id, mt) =>
-          inc.store.exists(_.shouldSkipSpreadsheet(id, mt, inc.lookbackDays))
+        val todoIds = inc.store match {
+          case Some(st) =>
+            st.filterUnmodifiedSpreadsheets(
+              withMtime.map { case (_, id, mt) => id -> mt }, inc.lookbackDays)
+              ._1.map(_._1).toSet
+          case None => withMtime.map(_._2).toSet
         }
+        val todo = withMtime.filter { case (_, id, _) => todoIds.contains(id) }
         val frames = todo.map { case (s, id, _) =>
           graft.sources.GoogleSheets.read(spark, api, id,
             Yaml.str(s, "range").getOrElse("A:ZZ"),
-            Yaml.bool(s, "has_header", dflt = true))
+            Yaml.bool(s, "has_header", dflt = true),
+            emptySchema = Some(contract.rawStructType))
         }
+        // an empty sheet yields the contract's raw schema, so the
+        // cross-sheet union can't fail on a placeholder column
         val df =
-          if (frames.isEmpty) emptyRaw else frames.reduce(_ unionByName _)
+          if (frames.isEmpty) emptyRaw
+          else frames.reduce(_.unionByName(_, allowMissingColumns = true))
         (df, inc.copy(processedDriveFiles = Nil,
           processedSpreadsheets = todo.map { case (_, id, mt) => id -> mt }))
       case "gdrive_csv" =>
@@ -302,66 +312,72 @@ object JobRunner {
       cursorCol.map(c => max(col(c)).cast("string").as("max_cursor")).toSeq
     val out = result.data.observe(outObs, outMetrics.head, outMetrics.tail: _*)
 
-    // W8: a google_sheets TARGET bypasses the parquet backend — rows go
-    // to the sheet via the driver-side append (small by construction).
-    // The collect() action satisfies both observations.
-    if (tgt.connectorType == "google_sheets") {
-      val api = graft.plugins.PluginLoader.load(
-        Yaml.str(tgt.raw, "api_class").getOrElse(
+    // The commit: a google_sheets TARGET appends to the sheet driver-side
+    // (W8, small by construction; the collect satisfies both
+    // observations); everything else goes through a CommitBackend.
+    val outputLocation =
+      if (tgt.connectorType == "google_sheets") {
+        val api = graft.plugins.PluginLoader.load(
+          Yaml.str(tgt.raw, "api_class").getOrElse(
+            throw new IllegalArgumentException(
+              "google_sheets target requires api_class (a SheetsApi impl)")),
+          classOf[graft.sources.GoogleSheets.SheetsApi])
+        val sheetId = Yaml.str(tgt.raw, "spreadsheet_id").getOrElse(
           throw new IllegalArgumentException(
-            "google_sheets target requires api_class (a SheetsApi impl)")),
-        classOf[graft.sources.GoogleSheets.SheetsApi])
-      val sheetId = Yaml.str(tgt.raw, "spreadsheet_id").getOrElse(
-        throw new IllegalArgumentException(
-          "google_sheets target requires spreadsheet_id"))
-      graft.sources.GoogleSheets.write(out, api, sheetId,
-        Yaml.str(tgt.raw, "range").getOrElse("A1"))
-      val m = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
-      val v = outObs.get("valid_records").asInstanceOf[Long]
-      return JobReport(Validation.exitCode(vmode, m, v),
-        m.getOrElse("records", 0L), v,
-        m.filter { case (k, x) => k != "records" && x > 0 },
-        s"sheets:$sheetId", job.validationMode)
-    }
+            "google_sheets target requires spreadsheet_id"))
+        // includeHeader=false: appends accumulate — a header row per run
+        // would interleave column names with data
+        graft.sources.GoogleSheets.write(out, api, sheetId,
+          Yaml.str(tgt.raw, "range").getOrElse("A1"), includeHeader = false)
+        s"sheets:$sheetId"
+      } else {
+        // W6 tags + commit via the strongest available backend
+        // (ParquetOnly = the reference's graceful-degradation path)
+        val tags = graft.sinks.TagDerivation.deriveAll(
+          contract,
+          classificationOverrides = Yaml.map(job.raw, "classification_overrides")
+            .map { case (k, v) => k -> String.valueOf(v) },
+          finopsOverrides = Yaml.map(job.raw, "finops"),
+          governanceOverrides = Yaml.map(job.raw, "governance_overrides")) ++
+          graft.sinks.TagDerivation.assetProperties(contract)
+        val backend = graft.sinks.CommitBackend.forTarget(spark, tgt.catalog)
+        backend.commit(out, base, contract, partitions, tags,
+          tgt.parquetTargetSizeMb, Some(maxRecords))
 
-    // W6 tags + commit via the strongest available backend (ParquetOnly =
-    // the reference's graceful-degradation path when no Iceberg catalog)
-    val tags = graft.sinks.TagDerivation.deriveAll(
-      contract,
-      classificationOverrides = Yaml.map(job.raw, "classification_overrides")
-        .map { case (k, v) => k -> String.valueOf(v) },
-      finopsOverrides = Yaml.map(job.raw, "finops"),
-      governanceOverrides = Yaml.map(job.raw, "governance_overrides")) ++
-      graft.sinks.TagDerivation.assetProperties(contract)
-    val backend = graft.sinks.CommitBackend.forTarget(spark, tgt.catalog)
-    backend.commit(out, base, contract, partitions, tags,
-      tgt.parquetTargetSizeMb, Some(maxRecords))
-
-    // W9 catalog push — never fatal (cli.py:1139-1205)
-    Yaml.str(tgt.catalog, "type").foreach { ct =>
-      graft.catalog.CatalogFactory.forType(ct).foreach { client =>
-        graft.catalog.CatalogFactory.pushAfterCommit(
-          client, contract, tags, Seq(src.connectorType))
+        // W9 catalog push — never fatal (cli.py:1139-1205)
+        Yaml.str(tgt.catalog, "type").foreach { ct =>
+          graft.catalog.CatalogFactory.forType(ct).foreach { client =>
+            graft.catalog.CatalogFactory.pushAfterCommit(
+              client, contract, tags, Seq(src.connectorType))
+          }
+        }
+        base
       }
-    }
 
     val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     val valid = outObs.get("valid_records").asInstanceOf[Long]
 
-    // persist incremental state only after the successful write
-    inc.store.foreach { st =>
-      if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
-        st.updateFileStates(inc.processedFiles)
-      inc.processedDriveFiles.foreach { case (id, mtime) =>
-        st.updateFileState(id, mtime) // Drive ids, never FS-stat'ed
+    // Persist incremental state only after the successful commit — and
+    // NEVER fatally: data is already committed, and an exception here
+    // would both mask a successful run and (worse) make runWithRetry
+    // re-append the committed rows. Worst case of a lost state write is
+    // one redundant re-extract next run.
+    try {
+      inc.store.foreach { st =>
+        if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
+          st.updateFileStates(inc.processedFiles)
+        if (inc.processedDriveFiles.nonEmpty)
+          st.updateFileEntries(inc.processedDriveFiles)
+        if (inc.processedSpreadsheets.nonEmpty)
+          st.updateSpreadsheetEntries(inc.processedSpreadsheets)
+        inc.airbyteState.foreach(
+          st.updateCursorState(inc.objectName, "airbyte_state", _))
+        for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
+          st.updateCursorState(inc.objectName, c, v.toString)
       }
-      inc.processedSpreadsheets.foreach { case (id, mtime) =>
-        st.updateSpreadsheetState(id, mtime)
-      }
-      inc.airbyteState.foreach(
-        st.updateCursorState(inc.objectName, "airbyte_state", _))
-      for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
-        st.updateCursorState(inc.objectName, c, v.toString)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] state persist failed (non-fatal): ${e.getMessage}")
     }
 
     JobReport(
@@ -369,7 +385,7 @@ object JobRunner {
       records = metrics.getOrElse("records", 0L),
       validRecords = valid,
       errors = metrics.filter { case (k, v) => k != "records" && v > 0 },
-      outputPath = base,
+      outputPath = outputLocation,
       validationMode = job.validationMode)
   }
 

@@ -23,19 +23,28 @@ object Orchestrator {
   }
 
   /** Minimal 5-field cron matcher (minute hour dom month dow): `*`,
-    * lists, and `*`/n steps — the subset the reference's fixtures use.
+    * lists, ranges `a-b`, and steps `*`/n — steps are anchored at each
+    * field's minimum (cron's `*`/2 for day-of-month fires on 1,3,5,…,
+    * not even days; minute/hour fields are 0-based so the anchor is 0).
     */
   def cronMatches(cron: String, t: java.time.LocalDateTime): Boolean = {
     val fields = cron.trim.split("\\s+")
     require(fields.length == 5, s"bad cron: $cron")
-    def ok(spec: String, value: Int): Boolean = spec match {
-      case "*" => true
-      case s if s.startsWith("*/") => value % s.drop(2).toInt == 0
-      case s => s.split(",").exists(_.toInt == value)
-    }
-    ok(fields(0), t.getMinute) && ok(fields(1), t.getHour) &&
-      ok(fields(2), t.getDayOfMonth) && ok(fields(3), t.getMonthValue) &&
-      ok(fields(4), t.getDayOfWeek.getValue % 7)
+    def ok(spec: String, value: Int, fieldMin: Int): Boolean =
+      spec.split(",").exists { part =>
+        part match {
+          case "*" => true
+          case s if s.startsWith("*/") =>
+            (value - fieldMin) % s.drop(2).toInt == 0
+          case s if s.contains("-") =>
+            val Array(a, b) = s.split("-", 2)
+            value >= a.toInt && value <= b.toInt
+          case s => s.toInt == value
+        }
+      }
+    ok(fields(0), t.getMinute, 0) && ok(fields(1), t.getHour, 0) &&
+      ok(fields(2), t.getDayOfMonth, 1) && ok(fields(3), t.getMonthValue, 1) &&
+      ok(fields(4), t.getDayOfWeek.getValue % 7, 0)
   }
 
   /** Next fire time strictly after `from`. Interval schedules fire every

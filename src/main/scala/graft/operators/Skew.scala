@@ -36,11 +36,13 @@ object Skew {
       .agg(aggs.head._2, aggs.tail.map(_._2): _*)
   }
 
-  /** Salted distinct-count sketch-free exact pattern: phase 1 dedupes
-    * (keys, value) pairs across salted reducers, phase 2 counts.
+  /** Skew-proof exact distinct count: the dedupe phase hash-partitions on
+    * the FULL (keys, value) pair — a hot key's values spread across
+    * reducers naturally, so no explicit salt column is needed — and only
+    * the already-deduplicated pairs hit the per-key count.
     */
-  def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
-      saltBuckets: Int): DataFrame =
+  def countDistinctSpread(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
     df.select((keys.map(col) :+ col(valueCol)): _*)
       .distinct() // Spark partial-aggregates distinct pairs map-side
       .groupBy(keys.map(col): _*)

@@ -24,14 +24,19 @@ object AirbyteSource {
   final case class Message(msgType: String, stream: Option[String],
       dataJson: Option[String], stateJson: Option[String])
 
+  /** Shared mapper — ObjectMapper is thread-safe for reads, and a fresh
+    * instance per protocol line would dominate a multi-million-record
+    * extract.
+    */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Parse one protocol line (engine_framework.py:241-261). Malformed
     * lines are ignored like the reference's continue-on-JSONDecodeError.
     */
   def parseMessage(line: String): Option[Message] = {
     if (line.trim.isEmpty) return None
     try {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = m.readTree(line)
+      val node = mapper.readTree(line)
       Option(node.get("type")).map(_.asText()) match {
         case Some("RECORD") =>
           val rec = node.get("record")

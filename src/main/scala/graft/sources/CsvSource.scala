@@ -41,18 +41,48 @@ object CsvSource {
       contract: DataContract,
       opts: CsvOptions = CsvOptions()
   ): DataFrame = {
-    var reader = spark.read
-      .option("header", opts.header.toString)
-      .option("sep", opts.delimiter)
-      .option("quote", opts.quoteChar)
-      .option("encoding", opts.encoding)
-      .option("inferSchema", "false") // every column lands as string
-      // Spark's own null handling is disabled so the reference's marker
-      // list is the single source of truth:
-      .option("nullValue", null: String)
-      .option("emptyValue", "")
-    if (!opts.header) reader = reader.schema(contract.rawStructType)
-    val raw = reader.csv(paths: _*)
+    def scan(ps: Seq[String]): DataFrame = {
+      var reader = spark.read
+        .option("header", opts.header.toString)
+        .option("sep", opts.delimiter)
+        .option("quote", opts.quoteChar)
+        .option("encoding", opts.encoding)
+        .option("inferSchema", "false") // every column lands as string
+        // Spark's own null handling is disabled so the reference's marker
+        // list is the single source of truth:
+        .option("nullValue", null: String)
+        .option("emptyValue", "")
+      if (!opts.header) reader = reader.schema(contract.rawStructType)
+      reader.csv(ps: _*)
+    }
+    // Multi-file scans take the FIRST file's header and map the others
+    // positionally — silent column mis-assignment when files disagree.
+    // Probe the raw header lines driver-side: identical headers share one
+    // scan; otherwise each file is scanned with its own header and
+    // unioned by name (the reference parses every file independently).
+    val raw =
+      if (!opts.header || paths.size <= 1) scan(paths)
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val headers = paths.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(hconf)
+          val status = fs.getFileStatus(hp)
+          val first =
+            if (status.isDirectory)
+              fs.listStatus(hp).filter(_.isFile).sortBy(_.getPath.getName)
+                .headOption.map(_.getPath)
+            else Some(hp)
+          first.map { f =>
+            val in = new java.io.BufferedReader(
+              new java.io.InputStreamReader(fs.open(f), opts.encoding))
+            try Option(in.readLine()).getOrElse("") finally in.close()
+          }.getOrElse("")
+        }
+        if (headers.distinct.size <= 1) scan(paths)
+        else paths.map(p => scan(Seq(p)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     // "", NULL, null, None → real NULL (csv_extractor.py null markers)
     raw.select(raw.columns.map(c => Coercion.nullifyMarkers(col(c)).as(c)): _*)
   }

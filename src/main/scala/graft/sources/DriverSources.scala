@@ -32,11 +32,12 @@ object GoogleSheets {
     * with nulls; every cell lands as string then null-markers applied.
     */
   def read(spark: SparkSession, api: SheetsApi, spreadsheetId: String,
-      range: String, hasHeader: Boolean = true): DataFrame = {
+      range: String, hasHeader: Boolean = true,
+      emptySchema: Option[StructType] = None): DataFrame = {
     val values = api.getValues(spreadsheetId, range)
     if (values.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("column_1", StringType))))
+        emptySchema.getOrElse(StructType(Seq(StructField("column_1", StringType)))))
     val (header, rows) =
       if (hasHeader) (values.head.map(_.trim), values.tail)
       else ((1 to values.map(_.length).max).map(i => s"column_$i"), values)
@@ -96,7 +97,9 @@ object GDriveCsv {
     } else {
       val staging = java.nio.file.Files.createTempDirectory("graft-gdrive-")
       val paths = todo.map { f =>
-        val dest = staging.resolve(f.name)
+        // prefix with the Drive id: Drive folders allow duplicate names,
+        // and same-named files must not overwrite each other in staging
+        val dest = staging.resolve(s"${f.id}_${f.name}")
         api.download(f.id, dest)
         dest.toString
       }

@@ -76,8 +76,13 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
 
   /** validator.py:351-367. */
   def updateFileState(fileId: String, modifiedTime: String): Unit =
-    write(read() + (s"file_$fileId" ->
-      Map("last_modified" -> modifiedTime, "file_id" -> fileId)))
+    updateFileEntries(Seq(fileId -> modifiedTime))
+
+  /** Batch form — one state-doc read + one write for the whole run. */
+  def updateFileEntries(entries: Seq[(String, String)]): Unit =
+    write(read() ++ entries.map { case (id, mtime) =>
+      s"file_$id" -> Map("last_modified" -> mtime, "file_id" -> id)
+    })
 
   // ---------------------------------------------------- spreadsheet skip (I3)
 
@@ -92,8 +97,29 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
   }
 
   def updateSpreadsheetState(spreadsheetId: String, modifiedTime: String): Unit =
-    write(read() + (s"spreadsheet_$spreadsheetId" ->
-      Map("last_modified" -> modifiedTime, "spreadsheet_id" -> spreadsheetId)))
+    updateSpreadsheetEntries(Seq(spreadsheetId -> modifiedTime))
+
+  /** Batch form — one read + one write. */
+  def updateSpreadsheetEntries(entries: Seq[(String, String)]): Unit =
+    write(read() ++ entries.map { case (id, mtime) =>
+      s"spreadsheet_$id" ->
+        Map("last_modified" -> mtime, "spreadsheet_id" -> id)
+    })
+
+  /** Partition (id, modifiedTime) spreadsheets into (toProcess, skipped)
+    * with a single state read.
+    */
+  def filterUnmodifiedSpreadsheets(entries: Seq[(String, String)],
+      lookbackDays: Int = 0): (Seq[(String, String)], Seq[(String, String)]) = {
+    val state = read()
+    val (skip, todo) = entries.partition { case (id, mtime) =>
+      state.get(s"spreadsheet_$id").flatMap(_.get("last_modified")) match {
+        case Some(last) if last.nonEmpty => mtime <= last && lookbackDays == 0
+        case _                           => false
+      }
+    }
+    (todo, skip)
+  }
 
   // ------------------------------------------------------------- cursor (I4)
 

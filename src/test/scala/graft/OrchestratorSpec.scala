@@ -25,6 +25,20 @@ class OrchestratorSpec extends SparkSpec {
     cronMatches("* * * * 0", t) shouldBe false
   }
 
+  test("cron steps anchor at the field minimum; ranges work") {
+    // day-of-month is 1-based: */2 fires on odd days (1,3,5,...)
+    cronMatches("0 0 */2 * *", LocalDateTime.of(2024, 3, 3, 0, 0)) shouldBe true
+    cronMatches("0 0 */2 * *", LocalDateTime.of(2024, 3, 4, 0, 0)) shouldBe false
+    // month */7 fires in Jan (1) and Aug (8)
+    cronMatches("0 0 1 */7 *", LocalDateTime.of(2024, 1, 1, 0, 0)) shouldBe true
+    cronMatches("0 0 1 */7 *", LocalDateTime.of(2024, 8, 1, 0, 0)) shouldBe true
+    cronMatches("0 0 1 */7 *", LocalDateTime.of(2024, 7, 1, 0, 0)) shouldBe false
+    // ranges + mixed lists
+    cronMatches("0 9-17 * * *", LocalDateTime.of(2024, 3, 4, 12, 0)) shouldBe true
+    cronMatches("0 9-17 * * *", LocalDateTime.of(2024, 3, 4, 18, 0)) shouldBe false
+    cronMatches("0 0 * * 1-5,0", LocalDateTime.of(2024, 3, 3, 0, 0)) shouldBe true // Sunday
+  }
+
   test("nextRun: interval adds seconds; cron finds next matching minute") {
     val s1 = Schedule("i", "j", Some(300), None, retry)
     val t = LocalDateTime.of(2024, 1, 1, 0, 0, 30)

@@ -30,9 +30,9 @@ class SkewSpec extends SparkSpec {
     groups should be > 4L // hot key split across many salt buckets
   }
 
-  test("saltedCountDistinct matches countDistinct") {
+  test("countDistinctSpread matches countDistinct") {
     val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "u")
-    val out = Skew.saltedCountDistinct(df, Seq("k"), "u", 8)
+    val out = Skew.countDistinctSpread(df, Seq("k"), "u")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     out shouldBe Map("a" -> 2L, "b" -> 1L)
   }

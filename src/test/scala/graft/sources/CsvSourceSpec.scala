@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.{ContractField, DataContract}
+import java.nio.file.Files
+
+class CsvSourceSpec extends SparkSpec {
+
+  private val contract = DataContract(name = "t", fields = Seq(
+    ContractField("id", "integer", required = true),
+    ContractField("name", "string")))
+
+  test("multi-file scan with REORDERED headers maps by name, not position") {
+    val dir = Files.createTempDirectory("csv-reorder-")
+    Files.writeString(dir.resolve("a.csv"), "id,name\n1,alice\n")
+    Files.writeString(dir.resolve("b.csv"), "name,id\nbob,2\n") // swapped
+    val df = CsvSource.read(spark,
+      Seq(dir.resolve("a.csv").toString, dir.resolve("b.csv").toString),
+      contract)
+    val rows = df.select("id", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    rows shouldBe Set(("1", "alice"), ("2", "bob")) // bob's id is 2, not "bob"
+  }
+
+  test("multi-file scan with IDENTICAL headers uses a single scan") {
+    val dir = Files.createTempDirectory("csv-same-")
+    Files.writeString(dir.resolve("a.csv"), "id,name\n1,alice\n")
+    Files.writeString(dir.resolve("b.csv"), "id,name\n2,bob\n")
+    val df = CsvSource.read(spark,
+      Seq(dir.resolve("a.csv").toString, dir.resolve("b.csv").toString),
+      contract)
+    df.count() shouldBe 2
+    df.queryExecution.executedPlan.toString
+      .split("FileScan").length shouldBe 2 // exactly one scan node
+  }
+
+  test("extra columns in the file survive to the raw frame") {
+    val dir = Files.createTempDirectory("csv-extra-")
+    Files.writeString(dir.resolve("a.csv"), "id,name,city\n1,alice,rome\n")
+    val df = CsvSource.read(spark, Seq(dir.resolve("a.csv").toString), contract)
+    df.columns shouldBe Array("id", "name", "city")
+  }
+
+  test("headerless files use the contract's declared order") {
+    val dir = Files.createTempDirectory("csv-nohead-")
+    Files.writeString(dir.resolve("a.csv"), "1,alice\n")
+    val df = CsvSource.read(spark, Seq(dir.resolve("a.csv").toString),
+      contract, CsvOptions(header = false))
+    df.columns shouldBe Array("id", "name")
+    df.collect()(0).getString(0) shouldBe "1"
+  }
+}
