@@ -170,17 +170,17 @@ object JobRunner {
           case None => withMtime.map(_._2).toSet
         }
         val todo = withMtime.filter { case (_, id, _) => todoIds.contains(id) }
-        val frames = todo.map { case (s, id, _) =>
-          graft.sources.GoogleSheets.read(spark, api, id,
+        // value-less sheets are dropped (readOpt), so the union stays
+        // STRICT — a genuine header mismatch between spreadsheets must
+        // fail loudly, not dissolve into half-null columns
+        val frames = todo.flatMap { case (s, id, _) =>
+          graft.sources.GoogleSheets.readOpt(spark, api, id,
             Yaml.str(s, "range").getOrElse("A:ZZ"),
-            Yaml.bool(s, "has_header", dflt = true),
-            emptySchema = Some(contract.rawStructType))
+            Yaml.bool(s, "has_header", dflt = true))
         }
-        // an empty sheet yields the contract's raw schema, so the
-        // cross-sheet union can't fail on a placeholder column
         val df =
           if (frames.isEmpty) emptyRaw
-          else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+          else frames.reduce(_ unionByName _)
         (df, inc.copy(processedDriveFiles = Nil,
           processedSpreadsheets = todo.map { case (_, id, mt) => id -> mt }))
       case "gdrive_csv" =>
@@ -296,13 +296,6 @@ object JobRunner {
     val partitions =
       if (tgt.partitioning.nonEmpty) tgt.partitioning else Seq("ingest_date")
 
-    // W2 sizing runs on an OBSERVE-FREE twin of the output plan — its two
-    // sample actions must not consume the validation Observation.
-    val sizingTwin = ParquetSink.preparePartitions(
-      Validation.transform(raw, contract, vmode), partitions)
-    val maxRecords = ParquetSink.estimateMaxRecordsPerFile(
-      sizingTwin, base, tgt.parquetTargetSizeMb)
-
     // valid-record count + max cursor ride the single write action
     val outObs = Observation(s"output_${System.nanoTime}")
     val cursorCol = inc.cursorField.filter(result.data.columns.contains)
@@ -331,6 +324,15 @@ object JobRunner {
           Yaml.str(tgt.raw, "range").getOrElse("A1"), includeHeader = false)
         s"sheets:$sheetId"
       } else {
+        // W2 sizing runs on an OBSERVE-FREE twin of the output plan — its
+        // two sample actions must not consume the validation Observation.
+        // Computed only here: a sheets target would pay the sample
+        // actions for a result nobody reads.
+        val sizingTwin = ParquetSink.preparePartitions(
+          Validation.transform(raw, contract, vmode), partitions)
+        val maxRecords = ParquetSink.estimateMaxRecordsPerFile(
+          sizingTwin, base, tgt.parquetTargetSizeMb)
+
         // W6 tags + commit via the strongest available backend
         // (ParquetOnly = the reference's graceful-degradation path)
         val tags = graft.sinks.TagDerivation.deriveAll(

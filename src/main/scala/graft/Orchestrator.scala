@@ -42,9 +42,11 @@ object Orchestrator {
           case s => s.toInt == value
         }
       }
+    val dow = t.getDayOfWeek.getValue % 7 // Sunday = 0
     ok(fields(0), t.getMinute, 0) && ok(fields(1), t.getHour, 0) &&
       ok(fields(2), t.getDayOfMonth, 1) && ok(fields(3), t.getMonthValue, 1) &&
-      ok(fields(4), t.getDayOfWeek.getValue % 7, 0)
+      // Vixie cron accepts Sunday as both 0 and 7 (e.g. ranges '5-7')
+      (ok(fields(4), dow, 0) || (dow == 0 && ok(fields(4), 7, 0)))
   }
 
   /** Next fire time strictly after `from`. Interval schedules fire every

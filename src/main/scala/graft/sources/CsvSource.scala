@@ -57,31 +57,38 @@ object CsvSource {
     }
     // Multi-file scans take the FIRST file's header and map the others
     // positionally — silent column mis-assignment when files disagree.
-    // Probe the raw header lines driver-side: identical headers share one
-    // scan; otherwise each file is scanned with its own header and
-    // unioned by name (the reference parses every file independently).
+    // Expand dirs/globs to leaf files, probe each raw header line
+    // driver-side, and run ONE scan per distinct header, unioned by name
+    // — which is the reference's semantics exactly (pandas parses every
+    // file independently; a header spelled differently IS a different
+    // column there too). Zero-byte files contribute nothing, like the
+    // old single-scan behavior.
     val raw =
-      if (!opts.header || paths.size <= 1) scan(paths)
+      if (!opts.header) scan(paths)
       else {
         val hconf = spark.sessionState.newHadoopConf()
-        val headers = paths.map { p =>
+        val leafFiles = paths.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(hconf)
-          val status = fs.getFileStatus(hp)
-          val first =
-            if (status.isDirectory)
-              fs.listStatus(hp).filter(_.isFile).sortBy(_.getPath.getName)
-                .headOption.map(_.getPath)
-            else Some(hp)
-          first.map { f =>
-            val in = new java.io.BufferedReader(
-              new java.io.InputStreamReader(fs.open(f), opts.encoding))
-            try Option(in.readLine()).getOrElse("") finally in.close()
-          }.getOrElse("")
+          Option(fs.globStatus(hp)).toSeq.flatten.flatMap { st =>
+            if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+            else Seq(st)
+          }.map(_.getPath)
         }
-        if (headers.distinct.size <= 1) scan(paths)
-        else paths.map(p => scan(Seq(p)))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val byHeader = leafFiles.map { f =>
+          val fs = f.getFileSystem(hconf)
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(f), opts.encoding))
+          val header = try Option(in.readLine()).getOrElse("") finally in.close()
+          header -> f.toString
+        }.filter(_._1.nonEmpty) // empty files: no header, no data
+          .groupBy(_._1).values.map(_.map(_._2)).toSeq
+        byHeader match {
+          case Seq()       => scan(paths) // nothing non-empty; 0-row scan
+          case Seq(single) => scan(single)
+          case groups => groups.map(scan)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        }
       }
     // "", NULL, null, None → real NULL (csv_extractor.py null markers)
     raw.select(raw.columns.map(c => Coercion.nullifyMarkers(col(c)).as(c)): _*)

@@ -31,6 +31,16 @@ object GoogleSheets {
     * has_header, else synthesized column_1..column_N; ragged rows padded
     * with nulls; every cell lands as string then null-markers applied.
     */
+  /** Like [[read]] but None when the sheet has no values at all — lets
+    * callers drop empty sheets from unions instead of inventing a schema.
+    */
+  def readOpt(spark: SparkSession, api: SheetsApi, spreadsheetId: String,
+      range: String, hasHeader: Boolean = true): Option[DataFrame] = {
+    val values = api.getValues(spreadsheetId, range)
+    if (values.isEmpty) None
+    else Some(fromValues(spark, values, hasHeader))
+  }
+
   def read(spark: SparkSession, api: SheetsApi, spreadsheetId: String,
       range: String, hasHeader: Boolean = true,
       emptySchema: Option[StructType] = None): DataFrame = {
@@ -38,6 +48,11 @@ object GoogleSheets {
     if (values.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         emptySchema.getOrElse(StructType(Seq(StructField("column_1", StringType)))))
+    fromValues(spark, values, hasHeader)
+  }
+
+  private def fromValues(spark: SparkSession, values: Seq[Seq[String]],
+      hasHeader: Boolean): DataFrame = {
     val (header, rows) =
       if (hasHeader) (values.head.map(_.trim), values.tail)
       else ((1 to values.map(_.length).max).map(i => s"column_$i"), values)
@@ -89,8 +104,15 @@ object GDriveCsv {
       state: Option[graft.state.StateStore] = None,
       opts: CsvOptions = CsvOptions()): (DataFrame, Seq[DriveFile]) = {
     val files = api.listCsvFiles(folderId, query)
-    val todo = files.filterNot(f =>
-      state.exists(_.shouldSkipFile(f.id, f.modifiedTime)))
+    // one state read for the whole listing (per-file shouldSkipFile would
+    // re-fetch the state doc per file)
+    val todo = state match {
+      case Some(st) =>
+        val todoIds = st.filterUnmodifiedFileEntries(
+          files.map(f => f.id -> f.modifiedTime))._1.map(_._1).toSet
+        files.filter(f => todoIds.contains(f.id))
+      case None => files
+    }
     if (todo.isEmpty) {
       (spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         contract.rawStructType), Nil)

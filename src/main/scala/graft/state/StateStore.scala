@@ -78,6 +78,22 @@ final class StateStore(statePath: String, hadoopConf: Configuration) {
   def updateFileState(fileId: String, modifiedTime: String): Unit =
     updateFileEntries(Seq(fileId -> modifiedTime))
 
+  /** Partition (id, modifiedTime) file entries into (toProcess, skipped)
+    * with a single state read (for ids that aren't FS paths, e.g. Drive
+    * file ids).
+    */
+  def filterUnmodifiedFileEntries(entries: Seq[(String, String)],
+      lookbackDays: Int = 0): (Seq[(String, String)], Seq[(String, String)]) = {
+    val state = read()
+    val (skip, todo) = entries.partition { case (id, mtime) =>
+      state.get(s"file_$id").flatMap(_.get("last_modified")) match {
+        case Some(last) if last.nonEmpty => mtime <= last && lookbackDays == 0
+        case _                           => false
+      }
+    }
+    (todo, skip)
+  }
+
   /** Batch form — one state-doc read + one write for the whole run. */
   def updateFileEntries(entries: Seq[(String, String)]): Unit =
     write(read() ++ entries.map { case (id, mtime) =>
