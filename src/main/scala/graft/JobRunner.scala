@@ -26,7 +26,10 @@ object JobRunner {
       validRecords: Long,
       errors: Map[String, Long],
       outputPath: String,
-      validationMode: String
+      validationMode: String,
+      // completion metrics (reference metrics.py:204-219)
+      executionTimeSeconds: Double = 0.0,
+      recordsPerSecond: Double = 0.0
   )
 
   /** Resolve a config-relative path against the job file's directory. */
@@ -270,6 +273,7 @@ object JobRunner {
   def run(spark: SparkSession, jobYamlPath: String,
       mode: String = "self_hosted",
       registry: Registry = Registry.default): JobReport = {
+    val startNanos = System.nanoTime() // wall-clock for records_per_second
     val jobDir = Option(Paths.get(jobYamlPath).getParent).map(_.toString).getOrElse(".")
     val job = JobConfig.fromYaml(jobYamlPath)
     val srcRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
@@ -382,13 +386,18 @@ object JobRunner {
         System.err.println(s"[graft] state persist failed (non-fatal): ${e.getMessage}")
     }
 
+    // records_per_second over extracted records (metrics.py:213-219)
+    val elapsed = (System.nanoTime() - startNanos) / 1e9
+    val extracted = metrics.getOrElse("records", 0L)
     JobReport(
       exitCode = Validation.exitCode(vmode, metrics, valid),
-      records = metrics.getOrElse("records", 0L),
+      records = extracted,
       validRecords = valid,
       errors = metrics.filter { case (k, v) => k != "records" && v > 0 },
       outputPath = outputLocation,
-      validationMode = job.validationMode)
+      validationMode = job.validationMode,
+      executionTimeSeconds = elapsed,
+      recordsPerSecond = if (elapsed > 0) extracted / elapsed else 0.0)
   }
 
   /** Retry with exponential backoff (reference retry_policy.py:23-105;
@@ -453,7 +462,9 @@ object RunJob {
       val report = JobRunner.run(spark, jobPath, mode)
       System.err.println(
         s"[graft] records=${report.records} valid=${report.validRecords} " +
-          s"errors=${report.errors} out=${report.outputPath} exit=${report.exitCode}")
+          s"errors=${report.errors} out=${report.outputPath} " +
+          f"time=${report.executionTimeSeconds}%.2fs rps=${report.recordsPerSecond}%.1f " +
+          s"exit=${report.exitCode}")
       spark.stop()
       sys.exit(report.exitCode)
     } catch {
