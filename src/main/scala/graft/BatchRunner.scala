@@ -53,10 +53,11 @@ object BatchRunner {
       throw new IllegalArgumentException(s"Job directory not found: $jobDir")
     if (!Files.isDirectory(jobDir))
       throw new IllegalArgumentException(s"Path is not a directory: $jobDir")
-    val files = Files.walk(jobDir).iterator.asScala
-      .filter(p => Files.isRegularFile(p) &&
-        (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
-      .toSeq.sortBy(_.toString)
+    val files = scala.util.Using.resource(Files.walk(jobDir))(
+      _.iterator.asScala
+        .filter(p => Files.isRegularFile(p) &&
+          (p.toString.endsWith(".yaml") || p.toString.endsWith(".yml")))
+        .toSeq.sortBy(_.toString))
     val (jobs, errors) = files.foldLeft((Vector.empty[LoadedJob], Vector.empty[String])) {
       case ((js, es), f) =>
         try (js :+ LoadedJob(f, JobConfig.fromYaml(f.toString)), es)
@@ -187,16 +188,21 @@ object BatchRunner {
     var warnings = loaded.errors.map(e => s"job skipped: $e")
 
     // 3. secrets (warn-only — cli.py:203-215)
+    var secretsWarning: Option[String] = None
     val secrets =
       try SecretManagers.loadSecrets(tenant, secretsDir,
         Some(secretManager), secretManagerConfig, env)
       catch {
         case e: Exception =>
-          warnings :+= s"Secrets loading failed (may be optional): ${e.getMessage}"
+          secretsWarning = Some(s"Secrets loading failed (may be optional): ${e.getMessage}")
           Map.empty[String, Any]
       }
     val redactor = Redactor.forSecrets(secrets)
     def warn(msg: String): Unit = { warnings :+= msg; log(redactor.redact(msg)) }
+    // emit the secrets failure like every other warn-only step
+    // (cli.py:203-215 logs it via logger.warning); it carries no secret
+    // values since loading failed.
+    secretsWarning.foreach(warn)
 
     log(redactor.redact(s"Tenant ID '$tenant' " +
       (if (tenantId.isEmpty) "inferred from job configurations" else "from command line") +
@@ -263,7 +269,8 @@ object BatchRunner {
     val results = ctx.jobs.map { j =>
       val code =
         try {
-          val report = JobRunner.run(spark, j.path.toString, mode)
+          val report = JobRunner.run(spark, j.path.toString, mode,
+            log = m => log(ctx.redactor.redact(m)))
           log(ctx.redactor.redact(
             s"${j.path.getFileName}: records=${report.records} " +
               s"valid=${report.validRecords} rps=${f"${report.recordsPerSecond}%.1f"} " +

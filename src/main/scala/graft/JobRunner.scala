@@ -272,7 +272,8 @@ object JobRunner {
 
   def run(spark: SparkSession, jobYamlPath: String,
       mode: String = "self_hosted",
-      registry: Registry = Registry.default): JobReport = {
+      registry: Registry = Registry.default,
+      log: String => Unit = m => System.err.println(s"[graft] $m")): JobReport = {
     val startNanos = System.nanoTime() // wall-clock for records_per_second
     val jobDir = Option(Paths.get(jobYamlPath).getParent).map(_.toString).getOrElse(".")
     val job = JobConfig.fromYaml(jobYamlPath)
@@ -383,7 +384,7 @@ object JobRunner {
       }
     } catch {
       case e: Exception =>
-        System.err.println(s"[graft] state persist failed (non-fatal): ${e.getMessage}")
+        log(s"state persist failed (non-fatal): ${e.getMessage}")
     }
 
     // records_per_second over extracted records (metrics.py:213-219)
@@ -419,12 +420,13 @@ object JobRunner {
     */
   def runWithRetry(spark: SparkSession, jobYamlPath: String,
       policy: RetryPolicy, mode: String = "self_hosted",
-      sleep: Long => Unit = Thread.sleep): JobReport = {
+      sleep: Long => Unit = Thread.sleep,
+      log: String => Unit = m => System.err.println(s"[graft] $m")): JobReport = {
     def attemptRun(): JobReport =
-      try run(spark, jobYamlPath, mode)
+      try run(spark, jobYamlPath, mode, log = log)
       catch {
         case e: Exception => // failure before any commit ⇒ retryable exit 2
-          System.err.println(s"[graft] attempt failed: ${e.getMessage}")
+          log(s"attempt failed: ${e.getMessage}")
           JobReport(ExitCodes.Failure, 0L, 0L, Map.empty, "", "error")
       }
     var attempt = 0

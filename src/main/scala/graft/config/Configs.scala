@@ -50,6 +50,22 @@ object Yaml {
     }
   }
 
+  private def toScalaRaw(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScalaRaw(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScalaRaw).toSeq
+    case other                => other
+  }
+
+  /** Raw parse that preserves the top-level shape (map, list, or scalar)
+    * and performs NO env expansion — for payloads (e.g. secrets) where the
+    * caller applies its own expansion semantics against its own env map.
+    */
+  def loadAny(s: String): Any = {
+    val y = new org.yaml.snakeyaml.Yaml()
+    toScalaRaw(y.load[Any](s))
+  }
+
   // typed accessors over the Any-tree
   def str(m: Map[String, Any], k: String): Option[String] =
     m.get(k).collect { case s if s != null => s.toString }

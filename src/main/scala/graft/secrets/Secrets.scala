@@ -66,9 +66,15 @@ object SecretParsers {
       env: Map[String, String] = sys.env): Any = {
     val text = payload.trim
     val hint = formatHint.map(_.toLowerCase).getOrElse("auto")
+    // Raw parse (no eager sys.env expansion) so lists/scalars survive and
+    // the caller-supplied env map is the only expansion source
+    // (parsers.py parse_secret_payload → json.loads + expandvars).
     def tryJson: Option[Any] =
-      try Some(expandDeep(graft.config.Yaml.loadString(text), env))
-      catch { case _: Exception => None }
+      try graft.config.Yaml.loadAny(text) match {
+        case structured @ (_: Map[_, _] | _: Seq[_]) =>
+          Some(expandDeep(structured, env))
+        case _ => None // scalar ⇒ not the structured payload json implies
+      } catch { case _: Exception => None }
     if (hint == "json" || (hint == "auto" && (text.startsWith("{") || text.startsWith("["))))
       tryJson.getOrElse {
         if (hint == "json")
@@ -135,28 +141,33 @@ final class FilesystemSecretManager(
     val dir = secretsDir.resolve(tenantId)
     if (!Files.isDirectory(dir))
       throw new IllegalArgumentException(s"Secrets directory not found: $dir")
-    Files.list(dir).iterator.asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-      .flatMap { p =>
-        val fileName = p.getFileName.toString
-        val (stem, suffix) = fileName.lastIndexOf('.') match {
-          case -1 => (fileName, "")
-          case i  => (fileName.substring(0, i), fileName.substring(i))
+    val listing = scala.util.Using.resource(Files.list(dir))(
+      _.iterator.asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        .toVector)
+    listing.flatMap { p =>
+      val fileName = p.getFileName.toString
+      val (stem, suffix) = fileName.lastIndexOf('.') match {
+        case -1 => (fileName, "")
+        case i  => (fileName.substring(0, i), fileName.substring(i))
+      }
+      try {
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        val value: Any = suffix match {
+          // loadAny (not loadString): a JSON array payload stays a list
+          // rather than collapsing to Map.empty, and expansion uses only
+          // this manager's env map.
+          case ".json" => SecretParsers.expandDeep(graft.config.Yaml.loadAny(text), env)
+          case ".env"  => SecretParsers.parseEnvBlob(text, env)
+          case _       => SecretParsers.expandVars(text.trim, env)
         }
-        try {
-          val text = new String(Files.readAllBytes(p), "UTF-8")
-          val value: Any = suffix match {
-            case ".json" => SecretParsers.expandDeep(graft.config.Yaml.loadString(text), env)
-            case ".env"  => SecretParsers.parseEnvBlob(text, env)
-            case _       => SecretParsers.expandVars(text.trim, env)
-          }
-          Some(stem -> value)
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[graft] failed to load secret file $p: ${e.getMessage}")
-            None
-        }
-      }.toMap
+        Some(stem -> value)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] failed to load secret file $p: ${e.getMessage}")
+          None
+      }
+    }.toMap
   }
 }
 
