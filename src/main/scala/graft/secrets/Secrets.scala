@@ -69,18 +69,30 @@ object SecretParsers {
     // Raw parse (no eager sys.env expansion) so lists/scalars survive and
     // the caller-supplied env map is the only expansion source
     // (parsers.py parse_secret_payload → json.loads + expandvars).
-    def tryJson: Option[Any] =
-      try graft.config.Yaml.loadAny(text) match {
-        case structured @ (_: Map[_, _] | _: Seq[_]) =>
-          Some(expandDeep(structured, env))
-        case _ => None // scalar ⇒ not the structured payload json implies
-      } catch { case _: Exception => None }
-    if (hint == "json" || (hint == "auto" && (text.startsWith("{") || text.startsWith("["))))
-      tryJson.getOrElse {
-        if (hint == "json")
-          throw new IllegalArgumentException("secret payload is not valid JSON")
-        else expandVars(text, env)
+    // With hint=json a valid scalar (42, true, "token") is accepted, as
+    // json.loads would return it (parsers.py:69-74); parse failures
+    // re-raise with the original detail.
+    if (hint == "json")
+      (try graft.config.Yaml.loadAny(text) catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"secret payload is not valid JSON: ${e.getMessage}", e)
+      }) match {
+        case null => throw new IllegalArgumentException(
+          "secret payload is not valid JSON: empty document")
+        case structured @ (_: Map[_, _] | _: Seq[_]) => expandDeep(structured, env)
+        case s: String                               => expandVars(s, env)
+        case scalar                                  => scalar
       }
+    else if (hint == "auto" && (text.startsWith("{") || text.startsWith("["))) {
+      val parsed =
+        try graft.config.Yaml.loadAny(text) match {
+          case structured @ (_: Map[_, _] | _: Seq[_]) =>
+            Some(expandDeep(structured, env))
+          case _ => None // scalar ⇒ not the structured payload the prefix implies
+        } catch { case _: Exception => None }
+      parsed.getOrElse(expandVars(text, env))
+    }
     else if (hint == "env" || (hint == "auto" && text.contains("\n") && text.contains("=")))
       parseEnvBlob(text, env)
     else expandVars(text, env)
@@ -156,8 +168,15 @@ final class FilesystemSecretManager(
         val value: Any = suffix match {
           // loadAny (not loadString): a JSON array payload stays a list
           // rather than collapsing to Map.empty, and expansion uses only
-          // this manager's env map.
-          case ".json" => SecretParsers.expandDeep(graft.config.Yaml.loadAny(text), env)
+          // this manager's env map. A null parse (empty/whitespace file)
+          // is a load failure — json.load would raise and the file be
+          // skipped with a warning (managers/filesystem.py).
+          case ".json" =>
+            graft.config.Yaml.loadAny(text) match {
+              case null => throw new IllegalArgumentException(
+                "empty JSON secret file")
+              case parsed => SecretParsers.expandDeep(parsed, env)
+            }
           case ".env"  => SecretParsers.parseEnvBlob(text, env)
           case _       => SecretParsers.expandVars(text.trim, env)
         }

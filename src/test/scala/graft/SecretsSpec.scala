@@ -42,6 +42,16 @@ class SecretsSpec extends AnyFunSuite with Matchers {
     SecretParsers.parsePayload("plain-token") shouldBe "plain-token"
   }
 
+  test("parsePayload hint=json accepts JSON scalars (parsers.py:69-74)") {
+    SecretParsers.parsePayload("42", Some("json")) shouldBe 42
+    SecretParsers.parsePayload("true", Some("json")) shouldBe true
+    SecretParsers.parsePayload("\"tok-$T\"", Some("json"),
+      Map("T" -> "9")) shouldBe "tok-9"
+    the[IllegalArgumentException] thrownBy
+      SecretParsers.parsePayload("", Some("json")) should have message
+      "secret payload is not valid JSON: empty document"
+  }
+
   // --- env manager (managers/env.py) ---
 
   private val envVars = Map(
@@ -80,6 +90,15 @@ class SecretsSpec extends AnyFunSuite with Matchers {
     secrets("postgres") shouldBe Map("PGUSER" -> "u2", "PGPASSWORD" -> "pw-2")
     secrets("api_key") shouldBe "raw-key-77"
     secrets should have size 3
+  }
+
+  test("FilesystemSecretManager: empty .json file is skipped with a warning") {
+    val dir = Files.createTempDirectory("graft-secrets-")
+    val t = Files.createDirectories(dir.resolve("acme"))
+    Files.writeString(t.resolve("broken.json"), "   \n")
+    Files.writeString(t.resolve("ok.txt"), "v1")
+    val secrets = new FilesystemSecretManager(dir).loadSecrets("acme")
+    secrets shouldBe Map("ok" -> "v1") // broken.json skipped, not null-valued
   }
 
   test("FilesystemSecretManager: missing tenant dir fails") {
