@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of lowercased text as a native
+  * expression.
+  *
+  * Drop-in equivalent of the Column formulation
+  * `when(size(t) >= n, array_distinct(transform(sequence(0, size(t)-n),
+  * i => array_join(slice(t, i+1, n), " ")))).otherwise(array())` with
+  * `t = split(lower(trim(text)), "\\s+")` — same tokens (UTF8String
+  * trim/toLowerCase, Java regex split), same first-occurrence distinct
+  * order, same null contract (null text → EMPTY array, because the HOF's
+  * `when` falls through to `otherwise` on null). The HOF version is
+  * interpreted per shingle (a boxed lambda dispatch per slice, plus an
+  * O(k²) array_distinct); this runs one static call per row inside
+  * whole-stage codegen and was the dominant cost of every shingling
+  * pipeline at bench scale.
+  */
+case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextShingles.shingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = TextShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $cls.shingles(${childGen.isNull} ? null : ${childGen.value}, $n);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextShingles =
+    copy(child = newChild)
+}
+
+object TextShingles {
+
+  /** Column-API entry point. */
+  def apply(text: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      TextShingles(GraftExpressionBridge.expression(text), n))
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** Row kernel — called once per row from generated code. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return Empty
+    // UTF8String.trim/toLowerCase are exactly what Spark's trim()/lower()
+    // expressions call, so tokens match the Column formulation bit-for-bit
+    val toks = text.trim().toLowerCase.toString.split("\\s+")
+    if (toks.length < n) return Empty
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -25,15 +25,13 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
   /** Distinct word n-gram shingles, joined with single spaces. Documents
-    * shorter than `n` tokens yield an empty array.
+    * shorter than `n` tokens yield an empty array. Native codegen'd
+    * kernel ([[graft.functions.TextShingles]]) — the equivalent
+    * transform/slice/array_join HOF formulation is interpreted per
+    * shingle and dominated every shingling pipeline's runtime.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextShingles(text, n)
 
   /** 16-byte content fingerprint over whitespace-normalized lowercase text
     * (the compact exact-dedup key — grouping by this instead of the raw
@@ -132,18 +130,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
 
   /** Connected components over a near-dup pair set by min-label
-    * propagation: every node adopts the smallest id reachable from it.
-    * O(cluster diameter) join rounds — near-dup clusters are shallow, so
-    * convergence is fast; each round is one shuffle on the edge key.
-    * Returns (id, component) where component = min id of the cluster.
+    * propagation with pointer jumping: every node adopts the smallest of
+    * its own label, its neighbors' labels, and its label's label (path
+    * halving). The compression hop makes convergence O(log diameter)
+    * join rounds instead of O(diameter), so even adversarial chain
+    * clusters finish well inside the default iteration budget.
+    *
+    * Iteration hygiene (the part that matters at scale): each round's
+    * labels are `localCheckpoint()`ed, which truncates the logical plan
+    * — without it Catalyst replans an ever-deeper tree every round and
+    * planning time, not data volume, becomes the bottleneck past ~15
+    * iterations. Superseded checkpoint RDDs drop their last reference on
+    * reassignment and are freed by the ContextCleaner; the convergence
+    * check is an early-exit scan of the just-materialized round (no extra
+    * join, no recompute). Returns (id, component = min id of the cluster).
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint() // scanned every round: fixed lineage, one materialization
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -151,17 +160,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // pointer-jumping lookup: my component's own current component
+      val parents = labels
+        .select(col("id").as("component"), col("component").as("pcomp"))
+      val candidate = least(
+        coalesce(col("ncomp"), col("component")),
+        coalesce(col("pcomp"), col("component")))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(parents, Seq("component"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
-        .persist()
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component") < col("l.component"))
-        .count()
-      labels = updated
-      converged = changed == 0
+          least(col("component"), candidate).as("component"),
+          (candidate < col("component")).as("__changed"))
+        .localCheckpoint() // one job: materializes round + truncates lineage
+      converged = updated.filter(col("__changed")).limit(1).count() == 0
+      labels = updated.drop("__changed")
       iter += 1
     }
     labels
@@ -277,7 +290,8 @@ object Dedup {
       textCol: String,
       blockCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      maxShingleDf: Int = 10000
   ): DataFrame = {
     // Inverted-index (postings) similarity join: explode shingles, join on
     // the shingle itself, count shared shingles per pair, and derive
@@ -291,10 +305,33 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
     // postings keyed by the 8-byte shingle hash, not the string — the
-    // join shuffles fixed-width keys (collision odds ~|vocab|²/2^64)
-    val posts = sh.select(col("blk"), col("id"), col("n"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("s"))
-      .persist() // both sides of the postings self-join
+    // join shuffles fixed-width keys (collision odds ~|vocab|²/2^64).
+    // Stop-shingle cap: a shingle shared by d documents contributes d²
+    // pre-aggregate pairs, so one boilerplate shingle with df=10⁵ would
+    // emit 10¹⁰ rows. Shingles with df > maxShingleDf are dropped from
+    // the postings (classic prefix/stop-token filter). RECALL TRADE: a
+    // pair whose overlap is mostly stop-shingles scores lower and can
+    // fall below the threshold; at j ≥ 0.9 thresholds genuine near-dups
+    // share many shingles and survive. Set maxShingleDf ≤ 0 to disable.
+    // Hot keys are found with a partial-aggregated groupBy (shuffles one
+    // narrow row per distinct shingle, not the postings) and removed via
+    // broadcast anti-join — hot shingles are few by definition (each
+    // needs > maxShingleDf documents), so the broadcast stays tiny.
+    // hash AFTER the explode — xxhash64 as a plain column stays in
+    // codegen; inside a transform() lambda it is interpreted per element
+    val raw = sh.select(col("blk"), col("id"), col("n"),
+      explode(col("sh")).as("sstr"))
+      .select(col("blk"), col("id"), col("n"), xxhash64(col("sstr")).as("s"))
+    val capped =
+      if (maxShingleDf <= 0) raw
+      else {
+        val hot = raw.groupBy("blk", "s")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select("blk", "s")
+        raw.join(broadcast(hot), Seq("blk", "s"), "left_anti")
+      }
+    val posts = capped.persist() // both sides of the postings self-join
     posts.as("x")
       .join(posts.as("y"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&

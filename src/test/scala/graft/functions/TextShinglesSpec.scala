@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TextShingles must be a drop-in for the HOF shingling it replaced in
+  * operators/Dedup.scala — same tokens, same order, same distinct, same
+  * null contract.
+  */
+class TextShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    // `size` is shadowed by a scalatest matcher word — qualify it
+    val asize = org.apache.spark.sql.functions.size _
+    val t = split(lower(trim(text)), "\\s+")
+    when(asize(t) >= lit(n),
+      array_distinct(transform(sequence(lit(0), asize(t) - lit(n)),
+        i => array_join(slice(t, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  test("parity with the HOF formulation on varied inputs") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  Leading and TRAILING  spaces\tand\ttabs mixed  ",
+      "a a a a a a",              // repeats → distinct collapses
+      "one two",                  // shorter than n=3 → empty
+      "",                         // empty → empty
+      "Üñïçôdé TEXT with Ümläuts and ßharp s here", // non-ASCII lowercase
+      "x y z x y z x y z"         // periodic → few distinct shingles
+    ).toDF("text")
+    val rows = df.select(
+      TextShingles(col("text"), 3).as("native"),
+      hofShingles(col("text"), 3).as("hof")).collect()
+    rows.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+  }
+
+  test("null text yields an empty array (HOF when-otherwise contract)") {
+    val df = Seq(Some("alpha beta gamma delta"), None).toDF("text")
+    val out = df.select(TextShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    out(0) should contain("alpha beta gamma")
+    out(1) shouldBe empty
+  }
+
+  test("interpreted eval path (constant folding) matches") {
+    val out = spark.range(1)
+      .select(TextShingles(lit("p q r s"), 2).as("sh"))
+      .collect().head.getSeq[String](0)
+    out shouldBe Seq("p q", "q r", "r s")
+  }
+}

@@ -82,6 +82,15 @@ class DedupSpec extends SparkSpec {
     cc(11L) shouldBe 10L
   }
 
+  test("connectedComponents: 50-node chain converges inside the default budget") {
+    // worst-case diameter: plain min-propagation needs 49 rounds; the
+    // pointer-jumping hop must finish within the default maxIterations=20
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    cc should have size 50
+    all(cc.values) shouldBe 0L
+  }
+
   test("dropNearDuplicates keeps one survivor per transitive cluster") {
     // a ≈ b (differ in last word), b ≈ c (differ in first word); a vs c
     // differ in both — the chain must still collapse to just `a`
@@ -94,6 +103,28 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.dropNearDuplicates(docs, "id", "text",
       shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.6)
     out.select("id").as[Long].collect().sorted shouldBe Array(1L, 9L)
+  }
+
+  test("ngramJaccardPairs: stop-shingle df-cap drops hot-shingle-only pairs") {
+    // ten docs share ONE boilerplate shingle ("standard legal disclaimer")
+    // but are otherwise disjoint; docs 100/101 are genuine near-dups
+    val boiler = (0L until 10L).map(i =>
+      (i, s"standard legal disclaimer unique$i word$i token$i extra$i more$i"))
+    val dups = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    val df = (boiler ++ dups).toDF("id", "text").withColumn("blk", lit("x"))
+    // cap below the hot shingle's df=10: its postings vanish; the genuine
+    // near-dup pair (df=1 shingles) is unaffected
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", "blk",
+      shingleN = 3, threshold = 0.5, maxShingleDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((100L, 101L))
+    // disabled cap (<= 0) keeps the exact all-pairs result
+    val uncapped = Dedup.ngramJaccardPairs(df, "id", "text", "blk",
+      shingleN = 3, threshold = 0.5, maxShingleDf = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    uncapped shouldBe Set((100L, 101L)) // boilerplate overlap is 1 shingle « j=0.5
   }
 
   test("ngramJaccardPairs respects blocking") {
