@@ -296,12 +296,17 @@ object Queries {
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
       .select("doc_id")
 
-  /** SimHash near-dup pairs (rows-only check: xxhash64 isn't replicable
-    * in the oracle).
+  /** SimHash near-dup pairs with the oracle-replicable 60-bit md5-prefix
+    * token hash — the DuckDB oracle replays the full simhash (votes →
+    * bits → hamming) and checks the pair set exactly. The chunked
+    * candidate pass is exact by pigeonhole, so the oracle's all-pairs
+    * hamming filter is the same result set.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.simhashNearDupPairs(
-      t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3,
+      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      .withColumn("hamming", col("hamming").cast(LongType))
 
   /** Brute-force cosine top-5 for the first 10 vectors (exact baseline;
     * broadcast query set, corpus streamed).
@@ -312,7 +317,10 @@ object Queries {
       e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
-  /** LSH-bucketed approximate top-5 (the scale path; rows-only check). */
+  /** LSH-bucketed approximate top-5 (the scale path). The hyperplane
+    * signs are driver-side literals, so the oracle embeds the same ±1
+    * arrays and replays bucketing + bucket-local rank bit-exactly.
+    */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     graft.operators.Similarity.lshTopK(
@@ -320,8 +328,10 @@ object Queries {
       k = 5, planes = 4, dim = 64)
   }
 
-  /** Embedding-cosine near-dup pairs (rows-only: multi-table LSH recall
-    * is not oracle-modelable; the testdata's max pair cosine is ~0.51).
+  /** Embedding-cosine near-dup pairs. The oracle replays all 8 tables'
+    * bucketings from the same literal sign vectors (all-pairs with an
+    * OR-of-bucket-equalities filter — identical candidate set to the
+    * bucket self-join) and verifies cosine bit-exactly.
     */
   def annCosineNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupPairs(
@@ -345,8 +355,8 @@ object Queries {
         graft.operators.Multimodal.payloadSize(col("payload")).as("payload_size"),
         graft.operators.Multimodal.contentHash(col("payload")).as("sha256_hex"))
 
-  /** Batched decode through the partition-level decoder (rows-only:
-    * the fake decoder's hash-derived dims aren't SQL-replicable).
+  /** Batched decode through the partition-level decoder. The stub dims
+    * are md5-derived (60-bit prefix), so the whole row is oracle-checked.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -449,7 +459,89 @@ object Queries {
     "text_langid" -> textLangId _
   )
 
+  // ---------------------------------------------- generated oracle SQL
+  // The LSH planes are driver-side ±1 literals (Similarity.planeSigns),
+  // so the oracles embed the SAME arrays and replay bucketing with the
+  // sequential-double fold idiom that ann_brute_topk already matches
+  // bit-exactly. The simhash oracle replays votes→bits→hamming from the
+  // md5-prefix hash; its chunked candidate pass is exact by pigeonhole,
+  // so an all-pairs hamming filter is the identical result set.
+
+  private def signsSql(j: Int): String =
+    graft.operators.Similarity.planeSigns(j, 64)
+      .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(64), i -> $a[i+1] * $b[i+1]), (a, b) -> a + b)"
+
+  private val annLshTopKOracle: String = {
+    val planeCols = (0 until 4).map(j => s"${signsSql(j)} AS s$j").mkString(", ")
+    val bucket = (0 until 4)
+      .map(j => s"(CASE WHEN ${dotSql("e", s"s$j")} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucket AS bucket
+       |  FROM v CROSS JOIN p),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM d
+       |  WHERE vec_id < 10),
+       |s AS (SELECT query_id, d.vec_id AS neighbor_id,
+       |  ${dotSql("qe", "d.e")} / (qn * d.nrm) AS sim
+       |  FROM q JOIN d ON q.bucket = d.bucket AND d.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  private val annCosineNearDupOracle: String = {
+    val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 8).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val anyBucket = (0 until 8).map(tt => s"x.b$tt = y.b$tt").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols
+       |  FROM v CROSS JOIN p),
+       |c AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
+       |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
+       |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
+  }
+
+  private val dedupSimhashOracle: String = {
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n  ")
+    val bits = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id AS id,
+       |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+       |  FROM tok),
+       |v AS (SELECT id, $votes FROM h GROUP BY id),
+       |s AS (SELECT id, $bits AS sh FROM v)
+       |SELECT x.id AS id_a, y.id AS id_b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       |FROM s x JOIN s y ON x.id < y.id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> dedupSimhashOracle,
+    "ann_lsh_topk" -> annLshTopKOracle,
+    "ann_cosine_neardup" -> annCosineNearDupOracle,
     "csv_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |source, n_chars FROM documents""".stripMargin,
@@ -660,6 +752,20 @@ object Queries {
       """SELECT doc_id AS asset_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS payload_size,
         |sha256(text) AS sha256_hex FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """WITH h AS (SELECT doc_id, encode(text) AS p,
+        |  octet_length(encode(text)) AS n,
+        |  ('0x' || substring(md5(text), 1, 15))::BIGINT AS h60 FROM documents)
+        |SELECT doc_id AS asset_id, 'application/octet-stream' AS mime,
+        |  CAST(n AS BIGINT) AS payload_size,
+        |  CAST(64 + h60 % 1024 AS INTEGER) AS width_px,
+        |  CAST(64 + (h60 >> 10) % 1024 AS INTEGER) AS height_px,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(n), i ->
+        |      ('0x' || substr(hex(p), CAST(2*i+1 AS BIGINT), 2))::INT))
+        |      AS DOUBLE) / n END AS mean_byte
+        |FROM h""".stripMargin,
     "multimodal_frames" ->
       """WITH d AS (SELECT doc_id, text,
         |  CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS ck

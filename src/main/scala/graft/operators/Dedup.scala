@@ -24,6 +24,14 @@ object Dedup {
   /** Whitespace tokens of lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** 60-bit hash from the first 15 hex digits of md5 — slower than
+    * xxhash64 but exactly replayable in ANSI/DuckDB SQL as
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`, which lets oracle
+    * checks cover hash-dependent operators end-to-end.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles, joined with single spaces. Documents
     * shorter than `n` tokens yield an empty array. Native codegen'd
     * kernel ([[graft.functions.TextShingles]]) — the equivalent
@@ -236,27 +244,37 @@ object Dedup {
       .withColumn(outCol, simhashFromVotes(col("__votes")))
       .drop("__votes")
 
-  /** SimHash near-duplicate pairs: split the 64-bit simhash into four
-    * 16-bit chunks; sharing any chunk makes a candidate (Hamming ≤ 3 over
+  /** SimHash near-duplicate pairs: split the `bits`-bit simhash into four
+    * chunks; sharing any chunk makes a candidate (Hamming ≤ 3 over
     * 4 chunks guarantees one equal chunk by pigeonhole); verify by exact
     * Hamming distance. Shuffles on the chunk key only.
+    *
+    * `tokenHash` picks the per-token hash (default xxhash64, the fastest
+    * codegen'd choice). An oracle-replicable alternative is the 60-bit
+    * md5 prefix ([[md5Hash60]] with `bits = 60`) — same algorithm, and a
+    * DuckDB oracle can replay it exactly.
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)
   ): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64, s"bits must be ≤64, multiple of 4: $bits")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
     // explode+agg formulation for the same codegen reason as minhash:
-    // 64 conditional-sum aggregates run in one whole-stage HashAggregate
+    // `bits` conditional-sum aggregates run in one whole-stage HashAggregate
     val tok = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val voteAggs = (0 until 64).map(j =>
+      .select(col("id"), tokenHash(col("t")).as("h"))
+    val voteAggs = (0 until bits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
         .otherwise(lit(-1L))).as(s"v$j"))
     val votes = tok.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
-    val shCol = (0 until 64).map(j =>
+    val shCol = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     val hashed = votes.select(col("id"), shCol.as("sh"))
@@ -264,7 +282,7 @@ object Dedup {
     val chunked = hashed.select(col("id"),
       explode(array((0 until 4).map(c =>
         concat_ws(":", lit(c),
-          shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("ck"))
+          shiftright(col("sh"), c * chunkBits).bitwiseAND(lit(chunkMask)))): _*)).as("ck"))
     val cands = chunked.as("x")
       .join(chunked.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

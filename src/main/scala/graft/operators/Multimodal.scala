@@ -53,8 +53,22 @@ object Multimodal {
   /** Deterministic stand-in decoder: dimensions derived from the payload
     * hash (STUB — a real decoder parses the container format); histogram
     * and mean byte are computed for real.
+    *
+    * The stub dimensions hash is the first 15 hex digits of the payload's
+    * md5 read as a 60-bit integer — chosen (over a JVM hashCode) so the
+    * whole feature row is replicable in the SQL oracle:
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`.
     */
   object FakeDecoder extends MediaDecoder {
+    private def md5Prefix60(payload: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      // first 15 hex digits = first 7 bytes + high nibble of byte 8
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      (h << 4) | ((d(7) & 0xF0L) >> 4)
+    }
+
     def decode(assetId: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
       val hist = new Array[Long](256)
       var sum = 0L
@@ -66,14 +80,14 @@ object Multimodal {
         i += 1
       }
       // STUB dimensions: a real implementation reads them from the codec.
-      val h = java.util.Arrays.hashCode(payload)
+      val h = md5Prefix60(payload)
       MediaFeatures(
         asset_id = assetId,
         mime = mime,
         payload_size = payload.length.toLong,
-        width_px = 64 + math.abs(h % 1024),
-        height_px = 64 + math.abs((h >> 10) % 1024),
-        n_frames = if (mime.startsWith("video/")) 1 + math.abs(h % 300) else 1,
+        width_px = (64 + h % 1024).toInt,
+        height_px = (64 + (h >> 10) % 1024).toInt,
+        n_frames = if (mime.startsWith("video/")) (1 + h % 300).toInt else 1,
         mean_byte = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
         byte_histogram = hist)
     }

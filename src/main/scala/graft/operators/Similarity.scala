@@ -68,7 +68,7 @@ object Similarity {
     * chain XXH64.hashInt(i, XXH64.hashInt(j, 42))), so buckets are
     * identical to the previous per-row column formulation.
     */
-  private def planeSigns(j: Int, dim: Int): Array[Double] = {
+  private[graft] def planeSigns(j: Int, dim: Int): Array[Double] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     Array.tabulate(dim) { i =>
       val h = XXH64.hashInt(i, XXH64.hashInt(j, 42L))
