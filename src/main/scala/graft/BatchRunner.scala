@@ -118,12 +118,16 @@ object BatchRunner {
     }.filterNot(env.contains).toSet
   }
 
-  /** Infrastructure presence checks (infrastructure.py:132-229), minus
-    * live connectivity probes (zero-egress build): iceberg targets need
-    * S3_ENDPOINT, catalog-backed iceberg additionally NESSIE_URI, s3
-    * targets need S3_ENDPOINT.
+  /** Infrastructure validation (infrastructure.py:132-229), delegated to
+    * [[graft.infra.Infrastructure]]: env presence + connectivity probes
+    * are errors, port probes are warnings. The startup sequence treats
+    * both as warn-only (cli.py:236-243). `probe` is injectable so tests
+    * (and zero-egress deployments) can avoid live HTTP.
     */
-  def infrastructureErrors(job: LoadedJob, env: Map[String, String] = sys.env): Seq[String] = {
+  def infrastructureErrors(
+      job: LoadedJob,
+      env: Map[String, String] = sys.env,
+      probe: graft.infra.HttpProbe = graft.infra.JavaHttpProbe): Seq[String] = {
     val jobDir = Option(job.path.getParent).getOrElse(Paths.get("."))
     val tgt = try {
       job.config.targetConnectorPath.map { rp =>
@@ -134,18 +138,10 @@ object BatchRunner {
       return Seq(s"Failed to load target configuration: ${e.getMessage}")
     }
     tgt.toSeq.flatMap { t =>
-      t.connectorType match {
-        case "iceberg" =>
-          val s3 = if (!env.contains("S3_ENDPOINT"))
-            Seq("S3_ENDPOINT environment variable is not set") else Nil
-          val nessie = if (t.catalog.nonEmpty && !env.contains("NESSIE_URI"))
-            Seq("NESSIE_URI environment variable is not set (required for catalog)")
-          else Nil
-          s3 ++ nessie
-        case "s3" if !env.contains("S3_ENDPOINT") =>
-          Seq("S3_ENDPOINT environment variable is not set")
-        case _ => Nil
-      }
+      graft.infra.Infrastructure.validateTarget(
+        t.connectorType, hasCatalog = t.catalog.nonEmpty, env = env, probe = probe,
+        portCheck = (_, _) => ()) // port probes stay out of startup warnings
+        .errors
     }
   }
 

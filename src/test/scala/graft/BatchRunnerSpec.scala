@@ -178,8 +178,18 @@ class BatchRunnerSpec extends SparkSpec {
     val errs = BatchRunner.infrastructureErrors(job, env = Map.empty)
     errs.exists(_.contains("S3_ENDPOINT")) shouldBe true
     errs.exists(_.contains("NESSIE_URI")) shouldBe true
+    val up: graft.infra.HttpProbe = (_, _) => graft.infra.ProbeResult.Status(200)
     BatchRunner.infrastructureErrors(job,
       env = Map("S3_ENDPOINT" -> "http://localhost:9000",
-        "NESSIE_URI" -> "http://localhost:19120/api/v1")) shouldBe empty
+        "NESSIE_URI" -> "http://localhost:19120/api/v1"),
+      probe = up) shouldBe empty
+    // reachable env vars but dead endpoints ⇒ connectivity errors
+    val down: graft.infra.HttpProbe = (_, _) => graft.infra.ProbeResult.ConnectFailed("refused")
+    val dead = BatchRunner.infrastructureErrors(job,
+      env = Map("S3_ENDPOINT" -> "http://localhost:9000",
+        "NESSIE_URI" -> "http://localhost:19120/api/v1"),
+      probe = down)
+    dead.exists(_.contains("S3 connectivity failed")) shouldBe true
+    dead.exists(_.contains("Nessie connectivity failed")) shouldBe true
   }
 }
