@@ -46,12 +46,21 @@ object CatalogFactory {
 
   /** factory.py:35-57 — type → client; unknown/unavailable types are
     * None (catalog push silently disabled, like the reference's
-    * non-fatal handling).
+    * non-fatal handling). An openmetadata client needs an auth token
+    * (connection config or env); without one it degrades to None.
     */
-  def forType(catalogType: String): Option[CatalogClient] =
+  def forType(
+      catalogType: String,
+      connection: Map[String, Any] = Map.empty,
+      env: Map[String, String] = sys.env,
+      transport: HttpTransport = new JavaHttpTransport()): Option[CatalogClient] =
     catalogType.toLowerCase match {
       case "memory" | "dry_run" => Some(new InMemoryCatalog)
-      case _                    => None // http backends are deployment adapters
+      case "openmetadata" =>
+        try Some(OpenMetadataCatalog.fromConnection(connection, env, transport))
+        catch { case _: Exception => None } // no token ⇒ catalog-disabled
+      case "nessie" => Some(new NessieCatalog())
+      case _ => None // aws_glue / databricks_unity stay deployment adapters
     }
 
   /** Entity extraction from a finished job (catalog/base.py:88-189):
