@@ -163,14 +163,20 @@ final case class TargetConfig(
   * legacy-migration path, config.py:249-288).
   */
 object AssetLoader {
-  def fromYaml(path: String): DataContract = {
+  def fromYaml(path: String, validateSchema: Boolean = false): DataContract = {
     if (!Files.exists(Paths.get(path)))
       throw new IllegalArgumentException(s"asset file not found: $path") // exit 2
-    fromMap(Yaml.loadFile(path))
+    val data = Odcs.migrateOldFormat(Yaml.loadFile(path))
+    if (validateSchema) Odcs.validateAgainstSchema(data) // config.py:367-374 (opt-in)
+    fromMap(data)
   }
 
   def fromMap(root: Map[String, Any]): DataContract = {
-    val m = if (root.contains("asset")) Yaml.map(root, "asset") else root
+    // read governance-only keys the migration intentionally drops
+    // (config.py pops governance wholesale) before migrating
+    val rawGovernance = Yaml.map(
+      if (root.contains("asset")) Yaml.map(root, "asset") else root, "governance")
+    val m = Odcs.migrateOldFormat(root)
     val schema = Yaml.seq(m, "schema").collect {
       case f: Map[String, Any] @unchecked =>
         ContractField(
@@ -184,7 +190,7 @@ object AssetLoader {
     if (schema.isEmpty) // config.py:786-823 hard-fails on missing/empty schema
       throw new IllegalArgumentException("asset definition has no schema fields")
     val team = Yaml.map(m, "team")
-    val governance = Yaml.map(m, "governance")
+    val governance = rawGovernance
     val compliance = Yaml.map(m, "compliance")
     DataContract(
       name = Yaml.str(m, "name").getOrElse("asset"),

@@ -75,13 +75,29 @@ object CsvSource {
             else Seq(st)
           }.map(_.getPath)
         }
-        val byHeader = leafFiles.map { f =>
-          val fs = f.getFileSystem(hconf)
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(f), opts.encoding))
-          val header = try Option(in.readLine()).getOrElse("") finally in.close()
-          header -> f.toString
-        }.filter(_._1.nonEmpty) // empty files: no header, no data
+        // Probe headers with a bounded driver pool: each probe is one
+        // remote open+readLine round-trip, so a serial loop over an
+        // object store costs O(n_files) latencies (minutes at 100k
+        // files); 32-wide it's seconds. Results keep file order.
+        val probed = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(32, math.max(1, leafFiles.size)))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(leafFiles.map { f =>
+            Future {
+              val fs = f.getFileSystem(hconf)
+              val in = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(f), opts.encoding))
+              val header = try Option(in.readLine()).getOrElse("") finally in.close()
+              header -> f.toString
+            }
+          }), Duration.Inf)
+          finally pool.shutdown()
+        }
+        val byHeader = probed
+          .filter(_._1.nonEmpty) // empty files: no header, no data
           .groupBy(_._1).values.map(_.map(_._2)).toSeq
         byHeader match {
           case Seq()       => scan(paths) // nothing non-empty; 0-row scan

@@ -34,6 +34,22 @@ class CsvSourceSpec extends SparkSpec {
       .split("FileScan").length shouldBe 2 // exactly one scan node
   }
 
+  test("many-file probe: 600 files across two header groups union correctly in seconds") {
+    val dir = Files.createTempDirectory("csv-many-")
+    (0 until 300).foreach { i =>
+      Files.writeString(dir.resolve(f"a$i%03d.csv"), s"id,name\n$i,n$i\n")
+      Files.writeString(dir.resolve(f"b$i%03d.csv"), s"name,id\nm$i,${1000 + i}\n")
+    }
+    val t0 = System.nanoTime()
+    val df = CsvSource.read(spark, Seq(dir.toString), contract)
+    val n = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    n shouldBe 600
+    df.filter(df("id") === "1042").select("name").collect()
+      .head.getString(0) shouldBe "m42" // swapped-header group mapped by name
+    secs should be < 30.0 // probe is pooled, not a serial per-file loop
+  }
+
   test("extra columns in the file survive to the raw frame") {
     val dir = Files.createTempDirectory("csv-extra-")
     Files.writeString(dir.resolve("a.csv"), "id,name,city\n1,alice,rome\n")
