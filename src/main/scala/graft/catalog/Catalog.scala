@@ -59,8 +59,11 @@ object CatalogFactory {
       case "openmetadata" =>
         try Some(OpenMetadataCatalog.fromConnection(connection, env, transport))
         catch { case _: Exception => None } // no token ⇒ catalog-disabled
+      case "databricks_unity" =>
+        try Some(DatabricksUnityCatalog.fromConnection(connection, env, transport))
+        catch { case _: Exception => None } // no workspace/token ⇒ disabled
       case "nessie" => Some(new NessieCatalog())
-      case _ => None // aws_glue / databricks_unity stay deployment adapters
+      case _ => None // aws_glue needs an SDK binding (GlueApi) injected
     }
 
   /** Entity extraction from a finished job (catalog/base.py:88-189):
