@@ -351,9 +351,13 @@ object JobRunner {
         backend.commit(out, base, contract, partitions, tags,
           tgt.parquetTargetSizeMb, Some(maxRecords))
 
-        // W9 catalog push — never fatal (cli.py:1139-1205)
+        // W9 catalog push — never fatal (cli.py:1139-1205). The catalog's
+        // connection block configures credentialed backends
+        // (openmetadata/databricks_unity); without credentials the
+        // factory degrades to catalog-disabled.
         Yaml.str(tgt.catalog, "type").foreach { ct =>
-          graft.catalog.CatalogFactory.forType(ct).foreach { client =>
+          graft.catalog.CatalogFactory.forType(
+            ct, connection = Yaml.map(tgt.catalog, "connection")).foreach { client =>
             graft.catalog.CatalogFactory.pushAfterCommit(
               client, contract, tags, Seq(src.connectorType))
           }
