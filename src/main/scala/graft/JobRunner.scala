@@ -465,6 +465,20 @@ object RunJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // warn-only startup checks, single-job parity with --job-dir
+      // (cli.py:221-243 runs env-var + infrastructure validation for
+      // every loaded job before execution)
+      try {
+        val loaded = BatchRunner.LoadedJob(
+          java.nio.file.Paths.get(jobPath),
+          graft.config.JobConfig.fromYaml(jobPath))
+        val missing = BatchRunner.missingEnvVars(loaded)
+        if (missing.nonEmpty)
+          System.err.println("[graft] Missing required environment variables: " +
+            missing.toSeq.sorted.mkString(", "))
+        BatchRunner.infrastructureErrors(loaded).foreach(e =>
+          System.err.println(s"[graft] Infrastructure validation warning: $e"))
+      } catch { case _: Exception => () } // config errors surface in run()
       val report = JobRunner.run(spark, jobPath, mode)
       System.err.println(
         s"[graft] records=${report.records} valid=${report.validRecords} " +
