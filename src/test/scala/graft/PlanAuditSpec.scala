@@ -38,6 +38,17 @@ class PlanAuditSpec extends SparkSpec {
     read should not include "n_chars" // unused column pruned from the scan
   }
 
+  test("md5-hash simhash keeps the one-pass vote aggregate") {
+    // the 60 conditional-sum votes must stay ONE partial+final
+    // HashAggregate pair over the token explode (not 60 passes), with
+    // the md5-prefix token hash inlined as a plain projection (AQE hides
+    // the *(n) codegen markers pre-execution, so assert the agg shape)
+    val p = plan("dedup_simhash")
+    p should include("HashAggregate")
+    p should not include "SortAggregate" // sums stay hash-aggregable
+    p should not include "ObjectHashAggregate"
+  }
+
   test("strict-filter pipeline stays in whole-stage codegen") {
     // executedPlan.toString marks codegen stages with "*(n)"; the observe
     // CollectMetrics node is the only barrier in the pipeline
