@@ -338,6 +338,23 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, tables = 8)
 
+  /** Deterministic Bernoulli sample: shuffle-free hash filter; the
+    * oracle replays the identical hash + threshold, so the sampled SET
+    * (not just its size) is checked.
+    */
+  def sampleBernoulli(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.bernoulliSample(
+      t(spark, dir, "documents").select("doc_id", "lang", "source"),
+      "doc_id", fraction = 0.2)
+
+  /** Deterministic stratified sample: first 20 docs per language in
+    * hash order (uniform without-replacement draw per stratum).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(spark, dir, "documents").select("doc_id", "lang"),
+      "lang", "doc_id", n = 20)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -450,6 +467,8 @@ object Queries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
+    "sample_bernoulli" -> sampleBernoulli _,
+    "sample_stratified" -> sampleStratified _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -538,7 +557,24 @@ object Queries {
        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
   }
 
+  private def hash60Sql(expr: String): String =
+    s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
+
+  private val sampleBernoulliOracle: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} <
+       |  ${graft.operators.Sampling.thresholdFor(0.2)}""".stripMargin
+
+  private val sampleStratifiedOracle: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sample_bernoulli" -> sampleBernoulliOracle,
+    "sample_stratified" -> sampleStratifiedOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,

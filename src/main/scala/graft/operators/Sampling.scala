@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation — subsampling and
+  * data mixing at corpus scale need samples that are (a) reproducible
+  * run-to-run and engine-to-engine, (b) stable under re-partitioning,
+  * and (c) cheap. `rand()`-based sampling is none of these (seeded rand
+  * is partition-layout dependent), so everything here keys off the
+  * 60-bit md5 prefix of the row id ([[Dedup.md5Hash60]]):
+  *
+  *  - Bernoulli: a pure codegen'd filter — NO shuffle, no state; at
+  *    100 TB it runs entirely map-side at scan speed.
+  *  - Stratified top-n: one window shuffle on the stratum key; rows are
+  *    ranked in hash order, so the per-stratum sample is a uniform
+  *    without-replacement draw, again reproducible.
+  *
+  * Both are exactly replayable in ANSI/DuckDB SQL, so the correctness
+  * gate checks the sampled SETS, not just counts.
+  *
+  * Nearest reference analog: none (SURVEY.md §2.6) — BASELINE
+  * scale-extension surface alongside Dedup/Similarity.
+  */
+object Sampling {
+
+  /** The sample key: uniform on [0, 2^60) for distinct ids. */
+  def sampleKey(id: Column): Column = Dedup.md5Hash60(id.cast("string"))
+
+  private val Space: Double = math.pow(2.0, 60)
+
+  /** The inclusion threshold for a fraction, as the exact long literal
+    * both the Spark filter and the SQL oracle embed.
+    */
+  def thresholdFor(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    if (fraction >= 1.0) Long.MaxValue else (fraction * Space).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff its hash falls in
+    * the first `fraction` of the key space. Shuffle-free.
+    */
+  def bernoulliSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(sampleKey(col(idCol)) < lit(thresholdFor(fraction)))
+
+  /** Deterministic stratified sample: the first `n` rows of each stratum
+    * in (hash, id) order — a uniform without-replacement draw per
+    * stratum. One shuffle on the stratum key.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

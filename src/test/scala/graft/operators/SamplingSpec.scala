@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling: reproducibility, partition-layout stability,
+  * stratum caps, and plan shape (Bernoulli must not shuffle).
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "lang")
+
+  test("bernoulli: deterministic, repartition-stable, roughly the asked fraction") {
+    val a = Sampling.bernoulliSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulliSample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    b shouldBe a // layout-independent — rand()-based sampling is not
+    val n = docs.count().toDouble
+    a.size.toDouble / n shouldBe 0.3 +- 0.1
+    // nested: a smaller fraction is a subset of a larger one
+    val small = Sampling.bernoulliSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    small.subsetOf(a) shouldBe true
+    Sampling.bernoulliSample(docs, "doc_id", 1.0).count() shouldBe n.toLong
+    Sampling.bernoulliSample(docs, "doc_id", 0.0).count() shouldBe 0L
+  }
+
+  test("bernoulli: pure filter, no Exchange in the plan") {
+    val p = Sampling.bernoulliSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+  }
+
+  test("stratified: exactly n per stratum (or the whole stratum), deterministic") {
+    val s = Sampling.stratifiedSample(docs, "lang", "doc_id", 20)
+    val counts = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (lang, c) => c shouldBe math.min(20L, full(lang)) }
+    val again = Sampling.stratifiedSample(docs.repartition(7), "lang", "doc_id", 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    again shouldBe s.select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+}
