@@ -15,7 +15,7 @@ object Bench {
     // absorb one-time JVM/codegen/IO warm-up outside the timed region
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // unreferenced projection, so projection-heavy queries would time a

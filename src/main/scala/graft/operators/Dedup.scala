@@ -127,15 +127,27 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+  /** Exact-Jaccard verification of a candidate-pair set. Both joins
+    * BROADCAST the candidate side explicitly: the corpus shingle table is
+    * streamed in place (zero shuffle of shingle arrays) regardless of what
+    * the optimizer's stats say. Without the hint, AQE usually picks
+    * broadcast anyway at test scale — but a stats misprediction at 100 TB
+    * would fall back to sort-merge and shuffle every shingle array in the
+    * corpus to verify a candidate set of a few thousand rows. Broadcast
+    * payload is O(|pairs|) for the first hop and O(|pairs| × avg doc
+    * shingles) for the second — candidate-bounded, not corpus-bounded.
+    */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val withA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(pairs), "id_a")
+    sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** Connected components over a near-dup pair set by min-label
     * propagation with pointer jumping: every node adopts the smallest of
@@ -287,9 +299,12 @@ object Dedup {
       .join(chunked.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cands
-      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // explicit broadcast of the candidate side (see verifyJaccard): the
+    // full simhash table streams, never shuffles, even if stats mispredict
+    val withA = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(broadcast(cands), "id_a")
+    hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(broadcast(withA), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

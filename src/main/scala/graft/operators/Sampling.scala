@@ -46,17 +46,51 @@ object Sampling {
 
   /** Deterministic stratified sample: the first `n` rows of each stratum
     * in (hash, id) order — a uniform without-replacement draw per
-    * stratum. One shuffle on the stratum key.
+    * stratum.
+    *
+    * Scale shape: a naive single window would shuffle the WHOLE table and
+    * sort a billion-row stratum to keep `n` rows. Instead each input
+    * partition is first pruned to a local per-stratum top-n on the sample
+    * key (a bounded heap in `mapPartitions` — per-partition imperative
+    * state is the one place that API earns its keep), so at most
+    * `numPartitions × n` rows per stratum reach the exact window. The
+    * prune keeps a strict SUPERSET of the global top-n: a row is dropped
+    * only when ≥ n rows of the same stratum in the same partition have a
+    * strictly smaller key — such a row can never rank ≤ n globally,
+    * whatever the id tiebreak says. Key ties at the boundary are kept, so
+    * the final `row_number` window (same (hash, id) order) returns the
+    * identical result to the naive formulation.
     */
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val keyed = df.withColumn("__k", sampleKey(col(idCol)))
+    val schema = keyed.schema
+    val strataIdx = schema.fieldIndex(strataCol)
+    val keyIdx = schema.fieldIndex("__k")
+    val pruned = keyed.mapPartitions { rows =>
+      // per-stratum max-heap of the n smallest keys seen in this partition;
+      // null keys sort first (Spark's asc nulls-first), modeled as MinValue
+      def keyOf(r: Row): Long =
+        if (r.isNullAt(keyIdx)) Long.MinValue else r.getLong(keyIdx)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Long]]
+      rows.filter { r => // stateful lazy filter: rows stream, never buffer
+        val k = keyOf(r)
+        val heap = heaps.getOrElseUpdate(r.get(strataIdx),
+          scala.collection.mutable.PriorityQueue.empty[Long])
+        if (heap.size < n) { heap.enqueue(k); true }
+        else if (k < heap.head) { heap.dequeue(); heap.enqueue(k); true }
+        else k == heap.head // boundary ties kept → superset stays exact
+      }
+    }(Encoders.row(schema))
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(sampleKey(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
+      .orderBy(col("__k"), col(idCol))
+    pruned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
-      .drop("__rn")
+      .drop("__rn", "__k")
   }
 }

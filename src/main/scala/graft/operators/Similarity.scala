@@ -129,11 +129,16 @@ object Similarity {
       .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    cands
-      .join(base.select(col("id").as("id_a"), col("v").as("va"),
-        norm(col("v")).as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
-        norm(col("v")).as("nb")), "id_b")
+    // explicit broadcast of the candidate side (see Dedup.verifyJaccard):
+    // the corpus embedding table streams in place even if stats mispredict;
+    // broadcast payload is candidate-bounded (pairs, then pairs × one
+    // dim-length vector), never corpus-bounded
+    val withA = base.select(col("id").as("id_a"), col("v").as("va"),
+        norm(col("v")).as("na"))
+      .join(broadcast(cands), "id_a")
+    base.select(col("id").as("id_b"), col("v").as("vb"),
+        norm(col("v")).as("nb"))
+      .join(broadcast(withA), "id_b")
       .withColumn("cosine",
         dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

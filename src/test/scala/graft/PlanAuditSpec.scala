@@ -23,9 +23,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no cartesian products anywhere in registered queries") {
-    for ((name, _) <- Queries.all) {
+    for ((name, fn) <- Queries.all ++ Queries.benchOnly) {
       withClue(s"$name: ") {
-        plan(name) should not include "CartesianProduct"
+        fn(spark, dir).queryExecution.executedPlan.toString should
+          not include "CartesianProduct"
       }
     }
   }
@@ -47,6 +48,19 @@ class PlanAuditSpec extends SparkSpec {
     p should include("HashAggregate")
     p should not include "SortAggregate" // sums stay hash-aggregable
     p should not include "ObjectHashAggregate"
+  }
+
+  test("candidate-verify joins are pinned broadcast (not AQE-dependent)") {
+    // the executedPlan printed before execution is the INITIAL plan — a
+    // BroadcastHashJoin here proves the explicit broadcast() hint, not a
+    // runtime AQE conversion that could mispredict at 100 TB. Two verify
+    // hops per query → at least two broadcast joins in each plan.
+    for (name <- Seq("dedup_minhash", "dedup_simhash", "ann_cosine_neardup")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+      }
+    }
   }
 
   test("strict-filter pipeline stays in whole-stage codegen") {
