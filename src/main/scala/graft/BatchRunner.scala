@@ -247,9 +247,27 @@ object BatchRunner {
     StartupContext(tenant, loaded.jobs, secrets, redactor, warnings)
   }
 
-  /** Startup + sequential execution; 0 iff every job exits 0, else 2
+  /** Startup + execution; 0 iff every job exits 0, else 2
     * (cli.py:305-323). Job failures (exceptions) count as exit 2 and do
     * not stop the remaining jobs.
+    *
+    * `concurrency` is the reference's `orchestrator.concurrency_per_tenant`
+    * (config.py:1100-1105) — which the reference itself acknowledges as
+    * unenforced (orchestrated.py:344-354). Enforced here: a batch
+    * directory is one tenant (resolveTenant), so the bound IS per-tenant.
+    * Default 1 keeps the reference's sequential contract. With N > 1,
+    * jobs run on a fixed pool of N driver threads, each tagged with a
+    * Spark fair-scheduler pool so concurrent jobs share executors fairly
+    * instead of head-of-line blocking (set `spark.scheduler.mode=FAIR`
+    * on the session — the RunJobs CLI does when --concurrency > 1; under
+    * FIFO the tags are harmless no-ops). Results keep job order either
+    * way. Jobs that write to the SAME table still append safely (the
+    * commit path is append-mode), but cursor-state files are per-job, so
+    * only unrelated jobs should share a batch at N > 1 — same caveat the
+    * reference documents for its planned concurrency.
+    *
+    * `runJobOverride` injects the per-job executor for tests (virtual
+    * jobs, latch-based overlap proofs) — production uses [[JobRunner]].
     */
   def runAll(spark: SparkSession,
       jobDir: Path,
@@ -259,26 +277,59 @@ object BatchRunner {
       secretManager: String = "env",
       secretManagerConfig: Map[String, Any] = Map.empty,
       env: Map[String, String] = sys.env,
+      concurrency: Int = 1,
+      runJobOverride: Option[(SparkSession, Path, String => Unit) => Int] = None,
       log: String => Unit = m => System.err.println(s"[graft] $m")): BatchReport = {
+    require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
     val ctx = startupSequence(jobDir, secretsDir, tenantId, mode,
       secretManager, secretManagerConfig, env = env, log = log)
-    val results = ctx.jobs.map { j =>
-      val code =
-        try {
-          val report = JobRunner.run(spark, j.path.toString, mode,
-            log = m => log(ctx.redactor.redact(m)))
-          log(ctx.redactor.redact(
-            s"${j.path.getFileName}: records=${report.records} " +
-              s"valid=${report.validRecords} rps=${f"${report.recordsPerSecond}%.1f"} " +
-              s"exit=${report.exitCode}"))
-          report.exitCode
-        } catch {
-          case e: Exception =>
-            log(ctx.redactor.redact(s"${j.path.getFileName} FAILED: ${e.getMessage}"))
+    // log is caller-supplied and now potentially hit from N threads
+    val logSync: String => Unit = m => log.synchronized(log(m))
+    val exec: LoadedJob => Int = { j =>
+      val jobLog: String => Unit = m => logSync(ctx.redactor.redact(m))
+      runJobOverride match {
+        case Some(f) =>
+          try f(spark, j.path, jobLog)
+          catch { case e: Exception =>
+            jobLog(s"${j.path.getFileName} FAILED: ${e.getMessage}")
             graft.core.ExitCodes.Failure
-        }
-      j.path -> code
+          }
+        case None =>
+          try {
+            val report = JobRunner.run(spark, j.path.toString, mode, log = jobLog)
+            jobLog(
+              s"${j.path.getFileName}: records=${report.records} " +
+                s"valid=${report.validRecords} rps=${f"${report.recordsPerSecond}%.1f"} " +
+                s"exit=${report.exitCode}")
+            report.exitCode
+          } catch {
+            case e: Exception =>
+              jobLog(s"${j.path.getFileName} FAILED: ${e.getMessage}")
+              graft.core.ExitCodes.Failure
+          }
+      }
     }
+    val results: Seq[(Path, Int)] =
+      if (concurrency == 1 || ctx.jobs.size <= 1)
+        ctx.jobs.map(j => j.path -> exec(j))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+        try {
+          val futures = ctx.jobs.map { j =>
+            pool.submit(new java.util.concurrent.Callable[(Path, Int)] {
+              def call(): (Path, Int) = {
+                // local properties are thread-local: tag this job's Spark
+                // actions with a fair pool named after the job
+                spark.sparkContext.setLocalProperty(
+                  "spark.scheduler.pool", s"graft-${j.path.getFileName}")
+                try j.path -> exec(j)
+                finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+              }
+            })
+          }
+          futures.map(_.get()) // preserves job order; exec never throws
+        } finally pool.shutdown()
+      }
     val exit = if (results.forall(_._2 == 0)) 0 else graft.core.ExitCodes.Failure
     BatchReport(exit, results, ctx)
   }
@@ -286,8 +337,10 @@ object BatchRunner {
 
 /** CLI verb: `runMain graft.RunJobs <job-dir> [--tenant-id T]
   * [--secrets-dir D] [--secret-manager env|filesystem|...]
-  * [--secret-manager-config <json-or-path>] [--mode self_hosted|cloud]`
-  * — exit 0 only if all jobs succeed (cli.py:316-323).
+  * [--secret-manager-config <json-or-path>] [--mode self_hosted|cloud]
+  * [--concurrency N]` — exit 0 only if all jobs succeed (cli.py:316-323).
+  * `--concurrency` enforces the reference's `concurrency_per_tenant`
+  * knob; N > 1 switches the session to FAIR scheduling.
   */
 object RunJobs {
 
@@ -307,13 +360,16 @@ object RunJobs {
     val jobDir = Paths.get(args(0))
     def opt(flag: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`flag`, v) => v }
-    val spark = SparkSession.builder()
+    val concurrency = opt("--concurrency").map(_.toInt).getOrElse(1)
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // concurrent jobs share executors fairly instead of FIFO head-of-line
+    if (concurrency > 1) builder.config("spark.scheduler.mode", "FAIR")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val report = BatchRunner.runAll(spark, jobDir,
@@ -321,7 +377,8 @@ object RunJobs {
         tenantId = opt("--tenant-id"),
         mode = opt("--mode").getOrElse("self_hosted"),
         secretManager = opt("--secret-manager").getOrElse("env"),
-        secretManagerConfig = parseManagerConfig(opt("--secret-manager-config")))
+        secretManagerConfig = parseManagerConfig(opt("--secret-manager-config")),
+        concurrency = concurrency)
       report.results.foreach { case (p, c) =>
         System.err.println(s"[graft] ${p.getFileName} -> exit $c")
       }

@@ -27,9 +27,15 @@ object JobRunner {
       errors: Map[String, Long],
       outputPath: String,
       validationMode: String,
-      // completion metrics (reference metrics.py:204-219)
+      // completion metrics (reference metrics.py:86-98, 204-219)
       executionTimeSeconds: Double = 0.0,
-      recordsPerSecond: Double = 0.0
+      recordsPerSecond: Double = 0.0,
+      filesWritten: Long = 0L,
+      bytesWritten: Long = 0L,
+      // commit/snapshot id when the backend has snapshot semantics
+      // (reference iceberg_committer.py:610-638 returns it per commit)
+      commitSnapshotId: Option[String] = None,
+      commitBackend: String = ""
   )
 
   /** Resolve a config-relative path against the job file's directory. */
@@ -313,6 +319,7 @@ object JobRunner {
     // The commit: a google_sheets TARGET appends to the sheet driver-side
     // (W8, small by construction; the collect satisfies both
     // observations); everything else goes through a CommitBackend.
+    var commitResult: Option[graft.sinks.CommitResult] = None
     val outputLocation =
       if (tgt.connectorType == "google_sheets") {
         val api = graft.plugins.PluginLoader.load(
@@ -332,9 +339,12 @@ object JobRunner {
         // W2 sizing runs on an OBSERVE-FREE twin of the output plan — its
         // two sample actions must not consume the validation Observation.
         // Computed only here: a sheets target would pay the sample
-        // actions for a result nobody reads.
-        val sizingTwin = ParquetSink.preparePartitions(
+        // actions for a result nobody reads. Transform partition entries
+        // (days(ts), bucket(n, id)) are materialized as identity columns
+        // so the twin matches the degradation path's written shape.
+        val (twinMat, twinCols) = graft.sinks.PartitionTransforms.materialize(
           Validation.transform(raw, contract, vmode), partitions)
+        val sizingTwin = ParquetSink.preparePartitions(twinMat, twinCols)
         val maxRecords = ParquetSink.estimateMaxRecordsPerFile(
           sizingTwin, base, tgt.parquetTargetSizeMb)
 
@@ -348,8 +358,8 @@ object JobRunner {
           governanceOverrides = Yaml.map(job.raw, "governance_overrides")) ++
           graft.sinks.TagDerivation.assetProperties(contract)
         val backend = graft.sinks.CommitBackend.forTarget(spark, tgt.catalog)
-        backend.commit(out, base, contract, partitions, tags,
-          tgt.parquetTargetSizeMb, Some(maxRecords))
+        commitResult = Some(backend.commit(out, base, contract, partitions,
+          tags, tgt.parquetTargetSizeMb, Some(maxRecords)))
 
         // W9 catalog push — never fatal (cli.py:1139-1205). The catalog's
         // connection block configures credentialed backends
@@ -402,7 +412,12 @@ object JobRunner {
       outputPath = outputLocation,
       validationMode = job.validationMode,
       executionTimeSeconds = elapsed,
-      recordsPerSecond = if (elapsed > 0) extracted / elapsed else 0.0)
+      recordsPerSecond = if (elapsed > 0) extracted / elapsed else 0.0,
+      filesWritten = commitResult.map(_.filesWritten).getOrElse(0L),
+      bytesWritten = commitResult.map(_.bytesWritten).getOrElse(0L),
+      commitSnapshotId = commitResult.flatMap(_.snapshotId),
+      commitBackend = commitResult.map(_.backend).getOrElse(
+        if (tgt.connectorType == "google_sheets") "google_sheets" else ""))
   }
 
   /** Retry with exponential backoff (reference retry_policy.py:23-105;
@@ -484,6 +499,8 @@ object RunJob {
         s"[graft] records=${report.records} valid=${report.validRecords} " +
           s"errors=${report.errors} out=${report.outputPath} " +
           f"time=${report.executionTimeSeconds}%.2fs rps=${report.recordsPerSecond}%.1f " +
+          s"files=${report.filesWritten} bytes=${report.bytesWritten} " +
+          report.commitSnapshotId.map(s => s"snapshot=$s ").getOrElse("") +
           s"exit=${report.exitCode}")
       spark.stop()
       sys.exit(report.exitCode)

@@ -19,7 +19,11 @@ final case class CommitResult(
     backend: String,
     location: String,
     snapshotId: Option[String],
-    properties: Map[String, String])
+    properties: Map[String, String],
+    // completion metrics (reference metrics.py:86-98 record_writing);
+    // best-effort on catalog backends whose location can't be resolved
+    filesWritten: Long = 0L,
+    bytesWritten: Long = 0L)
 
 trait CommitBackend {
   def name: String
@@ -71,9 +75,15 @@ object ParquetOnly extends CommitBackend {
   def commit(df: DataFrame, location: String, contract: DataContract,
       partitionCols: Seq[String], properties: Map[String, String],
       targetMb: Int, maxRecordsPerFile: Option[Long]): CommitResult = {
-    ParquetSink.write(df, location, partitionCols, targetMb, SaveMode.Append,
-      maxRecordsPerFile)
+    val t0 = System.currentTimeMillis()
+    // transform entries (days(ts), bucket(n, id)) have no Hive-layout
+    // analog: derive identity columns so data still lands partitioned
+    val (materialized, identityCols) =
+      PartitionTransforms.materialize(df, partitionCols)
+    ParquetSink.write(materialized, location, identityCols, targetMb,
+      SaveMode.Append, maxRecordsPerFile)
     val spark = df.sparkSession
+    val written = ParquetSink.writtenFiles(spark, location, t0)
     val merged = readProperties(spark, location) ++ properties
     try {
       val p = sidecar(location)
@@ -86,7 +96,8 @@ object ParquetOnly extends CommitBackend {
       finally out.close()
     } catch { case _: Exception => () } // property push is never fatal
     CommitResult(committed = true, backend = name, location = location,
-      snapshotId = None, properties = merged)
+      snapshotId = None, properties = merged,
+      filesWritten = written.size.toLong, bytesWritten = written.map(_._2).sum)
   }
 }
 
@@ -117,8 +128,16 @@ final case class CatalogTableBackend(catalogName: String, namespace: String)
       targetMb: Int, maxRecordsPerFile: Option[Long]): CommitResult = {
     val spark = df.sparkSession
     val fqn = tableFqn(contract)
+    val t0 = System.currentTimeMillis()
     try {
-      val prepared = ParquetSink.preparePartitions(df, partitionCols)
+      val specs = PartitionTransforms.parseAll(partitionCols)
+      // only IDENTITY partition values get the Hive normalization +
+      // ingest_date synthesis; transform sources (days(ts), bucket(n, id))
+      // stay raw — the catalog stores the transform itself
+      val identityCols = specs.collect {
+        case PartitionTransforms.Identity(c) => c
+      }
+      val prepared = ParquetSink.preparePartitions(df, identityCols)
       // spark.catalog.tableExists can't resolve 3-part names; probe the
       // analyzer directly
       val exists =
@@ -129,11 +148,10 @@ final case class CatalogTableBackend(catalogName: String, namespace: String)
           .tableProperty("write.target-file-size-bytes",
             (targetMb.toLong * 1024 * 1024).toString)
         properties.foreach { case (k, v) => w = w.tableProperty(k, v) }
-        if (partitionCols.nonEmpty)
+        if (specs.nonEmpty)
           w.partitionedBy(
-            org.apache.spark.sql.functions.col(partitionCols.head.toLowerCase),
-            partitionCols.tail.map(c =>
-              org.apache.spark.sql.functions.col(c.toLowerCase)): _*)
+            PartitionTransforms.toV2Column(specs.head),
+            specs.tail.map(PartitionTransforms.toV2Column): _*)
             .create()
         else w.create()
       } else {
@@ -156,8 +174,13 @@ final case class CatalogTableBackend(catalogName: String, namespace: String)
           spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ($props)")
         }
       }
+      val written = tableLocation(spark, fqn)
+        .map(ParquetSink.writtenFiles(spark, _, t0))
+        .getOrElse(Nil)
       CommitResult(committed = true, backend = name, location = fqn,
-        snapshotId = None, properties = properties)
+        snapshotId = snapshotId(spark, fqn), properties = properties,
+        filesWritten = written.size.toLong,
+        bytesWritten = written.map(_._2).sum)
     } catch {
       case e: Exception =>
         // graceful degradation: files land as plain parquet, job succeeds
@@ -168,6 +191,29 @@ final case class CatalogTableBackend(catalogName: String, namespace: String)
           targetMb, maxRecordsPerFile)
     }
   }
+
+  /** Latest snapshot id of an Iceberg-style table — the commit id the
+    * reference surfaces in its commit result (iceberg_committer.py:
+    * 610-638). Queries the `.snapshots` metadata table, which only V2
+    * catalogs with snapshot semantics expose; anything else → None.
+    */
+  private def snapshotId(spark: SparkSession, fqn: String): Option[String] =
+    try {
+      spark.sql(
+        s"SELECT snapshot_id FROM $fqn.snapshots ORDER BY committed_at DESC LIMIT 1")
+        .collect().headOption.map(r => String.valueOf(r.get(0)))
+    } catch { case _: Exception => None }
+
+  /** Physical table location for the write-metrics listing; best-effort
+    * (DESCRIBE EXTENDED surfaces `Location` for both V1 and Iceberg
+    * tables; a catalog without one → no file metrics, never a failure).
+    */
+  private def tableLocation(spark: SparkSession, fqn: String): Option[String] =
+    try {
+      spark.sql(s"DESCRIBE TABLE EXTENDED $fqn").collect()
+        .find(r => r.getString(0) == "Location")
+        .map(_.getString(1))
+    } catch { case _: Exception => None }
 }
 
 object CommitBackend {

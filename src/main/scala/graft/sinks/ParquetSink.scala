@@ -103,6 +103,31 @@ object ParquetSink {
   def outputPath(root: String, domain: String, dataProduct: String, table: String): String =
     Seq(root.stripSuffix("/"), domain, dataProduct, table).mkString("/")
 
+  /** Data files under `location` modified at/after `sinceMs` — the
+    * files_written / bytes_written completion metrics (reference
+    * metrics.py:86-98 `record_writing`). A recursive Hadoop-FS listing
+    * (driver-side, proportional to file count, not data); metadata files
+    * (`_SUCCESS`, sidecars, hidden dirs) excluded.
+    */
+  def writtenFiles(spark: org.apache.spark.sql.SparkSession, location: String,
+      sinceMs: Long): Seq[(String, Long)] = {
+    val base = new org.apache.hadoop.fs.Path(location)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Nil
+    else {
+      val it = fs.listFiles(base, true)
+      val out = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+          f.getModificationTime >= sinceMs)
+          out += f.getPath.toString -> f.getLen
+      }
+      out.result()
+    }
+  }
+
   final case class WriteReport(path: String, partitionCols: Seq[String], maxRecordsPerFile: Long)
 
   /** Partitioned, size-targeted write. `maxRecordsPerFile`: pass a

@@ -84,6 +84,50 @@ class BatchRunnerSpec extends SparkSpec {
       .count() shouldBe 2
   }
 
+  test("concurrency=2: jobs overlap, results keep job order, exit contract holds") {
+    val (root, jobs) = scaffold()
+    for (n <- Seq("a", "b", "c", "d"))
+      write(jobs.resolve(s"$n.yaml"),
+        jobYaml("t1", goodCsv(root, s"$n.csv"), root.resolve(s"out_$n").toString))
+    // latch-proof of overlap: with 2 workers, two jobs must be inside the
+    // runner simultaneously at least once
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val order = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val r = BatchRunner.runAll(spark, jobs, concurrency = 2, log = _ => (),
+      runJobOverride = Some { (_, p, _) =>
+        val now = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, now))
+        gate.countDown()
+        // first two jobs wait for each other — deadlock-free because the
+        // pool has exactly 2 workers and both latch holders are running
+        gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        order.add(p.getFileName.toString)
+        inFlight.decrementAndGet()
+        if (p.getFileName.toString == "c.yaml") 2 else 0
+      })
+    maxInFlight.get() shouldBe 2
+    // results preserve deterministic job order regardless of completion order
+    r.results.map(_._1.getFileName.toString) shouldBe
+      Seq("a.yaml", "b.yaml", "c.yaml", "d.yaml")
+    r.results.map(_._2) shouldBe Seq(0, 0, 2, 0)
+    r.exitCode shouldBe ExitCodes.Failure
+  }
+
+  test("concurrency=2 with real jobs: all outputs land, exit 0") {
+    val (root, jobs) = scaffold()
+    for (n <- Seq("a", "b", "c"))
+      write(jobs.resolve(s"$n.yaml"),
+        jobYaml("t1", goodCsv(root, s"$n.csv"), root.resolve(s"out_$n").toString))
+    val r = BatchRunner.runAll(spark, jobs, concurrency = 2, log = _ => ())
+    r.exitCode shouldBe 0
+    for (n <- Seq("a", "b", "c"))
+      spark.read.parquet(root.resolve(s"out_$n/hr/core/people").toString)
+        .count() shouldBe 2
+  }
+
   test("broken YAML is skipped with a warning, rest still run (config.py:887-945)") {
     val (root, jobs) = scaffold()
     write(jobs.resolve("a.yaml"),

@@ -73,6 +73,10 @@ class JobRunnerSpec extends SparkSpec {
     back.count() shouldBe 2
     back.columns should contain("ingest_date") // M7 default partition
     back.schema("id").dataType.typeName shouldBe "long"
+    // completion metrics (reference metrics.py:86-98 record_writing)
+    r.filesWritten should be >= 1L
+    r.bytesWritten should be > 0L
+    r.commitBackend shouldBe "parquet_only"
   }
 
   test("strict run with errors: invalid rows dropped, exit 2") {
