@@ -15,7 +15,11 @@ object Bench {
     // absorb one-time JVM/codegen/IO warm-up outside the timed region
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    val results = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args filter to isolated queries (dev loop; driver passes none)
+    val only = args.toSet
+    val results = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // unreferenced projection, so projection-heavy queries would time a

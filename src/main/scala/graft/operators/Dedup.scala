@@ -149,25 +149,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Connected components over a near-dup pair set by min-label
+  /** Connected components over a near-dup pair set. Returns
+    * (id, component = min id of the cluster).
+    *
+    * SIZE-ADAPTIVE: the pair set is the output of a thresholded verify —
+    * in a typical curation run it is thousands-to-millions of rows while
+    * the corpus is billions. Below `driverMaxPairs` (default 4M ≈ 64 MB
+    * of id pairs) the edges are collected and clustered with a driver
+    * union-find (path compression + union-by-min): O(E α(E)), zero
+    * Spark rounds. This is the same candidate-bounded reasoning as the
+    * broadcast verify joins — the graph is small BY CONSTRUCTION, and a
+    * 10-round distributed loop over it is pure scheduling overhead.
+    *
+    * Above the threshold (dup-catastrophic corpora), min-label
     * propagation with pointer jumping: every node adopts the smallest of
     * its own label, its neighbors' labels, and its label's label (path
-    * halving). The compression hop makes convergence O(log diameter)
-    * join rounds instead of O(diameter), so even adversarial chain
-    * clusters finish well inside the default iteration budget.
+    * halving) — O(log diameter) join rounds. Iteration hygiene (the part
+    * that matters at scale): each round's labels are `localCheckpoint()`ed
+    * to truncate the logical plan — without it Catalyst replans an
+    * ever-deeper tree every round and planning time, not data volume,
+    * becomes the bottleneck past ~15 iterations. Superseded checkpoint
+    * RDDs are freed by the ContextCleaner; the convergence check is an
+    * early-exit scan of the just-materialized round.
     *
-    * Iteration hygiene (the part that matters at scale): each round's
-    * labels are `localCheckpoint()`ed, which truncates the logical plan
-    * — without it Catalyst replans an ever-deeper tree every round and
-    * planning time, not data volume, becomes the bottleneck past ~15
-    * iterations. Superseded checkpoint RDDs drop their last reference on
-    * reassignment and are freed by the ContextCleaner; the convergence
-    * check is an early-exit scan of the just-materialized round (no extra
-    * join, no recompute). Returns (id, component = min id of the cluster).
+    * Both paths produce the identical min-label result; the driver path
+    * requires an orderable id type (numeric/string) and falls through to
+    * the distributed loop otherwise.
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+      driverMaxPairs: Long = 4000000L): DataFrame = {
+    // one materialization of the pair set; both paths reuse it
+    val pe = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val idType = pe.schema("id_a").dataType
+    if (pe.count() <= driverMaxPairs) driverOrdering(idType) match {
+      case Some(ord) => return driverComponents(pe, idType, ord)
+      case None      => () // un-orderable id type: distributed loop below
+    }
+    val edges = pe.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pe.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint() // scanned every round: fixed lineage, one materialization
     var labels = edges.select(col("src").as("id")).distinct()
@@ -200,6 +219,56 @@ object Dedup {
     labels
   }
 
+  /** Orderings matching Spark's `least`/`min` semantics for the id types
+    * a dedup key realistically has; None ⇒ no driver fast path.
+    */
+  private def driverOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.by[Any, Short](_.asInstanceOf[Short]))
+      case StringType  => Some(Ordering.by[Any, String](_.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Driver union-find over a collected pair set: path compression +
+    * union-by-min keeps every root the minimum id of its component, so
+    * the result is bit-identical to the distributed min-label loop.
+    */
+  private def driverComponents(pe: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.get(root) != root) root = parent.get(root)
+      var cur = x // path compression
+      while (parent.get(cur) != root) {
+        val next = parent.get(cur); parent.put(cur, root); cur = next
+      }
+      root
+    }
+    pe.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // attach the larger root under the smaller
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      rows.add(org.apache.spark.sql.Row(id, find(id)))
+    }
+    pe.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("id", idType), StructField("component", idType))))
+  }
+
   /** Near-duplicate REMOVAL: detect pairs with MinHash-LSH, cluster them
     * transitively, and keep only each cluster's lowest-id row (plus every
     * row in no cluster). This is what a curation pipeline actually runs —
@@ -220,7 +289,9 @@ object Dedup {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    // losers is component-bounded (≤ pair count) — broadcast so the full
+    // corpus anti-join never shuffles the corpus
+    df.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
   // ----------------------------------------------------------------- SimHash

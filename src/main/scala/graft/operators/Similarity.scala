@@ -129,16 +129,21 @@ object Similarity {
       .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // explicit broadcast of the candidate side (see Dedup.verifyJaccard):
-    // the corpus embedding table streams in place even if stats mispredict;
-    // broadcast payload is candidate-bounded (pairs, then pairs × one
-    // dim-length vector), never corpus-bounded
-    val withA = base.select(col("id").as("id_a"), col("v").as("va"),
-        norm(col("v")).as("na"))
-      .join(broadcast(cands), "id_a")
-    base.select(col("id").as("id_b"), col("v").as("vb"),
-        norm(col("v")).as("nb"))
-      .join(broadcast(withA), "id_b")
+    // Verify shape (see Dedup.verifyJaccard): ONE stream over the corpus
+    // keeps only candidate vectors (broadcast semi-join on the tiny id
+    // set), cached candidate-bounded; both lookup joins then broadcast
+    // that slim slice. The corpus is never shuffled and never scanned
+    // twice, regardless of optimizer stats.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val candVecs = base.join(broadcast(candIds), Seq("id"), "left_semi")
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    cands
+      .join(broadcast(candVecs.select(col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))), "id_a")
+      .join(broadcast(candVecs.select(col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))), "id_b")
       .withColumn("cosine",
         dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

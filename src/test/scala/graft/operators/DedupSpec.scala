@@ -84,11 +84,39 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: 50-node chain converges inside the default budget") {
     // worst-case diameter: plain min-propagation needs 49 rounds; the
-    // pointer-jumping hop must finish within the default maxIterations=20
+    // pointer-jumping hop must finish within the default maxIterations=20.
+    // driverMaxPairs=0 forces the DISTRIBUTED loop (the driver fast path
+    // would trivialize the chain)
     val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val cc = Dedup.connectedComponents(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
     cc should have size 50
     all(cc.values) shouldBe 0L
+  }
+
+  test("connectedComponents: driver and distributed paths agree exactly") {
+    // mixed shapes: chain, star, triangle + bridge, singleton pair
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),            // chain
+      (20L, 21L), (20L, 22L), (20L, 23L),      // star
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L), // triangle + bridge
+      (40L, 41L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe dist
+    fast(4L) shouldBe 1L
+    fast(33L) shouldBe 30L
+  }
+
+  test("connectedComponents: string ids use the driver path correctly") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    cc("c") shouldBe "a"
+    cc("y") shouldBe "x"
   }
 
   test("dropNearDuplicates keeps one survivor per transitive cluster") {
