@@ -77,10 +77,12 @@ object JobRunner {
     }
 
   def planSource(spark: SparkSession, src: SourceConfig, contract: DataContract,
-      jobDir: String): DataFrame = planSourceIncremental(spark, src, contract, jobDir)._1
+      jobDir: String, mode: String = "self_hosted"): DataFrame =
+    planSourceIncremental(spark, src, contract, jobDir, mode)._1
 
   private def planSourceIncremental(spark: SparkSession, src: SourceConfig,
-      contract: DataContract, jobDir: String): (DataFrame, IncrementalPlan) = {
+      contract: DataContract, jobDir: String,
+      mode: String = "self_hosted"): (DataFrame, IncrementalPlan) = {
     val inc = incrementalPlan(spark, src)
 
     /** I2: drop files whose mtime hasn't advanced past the recorded state
@@ -98,8 +100,11 @@ object JobRunner {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         contract.rawStructType)
 
-    // S11: a custom reader plugin overrides type routing (cli.py:453-470)
+    // S11: a custom reader plugin overrides type routing (cli.py:453-470);
+    // cloud mode requires the sandbox policy check first
     Yaml.str(src.raw, "custom_reader").foreach { cls =>
+      graft.plugins.PluginLoader.requireSandboxPolicy(cls, mode,
+        Yaml.map(src.raw, "sandbox"))
       return (graft.plugins.PluginLoader.loadReader(cls).read(spark, src.raw), inc)
     }
 
@@ -279,29 +284,49 @@ object JobRunner {
   def run(spark: SparkSession, jobYamlPath: String,
       mode: String = "self_hosted",
       registry: Registry = Registry.default,
-      log: String => Unit = m => System.err.println(s"[graft] $m")): JobReport = {
+      log: String => Unit = m => System.err.println(s"[graft] $m"),
+      tracer: graft.infra.Tracer = graft.infra.Tracing.disabled): JobReport = {
+    val jobName = Paths.get(jobYamlPath).getFileName.toString
+      .stripSuffix(".yaml").stripSuffix(".yml")
+    // root span = the whole execution (reference trace_job_execution,
+    // tracing.py:127-150); phases nest under it like trace_phase
+    tracer.span(s"job.$jobName") {
+      runPhases(spark, jobYamlPath, mode, registry, log, tracer)
+    }
+  }
+
+  private def runPhases(spark: SparkSession, jobYamlPath: String,
+      mode: String, registry: Registry, log: String => Unit,
+      tracer: graft.infra.Tracer): JobReport = {
     val startNanos = System.nanoTime() // wall-clock for records_per_second
     val jobDir = Option(Paths.get(jobYamlPath).getParent).map(_.toString).getOrElse(".")
-    val job = JobConfig.fromYaml(jobYamlPath)
-    val srcRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
-      job.sourceConnectorPath.getOrElse(
-        throw new IllegalArgumentException("Source connector path not provided"))))
-    val tgtRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
-      job.targetConnectorPath.getOrElse(
-        throw new IllegalArgumentException("Target connector path not provided"))))
-    val src = job.resolveSource(srcRecipe)
-    val tgt = job.resolveTarget(tgtRecipe)
-    registry.validateJob(src, tgt, mode)
-    val contract = AssetLoader.fromYaml(resolve(jobDir, job.assetPath.getOrElse(
-      throw new IllegalArgumentException("Asset path not provided"))))
-    val vmode = ValidationMode.parse(job.validationMode)
+    val (job, src, tgt, contract, vmode) = tracer.span("phase.configure") {
+      val job = JobConfig.fromYaml(jobYamlPath)
+      val srcRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
+        job.sourceConnectorPath.getOrElse(
+          throw new IllegalArgumentException("Source connector path not provided"))))
+      val tgtRecipe = ConnectorRecipe.fromYaml(resolve(jobDir,
+        job.targetConnectorPath.getOrElse(
+          throw new IllegalArgumentException("Target connector path not provided"))))
+      val src = job.resolveSource(srcRecipe)
+      val tgt = job.resolveTarget(tgtRecipe)
+      registry.validateJob(src, tgt, mode)
+      val contract = AssetLoader.fromYaml(resolve(jobDir, job.assetPath.getOrElse(
+        throw new IllegalArgumentException("Asset path not provided"))))
+      (job, src, tgt, contract, ValidationMode.parse(job.validationMode))
+    }
 
     // mdkv transform precedes validation, like the reference's batch loop
     // (transform at cli.py:856-931, validate_batch at :943)
-    val (planned, inc) = planSourceIncremental(spark, src, contract, jobDir)
-    val raw = applyMarkdownKvStorage(planned, tgt)
+    val (raw, inc) = tracer.span("phase.extract",
+      Map("connector.type" -> src.connectorType, "tenant.id" -> job.tenantId)) {
+      val (planned, inc) = planSourceIncremental(spark, src, contract, jobDir, mode)
+      (applyMarkdownKvStorage(planned, tgt), inc)
+    }
     val obs = Observation(s"validation_${System.nanoTime}")
-    val result = Validation.validate(raw, contract, vmode, obs)
+    val result = tracer.span("phase.validate") {
+      Validation.validate(raw, contract, vmode, obs)
+    }
 
     val base = outputBase(tgt, contract, job.tenantId)
     val partitions =
@@ -320,7 +345,8 @@ object JobRunner {
     // (W8, small by construction; the collect satisfies both
     // observations); everything else goes through a CommitBackend.
     var commitResult: Option[graft.sinks.CommitResult] = None
-    val outputLocation =
+    val outputLocation = tracer.span("phase.commit",
+      Map("target.type" -> tgt.connectorType)) {
       if (tgt.connectorType == "google_sheets") {
         val api = graft.plugins.PluginLoader.load(
           Yaml.str(tgt.raw, "api_class").getOrElse(
@@ -374,6 +400,7 @@ object JobRunner {
         }
         base
       }
+    }
 
     val metrics = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     val valid = outObs.get("valid_records").asInstanceOf[Long]
@@ -383,22 +410,24 @@ object JobRunner {
     // would both mask a successful run and (worse) make runWithRetry
     // re-append the committed rows. Worst case of a lost state write is
     // one redundant re-extract next run.
-    try {
-      inc.store.foreach { st =>
-        if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
-          st.updateFileStates(inc.processedFiles)
-        if (inc.processedDriveFiles.nonEmpty)
-          st.updateFileEntries(inc.processedDriveFiles)
-        if (inc.processedSpreadsheets.nonEmpty)
-          st.updateSpreadsheetEntries(inc.processedSpreadsheets)
-        inc.airbyteState.foreach(
-          st.updateCursorState(inc.objectName, "airbyte_state", _))
-        for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
-          st.updateCursorState(inc.objectName, c, v.toString)
+    tracer.span("phase.state") {
+      try {
+        inc.store.foreach { st =>
+          if (inc.strategy.contains("file_modified_time") && inc.processedFiles.nonEmpty)
+            st.updateFileStates(inc.processedFiles)
+          if (inc.processedDriveFiles.nonEmpty)
+            st.updateFileEntries(inc.processedDriveFiles)
+          if (inc.processedSpreadsheets.nonEmpty)
+            st.updateSpreadsheetEntries(inc.processedSpreadsheets)
+          inc.airbyteState.foreach(
+            st.updateCursorState(inc.objectName, "airbyte_state", _))
+          for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
+            st.updateCursorState(inc.objectName, c, v.toString)
+        }
+      } catch {
+        case e: Exception =>
+          log(s"state persist failed (non-fatal): ${e.getMessage}")
       }
-    } catch {
-      case e: Exception =>
-        log(s"state persist failed (non-fatal): ${e.getMessage}")
     }
 
     // records_per_second over extracted records (metrics.py:213-219)
@@ -494,7 +523,13 @@ object RunJob {
         BatchRunner.infrastructureErrors(loaded).foreach(e =>
           System.err.println(s"[graft] Infrastructure validation warning: $e"))
       } catch { case _: Exception => () } // config errors surface in run()
-      val report = JobRunner.run(spark, jobPath, mode)
+      // GRAFT_TRACE=1 turns on the span log (tracing.py's OTel-or-log
+      // degradation — this build's "exporter" is the structured log line)
+      val tracer =
+        if (sys.env.contains("GRAFT_TRACE"))
+          graft.infra.Tracing.logTracer(m => System.err.println(s"[graft] $m"))
+        else graft.infra.Tracing.disabled
+      val report = JobRunner.run(spark, jobPath, mode, tracer = tracer)
       System.err.println(
         s"[graft] records=${report.records} valid=${report.validRecords} " +
           s"errors=${report.errors} out=${report.outputPath} " +

@@ -50,6 +50,35 @@ trait Writer extends Serializable {
   */
 object PluginLoader {
 
+  /** Cloud-mode sandbox policy (reference sandbox.py:1328-1360 +
+    * plugins.py:543-545): the reference Docker-sandboxes plugins in cloud
+    * mode by default, with `sandbox.enabled` as the explicit override in
+    * either direction. This build has NO sandbox runtime — running an
+    * untrusted class in-process would silently void the isolation the
+    * cloud contract promises — so where the reference would sandbox, we
+    * REFUSE to load, unless the config explicitly opts out with
+    * `sandbox: {enabled: false}` (accepting in-process execution).
+    * Self-hosted mode runs in-process, like the reference's default.
+    */
+  def requireSandboxPolicy(className: String, mode: String,
+      pluginConfig: Map[String, Any] = Map.empty): Unit = {
+    val explicit: Option[Boolean] = pluginConfig.get("enabled")
+      .orElse(pluginConfig.get("sandbox") match {
+        case Some(m: Map[String, Any] @unchecked) => m.get("enabled")
+        case other => other
+      })
+      .map(v => String.valueOf(v).equalsIgnoreCase("true"))
+    val needsSandbox = explicit.getOrElse(mode == "cloud")
+    if (needsSandbox)
+      throw new UnsupportedOperationException(
+        s"Plugin '$className' requires sandboxed execution " +
+          (if (mode == "cloud") "(cloud mode sandboxes plugins by default)"
+           else "(sandbox.enabled=true)") +
+          ", but this build has no sandbox runtime. Run in self_hosted " +
+          "mode, or set sandbox.enabled=false to explicitly accept " +
+          "in-process execution.")
+  }
+
   def load[T](className: String, expected: Class[T]): T = {
     // A Scala `object` compiles to Name.class (static forwarders, no
     // constructor) + Name$.class (MODULE$ singleton) — probe the object

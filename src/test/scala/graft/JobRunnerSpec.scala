@@ -79,6 +79,21 @@ class JobRunnerSpec extends SparkSpec {
     r.commitBackend shouldBe "parquet_only"
   }
 
+  test("tracing: job root span + phase spans with durations (tracing.py)") {
+    val (tracer, spans) = graft.infra.Tracing.collector()
+    val (_, job) = fixture(Seq("1,alice,9.5"), "strict")
+    JobRunner.run(spark, job, tracer = tracer).exitCode shouldBe ExitCodes.Success
+    val names = spans().map(_.name)
+    names should contain allOf ("phase.configure", "phase.extract",
+      "phase.validate", "phase.commit", "phase.state")
+    names.last should startWith("job.") // root ends last
+    spans().filter(_.name.startsWith("phase."))
+      .foreach(_.parent.get should startWith("job."))
+    all(spans().map(_.durationMs)) should be >= 0.0
+    spans().find(_.name == "phase.extract").get
+      .attributes("connector.type") shouldBe "csv"
+  }
+
   test("strict run with errors: invalid rows dropped, exit 2") {
     val (_, job) = fixture(Seq("1,alice,9.5", ",bob,1.0", "3,carol,oops"), "strict")
     val r = JobRunner.run(spark, job)

@@ -71,5 +71,39 @@ class PluginsSpec extends SparkSpec {
     val r = graft.JobRunner.run(spark, job)
     r.exitCode shouldBe 0
     r.validRecords shouldBe 1
+
+    // cloud mode refuses the unsandboxed plugin (sandbox.py:1328-1360:
+    // the reference would Docker-sandbox it; we have no sandbox runtime)
+    val e = intercept[UnsupportedOperationException] {
+      graft.JobRunner.run(spark, job, mode = "cloud")
+    }
+    e.getMessage should include("sandbox")
+
+    // explicit opt-out accepts in-process execution even in cloud mode
+    val job2 = w("job2.yaml",
+      s"""tenant_id: tp
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |source:
+         |  custom_reader: graft.plugins.FixtureReader
+         |  sandbox: {enabled: false}
+         |target:
+         |  connection: {path: ${dir.resolve("out2")}}
+         |""".stripMargin)
+    graft.JobRunner.run(spark, job2, mode = "cloud").exitCode shouldBe 0
+  }
+
+  test("sandbox policy: self_hosted in-process; sandbox.enabled=true refuses too") {
+    noException should be thrownBy
+      PluginLoader.requireSandboxPolicy("X", "self_hosted")
+    an[UnsupportedOperationException] should be thrownBy
+      PluginLoader.requireSandboxPolicy("X", "cloud")
+    an[UnsupportedOperationException] should be thrownBy
+      PluginLoader.requireSandboxPolicy("X", "self_hosted",
+        Map("enabled" -> "true")) // explicit sandbox request: cannot honor
+    noException should be thrownBy
+      PluginLoader.requireSandboxPolicy("X", "cloud", Map("enabled" -> false))
   }
 }
