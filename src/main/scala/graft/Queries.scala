@@ -308,6 +308,18 @@ object Queries {
       bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
       .withColumn("hamming", col("hamming").cast(LongType))
 
+  /** Paragraph-level dedup (corpus-wide keep-first + reassembly). The
+    * synthetic documents have no blank-line paragraphs, so the registered
+    * query splits on single spaces — every token a "paragraph" — which
+    * drives the identical split → fingerprint-window → ordered-reassembly
+    * plan and lets DuckDB replay it exactly; production use keeps the
+    * `\n{2,}` default.
+    */
+  def dedupParagraph(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropDuplicateParagraphs(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+      sepRegex = " ", joinSep = " ")
+
   /** PRODUCTION simhash: xxhash64 token hash over the full 64 bits — the
     * default a user actually ships ([[graft.operators.Dedup
     * .simhashNearDupPairs]] defaults). xxhash64 has no DuckDB analog, so
@@ -476,6 +488,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_minhash_drop" -> dedupMinhashDrop _,
     "dedup_ngram_block" -> dedupNgramBlock _,
+    "dedup_paragraph" -> dedupParagraph _,
     "dedup_simhash" -> dedupSimhash _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
@@ -781,6 +794,19 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH paras AS (
+        |  SELECT doc_id, unnest(range(1, len(ps)+1)) AS idx, unnest(ps) AS para
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ps FROM documents) t
+        |), kept AS (
+        |  SELECT doc_id, idx, para,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY trim(regexp_replace(lower(para), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM paras WHERE trim(para) <> ''
+        |)
+        |SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
+        |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),

@@ -294,6 +294,50 @@ object Dedup {
     df.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------ paragraph dedup
+
+  /** PARAGRAPH-level dedup: remove repeated paragraphs across the whole
+    * corpus, keeping each paragraph's first occurrence in (id, position)
+    * order, and reassemble every document from its surviving paragraphs
+    * in original order. This is the boilerplate-removal pass of web-scale
+    * curation pipelines (repeated headers/footers/licenses across pages)
+    * — document-level dedup cannot catch it because the surrounding text
+    * differs.
+    *
+    * Scale shape: two narrow shuffles — the keep-first window partitions
+    * on the 16-byte paragraph fingerprint (never the paragraph text), and
+    * the reassembly groups by document id with a per-document
+    * `collect_list` bounded by document size. Documents whose paragraphs
+    * are ALL duplicates disappear from the output (they contributed
+    * nothing new), matching what curation pipelines do.
+    *
+    * `sepRegex` splits paragraphs (default: blank lines), `joinSep`
+    * rejoins the survivors.
+    */
+  def dropDuplicateParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\\n{2,}",
+      joinSep: String = "\n\n"
+  ): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+    val w = Window.partitionBy(fingerprint(col("para")))
+      .orderBy(col("id"), col("idx"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x.getField("para")),
+        joinSep).as(textCol))
+      .select(col("id").as(idCol), col(textCol))
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** ±1 vote per bit position of a 64-bit hash (bit positions unrolled as

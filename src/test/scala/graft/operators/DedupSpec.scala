@@ -133,6 +133,27 @@ class DedupSpec extends SparkSpec {
     out.select("id").as[Long].collect().sorted shouldBe Array(1L, 9L)
   }
 
+  test("dropDuplicateParagraphs: corpus-wide keep-first, order-preserving reassembly") {
+    val docs = Seq(
+      (1L, "alpha one\n\nshared boilerplate\n\nbeta two"),
+      (2L, "shared boilerplate\n\ngamma three"), // loses the repeated para
+      (3L, "shared boilerplate"),                // ALL paras duplicate → dropped
+      (4L, "alpha one extended\n\n\n\ndelta four") // \n{2,} handles 2+ newlines
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "alpha one\n\nshared boilerplate\n\nbeta two"
+    out(2L) shouldBe "gamma three"
+    out.contains(3L) shouldBe false
+    out(4L) shouldBe "alpha one extended\n\ndelta four"
+  }
+
+  test("dropDuplicateParagraphs: in-document repeats collapse to first") {
+    val docs = Seq((5L, "x\n\ny\n\nx\n\nz")).toDF("doc_id", "text")
+    Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .as[(Long, String)].collect().head._2 shouldBe "x\n\ny\n\nz"
+  }
+
   test("ngramJaccardPairs: stop-shingle df-cap drops hot-shingle-only pairs") {
     // ten docs share ONE boilerplate shingle ("standard legal disclaimer")
     // but are otherwise disjoint; docs 100/101 are genuine near-dups
