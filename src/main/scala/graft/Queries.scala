@@ -308,6 +308,11 @@ object Queries {
       bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
       .withColumn("hamming", col("hamming").cast(LongType))
 
+  /** Gopher-style repetition signals over the documents table. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionSignals(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+
   /** Paragraph-level dedup (corpus-wide keep-first + reassembly). The
     * synthetic documents have no blank-line paragraphs, so the registered
     * query splits on single spaces — every token a "paragraph" — which
@@ -501,7 +506,8 @@ object Queries {
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "text_quality" -> textQuality _,
-    "text_langid" -> textLangId _
+    "text_langid" -> textLangId _,
+    "text_repetition" -> textRepetition _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -794,6 +800,34 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    "text_repetition" ->
+      """WITH words0 AS (
+        |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents)
+        |), ww AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |      THEN w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    END AS bg
+        |  FROM words0 WHERE w <> ''
+        |), wa AS (
+        |  SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n_words,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(wc) AS max_wc
+        |  FROM (SELECT doc_id, w, count(*) AS wc FROM ww GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |), ba AS (
+        |  SELECT doc_id AS bdoc, CAST(SUM(bc) AS BIGINT) AS n_bigrams,
+        |    MAX(bc) AS max_bc
+        |  FROM (SELECT doc_id, bg, count(*) AS bc FROM ww
+        |        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+        |  GROUP BY doc_id
+        |)
+        |SELECT wa.doc_id, n_words,
+        |  1.0 - n_distinct * 1.0 / n_words AS dup_word_frac,
+        |  max_wc * 1.0 / n_words AS top_word_frac,
+        |  max_bc * 1.0 / n_bigrams AS top_bigram_frac
+        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.bdoc""".stripMargin,
     "dedup_paragraph" ->
       """WITH paras AS (
         |  SELECT doc_id, unnest(range(1, len(ps)+1)) AS idx, unnest(ps) AS para

@@ -91,4 +91,54 @@ object TextAnalysis {
     * text) — same definition as Dedup.fingerprint.
     */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 quality
+    * filters; also used by C4/RefinedWeb-class pipelines): documents
+    * dominated by a few repeated words/n-grams are boilerplate or spam.
+    * Per document:
+    *  - `n_words` — whitespace token count,
+    *  - `dup_word_frac` — 1 − distinct/total words (repeated-token mass),
+    *  - `top_word_frac` — occurrences of the most frequent word / total,
+    *  - `top_bigram_frac` — occurrences of the most frequent word bigram
+    *    / total bigrams (null when the document has < 2 words).
+    *
+    * Scale shape: one explode + two hash aggregations (doc×word, then
+    * doc) — partial aggregation keeps the shuffle narrow; the bigram
+    * needs one window over (doc, position), which shares the doc-id
+    * shuffle. No raw text is shuffled, only (id, word) pairs.
+    *
+    * Ties on the max count resolve identically in any engine (max of
+    * counts, not argmax of words), so the whole bundle oracles exactly.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wByDoc = Window.partitionBy("id").orderBy("pos")
+    val withBigram = words.withColumn("bg",
+      when(lead(col("w"), 1).over(wByDoc).isNotNull,
+        concat_ws(" ", col("w"), lead(col("w"), 1).over(wByDoc))))
+    val wordAgg = withBigram.groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .groupBy(col("id"))
+      .agg(sum(col("wc")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("wc")).as("max_wc"))
+    val bigramAgg = withBigram.filter(col("bg").isNotNull)
+      .groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("bc"))
+      .groupBy(col("id"))
+      .agg(sum(col("bc")).as("n_bigrams"), max(col("bc")).as("max_bc"))
+    wordAgg.join(bigramAgg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        (col("max_wc").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        (col("max_bc").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
 }

@@ -39,6 +39,23 @@ class TextAnalysisSpec extends SparkSpec {
     out(4L) shouldBe "de"
   }
 
+  test("repetition signals: dup/top word and bigram fractions (Gopher A1.1)") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),      // 4 words, 2 distinct, top=3×spam
+      (2L, "all words are different"), // no repetition
+      (3L, "solo")                     // 1 word → no bigrams (null frac)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getLong(1) shouldBe 4L                         // n_words
+    out(1L).getDouble(2) shouldBe 0.5 +- 1e-12             // dup_word_frac
+    out(1L).getDouble(3) shouldBe 0.75 +- 1e-12            // top_word_frac
+    out(1L).getDouble(4) shouldBe (2.0 / 3) +- 1e-12       // "spam spam" ×2 / 3
+    out(2L).getDouble(2) shouldBe 0.0 +- 1e-12
+    out(2L).getDouble(4) shouldBe (1.0 / 3) +- 1e-12       // 3 bigrams, all unique
+    out(3L).isNullAt(4) shouldBe true                      // < 2 words
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a  B\tc", "A b C")).toDF("x", "y")
     val r = df.select(
