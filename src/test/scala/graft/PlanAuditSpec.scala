@@ -63,6 +63,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("repetition signals keep partial (map-side) aggregation") {
+    val p = plan("text_repetition")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+    // (doc, word) counts partial-aggregate before the doc-id shuffle —
+    // the corpus shuffles narrow count rows, never raw text columns
+    "HashAggregate".r.findAllIn(p).length should be >= 4
+  }
+
+  test("paragraph dedup shuffles fingerprints, not paragraph-free text") {
+    val p = plan("dedup_paragraph")
+    p should include("md5") // window partitions on the 16-byte fingerprint
+    p should not include "CartesianProduct"
+  }
+
   test("strict-filter pipeline stays in whole-stage codegen") {
     // executedPlan.toString marks codegen stages with "*(n)"; the observe
     // CollectMetrics node is the only barrier in the pipeline
