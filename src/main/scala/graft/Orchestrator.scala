@@ -88,18 +88,53 @@ object Orchestrator {
     * arrived; returns updated next-run times. Pure w.r.t. the clock so
     * tests drive it with a virtual one (orchestrated.py's loop, minus
     * the daemon).
+    *
+    * `concurrency` bounds how many due schedules run at once (default 1 =
+    * sequential, the reference's behavior — its `concurrency_per_tenant`
+    * knob is acknowledged unenforced at orchestrated.py:344-354). With
+    * N > 1, due jobs run on a fixed pool of N driver threads, each tagged
+    * with a Spark fair-scheduler pool; the returned sequence keeps
+    * schedule order either way. A job that throws maps to exit 2 rather
+    * than killing the tick.
     */
   def tick(
       spark: SparkSession,
       due: Seq[(Schedule, java.time.LocalDateTime)],
       now: java.time.LocalDateTime,
       runJob: (SparkSession, String, JobRunner.RetryPolicy) => Int =
-        (s, p, r) => JobRunner.runWithRetry(s, p, r).exitCode
-  ): Seq[(Schedule, java.time.LocalDateTime, Option[Int])] =
-    due.map { case (sched, at) =>
-      if (!now.isBefore(at)) {
-        val exit = runJob(spark, sched.jobPath, sched.retry)
-        (sched, nextRun(sched, now), Some(exit))
-      } else (sched, at, None)
+        (s, p, r) => JobRunner.runWithRetry(s, p, r).exitCode,
+      concurrency: Int = 1
+  ): Seq[(Schedule, java.time.LocalDateTime, Option[Int])] = {
+    require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
+    def exec(sched: Schedule): Int =
+      try runJob(spark, sched.jobPath, sched.retry)
+      catch { case _: Exception => graft.core.ExitCodes.Failure }
+    if (concurrency == 1 || due.count { case (_, at) => !now.isBefore(at) } <= 1)
+      due.map { case (sched, at) =>
+        if (!now.isBefore(at)) (sched, nextRun(sched, now), Some(exec(sched)))
+        else (sched, at, None)
+      }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      try {
+        val futures = due.map { case (sched, at) =>
+          if (!now.isBefore(at))
+            Left(pool.submit(new java.util.concurrent.Callable[Int] {
+              def call(): Int = {
+                spark.sparkContext.setLocalProperty(
+                  "spark.scheduler.pool", s"graft-sched-${sched.name}")
+                try exec(sched)
+                finally spark.sparkContext
+                  .setLocalProperty("spark.scheduler.pool", null)
+              }
+            }) -> sched)
+          else Right((sched, at))
+        }
+        futures.map {
+          case Left((f, sched)) => (sched, nextRun(sched, now), Some(f.get()))
+          case Right((sched, at)) => (sched, at, None)
+        }
+      } finally pool.shutdown()
     }
+  }
 }

@@ -61,6 +61,41 @@ class OrchestratorSpec extends SparkSpec {
     out(1)._3 shouldBe None // not due yet
   }
 
+  test("tick concurrency=2: due jobs overlap, order + reschedule preserved") {
+    val now = LocalDateTime.of(2024, 1, 1, 12, 0)
+    val s = Schedule("a", "a.yaml", Some(60), None, retry)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = tick(spark,
+      Seq((s, now.minusSeconds(1)),
+        (s.copy(name = "b", jobPath = "b.yaml"), now.minusSeconds(1)),
+        (s.copy(name = "later"), now.plusMinutes(5))),
+      now,
+      runJob = (_, path, _) => {
+        // increment OUTSIDE the CAS-retried update fn (it may re-run)
+        val cur = inFlight.incrementAndGet()
+        maxInFlight.getAndUpdate(m => math.max(m, cur))
+        gate.countDown()
+        gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        inFlight.decrementAndGet()
+        if (path == "b.yaml") 2 else 0
+      },
+      concurrency = 2)
+    maxInFlight.get() shouldBe 2
+    out.map(_._1.name) shouldBe Seq("a", "b", "later")
+    out.map(_._3) shouldBe Seq(Some(0), Some(2), None)
+    out.head._2 shouldBe now.plusSeconds(60)
+  }
+
+  test("tick: a throwing job maps to exit 2, tick survives") {
+    val now = LocalDateTime.of(2024, 1, 1, 12, 0)
+    val s = Schedule("boom", "x.yaml", Some(60), None, retry)
+    val out = tick(spark, Seq((s, now.minusSeconds(1))), now,
+      runJob = (_, _, _) => throw new RuntimeException("nope"))
+    out.head._3 shouldBe Some(graft.core.ExitCodes.Failure)
+  }
+
   test("runner config loads schedules with retry settings") {
     val dir = Files.createTempDirectory("orch-")
     val p = dir.resolve("runner.yaml")
