@@ -385,6 +385,16 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "lang"),
       "lang", "doc_id", n = 20)
 
+  /** Weighted mixture sample: per-source keep fractions in one pass —
+    * keep all of src0, half of src1, a tenth of src2, 5% of the rest.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(
+      t(spark, dir, "documents").select("doc_id", "source"),
+      "source", "doc_id",
+      fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
+      defaultFraction = 0.05)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -500,6 +510,7 @@ object Queries {
     "ann_cosine_neardup" -> annCosineNearDup _,
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_stratified" -> sampleStratified _,
+    "sample_mixture" -> sampleMixture _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -613,9 +624,20 @@ object Queries {
        |  FROM documents)
        |WHERE rn <= 20""".stripMargin
 
+  private val sampleMixtureOracle: String = {
+    import graft.operators.Sampling.thresholdFor
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} <
+       |  CASE source WHEN 'src0' THEN ${thresholdFor(1.0)}
+       |              WHEN 'src1' THEN ${thresholdFor(0.5)}
+       |              WHEN 'src2' THEN ${thresholdFor(0.1)}
+       |              ELSE ${thresholdFor(0.05)} END""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_stratified" -> sampleStratifiedOracle,
+    "sample_mixture" -> sampleMixtureOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,

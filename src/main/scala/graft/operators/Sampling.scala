@@ -44,6 +44,34 @@ object Sampling {
   def bernoulliSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(sampleKey(col(idCol)) < lit(thresholdFor(fraction)))
 
+  /** Weighted mixture sampling: one deterministic Bernoulli draw with a
+    * per-stratum fraction — the data-mixing primitive (e.g. keep 100% of
+    * code, 30% of web crawl) done in a single pass. The per-row threshold
+    * is a chained CASE of literals on the stratum column, so the whole
+    * operator stays a pure codegen'd filter: NO shuffle, no join against
+    * a fraction table, map-side at scan speed at 100 TB. Strata absent
+    * from `fractions` (including a null stratum) fall back to
+    * `defaultFraction`.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val dflt = lit(thresholdFor(defaultFraction))
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (stratum, f)) =>
+        val branch = col(strataCol) === lit(stratum)
+        Some(acc match {
+          case None    => when(branch, lit(thresholdFor(f)))
+          case Some(c) => c.when(branch, lit(thresholdFor(f)))
+        })
+      }
+      .map(_.otherwise(dflt)).getOrElse(dflt)
+    df.filter(sampleKey(col(idCol)) < threshold)
+  }
+
   /** Deterministic stratified sample: the first `n` rows of each stratum
     * in (hash, id) order — a uniform without-replacement draw per
     * stratum.

@@ -34,6 +34,28 @@ class SamplingSpec extends SparkSpec {
     p should not include "Exchange"
   }
 
+  test("mixture: per-stratum fractions, consistent with bernoulli, no Exchange") {
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source")
+    val m = Sampling.mixtureSample(src, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.3), defaultFraction = 0.0)
+    val got = m.collect().map(r => r.getLong(0) -> r.getString(1))
+    // default 0.0 drops every unlisted stratum
+    got.map(_._2).toSet should contain only ("src0", "src1")
+    // each listed stratum equals the plain bernoulli draw at its fraction
+    val src0 = src.filter(col("source") === "src0")
+    got.filter(_._2 == "src0").map(_._1).toSet shouldBe
+      Sampling.bernoulliSample(src0, "doc_id", 1.0)
+        .collect().map(_.getLong(0)).toSet
+    val src1 = src.filter(col("source") === "src1")
+    got.filter(_._2 == "src1").map(_._1).toSet shouldBe
+      Sampling.bernoulliSample(src1, "doc_id", 0.3)
+        .collect().map(_.getLong(0)).toSet
+    // still a pure map-side filter
+    m.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("stratified: exactly n per stratum (or the whole stratum), deterministic") {
     val s = Sampling.stratifiedSample(docs, "lang", "doc_id", 20)
     val counts = s.groupBy("lang").count().collect()
