@@ -395,6 +395,17 @@ object Queries {
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
       defaultFraction = 0.05)
 
+  /** Benchmark decontamination: every 20th doc plays the held-out eval
+    * set; the rest of the corpus is scored by shared 3-gram count.
+    */
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Decontaminate.contaminationReport(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      bench = docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", shingleN = 3)
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -511,6 +522,7 @@ object Queries {
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
+    "text_decontaminate" -> textDecontaminate _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -863,6 +875,20 @@ object Queries {
         |)
         |SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text
         |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+        |csh AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM csh JOIN bench USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  h.doc_id IS NOT NULL AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
