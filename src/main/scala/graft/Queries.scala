@@ -406,6 +406,30 @@ object Queries {
       "doc_id", "text", shingleN = 3)
   }
 
+  /** PII scrub: the corpus text carries no PII (verified — no digits or
+    * '@' in testdata), so deterministic email/IP/phone spans are salted
+    * in from doc_id (present or absent by mod, so counts vary), then
+    * detected and redacted by the operator under test.
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val salted = t(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0, concat(
+          lit(" mail user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 =!= 0, concat(
+          lit(" ip 10.0."), col("doc_id") % 256, lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 0, concat(
+          lit(" call +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("pii_text"))
+    graft.operators.PiiRedact.withRedaction(salted, "pii_text")
+      .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -523,6 +547,7 @@ object Queries {
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
     "text_decontaminate" -> textDecontaminate _,
+    "text_pii_redact" -> textPiiRedact _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -889,6 +914,27 @@ object Queries {
         |  h.doc_id IS NOT NULL AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "text_pii_redact" -> {
+      import graft.operators.PiiRedact.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH salted AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 <> 0
+         |    THEN ' mail user' || doc_id || '@mail.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 <> 0
+         |    THEN ' ip 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 <> 0
+         |    THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE '' END AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM salted""".stripMargin
+    },
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
