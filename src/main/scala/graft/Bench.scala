@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min over `reps` runs per query: single-run local[32] timings swing
+    // ±20% with GC/JIT noise; the minimum is the stable "cost of the
+    // plan" estimate. Reported in the JSON so rounds stay comparable.
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,19 +24,22 @@ object Bench {
     val results = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every
-      // unreferenced projection, so projection-heavy queries would time a
-      // bare scan instead of the operator. The noop sink consumes every
-      // row and column with zero write cost.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink, not count(): count() lets Catalyst prune every
+          // unreferenced projection, so projection-heavy queries would time
+          // a bare scan instead of the operator. The noop sink consumes
+          // every row and column with zero write cost.
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }
