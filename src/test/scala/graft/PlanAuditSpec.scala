@@ -78,6 +78,23 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("sampling filters and PII scrub are shuffle-free map-side plans") {
+    for (name <- Seq("sample_bernoulli", "sample_mixture", "text_pii_redact")) {
+      withClue(s"$name: ") {
+        plan(name) should not include "Exchange"
+      }
+    }
+  }
+
+  test("decontamination broadcasts the benchmark shingles (initial plan)") {
+    val p = plan("text_decontaminate")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the corpus-side scan prunes to (doc_id, text); n_chars never read
+    val read = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    read should not include "n_chars"
+  }
+
   test("strict-filter pipeline stays in whole-stage codegen") {
     // executedPlan.toString marks codegen stages with "*(n)"; the observe
     // CollectMetrics node is the only barrier in the pipeline
