@@ -430,6 +430,13 @@ object Queries {
       .select("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted")
   }
 
+  /** Gopher-rule composite quality verdict per document (default
+    * thresholds; booleans only, so no float formatting crosses engines).
+    */
+  def textGopherFilter(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.gopherQualityReport(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -548,6 +555,7 @@ object Queries {
     "sample_mixture" -> sampleMixture _,
     "text_decontaminate" -> textDecontaminate _,
     "text_pii_redact" -> textPiiRedact _,
+    "text_gopher_filter" -> textGopherFilter _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -934,6 +942,57 @@ object Queries {
          |    '$Ipv4Re', '<IP>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
+    },
+    "text_gopher_filter" -> {
+      val t = graft.operators.TextAnalysis.GopherThresholds()
+      s"""WITH tok AS (SELECT doc_id, text,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS token_count,
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) /
+         |    CAST(len(t) AS DOUBLE) AS mean_token_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+         |    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+         |  FROM tok),
+         |words0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos,
+         |    unnest(ws) AS w
+         |  FROM (SELECT doc_id,
+         |    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents)),
+         |ww AS (SELECT doc_id, pos, w,
+         |  CASE WHEN lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+         |    THEN w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+         |  END AS bg
+         |  FROM words0 WHERE w <> ''),
+         |wa AS (SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(wc) AS max_wc
+         |  FROM (SELECT doc_id, w, count(*) AS wc FROM ww GROUP BY doc_id, w)
+         |  GROUP BY doc_id),
+         |ba AS (SELECT doc_id AS bdoc, CAST(SUM(bc) AS BIGINT) AS n_bigrams,
+         |  MAX(bc) AS max_bc
+         |  FROM (SELECT doc_id, bg, count(*) AS bc FROM ww
+         |        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+         |  GROUP BY doc_id),
+         |r AS (SELECT wa.doc_id,
+         |  1.0 - n_distinct * 1.0 / n_words AS dup_word_frac,
+         |  max_wc * 1.0 / n_words AS top_word_frac,
+         |  max_bc * 1.0 / n_bigrams AS top_bigram_frac
+         |  FROM wa LEFT JOIN ba ON wa.doc_id = ba.bdoc),
+         |f AS (SELECT q.doc_id,
+         |  NOT (token_count BETWEEN ${t.minWords} AND ${t.maxWords})
+         |    AS fail_word_count,
+         |  NOT (mean_token_len BETWEEN ${t.minMeanTokenLen}
+         |    AND ${t.maxMeanTokenLen}) AS fail_mean_token_len,
+         |  punct_ratio > ${t.maxPunctRatio} AS fail_punct_ratio,
+         |  COALESCE(dup_word_frac > ${t.maxDupWordFrac}, FALSE) AS fail_dup_word,
+         |  COALESCE(top_word_frac > ${t.maxTopWordFrac}, FALSE) AS fail_top_word,
+         |  COALESCE(top_bigram_frac > ${t.maxTopBigramFrac}, FALSE)
+         |    AS fail_top_bigram
+         |  FROM q LEFT JOIN r ON q.doc_id = r.doc_id)
+         |SELECT doc_id, fail_word_count, fail_mean_token_len, fail_punct_ratio,
+         |  fail_dup_word, fail_top_word, fail_top_bigram,
+         |  NOT (fail_word_count OR fail_mean_token_len OR fail_punct_ratio OR
+         |       fail_dup_word OR fail_top_word OR fail_top_bigram) AS keep
+         |FROM f""".stripMargin
     },
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,

@@ -110,6 +110,76 @@ object TextAnalysis {
     * Ties on the max count resolve identically in any engine (max of
     * counts, not argmax of words), so the whole bundle oracles exactly.
     */
+  /** Thresholds for [[gopherQualityReport]] — the Gopher §A1.1 rule
+    * shapes (word-count window, mean-word-length window, symbol and
+    * repetition caps), with defaults tuned so the synthetic corpus
+    * splits rather than all-passing. Every rule is a pure comparison
+    * over signals this file already defines.
+    */
+  case class GopherThresholds(
+      minWords: Long = 30,
+      maxWords: Long = 100000,
+      minMeanTokenLen: Double = 2.0,
+      maxMeanTokenLen: Double = 12.0,
+      maxPunctRatio: Double = 0.2,
+      maxDupWordFrac: Double = 0.6,
+      maxTopWordFrac: Double = 0.12,
+      maxTopBigramFrac: Double = 0.2)
+
+  /** Composite Gopher-style quality verdict: one row per document with a
+    * boolean per failed rule plus the overall `keep`. Rules over
+    * missing repetition signals (docs too short for bigrams) count as
+    * passed, matching Gopher's "rule does not apply" reading.
+    *
+    * Scale shape: the per-row signals are map-side; repetition adds its
+    * usual narrow (id, word) shuffle; the final join shuffles only
+    * (id, 3 doubles) rows. Booleans-only output keeps the oracle free
+    * of cross-engine float formatting.
+    */
+  def gopherQualityReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val base = withQualitySignals(df.select(col(idCol), col(textCol)), textCol)
+    val rep = repetitionSignals(df, idCol, textCol)
+      .select(col(idCol), col("dup_word_frac"), col("top_word_frac"),
+        col("top_bigram_frac"))
+    val failWordCount = !col("token_count").between(t.minWords, t.maxWords)
+    val failMeanLen = !col("mean_token_len")
+      .between(t.minMeanTokenLen, t.maxMeanTokenLen)
+    val failPunct = col("punct_ratio") > t.maxPunctRatio
+    val failDupWord =
+      coalesce(col("dup_word_frac") > t.maxDupWordFrac, lit(false))
+    val failTopWord =
+      coalesce(col("top_word_frac") > t.maxTopWordFrac, lit(false))
+    val failTopBigram =
+      coalesce(col("top_bigram_frac") > t.maxTopBigramFrac, lit(false))
+    base.join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        failWordCount.as("fail_word_count"),
+        failMeanLen.as("fail_mean_token_len"),
+        failPunct.as("fail_punct_ratio"),
+        failDupWord.as("fail_dup_word"),
+        failTopWord.as("fail_top_word"),
+        failTopBigram.as("fail_top_bigram"),
+        (!(failWordCount || failMeanLen || failPunct || failDupWord ||
+          failTopWord || failTopBigram)).as("keep"))
+  }
+
+  /** The corpus cut: documents passing every Gopher rule, original
+    * columns intact (left-semi against the report).
+    */
+  def gopherQualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      t: GopherThresholds = GopherThresholds()): DataFrame =
+    df.join(
+      gopherQualityReport(df, idCol, textCol, t)
+        .filter(col("keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df

@@ -56,6 +56,28 @@ class TextAnalysisSpec extends SparkSpec {
     out(3L).isNullAt(4) shouldBe true                      // < 2 words
   }
 
+  test("gopher filter: each rule fires on its own pathology") {
+    val longClean = (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, longClean),                                   // passes everything
+      (2L, "too short"),                                 // word-count floor
+      (3L, (1 to 40).map(_ => "spam").mkString(" ")),    // dup + top word
+      (4L, (1 to 40).map(_ => "!!").mkString(" "))       // punct ratio
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.gopherQualityReport(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rep(1L).getBoolean(7) shouldBe true   // keep
+    rep(2L).getBoolean(1) shouldBe true   // fail_word_count
+    rep(2L).getBoolean(7) shouldBe false
+    rep(3L).getBoolean(4) shouldBe true   // fail_dup_word
+    rep(3L).getBoolean(5) shouldBe true   // fail_top_word
+    rep(3L).getBoolean(7) shouldBe false
+    rep(4L).getBoolean(3) shouldBe true   // fail_punct_ratio
+    rep(4L).getBoolean(7) shouldBe false
+    TextAnalysis.gopherQualityFilter(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq(("a  B\tc", "A b C")).toDF("x", "y")
     val r = df.select(
