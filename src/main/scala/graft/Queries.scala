@@ -437,6 +437,14 @@ object Queries {
     graft.operators.TextAnalysis.gopherQualityReport(
       t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
 
+  /** Token-window chunking: 32-token windows sliding by 24 (8-token
+    * overlap) — documents become training-sequence-sized pieces.
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkByTokens(
+      t(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", maxTokens = 32, overlap = 8)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -556,6 +564,7 @@ object Queries {
     "text_decontaminate" -> textDecontaminate _,
     "text_pii_redact" -> textPiiRedact _,
     "text_gopher_filter" -> textGopherFilter _,
+    "text_chunk" -> textChunk _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -943,6 +952,18 @@ object Queries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
     },
+    "text_chunk" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM tok),
+        |e AS (SELECT doc_id, t, n,
+        |  unnest(range(0, CAST((greatest(n - 32, 0) + 23) // 24 AS BIGINT) + 1))
+        |    AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
+        |  CAST(least(32, n - chunk_idx*24) AS BIGINT) AS n_tokens
+        |FROM e""".stripMargin,
     "text_gopher_filter" -> {
       val t = graft.operators.TextAnalysis.GopherThresholds()
       s"""WITH tok AS (SELECT doc_id, text,

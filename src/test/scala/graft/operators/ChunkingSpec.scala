@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Chunking: window/overlap arithmetic, tail coverage, single-chunk
+  * shorts, and the shuffle-free plan shape.
+  */
+class ChunkingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("windows slide by stride and the tail is always covered") {
+    // 10 tokens, maxTokens=4, overlap=1 → stride 3, starts 0,3,6 → last
+    // window [6,10) catches the tail
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(
+      (0L, "t1 t2 t3 t4", 4L),
+      (1L, "t4 t5 t6 t7", 4L),
+      (2L, "t7 t8 t9 t10", 4L))
+    // every token appears; consecutive chunks share exactly `overlap`
+    out.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      a.split(" ").last shouldBe b.split(" ").head
+    }
+  }
+
+  test("short documents yield exactly one (possibly partial) chunk") {
+    val df = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", maxTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    out(1L) shouldBe (("a b c", 3L))
+    out(2L) shouldBe (("solo", 1L))
+  }
+
+  test("non-divisible tail gets a shorter final chunk, never empty") {
+    // 7 tokens, maxTokens=4, overlap=0 → chunks [0,4) and [4,7)
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(df, "doc_id", "text", maxTokens = 4)
+      .orderBy("chunk_idx").collect().map(r => (r.getString(2), r.getLong(3)))
+    out shouldBe Array(("a b c d", 4L), ("e f g", 3L))
+  }
+
+  test("chunking is a shuffle-free generate+project plan") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val p = Chunking.chunkByTokens(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+  }
+}
