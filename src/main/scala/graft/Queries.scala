@@ -251,6 +251,20 @@ object Queries {
       .select("user_id", "event_id", "event_type")
   }
 
+  /** As-of join: each click gets the latest same-user purchase at or
+    * before it (ts + value), nulls where no purchase precedes.
+    */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(spark, dir)
+    graft.operators.AsofJoin.asofJoin(
+      left = e.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts"),
+      right = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value", "event_id"),
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightVals = Seq("ts", "value"), tieBreak = Seq("event_id"))
+  }
+
   // ------------------------------------------------------ LLM-pipeline ops
   /** Exact dedup: duplicate the corpus with shifted ids, keep min doc_id
     * per distinct text (hash groupBy — map-side combine, one shuffle).
@@ -541,6 +555,7 @@ object Queries {
     "q3_join_agg" -> q3JoinAgg _,
     "q6_filter_agg" -> q6FilterAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
+    "events_asof_join" -> eventsAsofJoin _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "window_running_count" -> windowRunningCount _,
@@ -952,6 +967,13 @@ object Queries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
     },
+    "events_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "text_chunk" ->
       """WITH tok AS (SELECT doc_id,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
