@@ -265,6 +265,27 @@ object Queries {
       rightVals = Seq("ts", "value"), tieBreak = Seq("event_id"))
   }
 
+  /** URL canonicalization + dedup over URLs synthesized from doc_id
+    * (mixed-case host, default port, trailing slash, tracking params,
+    * fragment — each present-or-absent by mod so the corpus collides
+    * onto shared canonical URLs).
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://Src"), col("doc_id") % 20, lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), col("doc_id") % 50,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id") % 7))
+        .when(col("doc_id") % 5 === 0, concat(lit("?id="), col("doc_id") % 7))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+    graft.operators.UrlOps.dedupByUrl(
+      t(spark, dir, "documents").select("doc_id").withColumn("url", url),
+      "doc_id", "url")
+  }
+
   // ------------------------------------------------------ LLM-pipeline ops
   /** Exact dedup: duplicate the corpus with shifted ids, keep min doc_id
     * per distinct text (hash groupBy — map-side combine, one shuffle).
@@ -556,6 +577,7 @@ object Queries {
     "q6_filter_agg" -> q6FilterAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
     "events_asof_join" -> eventsAsofJoin _,
+    "url_dedup" -> urlDedup _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "window_running_count" -> windowRunningCount _,
@@ -967,6 +989,38 @@ object Queries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
     },
+    "url_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        |  '/Docs/' || (doc_id % 50) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || (doc_id % 7)
+        |       WHEN doc_id % 5 = 0 THEN '?id=' || (doc_id % 7) ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, url,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(url, '#.*$', '', 'g'),
+        |          '(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+        |        '\?&+', '?', 'g'),
+        |      '&&+', '&', 'g'),
+        |    '[?&]+$', '', 'g') AS s
+        |  FROM u0),
+        |n1 AS (SELECT doc_id, url,
+        |  regexp_replace(
+        |    regexp_replace(lower(regexp_extract(s,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)), ':(80|443)$', '', 'g')
+        |    || regexp_replace(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g'),
+        |    '/$', '', 'g') AS norm_url
+        |  FROM n0)
+        |SELECT doc_id, url, norm_url,
+        |  min(doc_id) OVER (PARTITION BY norm_url) AS keep_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS is_canonical
+        |FROM n1""".stripMargin,
     "events_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — web-corpus curation dedups documents by
+  * normalized URL before any content pass (same page crawled via
+  * tracking links, mixed-case hosts, default ports, trailing slashes).
+  *
+  * Normalization steps, all pure `regexp_*` scalar expressions
+  * (codegen'd, shuffle-free, and inside the Java∩RE2 regex subset so
+  * the DuckDB oracle replays them exactly):
+  *   1. drop the fragment (`#…`),
+  *   2. strip tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`),
+  *      collapsing the separators they leave behind,
+  *   3. lowercase scheme+host (paths stay case-sensitive per RFC 3986)
+  *      and drop the default `:80`/`:443` port,
+  *   4. strip a trailing slash.
+  *
+  * Dedup-by-URL then composes with [[Dedup.dropExactDuplicates]]-style
+  * keep-min grouping on the normalized column.
+  */
+object UrlOps {
+
+  /** Query parameters that identify a campaign, not a resource. */
+  val TrackingParamRe = "(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)"
+
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, TrackingParamRe + "=[^&]*", "")
+    val collapsed = regexp_replace(
+      regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
+    val noDangle = regexp_replace(collapsed, "[?&]+$", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noDangle, HostRe, 0)), ":(80|443)$", "")
+    val rest = regexp_replace(noDangle, HostRe, "")
+    regexp_replace(concat(host, rest), "/$", "")
+  }
+
+  /** Per-row normalized column plus the canonical-first verdict: the
+    * minimum id per normalized URL is the keeper. One shuffle on the
+    * (narrow) normalized-URL key.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val normed = df.withColumn("norm_url", normalizeUrl(col(urlCol)))
+    normed.withColumn("keep_id",
+      min(col(idCol)).over(Window.partitionBy(col("norm_url"))))
+      .withColumn("is_canonical", col(idCol) === col("keep_id"))
+  }
+}

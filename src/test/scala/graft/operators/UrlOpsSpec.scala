@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization: each normalization rule, their composition,
+  * path case preservation, and the dedup verdict.
+  */
+class UrlOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def norm(u: String): String =
+    Seq(u).toDF("u").select(UrlOps.normalizeUrl(col("u"))).collect()(0).getString(0)
+
+  test("normalization rules, individually and composed") {
+    norm("HTTPS://WWW.Example.COM/Path") shouldBe "https://www.example.com/Path"
+    norm("https://example.com:443/a") shouldBe "https://example.com/a"
+    norm("http://example.com:80/a") shouldBe "http://example.com/a"
+    norm("http://example.com:8080/a") shouldBe "http://example.com:8080/a"
+    norm("https://example.com/a/") shouldBe "https://example.com/a"
+    norm("https://example.com/a#section-2") shouldBe "https://example.com/a"
+    norm("https://example.com/a?utm_source=x&id=5") shouldBe
+      "https://example.com/a?id=5"
+    norm("https://example.com/a?id=5&utm_campaign=y&fbclid=z") shouldBe
+      "https://example.com/a?id=5"
+    norm("https://example.com/a?utm_source=x") shouldBe "https://example.com/a"
+    // everything at once; path case preserved, host case folded
+    norm("HTTPS://Host.COM:443/A/B/?utm_source=f&gclid=g&q=1#frag") shouldBe
+      "https://host.com/A/B/?q=1"
+  }
+
+  test("dedupByUrl: canonical is the min id per normalized URL") {
+    val df = Seq(
+      (1L, "https://a.com/x?utm_source=f"),
+      (2L, "HTTPS://A.COM/x"),
+      (3L, "https://a.com/y")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.dedupByUrl(df, "doc_id", "url")
+      .select("doc_id", "norm_url", "keep_id", "is_canonical")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe (("https://a.com/x", 1L, true))
+    out(2L) shouldBe (("https://a.com/x", 1L, false))
+    out(3L) shouldBe (("https://a.com/y", 3L, true))
+  }
+}
