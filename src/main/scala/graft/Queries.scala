@@ -265,6 +265,23 @@ object Queries {
       rightVals = Seq("ts", "value"), tieBreak = Seq("event_id"))
   }
 
+  /** Incremental exact dedup: docs < 250 are the existing corpus
+    * (fingerprints only), the batch is docs >= 250 plus planted copies
+    * of corpus texts (dropped by the anti-join) and doubled batch texts
+    * (dropped by the in-batch keep-min).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpusFp = d.filter(col("doc_id") < 250)
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+    val batch = d.filter(col("doc_id") >= 250)
+      .union(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.operators.Dedup.dropDuplicatesIncremental(batch, "doc_id", "text", corpusFp)
+  }
+
   /** URL canonicalization + dedup over URLs synthesized from doc_id
     * (mixed-case host, default port, trailing slash, tracking params,
     * fragment — each present-or-absent by mod so the corpus collides
@@ -578,6 +595,7 @@ object Queries {
     "events_latest_per_user" -> eventsLatestPerUser _,
     "events_asof_join" -> eventsAsofJoin _,
     "url_dedup" -> urlDedup _,
+    "dedup_incremental" -> dedupIncremental _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "window_running_count" -> windowRunningCount _,
@@ -989,6 +1007,20 @@ object Queries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
     },
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+        |b AS (SELECT doc_id, text,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM batch),
+        |k AS (SELECT doc_id, text, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
+        |SELECT doc_id, text FROM k
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
     "url_dedup" ->
       """WITH u0 AS (SELECT doc_id,
         |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||

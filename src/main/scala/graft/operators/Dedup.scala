@@ -59,6 +59,32 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Incremental exact dedup — the daily-increment shape: dedup a new
+    * batch against an EXISTING corpus represented only by its stored
+    * fingerprints, never rescanned. Keeps batch rows that (a) are the
+    * lowest-id copy of their text within the batch and (b) whose
+    * fingerprint is absent from the corpus store.
+    *
+    * Scale shape: the 100 TB corpus participates as 16-byte fingerprints
+    * only (a fraction of a percent of corpus bytes, maintained
+    * append-only as batches land); the in-batch window and the left-anti
+    * join both shuffle on that fixed-width key, and both shuffles are
+    * sized by the BATCH, not the corpus — the anti-join's corpus side
+    * streams its narrow fingerprint column.
+    */
+  def dropDuplicatesIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusFingerprints: DataFrame): DataFrame = {
+    val inBatch = dropExactDuplicates(batch, idCol, textCol)
+    val fpName = corpusFingerprints.columns.head
+    inBatch.join(
+      corpusFingerprints.select(col(fpName).as("__cfp")),
+      fingerprint(col(textCol)) === col("__cfp"),
+      "left_anti")
+  }
+
   // ------------------------------------------------------------- MinHash-LSH
 
   /** Row-wise MinHash signature (array<bigint> of length k) — for callers

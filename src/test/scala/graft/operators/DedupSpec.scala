@@ -29,6 +29,19 @@ class DedupSpec extends SparkSpec {
     out.select("id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L, 5L)
   }
 
+  test("dropDuplicatesIncremental: in-batch keep-min, corpus-known texts dropped") {
+    val corpusFp = Seq(Tuple1("known text"))
+      .toDF("text").select(Dedup.fingerprint(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "fresh text"),
+      (11L, "FRESH   text"),   // in-batch normalized dup of 10 → dropped
+      (12L, "Known TEXT"),     // already in corpus → dropped
+      (13L, "another one")
+    ).toDF("id", "text")
+    Dedup.dropDuplicatesIncremental(batch, "id", "text", corpusFp)
+      .select("id").as[Long].collect().sorted shouldBe Array(10L, 13L)
+  }
+
   test("minhash signature is deterministic and length k") {
     val sig = docs.filter($"id" === 1)
       .select(Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 16).as("s"))
