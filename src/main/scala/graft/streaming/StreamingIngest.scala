@@ -51,6 +51,27 @@ object StreamingIngest {
     w.start()
   }
 
+  /** Beyond-reference: streaming exact dedup — the continuous version of
+    * the batch [[graft.operators.Dedup.dropExactDuplicates]] /
+    * incremental dedup: keep the FIRST arrival per content fingerprint,
+    * drop re-arrivals within the watermark horizon.
+    *
+    * State is the 16-byte fingerprint keyed per row and is EVICTED once
+    * the watermark passes (dropDuplicatesWithinWatermark), so a
+    * long-running ingester's state store is bounded by the dedup window,
+    * not the stream's lifetime — the property that makes this runnable
+    * forever at production rates. Rows whose duplicate arrives later
+    * than the watermark delay are treated as new (the usual
+    * cross-horizon tradeoff; the batch pass catches them downstream).
+    */
+  def dedupStream(stream: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("__fp", graft.operators.Dedup.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Beyond-reference: watermarked tumbling-window event counts — the
     * canonical streaming aggregation (late data beyond the watermark is
     * dropped; state is bounded).

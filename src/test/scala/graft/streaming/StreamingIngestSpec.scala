@@ -34,6 +34,40 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 3 // 2 + 1, a.csv not re-ingested
   }
 
+  test("streaming dedup keeps first arrival per fingerprint across batches") {
+    val in = Files.createTempDirectory("stream-dd-")
+    val ckpt = Files.createTempDirectory("stream-dd-ckpt-").toString
+    Files.writeString(in.resolve("a.csv"),
+      "ts,doc\n2024-01-01 00:00:01,hello world\n" +
+        "2024-01-01 00:00:02,HELLO   World\n" + // normalized dup → dropped
+        "2024-01-01 00:00:03,fresh doc\n")
+    val out = Files.createTempDirectory("stream-dd-out-").toString + "/data"
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("ts timestamp, doc string")
+        .option("header", "true").csv(in.toString)
+      val q = StreamingIngest.dedupStream(raw, "doc", "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    spark.read.parquet(out).collect()
+      .map(_.getString(1)).sorted shouldBe Array("fresh doc", "hello world")
+    // a later file re-sending a seen doc within the watermark: still
+    // dropped, because the fingerprint state survives the restart via the
+    // checkpoint
+    Files.writeString(in.resolve("b.csv"),
+      "ts,doc\n2024-01-01 00:00:10,hello  WORLD\n2024-01-01 00:00:11,brand new\n")
+    run()
+    spark.read.parquet(out).collect()
+      .map(_.getString(1)).sorted shouldBe
+      Array("brand new", "fresh doc", "hello world")
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
