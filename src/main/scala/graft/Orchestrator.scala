@@ -84,6 +84,15 @@ object Orchestrator {
               .map(s => (s.toDouble * 1000).toLong).getOrElse(300000L)))
     }
 
+  /** Top-level runner-config concurrency knob — the reference DECLARES
+    * `concurrency_per_tenant` (config.py:1100-1105) but acknowledges it
+    * unenforced (orchestrated.py:344-354); here it feeds [[tick]]'s
+    * `concurrency`. Absent → 1 (sequential, reference behavior).
+    */
+  def loadConcurrency(path: String): Int =
+    Yaml.str(Yaml.loadFile(path), "concurrency_per_tenant")
+      .map(_.toDouble.toInt).getOrElse(1)
+
   /** One scheduling tick: run every schedule whose next-run time has
     * arrived; returns updated next-run times. Pure w.r.t. the clock so
     * tests drive it with a virtual one (orchestrated.py's loop, minus

@@ -114,5 +114,10 @@ class OrchestratorSpec extends SparkSpec {
     ss.head.retry.maxRetries shouldBe 5
     ss.head.retry.initialDelayMs shouldBe 1000
     ss(1).intervalSeconds shouldBe Some(30)
+    Orchestrator.loadConcurrency(p.toString) shouldBe 1 // absent → sequential
+    val p2 = dir.resolve("runner2.yaml")
+    Files.writeString(p2,
+      "concurrency_per_tenant: 4\nschedules: []\n")
+    Orchestrator.loadConcurrency(p2.toString) shouldBe 4
   }
 }
