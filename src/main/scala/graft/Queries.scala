@@ -497,6 +497,14 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "text"),
       "doc_id", "text", maxTokens = 32, overlap = 8)
 
+  /** Sequence packing: concatenate each source's docs (id order) into
+    * one token stream, cut into 64-token training sequences.
+    */
+  def textPack(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.packSequences(
+      t(spark, dir, "documents").select("doc_id", "text", "source"),
+      "doc_id", "text", "source", seqLen = 64)
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -620,6 +628,7 @@ object Queries {
     "text_pii_redact" -> textPiiRedact _,
     "text_gopher_filter" -> textGopherFilter _,
     "text_chunk" -> textChunk _,
+    "text_pack" -> textPack _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -1072,6 +1081,26 @@ object Queries {
         |  array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
         |  CAST(least(32, n - chunk_idx*24) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
+    "text_pack" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |b AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n
+        |  FROM tok WHERE len(t) > 0),
+        |s AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY source
+        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0) AS BIGINT) AS strt FROM b),
+        |e AS (SELECT doc_id, source, t, n, strt,
+        |  unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS seq_id FROM s),
+        |p AS (SELECT source, seq_id,
+        |  greatest(strt, seq_id * 64) AS ps,
+        |  least(strt + n, (seq_id + 1) * 64) AS pe,
+        |  t[(greatest(strt, seq_id*64) - strt + 1) :
+        |    (least(strt+n, (seq_id+1)*64) - strt)] AS piece
+        |  FROM e)
+        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+        |  string_agg(array_to_string(piece, ' '), ' ' ORDER BY ps) AS seq_text,
+        |  CAST(SUM(pe - ps) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY source, seq_id""".stripMargin,
     "text_gopher_filter" -> {
       val t = graft.operators.TextAnalysis.GopherThresholds()
       s"""WITH tok AS (SELECT doc_id, text,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-window document chunking — the step that turns curated
@@ -55,5 +56,60 @@ object Chunking {
           " ").as("chunk_text"),
         least(lit(maxTokens.toLong), col("__n") - col("chunk_idx") * stride)
           .as("n_tokens"))
+  }
+
+  /** Sequence packing — the GPT-style pre-training layout: concatenate
+    * each group's documents (in id order) into one token stream and cut
+    * it into fixed `seqLen` sequences, documents splitting across
+    * boundaries. Exact, deterministic, and layout-independent: a doc's
+    * global token offset is a per-group running sum, each doc explodes
+    * into only the sequences it overlaps, and per-sequence pieces
+    * reassemble by offset.
+    *
+    * Scale shape: two shuffles on the group key (running-sum window,
+    * then the per-(group, seq) reassembly — the second reuses the
+    * first's partitioning modulo the seq_id extension) and each doc
+    * emits ~n/seqLen piece rows; nothing is ever quadratic and no
+    * group's token stream is materialized in one place. Groups are the
+    * parallelism unit — pack per source/shard (as real pipelines do),
+    * not one global stream, or a single window sorts the corpus.
+    *
+    * Output: `(group, seq_id, seq_text, n_tokens)`; every sequence but
+    * each group's last has exactly `seqLen` tokens.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val L = seqLen.toLong
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pieces = base
+      .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $L"), expr(s"(start + n - 1) div $L"))))
+      .withColumn("ps", greatest(col("start"), col("seq_id") * L))
+      .withColumn("pe", least(col("start") + col("n"), (col("seq_id") + 1) * L))
+      .select(col("g"), col("seq_id"), col("ps"),
+        slice(col("t"), (col("ps") - col("start") + 1).cast("int"),
+          (col("pe") - col("ps")).cast("int")).as("piece"),
+        (col("pe") - col("ps")).as("plen"))
+    pieces.groupBy(col("g"), col("seq_id"))
+      .agg(
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("ps"), col("piece")))),
+            x => x.getField("piece"))),
+          " ").as("seq_text"),
+        sum(col("plen")).as("n_tokens"))
+      .select(col("g").as(groupCol), col("seq_id"), col("seq_text"),
+        col("n_tokens"))
   }
 }

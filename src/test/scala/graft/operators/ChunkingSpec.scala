@@ -43,6 +43,33 @@ class ChunkingSpec extends SparkSpec {
     out shouldBe Array(("a b c d", 4L), ("e f g", 3L))
   }
 
+  test("packing: fixed-length sequences, docs split across boundaries") {
+    // group g: docs of 3, 4, 2 tokens; seqLen 4 → stream of 9 tokens →
+    // sequences [a b c | d], [e f g | h], [i]
+    val df = Seq(
+      (1L, "a b c", "g"), (2L, "d e f g", "g"), (3L, "h i", "g"),
+      (4L, "x y", "h")
+    ).toDF("doc_id", "text", "source")
+    val out = Chunking.packSequences(df, "doc_id", "text", "source", seqLen = 4)
+      .orderBy("source", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    out shouldBe Array(
+      ("g", 0L, "a b c d", 4L),
+      ("g", 1L, "e f g h", 4L),
+      ("g", 2L, "i", 1L),
+      ("h", 0L, "x y", 2L))
+  }
+
+  test("packing is layout-independent (repartition yields identical sequences)") {
+    val df = Seq.tabulate(30)(i => (i.toLong, s"w$i w$i w$i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = Chunking.packSequences(df, "doc_id", "text", "source", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val b = Chunking.packSequences(df.repartition(11), "doc_id", "text", "source", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    b shouldBe a
+  }
+
   test("chunking is a shuffle-free generate+project plan") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = Chunking.chunkByTokens(df, "doc_id", "text", 4, 1)
