@@ -95,6 +95,15 @@ class PlanAuditSpec extends SparkSpec {
     read should not include "n_chars"
   }
 
+  test("sequence packing shuffles on the group key only, bounded times") {
+    val p = plan("text_pack")
+    // running-sum window + per-(group, seq) reassembly: the offset
+    // window's sort and the aggregation — never a global (RangePartitioning)
+    // sort of the corpus
+    p should not include "rangepartitioning"
+    "Exchange hashpartitioning".r.findAllIn(p).length should be <= 2
+  }
+
   test("strict-filter pipeline stays in whole-stage codegen") {
     // executedPlan.toString marks codegen stages with "*(n)"; the observe
     // CollectMetrics node is the only barrier in the pipeline
