@@ -497,6 +497,19 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "text"),
       "doc_id", "text", maxTokens = 32, overlap = 8)
 
+  /** IVF ANN: 16 seed centroids (vec_id < 16), 4 probed lists, exact
+    * cosine top-5 within the probed fraction of the corpus.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    graft.operators.Similarity.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
+  }
+
   /** Sequence packing: concatenate each source's docs (id order) into
     * one token stream, cut into 64-token training sequences.
     */
@@ -621,6 +634,7 @@ object Queries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
+    "ann_ivf_topk" -> annIvfTopK _,
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
@@ -752,7 +766,31 @@ object Queries {
        |              ELSE ${thresholdFor(0.05)} END""".stripMargin
   }
 
+  private val annIvfTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, e, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |s AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+       |  ${dotSql("qe", "a.e")} /
+       |  (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("a.e", "a.e")})) AS sim
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_ivf_topk" -> annIvfTopKOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,

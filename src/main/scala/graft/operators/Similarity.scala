@@ -150,6 +150,85 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Collect the first `numLists` vectors (in id order) as IVF coarse
+    * centroids — an index-BUILD step, run once per index. Sampled data
+    * points as centroids is the standard cheap quantizer (k-means would
+    * refine them; the IVF search mechanics are identical), and float →
+    * double widening is exact, so both engines see identical centroid
+    * bits.
+    */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+      numLists: Int): Seq[Array[Double]] =
+    df.orderBy(col(idCol)).limit(numLists).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+  /** Cosine score against one literal centroid (|v| dropped — constant
+    * per row, so the argmax is unchanged). The centroid's norm is folded
+    * on the driver with the same sequential-double accumulation VecDot
+    * and the DuckDB oracle use, so all three producers agree bit-exactly.
+    */
+  private def centroidScore(vec: Column, c: Array[Double]): Column = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    dotDouble(vec, lit(c)) / lit(math.sqrt(s))
+  }
+
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path that
+    * complements LSH: every corpus vector is assigned to its nearest
+    * coarse centroid ("list") MAP-SIDE (the centroids ride along as
+    * array literals, like the LSH plane signs — no stored index join);
+    * a query probes only its `nprobe` nearest lists, so exact scoring
+    * touches ~nprobe/numLists of the corpus instead of all of it.
+    *
+    * Scale shape: assignment and scoring are one broadcast join (probe
+    * lists are |queries|×nprobe rows); the corpus is never shuffled —
+    * only the scored candidates move into the per-query top-k window.
+    * Literal centroids hold to a few hundred lists; a production-size
+    * quantizer (10k+ lists) would persist the assignment column and
+    * range-partition by it — same plan from there on.
+    *
+    * Ties (equal centroid score) resolve to the LOWER list id on both
+    * the assignment and the probe side.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    def scoredLists(vec: Column): Seq[Column] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
+      }
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .withColumn("list", least(scoredLists(col("cv")): _*).getField("l"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("__p",
+        explode(slice(array_sort(array(scoredLists(col("qv")): _*)), 1, nprobe)))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    val scored = assigned
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Approximate top-k: queries join only their own LSH bucket; exact
     * cosine rank within the bucket. One shuffle on the bucket key; never
     * a full cross join. Recall is tunable via `planes` (fewer planes =

@@ -65,4 +65,41 @@ class SimilaritySpec extends SparkSpec {
       planes = 2, dim = 3).queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
   }
+
+  test("ivfTopK: cluster-local exact ranks; unprobed lists invisible") {
+    // two clean clusters around the x and y axes; seeds = first 2 vectors
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // seed / list 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // seed / list 1
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // x cluster
+      (3L, Array(0.8f, 0.2f, 0.0f)),   // x cluster
+      (4L, Array(0.1f, 0.9f, 0.0f)),   // y cluster
+      (5L, Array(0.2f, 0.8f, 0.0f))    // y cluster
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
+    cents.length shouldBe 2
+    // nprobe=1: query 0 sees only the x list — exact cosine order there
+    val out = Similarity.ivfTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 5, cents, nprobe = 1)
+      .orderBy("rank").collect().map(_.getLong(1))
+    out shouldBe Array(2L, 3L) // y-cluster members never scored
+    // nprobe=2: all lists probed → equals brute force
+    val ivf = Similarity.ivfTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 5, cents, nprobe = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    ivf shouldBe brute
+  }
+
+  test("ivfTopK plan: corpus broadcast-joins probes, never a cartesian") {
+    val df = vecs
+    val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
+    val plan = Similarity.ivfTopK(df, df, "vec_id", "embedding", 3, cents, 1)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
 }
