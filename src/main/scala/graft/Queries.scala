@@ -303,6 +303,26 @@ object Queries {
       "doc_id", "url")
   }
 
+  /** Interval join: clicks within the hour BEFORE a same-user purchase
+    * (attribution windows), via hour-bucketized equi-join — never a
+    * nested-loop range join.
+    */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(spark, dir)
+    val HourUs = 3600L * 1000 * 1000
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("event_id").as("click_id"),
+      unix_micros(col("ts")).as("p"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id").as("purchase_id"),
+      (unix_micros(col("ts")) - HourUs).as("w_start"),
+      unix_micros(col("ts")).as("w_end"))
+    graft.operators.RangeJoin.intervalJoin(
+      clicks, purchases, Seq("user_id"), "p", "w_start", "w_end", HourUs)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("w_end") - col("p")).as("gap_us"))
+  }
+
   // ------------------------------------------------------ LLM-pipeline ops
   /** Exact dedup: duplicate the corpus with shifted ids, keep min doc_id
     * per distinct text (hash groupBy — map-side combine, one shuffle).
@@ -615,6 +635,7 @@ object Queries {
     "q6_filter_agg" -> q6FilterAgg _,
     "events_latest_per_user" -> eventsLatestPerUser _,
     "events_asof_join" -> eventsAsofJoin _,
+    "events_interval_join" -> eventsIntervalJoin _,
     "url_dedup" -> urlDedup _,
     "dedup_incremental" -> dedupIncremental _,
     "events_sessionize" -> eventsSessionize _,
@@ -1100,6 +1121,16 @@ object Queries {
         |  min(doc_id) OVER (PARTITION BY norm_url) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS is_canonical
         |FROM n1""".stripMargin,
+    "events_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS p
+        |  FROM e WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pe
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT c.user_id, purchase_id, click_id, pe - p AS gap_us
+        |FROM c JOIN pu ON c.user_id = pu.user_id
+        |  AND c.p >= pu.pe - 3600000000 AND c.p <= pu.pe""".stripMargin,
     "events_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  CAST(ts AS TIMESTAMP) AS ts, value FROM events),
