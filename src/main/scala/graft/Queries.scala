@@ -219,6 +219,28 @@ object Queries {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"))
 
+  /** Cube aggregation: every grouping-set combination in one pass. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+
+  /** Corpus mix report: per-source doc/token/char totals + each
+    * source's share of all tokens — the numbers that drive mixture
+    * sampling fractions.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+    s.withColumn("token_frac",
+      col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+  }
+
   /** Running count per customer — window frame demo. */
   def windowRunningCount(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -640,6 +662,8 @@ object Queries {
     "dedup_incremental" -> dedupIncremental _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
+    "corpus_mix" -> corpusMix _,
     "window_running_count" -> windowRunningCount _,
     "distinct_users" -> distinctUsers _,
     "mdkv_render" -> mdkvRender _,
@@ -882,6 +906,20 @@ object Queries {
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "corpus_mix" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_chars,
+        |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+        |    AS token_frac
+        |FROM s""".stripMargin,
     "window_running_count" ->
       """SELECT o_custkey, o_orderkey,
         |CAST(count(*) OVER (PARTITION BY o_custkey
