@@ -241,6 +241,13 @@ object Queries {
         sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
   }
 
+  /** JSON extraction from the events.props payload column. */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("k_bucket", col("k") % 10)
+
   /** Running count per customer — window frame demo. */
   def windowRunningCount(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -664,6 +671,7 @@ object Queries {
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "corpus_mix" -> corpusMix _,
+    "events_json_extract" -> eventsJsonExtract _,
     "window_running_count" -> windowRunningCount _,
     "distinct_users" -> distinctUsers _,
     "mdkv_render" -> mdkvRender _,
@@ -910,6 +918,9 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k,
+        |CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket FROM events""".stripMargin,
     "corpus_mix" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(len(string_split_regex(lower(trim(text)), '\s+')))
