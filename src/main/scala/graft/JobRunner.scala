@@ -267,6 +267,47 @@ object JobRunner {
     }
   }
 
+  /** Beyond-reference, opt-in `curation:` job block — runs the
+    * schema-PRESERVING subset of the curation library between
+    * validation and the sink, so an ingest job can ship clean data in
+    * the same single-action pipeline:
+    * {{{
+    * curation:
+    *   id_field: doc_id        # required by dedupe / quality_filter
+    *   text_field: text        # required by all three
+    *   dedupe: exact           # keep lowest-id row per normalized text
+    *   quality_filter: gopher  # drop docs failing the Gopher rules
+    *   redact_pii: true        # scrub emails/IPs/phones IN PLACE
+    * }}}
+    * Ops needing schema changes (chunking, packing, reports) stay
+    * library-level — a sink row must still match the asset contract.
+    */
+  def applyCuration(df: DataFrame, raw: Map[String, Any]): DataFrame = {
+    val c = Yaml.map(raw, "curation")
+    if (c.isEmpty) return df
+    def need(k: String): String = Yaml.str(c, k).getOrElse(
+      throw new IllegalArgumentException(s"curation requires $k"))
+    var out = df
+    if (Yaml.bool(c, "redact_pii"))
+      out = out.withColumn(need("text_field"),
+        graft.operators.PiiRedact.redact(col(need("text_field"))))
+    Yaml.str(c, "dedupe").foreach {
+      case "exact" =>
+        out = graft.operators.Dedup.dropExactDuplicates(
+          out, need("id_field"), need("text_field"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
+    }
+    Yaml.str(c, "quality_filter").foreach {
+      case "gopher" =>
+        out = graft.operators.TextAnalysis.gopherQualityFilter(
+          out, need("id_field"), need("text_field"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
+    }
+    out
+  }
+
   /** Output base path `root/domain/data_product/table` (cli.py:695-723).
     * Local-path root comes from connection.path; S3 from connection.s3.bucket.
     */
@@ -332,14 +373,20 @@ object JobRunner {
     val partitions =
       if (tgt.partitioning.nonEmpty) tgt.partitioning else Seq("ingest_date")
 
+    // beyond-reference, opt-in: schema-preserving curation between
+    // validation and sink (see applyCuration)
+    val curated = tracer.span("phase.curate") {
+      applyCuration(result.data, job.raw)
+    }
+
     // valid-record count + max cursor ride the single write action
     val outObs = Observation(s"output_${System.nanoTime}")
-    val cursorCol = inc.cursorField.filter(result.data.columns.contains)
+    val cursorCol = inc.cursorField.filter(curated.columns.contains)
     // max on the NATIVE type (lexicographic max of "9" beats "20"), cast
     // to string only for state persistence
     val outMetrics = count(lit(1)).as("valid_records") +:
       cursorCol.map(c => max(col(c)).cast("string").as("max_cursor")).toSeq
-    val out = result.data.observe(outObs, outMetrics.head, outMetrics.tail: _*)
+    val out = curated.observe(outObs, outMetrics.head, outMetrics.tail: _*)
 
     // The commit: a google_sheets TARGET appends to the sheet driver-side
     // (W8, small by construction; the collect satisfies both

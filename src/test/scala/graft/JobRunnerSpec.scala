@@ -209,6 +209,27 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(r1.outputPath).count() shouldBe 2
   }
 
+  test("curation block: redact + dedupe + gopher chain, schema preserved") {
+    import spark.implicits._
+    val longClean = (1 to 40).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, longClean + " mail a@b.io", "x"),
+      (2L, longClean.toUpperCase + "  mail A@B.IO", "y"), // normalized dup of 1
+      (3L, "too short", "z")                              // gopher-dropped
+    ).toDF("doc_id", "text", "extra")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "exact", "quality_filter" -> "gopher",
+      "redact_pii" -> true))
+    val out = JobRunner.applyCuration(df, raw)
+    out.columns shouldBe df.columns // schema preserved for the contract
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.map(_._1) shouldBe Array(1L) // dup and low-quality dropped
+    rows(0)._2 should endWith("mail <EMAIL>") // scrubbed in place
+    // absent block = identity
+    JobRunner.applyCuration(df, Map.empty).collect().length shouldBe 3
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
