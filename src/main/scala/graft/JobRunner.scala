@@ -295,6 +295,15 @@ object JobRunner {
       case "exact" =>
         out = graft.operators.Dedup.dropExactDuplicates(
           out, need("id_field"), need("text_field"))
+      case "incremental" =>
+        // vs an existing fingerprint store (missing store = first run);
+        // append surviving rows' fingerprints post-commit via
+        // Dedup.appendFingerprints — store maintenance is a separate
+        // write, not part of the job's single action
+        out = graft.operators.Dedup.dropDuplicatesIncremental(
+          out, need("id_field"), need("text_field"),
+          graft.operators.Dedup.readFingerprints(
+            df.sparkSession, need("fingerprint_store")))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
     }

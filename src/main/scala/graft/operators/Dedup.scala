@@ -85,6 +85,31 @@ object Dedup {
       "left_anti")
   }
 
+  /** Append a batch's fingerprints to a parquet store — the maintenance
+    * half of [[dropDuplicatesIncremental]]: run it on the rows that
+    * actually landed, and tomorrow's batch dedups against them without
+    * ever rereading today's text.
+    */
+  def appendFingerprints(df: DataFrame, textCol: String,
+      storePath: String): Unit =
+    df.select(fingerprint(col(textCol)).as("fp"))
+      .write.mode("append").parquet(storePath)
+
+  /** Read a fingerprint store; a missing/empty store is an empty set
+    * (first run bootstraps).
+    */
+  def readFingerprints(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    try spark.read.parquet(storePath)
+    catch {
+      case _: Exception =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fp",
+              org.apache.spark.sql.types.StringType))))
+    }
+
   // ------------------------------------------------------------- MinHash-LSH
 
   /** Row-wise MinHash signature (array<bigint> of length k) — for callers

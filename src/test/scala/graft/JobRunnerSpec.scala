@@ -230,6 +230,24 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.applyCuration(df, Map.empty).collect().length shouldBe 3
   }
 
+  test("curation dedupe: incremental uses and survives a fingerprint store") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("fpstore-")
+      .toString + "/fp"
+    val day1 = Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "incremental", "fingerprint_store" -> store))
+    // first run: store missing → nothing dropped; then persist fingerprints
+    val out1 = JobRunner.applyCuration(day1, raw)
+    out1.count() shouldBe 2
+    graft.operators.Dedup.appendFingerprints(out1, "text", store)
+    // second run: known text dropped, fresh kept
+    val day2 = Seq((3L, "DOC  one"), (4L, "doc three")).toDF("doc_id", "text")
+    JobRunner.applyCuration(day2, raw)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
