@@ -559,6 +559,19 @@ object Queries {
       "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
   }
 
+  /** Embedding outlier scores: every vector's best-centroid cosine over
+    * the same 16 seed centroids as ann_ivf_topk — low scores mark
+    * embedding-space noise.
+    */
+  def annOutlierScores(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    graft.operators.Similarity.centroidOutlierScores(
+      emb, "vec_id", "embedding", cents)
+      .withColumn("list", col("list").cast("long"))
+  }
+
   /** Sequence packing: concatenate each source's docs (id order) into
     * one token stream, cut into 64-token training sequences.
     */
@@ -688,6 +701,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
@@ -842,8 +856,22 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= 5""".stripMargin
 
+  private val annOutlierScoresOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, c.l,
+       |  (${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}))
+       |    / sqrt(${dotSql("e", "e")}) AS cs
+       |  FROM v CROSS JOIN c)
+       |SELECT vec_id, CAST(l AS BIGINT) AS list, cs AS centroid_sim
+       |FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
+    "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,

@@ -229,6 +229,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Embedding outlier scores — the IVF assignment read the other way:
+    * each vector's best centroid cosine. Vectors far from EVERY centroid
+    * (low `centroid_sim`) are embedding-space noise — mislabeled or
+    * out-of-distribution rows a curation pass prunes before training.
+    * Same map-side literal-centroid plan as [[ivfTopK]]'s assignment:
+    * zero shuffles.
+    */
+  def centroidOutlierScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val best = least(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-centroidScore(col(vecCol), c) /
+        norm(col(vecCol))).as("s"), lit(i).as("l"))
+    }: _*)
+    df.select(
+      col(idCol),
+      best.getField("l").as("list"),
+      (-best.getField("s")).as("centroid_sim"))
+  }
+
   /** Approximate top-k: queries join only their own LSH bucket; exact
     * cosine rank within the bucket. One shuffle on the bucket key; never
     * a full cross join. Recall is tunable via `planes` (fewer planes =

@@ -93,6 +93,23 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe brute
   }
 
+  test("centroidOutlierScores: in-cluster high, off-cluster low, no shuffle") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),  // seed / list 0
+      (1L, Array(0.0f, 1.0f, 0.0f)),  // seed / list 1
+      (2L, Array(0.9f, 0.1f, 0.0f)),  // near list 0
+      (3L, Array(0.0f, 0.0f, 1.0f))   // orthogonal to both → outlier
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
+    val out = Similarity.centroidOutlierScores(df, "vec_id", "embedding", cents)
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    m(0L)._2 shouldBe 1.0 +- 1e-12          // a seed matches itself
+    m(2L)._1 shouldBe 0                     // assigned to the x list
+    m(2L)._2 should be > 0.9
+    m(3L)._2 shouldBe 0.0 +- 1e-12          // orthogonal to every centroid
+  }
+
   test("ivfTopK plan: corpus broadcast-joins probes, never a cartesian") {
     val df = vecs
     val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
