@@ -25,6 +25,14 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
+          // isolate each timed run: operators that persist() intermediates
+          // (dedup/ANN families) would otherwise leave cached blocks that
+          // tax every query running after them in the alphabetical order —
+          // the r7 bench showed code-unchanged small queries slowing 2-8x
+          // from exactly this. Clear the cache and nudge GC OUTSIDE the
+          // timed region so each number is attributable to its own plan.
+          spark.catalog.clearCache()
+          System.gc()
           val t0 = System.nanoTime()
           // noop sink, not count(): count() lets Catalyst prune every
           // unreferenced projection, so projection-heavy queries would time

@@ -159,11 +159,15 @@ object JobRunner {
         else (graft.sources.MarkdownKvSource.readRowPerKv(spark, paths), inc2)
       case "google_sheets" =>
         // S4 — driver-side API fetch; the client class is injectable
-        // (api_class), mirroring the reference's mockable service object
-        val api = graft.plugins.PluginLoader.load(
-          Yaml.str(src.raw, "api_class").getOrElse(
-            throw new IllegalArgumentException(
-              "google_sheets source requires api_class (a SheetsApi impl)")),
+        // (api_class), mirroring the reference's mockable service object.
+        // api_class is a config-supplied FQCN like custom_reader, so the
+        // same cloud-mode sandbox policy applies (W7/S11 parity).
+        val sheetsCls = Yaml.str(src.raw, "api_class").getOrElse(
+          throw new IllegalArgumentException(
+            "google_sheets source requires api_class (a SheetsApi impl)"))
+        graft.plugins.PluginLoader.requireSandboxPolicy(sheetsCls, mode,
+          Yaml.map(src.raw, "sandbox"))
+        val api = graft.plugins.PluginLoader.load(sheetsCls,
           classOf[graft.sources.GoogleSheets.SheetsApi])
         val sheets = Yaml.seq(src.raw, "spreadsheets")
           .collect { case m: Map[String, Any] @unchecked => m }
@@ -198,11 +202,14 @@ object JobRunner {
         (df, inc.copy(processedDriveFiles = Nil,
           processedSpreadsheets = todo.map { case (_, id, mt) => id -> mt }))
       case "gdrive_csv" =>
-        // S5 — list → skip → download → S1 scan
-        val api = graft.plugins.PluginLoader.load(
-          Yaml.str(src.raw, "api_class").getOrElse(
-            throw new IllegalArgumentException(
-              "gdrive_csv source requires api_class (a DriveApi impl)")),
+        // S5 — list → skip → download → S1 scan; api_class goes through
+        // the same cloud-mode sandbox policy as custom_reader
+        val driveCls = Yaml.str(src.raw, "api_class").getOrElse(
+          throw new IllegalArgumentException(
+            "gdrive_csv source requires api_class (a DriveApi impl)"))
+        graft.plugins.PluginLoader.requireSandboxPolicy(driveCls, mode,
+          Yaml.map(src.raw, "sandbox"))
+        val api = graft.plugins.PluginLoader.load(driveCls,
           classOf[graft.sources.GDriveCsv.DriveApi])
         val (df, processed) = graft.sources.GDriveCsv.read(spark, api, contract,
           folderId = Yaml.str(src.raw, "folder_id"),
@@ -382,20 +389,31 @@ object JobRunner {
     val partitions =
       if (tgt.partitioning.nonEmpty) tgt.partitioning else Seq("ingest_date")
 
+    // max_cursor is observed on the PRE-curation (validated) frame: a
+    // curation block can drop the rows carrying the highest cursor values,
+    // and persisting the post-curation max would re-extract those rows
+    // next run — without their in-batch duplicate keeper present they
+    // pass dedupe and re-introduce exactly the duplicates curation
+    // removed. The observe node rides the same single action.
+    val cursorCol = inc.cursorField.filter(result.data.columns.contains)
+    val cursorObs = Observation(s"cursor_${System.nanoTime}")
+    val validated = cursorCol match {
+      // max on the NATIVE type (lexicographic max of "9" beats "20"),
+      // cast to string only for state persistence
+      case Some(c) =>
+        result.data.observe(cursorObs, max(col(c)).cast("string").as("max_cursor"))
+      case None => result.data
+    }
+
     // beyond-reference, opt-in: schema-preserving curation between
     // validation and sink (see applyCuration)
     val curated = tracer.span("phase.curate") {
-      applyCuration(result.data, job.raw)
+      applyCuration(validated, job.raw)
     }
 
-    // valid-record count + max cursor ride the single write action
+    // valid-record count rides the single write action
     val outObs = Observation(s"output_${System.nanoTime}")
-    val cursorCol = inc.cursorField.filter(curated.columns.contains)
-    // max on the NATIVE type (lexicographic max of "9" beats "20"), cast
-    // to string only for state persistence
-    val outMetrics = count(lit(1)).as("valid_records") +:
-      cursorCol.map(c => max(col(c)).cast("string").as("max_cursor")).toSeq
-    val out = curated.observe(outObs, outMetrics.head, outMetrics.tail: _*)
+    val out = curated.observe(outObs, count(lit(1)).as("valid_records"))
 
     // The commit: a google_sheets TARGET appends to the sheet driver-side
     // (W8, small by construction; the collect satisfies both
@@ -404,10 +422,13 @@ object JobRunner {
     val outputLocation = tracer.span("phase.commit",
       Map("target.type" -> tgt.connectorType)) {
       if (tgt.connectorType == "google_sheets") {
-        val api = graft.plugins.PluginLoader.load(
-          Yaml.str(tgt.raw, "api_class").getOrElse(
-            throw new IllegalArgumentException(
-              "google_sheets target requires api_class (a SheetsApi impl)")),
+        // same cloud-mode sandbox policy as every config-supplied FQCN
+        val sheetsCls = Yaml.str(tgt.raw, "api_class").getOrElse(
+          throw new IllegalArgumentException(
+            "google_sheets target requires api_class (a SheetsApi impl)"))
+        graft.plugins.PluginLoader.requireSandboxPolicy(sheetsCls, mode,
+          Yaml.map(tgt.raw, "sandbox"))
+        val api = graft.plugins.PluginLoader.load(sheetsCls,
           classOf[graft.sources.GoogleSheets.SheetsApi])
         val sheetId = Yaml.str(tgt.raw, "spreadsheet_id").getOrElse(
           throw new IllegalArgumentException(
@@ -477,7 +498,7 @@ object JobRunner {
             st.updateSpreadsheetEntries(inc.processedSpreadsheets)
           inc.airbyteState.foreach(
             st.updateCursorState(inc.objectName, "airbyte_state", _))
-          for (c <- cursorCol; v <- Option(outObs.get.getOrElse("max_cursor", null)))
+          for (c <- cursorCol; v <- Option(cursorObs.get.getOrElse("max_cursor", null)))
             st.updateCursorState(inc.objectName, c, v.toString)
         }
       } catch {

@@ -1182,7 +1182,7 @@ object Queries {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(url, '#.*$', '', 'g'),
-        |          '(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+        |          '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*', '\1', 'g'),
         |        '\?&+', '?', 'g'),
         |      '&&+', '&', 'g'),
         |    '[?&]+$', '', 'g') AS s

@@ -95,14 +95,19 @@ object Dedup {
     df.select(fingerprint(col(textCol)).as("fp"))
       .write.mode("append").parquet(storePath)
 
-  /** Read a fingerprint store; a missing/empty store is an empty set
-    * (first run bootstraps).
+  /** Read a fingerprint store; a MISSING store is an empty set (first run
+    * bootstraps). Only path-not-found is treated as bootstrap — a
+    * transient FS failure, permission error, or corrupt store must FAIL
+    * the job, because silently returning an empty store disables
+    * incremental dedup and commits duplicates against the corpus.
     */
   def readFingerprints(spark: org.apache.spark.sql.SparkSession,
       storePath: String): DataFrame =
     try spark.read.parquet(storePath)
     catch {
-      case _: Exception =>
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            Option(e.getMessage).exists(_.contains("Path does not exist")) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
@@ -178,21 +183,40 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Pairs at or below this count get the pinned-broadcast verify plan;
+    * above it the verify joins run unhinted (sort-merge), because the
+    * broadcast payload of the second hop is O(|pairs| × avg doc shingles)
+    * and a dup-catastrophic corpus — the same regime the distributed CC
+    * path exists for — can push that past Spark's 8 GB broadcast ceiling
+    * and driver memory. Same candidate-bounded reasoning (and the same
+    * default) as [[connectedComponents]]' `driverMaxPairs`.
+    */
+  val broadcastMaxPairs: Long = 4000000L
+
+  /** Broadcast-pin `df` only when the measured candidate count allows it. */
+  private def pinIfSmall(df: DataFrame, pairCount: Long): DataFrame =
+    if (pairCount <= broadcastMaxPairs) broadcast(df) else df
+
   /** Exact-Jaccard verification of a candidate-pair set. Both joins
-    * BROADCAST the candidate side explicitly: the corpus shingle table is
-    * streamed in place (zero shuffle of shingle arrays) regardless of what
-    * the optimizer's stats say. Without the hint, AQE usually picks
-    * broadcast anyway at test scale — but a stats misprediction at 100 TB
-    * would fall back to sort-merge and shuffle every shingle array in the
-    * corpus to verify a candidate set of a few thousand rows. Broadcast
-    * payload is O(|pairs|) for the first hop and O(|pairs| × avg doc
-    * shingles) for the second — candidate-bounded, not corpus-bounded.
+    * BROADCAST the candidate side explicitly when the candidate count is
+    * broadcast-safe: the corpus shingle table is then streamed in place
+    * (zero shuffle of shingle arrays) regardless of what the optimizer's
+    * stats say. Without the hint, AQE usually picks broadcast anyway at
+    * test scale — but a stats misprediction at 100 TB would fall back to
+    * sort-merge and shuffle every shingle array in the corpus to verify a
+    * candidate set of a few thousand rows. Broadcast payload is
+    * O(|pairs|) for the first hop and O(|pairs| × avg doc shingles) for
+    * the second — candidate-bounded, not corpus-bounded, and guarded by
+    * [[broadcastMaxPairs]] for the dup-catastrophic tail where even the
+    * candidate set is too big to ship.
     */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val p = pairs.persist() // counted for the broadcast guard, then joined
+    val nPairs = p.count()
     val withA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(broadcast(pairs), "id_a")
+      .join(pinIfSmall(p, nPairs), "id_a")
     sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "id_b")
+      .join(pinIfSmall(withA, nPairs), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -333,16 +357,26 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      losersBroadcastMax: Long = broadcastMaxPairs
   ): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, bands,
       rowsPerBand, threshold)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    // losers is component-bounded (≤ pair count) — broadcast so the full
-    // corpus anti-join never shuffles the corpus
-    df.join(broadcast(losers), Seq(idCol), "left_anti")
+      .persist() // counted for the size guard, then anti-joined
+    // losers is pair-bounded, NOT broadcast-small by construction: a
+    // dup-catastrophic corpus (the exact case the distributed-CC path
+    // exists for) can yield a loser set past the 8 GB broadcast ceiling.
+    // Same size-adaptive pattern as connectedComponents: broadcast below
+    // the threshold so the corpus anti-join never shuffles the corpus;
+    // above it, a plain shuffle anti-join on the id key — one corpus
+    // shuffle, but a plan that COMPLETES where an over-ceiling broadcast
+    // fails the job outright.
+    val pinned =
+      if (losers.count() <= losersBroadcastMax) broadcast(losers) else losers
+    df.join(pinned, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------ paragraph dedup
@@ -466,11 +500,15 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // explicit broadcast of the candidate side (see verifyJaccard): the
-    // full simhash table streams, never shuffles, even if stats mispredict
+    // full simhash table streams, never shuffles, even if stats mispredict.
+    // Same broadcastMaxPairs guard — unhinted join on dup-catastrophic
+    // candidate sets that would blow the broadcast ceiling.
+    val cp = cands.persist()
+    val nPairs = cp.count()
     val withA = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(broadcast(cands), "id_a")
+      .join(pinIfSmall(cp, nPairs), "id_a")
     hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
-      .join(broadcast(withA), "id_b")
+      .join(pinIfSmall(withA, nPairs), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

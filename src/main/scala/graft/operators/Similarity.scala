@@ -133,16 +133,23 @@ object Similarity {
     // keeps only candidate vectors (broadcast semi-join on the tiny id
     // set), cached candidate-bounded; both lookup joins then broadcast
     // that slim slice. The corpus is never shuffled and never scanned
-    // twice, regardless of optimizer stats.
-    val candIds = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
-    val candVecs = base.join(broadcast(candIds), Seq("id"), "left_semi")
+    // twice, regardless of optimizer stats. Guarded by the shared
+    // Dedup.broadcastMaxPairs threshold: a dup-catastrophic candidate set
+    // times the vector payload can exceed the 8 GB broadcast ceiling, so
+    // past the threshold the joins run unhinted instead of failing.
+    val cp = cands.persist()
+    val nPairs = cp.count()
+    def pin(d: DataFrame): DataFrame =
+      if (nPairs <= Dedup.broadcastMaxPairs) broadcast(d) else d
+    val candIds = cp.select(col("id_a").as("id"))
+      .union(cp.select(col("id_b").as("id"))).distinct()
+    val candVecs = base.join(pin(candIds), Seq("id"), "left_semi")
       .withColumn("nrm", norm(col("v")))
       .persist()
-    cands
-      .join(broadcast(candVecs.select(col("id").as("id_a"),
+    cp
+      .join(pin(candVecs.select(col("id").as("id_a"),
         col("v").as("va"), col("nrm").as("na"))), "id_a")
-      .join(broadcast(candVecs.select(col("id").as("id_b"),
+      .join(pin(candVecs.select(col("id").as("id_b"),
         col("v").as("vb"), col("nrm").as("nb"))), "id_b")
       .withColumn("cosine",
         dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))

@@ -21,11 +21,17 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
 
-  /** Mean token length (characters per token). */
+  /** Mean token length (characters per token). The numerator — the sum of
+    * token lengths — is computed as `length(text with all whitespace
+    * removed)`: split on `\s+` partitions the string into tokens and
+    * separators, so the two are identical, and the length arithmetic
+    * stays in whole-stage codegen where the equivalent
+    * `aggregate(transform(...))` HOF is interpreted per token.
+    */
   def meanTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(transform(t, x => length(x).cast("long")), lit(0L),
-      (a, b) => a + b).cast("double") / size(t).cast("double")
+    val lt = lower(trim(text))
+    length(regexp_replace(lt, "\\s+", "")).cast("double") /
+      size(split(lt, "\\s+")).cast("double")
   }
 
   /** Ratio of punctuation characters (ASCII punct class). */
@@ -41,9 +47,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Count of tokens found in a stopword list. */
+  /** Count of tokens found in a stopword list — a native codegen'd kernel
+    * ([[graft.functions.StopwordCounts]]); the HOF `filter` + `isin`
+    * formulation it replaced was interpreted per token with a linear
+    * word-list scan per token.
+    */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit): _*))).cast("long")
+    graft.functions.StopwordCounts(text, Seq(words)).getItem(0)
 
   /** Stopword ratio against the union of all lists (a generic fluency
     * signal).
@@ -64,17 +74,22 @@ object TextAnalysis {
       when(isMax, lit(lang)).otherwise(elseCol)
     }
 
-  /** Stopword-scoring language ID. Materializes the five score columns in
-    * one projection (`s_de`…`s_zh`), then the argmax in a second — so each
-    * tokenization/count runs once per row, not once per comparison.
+  /** Stopword-scoring language ID. ONE [[graft.functions.StopwordCounts]]
+    * kernel call tokenizes each row once and scores all five lists; the
+    * score columns are element extractions and the argmax a second
+    * projection — so tokenization runs once per row, not once per
+    * language or comparison.
     */
   def withDetectedLanguage(df: DataFrame, textCol: String,
       outCol: String = "detected_lang"): DataFrame = {
-    val scored = Stopwords.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"s_$lang", stopwordCount(col(textCol), words))
+    val counts = df.withColumn("__sw",
+      graft.functions.StopwordCounts(col(textCol), Stopwords.map(_._2)))
+    val scored = Stopwords.zipWithIndex.foldLeft(counts) {
+      case (d, ((lang, _), i)) => d.withColumn(s"s_$lang", col("__sw").getItem(i))
     }
     scored.withColumn(outCol,
-      detectFromScores(Stopwords.map { case (l, _) => l -> col(s"s_$l") }))
+        detectFromScores(Stopwords.map { case (l, _) => l -> col(s"s_$l") }))
+      .drop("__sw")
   }
 
   /** Quality-signal bundle, one column each. */

@@ -29,7 +29,12 @@ object UrlOps {
 
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
-    val noTrack = regexp_replace(noFrag, TrackingParamRe + "=[^&]*", "")
+    // the [?&] anchor before the param name is load-bearing: without it
+    // any param whose name merely ENDS with a tracking name is mangled
+    // ('?href=a' contains 'ref=a' → '?h'), collapsing distinct URLs to
+    // one norm_url and dropping real documents as non-canonical. The
+    // captured separator is kept so the collapse step sees it.
+    val noTrack = regexp_replace(noFrag, "([?&])" + TrackingParamRe + "=[^&]*", "$1")
     val collapsed = regexp_replace(
       regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
     val noDangle = regexp_replace(collapsed, "[?&]+$", "")

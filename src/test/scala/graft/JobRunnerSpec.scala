@@ -248,6 +248,42 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("cursor state reflects PRE-curation max (dropped rows not re-extracted)") {
+    // the highest-cursor row (id=3) is an exact-dup loser that curation
+    // drops; persisting the post-curation max (2) would re-extract id=3
+    // next run without its in-batch keeper present — it would then pass
+    // dedupe and re-introduce the duplicate. The cursor must be 3.
+    val (dir, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0", "3,alice,7.0"), "strict")
+    val out = dir.resolve("out_cur").toString
+    val state = dir.resolve("state_cur.json").toString
+    val job = write(dir, "job_cursor.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |curation:
+         |  id_field: id
+         |  text_field: name
+         |  dedupe: exact
+         |source:
+         |  files:
+         |    - {path: data.csv, object: people}
+         |  incremental:
+         |    strategy: file_modified_time
+         |    cursor_field: id
+         |    state_path: $state
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Success
+    r.validRecords shouldBe 2 // curation dropped the dup row id=3
+    spark.read.parquet(r.outputPath).count() shouldBe 2
+    new graft.state.StateStore(state, spark)
+      .cursorLastValue("people", "id") shouldBe Some("3")
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"

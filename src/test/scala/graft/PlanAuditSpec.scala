@@ -104,6 +104,18 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).length should be <= 2
   }
 
+  test("quality signals contain no interpreted HOF lambdas") {
+    // higher-order array functions (filter/transform/aggregate) print as
+    // lambdafunction(...) in the plan and are interpreted per element —
+    // the quality/langid/gopher family must run the native StopwordCounts
+    // kernel and plain length arithmetic instead
+    for (name <- Seq("text_quality", "text_langid", "text_gopher_filter")) {
+      withClue(s"$name: ") {
+        plan(name) should not include "lambdafunction"
+      }
+    }
+  }
+
   test("strict-filter pipeline stays in whole-stage codegen") {
     // executedPlan.toString marks codegen stages with "*(n)"; the observe
     // CollectMetrics node is the only barrier in the pipeline

@@ -146,6 +146,37 @@ class DedupSpec extends SparkSpec {
     out.select("id").as[Long].collect().sorted shouldBe Array(1L, 9L)
   }
 
+  test("dropNearDuplicates: broadcast and shuffle anti-join paths agree") {
+    // losersBroadcastMax=0 forces the over-ceiling shuffle path; the
+    // survivor set must be identical to the default broadcast path
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "omega beta gamma delta epsilon zeta eta theta kappa"),
+      (9L, "completely unrelated words appear in this document here")
+    ).toDF("id", "text")
+    val bcast = Dedup.dropNearDuplicates(docs, "id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.6)
+      .select("id").as[Long].collect().sorted
+    val shuffle = Dedup.dropNearDuplicates(docs, "id", "text",
+      shingleN = 2, bands = 16, rowsPerBand = 2, threshold = 0.6,
+      losersBroadcastMax = 0L)
+      .select("id").as[Long].collect().sorted
+    bcast shouldBe shuffle
+    bcast shouldBe Array(1L, 9L)
+  }
+
+  test("readFingerprints: missing store bootstraps empty; corrupt store fails") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpstore").toString
+    // missing path → empty frame (first-run bootstrap)
+    Dedup.readFingerprints(spark, s"$tmp/never_written").count() shouldBe 0L
+    // a corrupt store must FAIL, not silently disable incremental dedup
+    val bad = java.nio.file.Paths.get(tmp, "corrupt.parquet")
+    java.nio.file.Files.write(bad, "this is not parquet".getBytes)
+    an[Exception] should be thrownBy
+      Dedup.readFingerprints(spark, bad.toString).count()
+  }
+
   test("dropDuplicateParagraphs: corpus-wide keep-first, order-preserving reassembly") {
     val docs = Seq(
       (1L, "alpha one\n\nshared boilerplate\n\nbeta two"),

@@ -30,6 +30,23 @@ class UrlOpsSpec extends SparkSpec {
       "https://host.com/A/B/?q=1"
   }
 
+  test("params whose names merely CONTAIN a tracking name survive intact") {
+    // 'href' contains 'ref', 'xref' ends with 'ref' — without the [?&]
+    // anchor these were mangled to '?h' / '?x', collapsing distinct URLs
+    // to one norm_url and dropping real documents as non-canonical
+    norm("https://example.com/a?href=b") shouldBe "https://example.com/a?href=b"
+    norm("https://example.com/a?xref=1") shouldBe "https://example.com/a?xref=1"
+    norm("https://example.com/a?pref=1&utm_x=2") shouldBe
+      "https://example.com/a?pref=1"
+    // the genuine bare 'ref' param is still stripped in both positions
+    norm("https://example.com/a?ref=feed") shouldBe "https://example.com/a"
+    norm("https://example.com/a?id=1&ref=feed") shouldBe
+      "https://example.com/a?id=1"
+    // consecutive tracking params collapse cleanly
+    norm("https://example.com/a?utm_a=1&utm_b=2&q=3") shouldBe
+      "https://example.com/a?q=3"
+  }
+
   test("dedupByUrl: canonical is the min id per normalized URL") {
     val df = Seq(
       (1L, "https://a.com/x?utm_source=f"),
