@@ -311,6 +311,29 @@ object Queries {
     graft.operators.Dedup.dropDuplicatesIncremental(batch, "doc_id", "text", corpusFp)
   }
 
+  /** Incremental NEAR-dup dedup: docs < 250 are the existing corpus,
+    * represented by its minhash band-key store (plus candidate-pruned
+    * text lookups for the exact verify); the batch is docs >= 250 plus
+    * planted copies of corpus texts (dropped via the store LSH join) and
+    * copies of batch texts (dropped by within-batch clustering). The
+    * oracle replays both steps with exact all-pairs Jaccard — the banded
+    * LSH + exact verify equals it (recall 1 − ~4e-8 at j = 0.9, exactly
+    * 1 for the planted identical copies).
+    */
+  def dedupMinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") < 250)
+    val bandStore = graft.operators.Dedup.minhashBandKeys(corpus, "doc_id", "text")
+    val batch = d.filter(col("doc_id") >= 250)
+      .union(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id").between(250, 274))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.operators.Dedup.dropNearDuplicatesIncremental(
+      batch, "doc_id", "text", bandStore, corpus)
+      .select("doc_id")
+  }
+
   /** URL canonicalization + dedup over URLs synthesized from doc_id
     * (mixed-case host, default port, trailing slash, tracking params,
     * fragment — each present-or-absent by mod so the corpus collides
@@ -680,6 +703,7 @@ object Queries {
     "events_interval_join" -> eventsIntervalJoin _,
     "url_dedup" -> urlDedup _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_minhash_incremental" -> dedupMinhashIncremental _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -1166,6 +1190,41 @@ object Queries {
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
         |SELECT doc_id, text FROM k
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
+    "dedup_minhash_incremental" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents
+        |    WHERE doc_id BETWEEN 250 AND 274),
+        |bt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM batch),
+        |bs AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM bt WHERE len(t) >= 3),
+        |ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM corpus),
+        |cs AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM ct WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |inbatch_losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src),
+        |survivors AS (SELECT doc_id FROM batch
+        |  WHERE doc_id NOT IN (SELECT id FROM inbatch_losers)),
+        |corpus_losers AS (SELECT DISTINCT a.doc_id FROM bs a JOIN cs c ON
+        |  len(list_intersect(a.s, c.s)) * 1.0 /
+        |    len(list_distinct(list_concat(a.s, c.s))) >= 0.9)
+        |SELECT doc_id FROM survivors
+        |WHERE doc_id NOT IN (SELECT doc_id FROM corpus_losers)""".stripMargin,
     "url_dedup" ->
       """WITH u0 AS (SELECT doc_id,
         |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||

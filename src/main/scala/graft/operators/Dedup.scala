@@ -146,6 +146,45 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  /** (id, sh) shingle table — the shared first stage of every minhash
+    * pipeline.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (id, bk) banded minhash keys from a shingle table. Codegen
+    * formulation: explode shingles and take k seeded mins as ONE hash
+    * aggregation. Higher-order array lambdas (transform/array_min) are
+    * interpreted per element — boxed Longs, no whole-stage codegen — and
+    * measured ~6× slower than this explode+HashAggregate shape.
+    */
+  private def bandKeysFromShingles(sh: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val exploded = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h")) // string hashed once
+    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      xxhash64(array(slice: _*), lit(b)) // band index seeds the hash
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** (id, bk) banded minhash keys of a corpus — the STORE representation
+    * for incremental near-dup dedup: `bands` 8-byte keys per document,
+    * maintained append-only as batches land, so tomorrow's batch LSH-joins
+    * against the corpus without ever re-shingling it.
+    */
+  def minhashBandKeys(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandKeysFromShingles(shingleTable(df, idCol, textCol, shingleN),
+      bands, rowsPerBand)
+
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -155,26 +194,9 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.9
   ): DataFrame = {
-    val k = bands * rowsPerBand
-    val sh = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist() // reused by the band explode and both verify joins
-    // Codegen formulation: explode shingles and take k seeded mins as ONE
-    // hash aggregation. Higher-order array lambdas (transform/array_min)
-    // are interpreted per element — boxed Longs, no whole-stage codegen —
-    // and measured ~6× slower than this explode+HashAggregate shape.
-    val exploded = sh
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h")) // string hashed once
-    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      xxhash64(array(slice: _*), lit(b))
-    }
-    val banded = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val banded = bandKeysFromShingles(sh, bands, rowsPerBand)
       .persist() // self-joined below: without this the k hashes run twice
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
@@ -210,12 +232,20 @@ object Dedup {
     * [[broadcastMaxPairs]] for the dup-catastrophic tail where even the
     * candidate set is too big to ship.
     */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardBetween(pairs, sh, sh, threshold)
+
+  /** Two-table variant: `id_a` resolves shingles in `shA`, `id_b` in
+    * `shB` — the incremental path verifies batch docs against corpus
+    * docs, the self-dedup path passes the same table twice.
+    */
+  private def verifyJaccardBetween(pairs: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame = {
     val p = pairs.persist() // counted for the broadcast guard, then joined
     val nPairs = p.count()
-    val withA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val withA = shA.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .join(pinIfSmall(p, nPairs), "id_a")
-    sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    shB.select(col("id").as("id_b"), col("sh").as("sh_b"))
       .join(pinIfSmall(withA, nPairs), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -378,6 +408,95 @@ object Dedup {
       if (losers.count() <= losersBroadcastMax) broadcast(losers) else losers
     df.join(pinned, Seq(idCol), "left_anti")
   }
+
+  /** Incremental NEAR-dup dedup — the operator a daily 100 TB ingest
+    * actually runs: dedup a new batch against an existing corpus without
+    * re-shingling the corpus. The corpus participates twice, both times
+    * candidate- or batch-bounded:
+    *  - `corpusBands` — the (id, bk) band-key STORE
+    *    ([[minhashBandKeys]], `bands` 8-byte keys per corpus doc,
+    *    maintained append-only via [[appendBandKeys]]). The LSH join
+    *    against the batch's band keys shuffles rows sized by the BATCH:
+    *    the batch side is broadcast when small, so the corpus store
+    *    streams in place.
+    *  - `corpusDocs` — the corpus (id, text) table, touched ONLY for
+    *    candidate ids (semi-join pruned, pushed down to the scan), so
+    *    exact-Jaccard verification re-shingles a candidate-bounded slice
+    *    instead of the corpus.
+    *
+    * Semantics mirror [[dropDuplicatesIncremental]]: keep batch rows that
+    * (a) survive within-batch near-dup clustering ([[dropNearDuplicates]]
+    * — min-id survivor per transitive cluster) and (b) are not within
+    * `threshold` Jaccard of ANY corpus document.
+    */
+  def dropNearDuplicatesIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusBands: DataFrame,
+      corpusDocs: DataFrame,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val survivors = dropNearDuplicates(batch, idCol, textCol, shingleN,
+      bands, rowsPerBand, threshold).persist()
+    val shBatch = shingleTable(survivors, idCol, textCol, shingleN).persist()
+    val batchBands = bandKeysFromShingles(shBatch, bands, rowsPerBand)
+      .persist() // counted for the broadcast guard, then LSH-joined
+    val nBatchKeys = batchBands.count()
+    val bandsName = corpusBands.columns // accept any column names: (id, bk)
+    val corpusKeys = corpusBands.select(
+      col(bandsName(0)).as("cid"), col(bandsName(1)).as("cbk"))
+    // LSH candidates: batch keys × corpus store on the 8-byte band key.
+    // Batch side pinned broadcast when small — the corpus store streams.
+    val cands = corpusKeys
+      .join(pinIfSmall(batchBands, nBatchKeys), col("bk") === col("cbk"))
+      .select(col("id").as("id_a"), col("cid").as("id_b"))
+      .distinct()
+      .persist() // counted for the downstream broadcast guards
+    val nCands = cands.count()
+    // shingle ONLY the candidate corpus docs (semi-join prune)
+    val candCorpusIds = cands.select(col("id_b").as(idCol)).distinct()
+    val candDocs = corpusDocs
+      .join(pinIfSmall(candCorpusIds, nCands), Seq(idCol), "left_semi")
+    val shCorpus = shingleTable(candDocs, idCol, textCol, shingleN)
+    val losers = verifyJaccardBetween(cands, shBatch, shCorpus, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    survivors.join(pinIfSmall(losers, nCands), Seq(idCol), "left_anti")
+  }
+
+  /** Append a batch's band keys to a parquet store — the maintenance half
+    * of [[dropNearDuplicatesIncremental]]: run it on the rows that
+    * landed, and tomorrow's batch LSH-joins against them without
+    * re-shingling today's documents.
+    */
+  def appendBandKeys(df: DataFrame, idCol: String, textCol: String,
+      storePath: String, shingleN: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): Unit =
+    minhashBandKeys(df, idCol, textCol, shingleN, bands, rowsPerBand)
+      .write.mode("append").parquet(storePath)
+
+  /** Read a band-key store; a MISSING store is an empty set (first run
+    * bootstraps) — any other failure propagates, same contract as
+    * [[readFingerprints]].
+    */
+  def readBandKeys(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    try spark.read.parquet(storePath)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            Option(e.getMessage).exists(_.contains("Path does not exist")) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("bk",
+              org.apache.spark.sql.types.LongType))))
+    }
 
   // ------------------------------------------------------ paragraph dedup
 

@@ -104,6 +104,15 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(p).length should be <= 2
   }
 
+  test("incremental near-dup keeps corpus-side work candidate-bounded") {
+    // the corpus band store streams against a broadcast batch; the corpus
+    // text table is semi-join pruned to candidates; the loser anti-join is
+    // broadcast — all pinned in the INITIAL plan
+    val p = plan("dedup_minhash_incremental")
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 3
+    p should not include "CartesianProduct"
+  }
+
   test("quality signals contain no interpreted HOF lambdas") {
     // higher-order array functions (filter/transform/aggregate) print as
     // lambdafunction(...) in the plan and are interpreted per element —

@@ -166,6 +166,35 @@ class DedupSpec extends SparkSpec {
     bcast shouldBe Array(1L, 9L)
   }
 
+  test("dropNearDuplicatesIncremental: store LSH + in-batch clustering") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "completely different words entirely here now today friends")
+    ).toDF("id", "text")
+    // band-key store round-trips through parquet (the production shape)
+    val storePath = java.nio.file.Files.createTempDirectory("bandstore")
+      .toString + "/bands"
+    Dedup.appendBandKeys(corpus, "id", "text", storePath,
+      shingleN = 2, bands = 16, rowsPerBand = 2)
+    val store = Dedup.readBandKeys(spark, storePath)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta kappa"), // ≈ corpus 1
+      (11L, "fresh new totally original content appears in this batch"),
+      (12L, "fresh new totally original content appears in this batch today"), // ≈ 11
+      (13L, "short") // too short to shingle → trivially survives
+    ).toDF("id", "text")
+    val out = Dedup.dropNearDuplicatesIncremental(batch, "id", "text",
+      store, corpus, shingleN = 2, bands = 16, rowsPerBand = 2,
+      threshold = 0.6)
+    out.select("id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+    // missing band store bootstraps empty (first run): only in-batch dedup
+    val empty = Dedup.readBandKeys(spark, storePath + "_missing")
+    Dedup.dropNearDuplicatesIncremental(batch, "id", "text",
+      empty, corpus.limit(0), shingleN = 2, bands = 16, rowsPerBand = 2,
+      threshold = 0.6)
+      .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L, 13L)
+  }
+
   test("readFingerprints: missing store bootstraps empty; corrupt store fails") {
     val tmp = java.nio.file.Files.createTempDirectory("fpstore").toString
     // missing path → empty frame (first-run bootstrap)
