@@ -229,17 +229,9 @@ object Queries {
     * source's share of all tokens — the numbers that drive mixture
     * sampling fractions.
     */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
-    val s = t(spark, dir, "documents")
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(graft.operators.TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
-        sum(length(col("text")).cast("long")).as("n_chars"))
-    s.withColumn("token_frac",
-      col("n_tokens").cast("double") /
-        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
-  }
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.corpusMixReport(
+      t(spark, dir, "documents"), "source", "text")
 
   /** JSON extraction from the events.props payload column. */
   def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -582,6 +574,27 @@ object Queries {
       "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
   }
 
+  /** IVF ANN over k-means-REFINED centroids: the 16 seeds (vec_id < 16)
+    * Lloyd-refined for 2 iterations on the deterministic vec_id < 256
+    * sample, then the same probe/top-k mechanics as ann_ivf_topk. The
+    * oracle replays the refinement bit-exactly — every dot, norm, and
+    * per-dimension member sum is a sequential double fold in vec_id
+    * order, which DuckDB expresses as
+    * `list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b)`.
+    */
+  def annIvfRefinedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val seeds = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val refined = graft.operators.Similarity.refineCentroids(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding", seeds,
+      iterations = 2)
+    graft.operators.Similarity.ivfTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = refined, nprobe = 4)
+  }
+
   /** Embedding outlier scores: every vector's best-centroid cosine over
     * the same 16 seed centroids as ann_ivf_topk — low scores mark
     * embedding-space noise.
@@ -725,6 +738,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_stratified" -> sampleStratified _,
@@ -880,6 +894,53 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** One Lloyd iteration as oracle CTEs: assign the sample to `prev`'s
+    * centroids (argmax cosine, ties to the lower list), then replace each
+    * non-empty list's centroid with the per-dimension sequential sum of
+    * its members in vec_id order — the exact fold
+    * [[graft.operators.Similarity.refineCentroids]] runs on the driver.
+    */
+  private def lloydIterSql(i: Int, prev: String): String =
+    s"""a_$i AS (SELECT s.vec_id, s.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM samp s CROSS JOIN $prev c),
+       |b_$i AS (SELECT vec_id, e, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a_$i)
+       |  WHERE rn = 1),
+       |s_$i AS (SELECT l, p.p AS pos,
+       |  list_reduce(list(e[p.p + 1] ORDER BY vec_id), (a, b) -> a + b) AS sm
+       |  FROM b_$i CROSS JOIN (SELECT UNNEST(range(64)) AS p) p
+       |  GROUP BY l, p.p),
+       |c_$i AS (SELECT c.l, COALESCE(m.ce, c.ce) AS ce FROM $prev c
+       |  LEFT JOIN (SELECT l, list(sm ORDER BY pos) AS ce FROM s_$i
+       |    GROUP BY l) m ON m.l = c.l)""".stripMargin
+
+  private val annIvfRefinedTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c_0 AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |samp AS (SELECT vec_id, e FROM v WHERE vec_id < 256),
+       |${lloydIterSql(1, "c_0")},
+       |${lloydIterSql(2, "c_1")},
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c_2 c),
+       |a AS (SELECT vec_id, e, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |s AS (SELECT qp.query_id, a.vec_id AS neighbor_id,
+       |  ${dotSql("qe", "a.e")} /
+       |  (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("a.e", "a.e")})) AS sim
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val annOutlierScoresOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -895,6 +956,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
+    "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_stratified" -> sampleStratifiedOracle,

@@ -34,12 +34,13 @@ object Chunking {
       idCol: String,
       textCol: String,
       maxTokens: Int,
-      overlap: Int = 0): DataFrame = {
+      overlap: Int = 0,
+      tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap")
     val stride = maxTokens - overlap
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = tokenizer.tokenize(col(textCol))
     // iMax = ceil(max(0, n - maxTokens) / stride) in exact long arithmetic
     val extra = greatest(col("__n") - maxTokens, lit(0L))
     val iMax = ((extra + lit(stride.toLong - 1L)) / lit(stride.toLong))
@@ -50,10 +51,10 @@ object Chunking {
       .select(
         col(idCol),
         col("chunk_idx"),
-        array_join(
+        tokenizer.detokenize(
           slice(col("__t"),
-            (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)),
-          " ").as("chunk_text"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens)))
+          .as("chunk_text"),
         least(lit(maxTokens.toLong), col("__n") - col("chunk_idx") * stride)
           .as("n_tokens"))
   }
@@ -82,11 +83,12 @@ object Chunking {
       idCol: String,
       textCol: String,
       groupCol: String,
-      seqLen: Int): DataFrame = {
+      seqLen: Int,
+      tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val L = seqLen.toLong
     val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("t"))
+        tokenizer.tokenize(col(textCol)).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") > 0)
     val w = Window.partitionBy("g").orderBy("id")
@@ -103,11 +105,10 @@ object Chunking {
         (col("pe") - col("ps")).as("plen"))
     pieces.groupBy(col("g"), col("seq_id"))
       .agg(
-        array_join(
+        tokenizer.detokenize(
           flatten(transform(
             array_sort(collect_list(struct(col("ps"), col("piece")))),
-            x => x.getField("piece"))),
-          " ").as("seq_text"),
+            x => x.getField("piece")))).as("seq_text"),
         sum(col("plen")).as("n_tokens"))
       .select(col("g").as(groupCol), col("seq_id"), col("seq_text"),
         col("n_tokens"))

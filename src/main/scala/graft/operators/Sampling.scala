@@ -89,6 +89,30 @@ object Sampling {
     * the final `row_number` window (same (hash, id) order) returns the
     * identical result to the naive formulation.
     */
+  /** Corpus-mix report: per-source document/token/char totals plus each
+    * source's share of the corpus token budget — the numbers a data-mix
+    * design starts from. One partial-aggregated shuffle on the source
+    * key. `tokenizer` picks the counting unit: whitespace words stay the
+    * default (and the DuckDB-oracle path); a [[BpeTokenizer]] sizes the
+    * mix in real tokenizer tokens, which is what the training run
+    * actually consumes.
+    */
+  def corpusMixReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      tokenizer: Tokenizer = WhitespaceTokenizer): DataFrame = {
+    val s = df
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokenizer.tokenize(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+    s.withColumn("token_frac",
+      col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

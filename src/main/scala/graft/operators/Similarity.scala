@@ -169,6 +169,70 @@ object Similarity {
     df.orderBy(col(idCol)).limit(numLists).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
 
+  /** Spherical k-means (Lloyd) refinement of seeded IVF centroids — an
+    * index-BUILD step, run once per index on a DETERMINISTIC sample.
+    * Each iteration assigns every sample vector to its best-cosine
+    * centroid (ties to the lower list id, the same rule the IVF
+    * assignment uses) and replaces each centroid with the per-dimension
+    * SUM of its members — the sum, not the mean, because
+    * [[centroidScore]] normalizes by |c|, so only the DIRECTION matters
+    * and skipping the division keeps the arithmetic a pure sequential
+    * double fold. Empty lists keep their previous centroid.
+    *
+    * Determinism contract (what makes the refined index oracle-checkable
+    * and rebuildable bit-for-bit): the sample is taken in id order, every
+    * dot/norm/sum accumulates sequentially in double over that order —
+    * exactly the fold a DuckDB `list_reduce(list(x ORDER BY id), ...)`
+    * replays — so Spark and the oracle derive identical centroid bits.
+    * Scale shape: refinement touches only the collected sample (k-means
+    * training sets are samples in production quantizers too); the
+    * corpus-wide assignment stays the map-side literal-centroid plan.
+    */
+  def refineCentroids(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Array[Double]],
+      iterations: Int = 2): Seq[Array[Double]] = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val vecs = sample.orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = seeds.map(_.clone()).toArray
+    var it = 0
+    while (it < iterations) {
+      val norms = cents.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        math.sqrt(s)
+      }
+      val sums = Array.fill(cents.length)(new Array[Double](
+        if (vecs.nonEmpty) vecs.head.length else 0))
+      val counts = new Array[Long](cents.length)
+      vecs.foreach { v =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          var d = 0.0; var i = 0
+          val n = math.min(v.length, c.length)
+          while (i < n) { d += v(i) * c(i); i += 1 }
+          val score = d / norms(j)
+          if (score > bestScore) { bestScore = score; best = j } // tie → lower j
+          j += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < math.min(v.length, s.length)) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map(j =>
+        if (counts(j) == 0) cents(j) else sums(j)).toArray
+      it += 1
+    }
+    cents.toSeq
+  }
+
   /** Cosine score against one literal centroid (|v| dropped — constant
     * per row, so the argmax is unchanged). The centroid's norm is folded
     * on the driver with the same sequential-double accumulation VecDot

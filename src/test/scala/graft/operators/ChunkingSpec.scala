@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Chunking: window/overlap arithmetic, tail coverage, single-chunk
-  * shorts, and the shuffle-free plan shape.
+  * shorts, the shuffle-free plan shape, and BPE-tokenizer cutting.
   */
 class ChunkingSpec extends SparkSpec {
 
@@ -75,5 +76,54 @@ class ChunkingSpec extends SparkSpec {
     val p = Chunking.chunkByTokens(df, "doc_id", "text", 4, 1)
       .queryExecution.executedPlan.toString
     p should not include "Exchange"
+  }
+
+  // tiny BPE: merges build "▁hello" into one token, leave "world" as
+  // [▁, w, or, l, d] (only "o r" ranked)
+  private val tinyMerges = Seq(
+    "l" -> "l", "e" -> "ll", "h" -> "ell", "hell" -> "o",
+    "▁" -> "hello", "o" -> "r")
+
+  test("BPE tokenizer: greedy merges, exact detokenize round-trip") {
+    val tok = BpeTokenizer(tinyMerges)
+    val df = Seq(Tuple1("hello hello world")).toDF("text")
+    val pieces = df.select(tok.tokenize(col("text"))).collect()(0).getSeq[String](0)
+    pieces shouldBe Seq("▁hello", "▁hello", "▁", "w", "or", "l", "d")
+    df.select(tok.detokenize(tok.tokenize(col("text"))))
+      .collect()(0).getString(0) shouldBe "hello hello world"
+  }
+
+  test("BPE tokenizer: vocab+merges files round-trip; vocab mismatch fails") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe")
+    val merges = dir.resolve("merges.txt")
+    java.nio.file.Files.writeString(merges,
+      "#version: tiny\n" + tinyMerges.map { case (a, b) => s"$a $b" }.mkString("\n"))
+    val vocab = dir.resolve("vocab.txt")
+    java.nio.file.Files.writeString(vocab,
+      Seq("ll", "ell", "hell", "hello", "▁hello", "or").mkString("\n"))
+    val tok = BpeTokenizer.fromFiles(vocab.toString, merges.toString)
+    tok.merges shouldBe tinyMerges
+    // a vocab missing a composed token fails loudly at load time
+    java.nio.file.Files.writeString(vocab,
+      Seq("ll", "ell", "hell", "hello", "or").mkString("\n")) // no ▁hello
+    an[IllegalArgumentException] should be thrownBy
+      BpeTokenizer.fromFiles(vocab.toString, merges.toString)
+  }
+
+  test("chunking and packing cut in BPE tokens when given the tokenizer") {
+    val tok = BpeTokenizer(tinyMerges)
+    val df = Seq((1L, "hello hello world")).toDF("doc_id", "text")
+    // 7 BPE tokens → two maxTokens=4 chunks; text reassembles via markers
+    val chunks = Chunking.chunkByTokens(df, "doc_id", "text", 4,
+        tokenizer = tok)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    chunks shouldBe Array(("hello hello w", 4L), ("orld", 3L))
+    val packed = Chunking.packSequences(
+        df.withColumn("source", lit("g")), "doc_id", "text", "source", 4,
+        tokenizer = tok)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    packed shouldBe Array(("hello hello w", 4L), ("orld", 3L))
   }
 }

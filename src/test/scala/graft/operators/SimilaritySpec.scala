@@ -110,6 +110,53 @@ class SimilaritySpec extends SparkSpec {
     m(3L)._2 shouldBe 0.0 +- 1e-12          // orthogonal to every centroid
   }
 
+  test("refineCentroids: deterministic bits; recall improves on planted clusters") {
+    // four planted clusters; the four SEEDS cover them badly (two land in
+    // cluster 0, none in cluster 1) — the classic bad-seed case Lloyd
+    // refinement exists to fix
+    val rnd = new scala.util.Random(42)
+    val dirs = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    def vec(c: Int): Seq[Float] =
+      dirs(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val rows = Seq((0L, vec(0)), (1L, vec(0)), (2L, vec(2)), (3L, vec(3))) ++
+      (4L until 204L).map(i => (i, vec((i % 4).toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.seedCentroids(df, "vec_id", "embedding", 4)
+    val refined = Similarity.refineCentroids(
+      df, "vec_id", "embedding", seeds, iterations = 3)
+    // bit-exact rebuild: the index is a pure function of (sample, seeds)
+    Similarity.refineCentroids(df, "vec_id", "embedding", seeds, iterations = 3)
+      .map(_.toSeq) shouldBe refined.map(_.toSeq)
+    val queries = df.filter($"vec_id".between(4, 43))
+    val truth = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(cents: Seq[Array[Double]]): Double = {
+      val got = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 5,
+        cents, nprobe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val (rSeed, rRefined) = (recall(seeds), recall(refined))
+    withClue(s"seed recall $rSeed vs refined $rRefined: ") {
+      rRefined should be > rSeed
+      rRefined should be >= 0.8
+    }
+  }
+
+  test("refineCentroids: empty lists keep their previous centroid") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    // second seed is opposite every vector → never wins an assignment
+    val seeds = Seq(Array(1.0, 0.0), Array(-1.0, 0.0))
+    val refined = Similarity.refineCentroids(
+      df, "vec_id", "embedding", seeds, iterations = 2)
+    refined(1).toSeq shouldBe Seq(-1.0, 0.0) // untouched
+    refined(0)(0) should be > 0.0 // sum of all three vectors
+  }
+
   test("ivfTopK plan: corpus broadcast-joins probes, never a cartesian") {
     val df = vecs
     val cents = Similarity.seedCentroids(df, "vec_id", "embedding", 2)
