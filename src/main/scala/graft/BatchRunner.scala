@@ -40,10 +40,28 @@ object BatchRunner {
       redactor: Redactor,
       warnings: Seq[String])
 
+  /** Tenant-level rollup across the batch — the aggregate line the
+    * reference's orchestrated mode logs per tenant after a run.
+    */
+  final case class TenantSummary(
+      tenantId: String,
+      jobsRun: Int,
+      jobsSucceeded: Int,
+      totalRecords: Long,
+      totalValidRecords: Long,
+      totalBytesWritten: Long,
+      wallClockSeconds: Double) {
+    def logLine: String =
+      s"tenant=$tenantId jobs=$jobsRun succeeded=$jobsSucceeded " +
+        s"records=$totalRecords valid=$totalValidRecords " +
+        s"bytes=$totalBytesWritten " + f"wall=$wallClockSeconds%.2fs"
+  }
+
   final case class BatchReport(
       exitCode: Int,
       results: Seq[(Path, Int)],
-      startup: StartupContext)
+      startup: StartupContext,
+      summary: TenantSummary)
 
   /** Recursive job-directory load (config.py:887-945): parse failures are
     * collected, not fatal, unless zero jobs load.
@@ -281,18 +299,19 @@ object BatchRunner {
       runJobOverride: Option[(SparkSession, Path, String => Unit) => Int] = None,
       log: String => Unit = m => System.err.println(s"[graft] $m")): BatchReport = {
     require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")
+    val startNanos = System.nanoTime() // wall-clock for the tenant rollup
     val ctx = startupSequence(jobDir, secretsDir, tenantId, mode,
       secretManager, secretManagerConfig, env = env, log = log)
     // log is caller-supplied and now potentially hit from N threads
     val logSync: String => Unit = m => log.synchronized(log(m))
-    val exec: LoadedJob => Int = { j =>
+    val exec: LoadedJob => (Int, Option[JobRunner.JobReport]) = { j =>
       val jobLog: String => Unit = m => logSync(ctx.redactor.redact(m))
       runJobOverride match {
         case Some(f) =>
-          try f(spark, j.path, jobLog)
+          try (f(spark, j.path, jobLog), None)
           catch { case e: Exception =>
             jobLog(s"${j.path.getFileName} FAILED: ${e.getMessage}")
-            graft.core.ExitCodes.Failure
+            (graft.core.ExitCodes.Failure, None)
           }
         case None =>
           try {
@@ -301,28 +320,29 @@ object BatchRunner {
               s"${j.path.getFileName}: records=${report.records} " +
                 s"valid=${report.validRecords} rps=${f"${report.recordsPerSecond}%.1f"} " +
                 s"exit=${report.exitCode}")
-            report.exitCode
+            (report.exitCode, Some(report))
           } catch {
             case e: Exception =>
               jobLog(s"${j.path.getFileName} FAILED: ${e.getMessage}")
-              graft.core.ExitCodes.Failure
+              (graft.core.ExitCodes.Failure, None)
           }
       }
     }
-    val results: Seq[(Path, Int)] =
+    val outcomes: Seq[(Path, Int, Option[JobRunner.JobReport])] =
       if (concurrency == 1 || ctx.jobs.size <= 1)
-        ctx.jobs.map(j => j.path -> exec(j))
+        ctx.jobs.map { j => val (c, r) = exec(j); (j.path, c, r) }
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
         try {
           val futures = ctx.jobs.map { j =>
-            pool.submit(new java.util.concurrent.Callable[(Path, Int)] {
-              def call(): (Path, Int) = {
+            pool.submit(new java.util.concurrent.Callable[
+                (Path, Int, Option[JobRunner.JobReport])] {
+              def call(): (Path, Int, Option[JobRunner.JobReport]) = {
                 // local properties are thread-local: tag this job's Spark
                 // actions with a fair pool named after the job
                 spark.sparkContext.setLocalProperty(
                   "spark.scheduler.pool", s"graft-${j.path.getFileName}")
-                try j.path -> exec(j)
+                try { val (c, r) = exec(j); (j.path, c, r) }
                 finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
               }
             })
@@ -330,8 +350,19 @@ object BatchRunner {
           futures.map(_.get()) // preserves job order; exec never throws
         } finally pool.shutdown()
       }
+    val results = outcomes.map { case (p, c, _) => p -> c }
     val exit = if (results.forall(_._2 == 0)) 0 else graft.core.ExitCodes.Failure
-    BatchReport(exit, results, ctx)
+    val reports = outcomes.flatMap(_._3)
+    val summary = TenantSummary(
+      tenantId = ctx.tenantId,
+      jobsRun = outcomes.size,
+      jobsSucceeded = outcomes.count(_._2 == 0),
+      totalRecords = reports.map(_.records).sum,
+      totalValidRecords = reports.map(_.validRecords).sum,
+      totalBytesWritten = reports.map(_.bytesWritten).sum,
+      wallClockSeconds = (System.nanoTime() - startNanos) / 1e9)
+    logSync(summary.logLine)
+    BatchReport(exit, results, ctx, summary)
   }
 }
 
@@ -382,6 +413,7 @@ object RunJobs {
       report.results.foreach { case (p, c) =>
         System.err.println(s"[graft] ${p.getFileName} -> exit $c")
       }
+      System.err.println(s"[graft] ${report.summary.logLine}")
       spark.stop()
       sys.exit(report.exitCode)
     } catch {

@@ -76,12 +76,25 @@ class BatchRunnerSpec extends SparkSpec {
     write(jobs.resolve("nested/b.yaml"), // recursive discovery; paths are job-relative
       jobYaml("t1", goodCsv(root, "b.csv"), root.resolve("out_b").toString)
         .replace("../shared/", "../../shared/"))
-    val r = BatchRunner.runAll(spark, jobs, log = _ => ())
+    val logged = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val r = BatchRunner.runAll(spark, jobs, log = m => logged.add(m))
     r.exitCode shouldBe 0
     r.results.map(_._2) shouldBe Seq(0, 0)
     r.startup.tenantId shouldBe "t1"
     spark.read.parquet(root.resolve("out_a/hr/core/people").toString)
       .count() shouldBe 2
+    // tenant-level rollup: every job's records/bytes aggregated, and the
+    // summary line is the batch's last log entry
+    r.summary.tenantId shouldBe "t1"
+    r.summary.jobsRun shouldBe 2
+    r.summary.jobsSucceeded shouldBe 2
+    r.summary.totalRecords shouldBe 4 // 2 csv rows per job
+    r.summary.totalValidRecords shouldBe 4
+    r.summary.totalBytesWritten should be > 0L
+    r.summary.wallClockSeconds should be > 0.0
+    import scala.jdk.CollectionConverters.ListHasAsScala
+    logged.asScala.last should startWith("tenant=t1 jobs=2 succeeded=2")
   }
 
   test("concurrency=2: jobs overlap, results keep job order, exit contract holds") {
