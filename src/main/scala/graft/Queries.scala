@@ -326,6 +326,20 @@ object Queries {
       .select("doc_id")
   }
 
+  /** Exact substring-span dedup over documents plus planted copies of
+    * docs < 100 (guaranteed repeated passages): every maximal token span
+    * whose 10-token windows all occur at least twice corpus-wide. The
+    * organic planted near-dups contribute partial-document spans; the
+    * copies contribute full-document ones.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d.union(d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    graft.operators.Dedup.duplicateSpans(corpus, "doc_id", "text",
+      windowTokens = 10)
+  }
+
   /** URL canonicalization + dedup over URLs synthesized from doc_id
     * (mixed-case host, default port, trailing slash, tracking params,
     * fragment — each present-or-absent by mod so the corpus collides
@@ -717,6 +731,7 @@ object Queries {
     "url_dedup" -> urlDedup _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_minhash_incremental" -> dedupMinhashIncremental _,
+    "dedup_spans" -> dedupSpans _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -1287,6 +1302,23 @@ object Queries {
         |    len(list_distinct(list_concat(a.s, c.s))) >= 0.9)
         |SELECT doc_id FROM survivors
         |WHERE doc_id NOT IN (SELECT doc_id FROM corpus_losers)""".stripMargin,
+    "dedup_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id < 100),
+        |tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM corpus),
+        |p AS (SELECT doc_id, t, UNNEST(range(len(t) - 9)) AS pos
+        |  FROM tok WHERE len(t) >= 10),
+        |w AS (SELECT doc_id, pos,
+        |  array_to_string(t[pos + 1 : pos + 10], ' ') AS wt FROM p),
+        |d AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+        |  COUNT(*) OVER (PARTITION BY wt) AS c FROM w) WHERE c > 1),
+        |i AS (SELECT doc_id, pos, pos - row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY pos) AS isl FROM d)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 9 AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM i GROUP BY doc_id, isl""".stripMargin,
     "url_dedup" ->
       """WITH u0 AS (SELECT doc_id,
         |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||

@@ -498,6 +498,62 @@ object Dedup {
               org.apache.spark.sql.types.LongType))))
     }
 
+  /** Exact substring-SPAN dedup — repeated-passage detection at the
+    * granularity pre-training curation actually wants (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * document- and paragraph-level dedup miss a long passage pasted into
+    * otherwise-distinct pages; this finds every maximal token span whose
+    * `windowTokens`-token windows ALL occur at least twice in the corpus
+    * (including within one document).
+    *
+    * Returns `(id, span_start, span_end, n_windows)` — token indices
+    * (0-based, inclusive) of each maximal duplicated span, built by
+    * merging adjacent duplicated window positions (gaps-and-islands).
+    *
+    * Scale shape: windows are hashed MAP-SIDE to 8 bytes, so the only
+    * corpus-wide shuffle carries (hash, id, pos) rows — never window
+    * text; the occurrence count is a window function over that same
+    * hash partitioning (no second shuffle), and the island merge
+    * shuffles the (tiny) duplicated subset by document id. The ~w× row
+    * blowup of overlapping windows exists in every suffix/window dedup
+    * and is linear, map-generated, and never materialized past its
+    * aggregation. 64-bit collision odds are ~|windows|²/2⁶⁴ — the same
+    * accepted gamble as the postings join ([[ngramJaccardPairs]]).
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20
+  ): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val w = windowTokens
+    val windows = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w) // shorter docs have no w-token window
+      .withColumn("pos", explode(sequence(lit(0L), size(col("t")).cast("long") - w)))
+      .select(col("id"), col("pos"),
+        xxhash64(array_join(
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(w)), " "))
+          .as("wh"))
+    val dup = windows
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("occ") > 1)
+      .select("id", "pos")
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - row_number), so each island is one maximal span
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    dup
+      .withColumn("__isl", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("__isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w.toLong - 1L)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   // ------------------------------------------------------ paragraph dedup
 
   /** PARAGRAPH-level dedup: remove repeated paragraphs across the whole

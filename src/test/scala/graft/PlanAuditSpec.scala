@@ -113,6 +113,15 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("span dedup shuffles 8-byte window hashes, never window text") {
+    // windows hash map-side; the occurrence count rides the wh window's
+    // partitioning and the island merge reuses the doc-id partitioning,
+    // so the whole operator is a bounded number of narrow shuffles
+    val p = plan("dedup_spans")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning".r.findAllIn(p).length should be <= 3
+  }
+
   test("quality signals contain no interpreted HOF lambdas") {
     // higher-order array functions (filter/transform/aggregate) print as
     // lambdafunction(...) in the plan and are interpreted per element —

@@ -206,6 +206,26 @@ class DedupSpec extends SparkSpec {
       Dedup.readFingerprints(spark, bad.toString).count()
   }
 
+  test("duplicateSpans: maximal repeated spans, cross-doc and within-doc") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight alpha beta"),
+      (2L, "zero one two three four five six seven eight gamma"), // shares the 8-token run
+      (3L, "totally different text here and nothing repeats at all"),
+      (4L, "a b c d x a b c d") // within-doc repeat of "a b c d"
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(docs, "id", "text", windowTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // doc 1: windows 0..4 of the shared run duplicate → one span [0, 7]
+    out(1L) shouldBe Seq((0L, 7L, 5L))
+    // doc 2: same run sits one token later → [1, 8]
+    out(2L) shouldBe Seq((1L, 8L, 5L))
+    out.contains(3L) shouldBe false
+    // doc 4: "a b c d" repeats within the doc → two 1-window islands
+    out(4L) shouldBe Seq((0L, 3L, 1L), (5L, 8L, 1L))
+  }
+
   test("dropDuplicateParagraphs: corpus-wide keep-first, order-preserving reassembly") {
     val docs = Seq(
       (1L, "alpha one\n\nshared boilerplate\n\nbeta two"),
