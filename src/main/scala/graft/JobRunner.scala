@@ -311,6 +311,12 @@ object JobRunner {
           out, need("id_field"), need("text_field"),
           graft.operators.Dedup.readFingerprints(
             df.sparkSession, need("fingerprint_store")))
+      case "spans" =>
+        // cut repeated passages in place (keep-first); schema preserved,
+        // fully-duplicate documents disappear
+        out = graft.operators.Dedup.removeDuplicateSpans(
+          out, need("id_field"), need("text_field"),
+          Yaml.str(c, "span_window").map(_.toDouble.toInt).getOrElse(20))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
     }

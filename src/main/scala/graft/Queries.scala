@@ -340,6 +340,19 @@ object Queries {
       windowTokens = 10)
   }
 
+  /** Span REMOVAL twin of [[dedupSpans]]: every non-canonical occurrence
+    * of a duplicated 10-token window is cut and the text reassembled
+    * from surviving tokens (case preserved, single-space joined);
+    * fully-duplicate documents disappear.
+    */
+  def dedupSpansRemove(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d.union(d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    graft.operators.Dedup.removeDuplicateSpans(corpus, "doc_id", "text",
+      windowTokens = 10)
+  }
+
   /** URL canonicalization + dedup over URLs synthesized from doc_id
     * (mixed-case host, default port, trailing slash, tracking params,
     * fragment — each present-or-absent by mod so the corpus collides
@@ -732,6 +745,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_minhash_incremental" -> dedupMinhashIncremental _,
     "dedup_spans" -> dedupSpans _,
+    "dedup_spans_remove" -> dedupSpansRemove _,
     "events_sessionize" -> eventsSessionize _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
@@ -1319,6 +1333,27 @@ object Queries {
         |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 9 AS span_end,
         |  CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM i GROUP BY doc_id, isl""".stripMargin,
+    "dedup_spans_remove" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |    WHERE doc_id < 100),
+        |tok AS (SELECT doc_id,
+        |  string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |p AS (SELECT doc_id, t, UNNEST(range(len(t) - 9)) AS pos
+        |  FROM tok WHERE len(t) >= 10),
+        |w AS (SELECT doc_id, pos,
+        |  lower(array_to_string(t[pos + 1 : pos + 10], ' ')) AS wt FROM p),
+        |nc AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY wt ORDER BY doc_id, pos) AS rn
+        |  FROM w) WHERE rn > 1),
+        |mask AS (SELECT DISTINCT doc_id, UNNEST(range(pos, pos + 10)) AS idx
+        |  FROM nc),
+        |tr0 AS (SELECT doc_id, t, UNNEST(range(len(t))) AS idx FROM tok),
+        |tr AS (SELECT doc_id, idx, t[idx + 1] AS tok FROM tr0),
+        |kept AS (SELECT tr.doc_id, tr.idx, tr.tok
+        |  FROM tr ANTI JOIN mask USING (doc_id, idx))
+        |SELECT doc_id, array_to_string(list(tok ORDER BY idx), ' ') AS text
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "url_dedup" ->
       """WITH u0 AS (SELECT doc_id,
         |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||

@@ -554,6 +554,66 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** Remove duplicated spans IN PLACE — the curation action
+    * [[duplicateSpans]] is the analysis for: every occurrence of a
+    * duplicated window except its canonical first one (lowest (id, pos))
+    * has its tokens cut from the document, and the text is reassembled
+    * from the survivors. Case is preserved (detection compares
+    * lowercased windows, reconstruction uses the original tokens);
+    * reassembly is single-space joined, the same whitespace
+    * normalization contract as chunking. Documents whose every token is
+    * cut (pure duplicate passages) disappear; documents shorter than
+    * `windowTokens` pass through untouched. Non-text columns are
+    * preserved (the rebuilt text joins back on `idCol`).
+    *
+    * Scale shape: same (hash, id, pos) shuffle as [[duplicateSpans]] for
+    * detection; the token mask explodes ONLY the duplicated windows
+    * (candidate-bounded); reassembly shuffles (id, idx, token) rows of
+    * affected documents plus one id-keyed join back to the input.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20
+  ): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val w = windowTokens
+    val base = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("t")) // original case kept
+    val windows = base
+      .filter(size(col("t")) >= w)
+      .withColumn("pos", explode(sequence(lit(0L), size(col("t")).cast("long") - w)))
+      .select(col("id"), col("pos"),
+        xxhash64(lower(array_join(
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(w)), " "))).as("wh"))
+    // canonical occurrence of each duplicated window = lowest (id, pos);
+    // everything ranked behind it gets cut
+    val byHash = Window.partitionBy("wh").orderBy(col("id"), col("pos"))
+    val nonCanonical = windows
+      .withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") > 1)
+      .select(col("id"), col("pos"))
+    val mask = nonCanonical
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(w.toLong - 1L)))
+        .as("idx"))
+      .distinct()
+    val toks = base
+      .select(col("id"), posexplode(col("t")).as(Seq("idx", "tok")))
+      .withColumn("idx", col("idx").cast("long"))
+    val rebuilt = toks
+      .join(mask, Seq("id", "idx"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("__newtext"))
+    df.drop(textCol)
+      .join(rebuilt.select(col("id").as(idCol), col("__newtext").as(textCol)),
+        Seq(idCol), "inner")
+      .select(df.columns.map(col): _*) // original column order
+  }
+
   // ------------------------------------------------------ paragraph dedup
 
   /** PARAGRAPH-level dedup: remove repeated paragraphs across the whole

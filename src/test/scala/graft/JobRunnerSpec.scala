@@ -248,6 +248,21 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation dedupe: spans cuts repeated passages in place") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "one two three four five six seven eight alpha beta"),
+      (2L, "zero one two three four five six seven eight gamma")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "spans", "span_window" -> "4"))
+    val m = JobRunner.applyCuration(df, raw)
+      .as[(Long, String)].collect().toMap
+    m(1L) shouldBe "one two three four five six seven eight alpha beta"
+    m(2L) shouldBe "zero gamma"
+  }
+
   test("cursor state reflects PRE-curation max (dropped rows not re-extracted)") {
     // the highest-cursor row (id=3) is an exact-dup loser that curation
     // drops; persisting the post-curation max (2) would re-extract id=3

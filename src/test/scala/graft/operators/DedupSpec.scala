@@ -226,6 +226,35 @@ class DedupSpec extends SparkSpec {
     out(4L) shouldBe Seq((0L, 3L, 1L), (5L, 8L, 1L))
   }
 
+  test("removeDuplicateSpans: keep-first cut, case preserved, extra columns intact") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight alpha beta", "k1"),
+      (2L, "zero ONE two three FOUR five six seven eight gamma", "k2"), // run cut (case-insensitive match)
+      (3L, "totally different text here and nothing repeats at all", "k3"),
+      (4L, "a b c d x a b c d", "k4") // within-doc: second occurrence cut
+    ).toDF("id", "text", "extra")
+    val out = Dedup.removeDuplicateSpans(docs, "id", "text", windowTokens = 4)
+    out.columns shouldBe Array("id", "text", "extra") // schema + order preserved
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    m(1L) shouldBe (("one two three four five six seven eight alpha beta", "k1"))
+    m(2L) shouldBe (("zero gamma", "k2")) // canonical run lives in doc 1
+    m(3L)._1 shouldBe "totally different text here and nothing repeats at all"
+    m(4L)._1 shouldBe "a b c d x"
+  }
+
+  test("removeDuplicateSpans: fully-duplicate documents disappear; short docs untouched") {
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "p q r s t u"),   // every window duplicated → vanishes
+      (3L, "tiny doc")       // shorter than the window → untouched
+    ).toDF("id", "text")
+    val m = Dedup.removeDuplicateSpans(docs, "id", "text", windowTokens = 4)
+      .as[(Long, String)].collect().toMap
+    m(1L) shouldBe "p q r s t u"
+    m.contains(2L) shouldBe false
+    m(3L) shouldBe "tiny doc"
+  }
+
   test("dropDuplicateParagraphs: corpus-wide keep-first, order-preserving reassembly") {
     val docs = Seq(
       (1L, "alpha one\n\nshared boilerplate\n\nbeta two"),
