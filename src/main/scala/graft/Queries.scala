@@ -792,8 +792,27 @@ object Queries {
     * twin (same code path) + sbt specs; these exist so BENCH reflects
     * production defaults, not just oracle-replayable ones.
     */
+  /** BENCH-ONLY: token-window chunking cutting in BPE tokens through the
+    * native greedy-merge kernel, over a deterministic letter-pair merge
+    * table. BPE segmentation is not expressible in ANSI SQL, so there is
+    * no oracle — correctness is ChunkingSpec + property-tested — but the
+    * headline bench should price the production tokenizer path, not just
+    * the whitespace default.
+    */
+  def textChunkBpe(spark: SparkSession, dir: String): DataFrame = {
+    val letters = "etaoinshrdlu"
+    val merges =
+      letters.map(c => (graft.functions.BpeTokens.Marker, c.toString)) ++
+        (for (a <- letters; b <- letters) yield (a.toString, b.toString))
+    val tok = graft.operators.BpeTokenizer(merges)
+    graft.operators.Chunking.chunkByTokens(
+      t(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", maxTokens = 64, overlap = 0, tokenizer = tok)
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash_prod" -> dedupSimhashProd _
+    "dedup_simhash_prod" -> dedupSimhashProd _,
+    "text_chunk_bpe" -> textChunkBpe _
   )
 
   // ---------------------------------------------- generated oracle SQL

@@ -76,21 +76,16 @@ object Similarity {
     }
   }
 
-  /** Signed projection of a vector onto hyperplane j: a codegen'd dot
-    * against the literal sign vector. `slice` keeps the old truncate-to-
-    * dim / null-if-shorter semantics.
-    */
-  private def planeDot(vec: Column, j: Int, dim: Int): Column =
-    dotDouble(slice(vec, 1, dim), lit(planeSigns(j, dim)))
-
   /** Random-hyperplane LSH bucket id over `planes` hyperplanes (one sign
     * bit each). Cosine-similar vectors land in the same bucket with
-    * probability (1 − θ/π)^planes.
+    * probability (1 − θ/π)^planes. One [[graft.functions.HyperplaneBits]]
+    * kernel call evaluates every plane dot — the per-plane
+    * `when(VecDot(...) > 0, ...)` formulation it replaced ran `planes`
+    * expression nodes per row, each re-unwrapping the vector.
     */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
-    (0 until planes)
-      .map(j => when(planeDot(vec, j, dim) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+    element_at(graft.functions.HyperplaneBits(vec,
+      (0 until planes).map(planeSigns(_, dim)), planes), 1)
 
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int,
       outCol: String = "bucket"): DataFrame =
@@ -114,16 +109,16 @@ object Similarity {
       dim: Int = 64
   ): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // bucket of table t uses plane seeds [t*planes, (t+1)*planes)
-    val buckets = (0 until tables).map { t =>
-      val b = (0 until planes)
-        .map(p => when(planeDot(col("v"), t * planes + p, dim) > 0,
-          lit(1L << p)).otherwise(lit(0L)))
-        .reduce((a, c) => a.bitwiseOR(c))
-      concat_ws(":", lit(t), b)
-    }
+    // bucket of table t uses plane seeds [t*planes, (t+1)*planes); ONE
+    // HyperplaneBits kernel call per row computes all tables×planes dots
+    // (the previous per-plane formulation ran 64 VecDot nodes per row),
+    // and posexplode's position is the table index
+    val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
     val bucketed = base
-      .select(col("id"), explode(array(buckets: _*)).as("bk"))
+      .withColumn("__bits",
+        graft.functions.HyperplaneBits(col("v"), allSigns, planes))
+      .select(col("id"), posexplode(col("__bits")).as(Seq("t", "b")))
+      .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
       .persist() // both sides of the self-join
     val cands = bucketed.as("x")
       .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))

@@ -76,4 +76,32 @@ class ChunkingPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE detokenize(tokenize(x)) round-trips whitespace-normalized text") {
+    // random merge tables over a small alphabet; the marker discipline
+    // must reassemble the exact (single-space) text regardless of how
+    // the merges segment it
+    val alphabet = "abcd"
+    for (trial <- 1 to 6) {
+      val words = (0 until 1 + rng.nextInt(8)).map { _ =>
+        (0 until 1 + rng.nextInt(5))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+      }
+      val text = words.mkString(" ")
+      val merges = (0 until rng.nextInt(12)).map { _ =>
+        val a = if (rng.nextBoolean()) graft.functions.BpeTokens.Marker
+          else alphabet(rng.nextInt(alphabet.length)).toString
+        val b = (0 until 1 + rng.nextInt(2))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+        (a, b)
+      }
+      val tok = BpeTokenizer(merges)
+      withClue(s"trial $trial text='$text' merges=$merges: ") {
+        val out = Seq(Tuple1(text)).toDF("text")
+          .select(tok.detokenize(tok.tokenize(org.apache.spark.sql.functions.col("text"))))
+          .collect()(0).getString(0)
+        out shouldBe text
+      }
+    }
+  }
 }
