@@ -261,6 +261,116 @@ object MarkdownKv {
     case other => other
   }
 
+  // ------------------------------------------------------- native kernel bodies
+  //
+  // Row kernels for the [[graft.functions.MdkvKvRows]] / [[graft.functions.MdkvDoc]]
+  // Catalyst expressions: same pure core as the typed-Dataset path above, but
+  // emitting InternalRows directly so the parse runs inside whole-stage codegen
+  // with no encoder round-trip (no DeserializeToObject/SerializeFromObject
+  // stage breaks — the parse was the engine's only non-codegen surface).
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val EmptyArr = new GenericArrayData(Array.empty[Any])
+  private def u(s: String): UTF8String = UTF8String.fromString(s)
+  private val FrontMatterU = u("_front_matter")
+
+  private def frontValueJson(v: Any, sv: Any): UTF8String = v match {
+    case _: java.util.Map[_, _] | _: java.util.List[_] => u(pyJson(sv))
+    case _ => null
+  }
+
+  /** Kernel twin of [[parseToRowPerKv]] minus doc_id/extracted_at (those are
+    * plain columns composed outside): array of
+    * `struct<section,key,value,value_json,ord>` per document.
+    */
+  def kvRowsKernel(content: UTF8String): ArrayData = {
+    if (content == null) return EmptyArr
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var n = 0L
+    val (fm, body) = extractFrontMatter(content.toString)
+    fm.foreach(_.foreach { case (k, v) =>
+      val sv = fromJava(v)
+      out += new GenericInternalRow(Array[Any](
+        FrontMatterU, u(k), u(pyStr(sv)), frontValueJson(v, sv), n))
+      n += 1
+    })
+    for (s <- extractSections(body); kv <- parseKvPairs(s.content)) {
+      out += new GenericInternalRow(Array[Any](
+        u(s.name), u(kv.key), u(kv.value), kv.value_json.map(u).orNull, n))
+      n += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Kernel twin of [[parseToDocumentLevel]] minus doc_id/raw_md/extracted_at:
+    * `struct<title, sections:array<struct<section,level,kv>>>`; title is null
+    * when neither front matter nor a first section provides one (the caller
+    * coalesces with doc_id, matching `title.getOrElse(docId)`).
+    */
+  def docKernel(content: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (content == null) return null
+    val (fm, body) = extractFrontMatter(content.toString)
+    val sectionsData = extractSections(body)
+    var title: String =
+      fm.flatMap(_.collectFirst { case ("title", v) => pyStr(fromJava(v)) }).orNull
+    val sections = scala.collection.mutable.ArrayBuffer.empty[Any]
+    fm.foreach { pairs =>
+      val kv = pairs.filter(_._1 != "title").zipWithIndex.map { case ((k, v), i) =>
+        val sv = fromJava(v)
+        new GenericInternalRow(Array[Any](
+          u(k), u(pyStr(sv)), frontValueJson(v, sv), i.toLong)): Any
+      }
+      if (kv.nonEmpty) sections += new GenericInternalRow(Array[Any](
+        FrontMatterU, 0, new GenericArrayData(kv.toArray)))
+    }
+    for (s <- sectionsData) {
+      val kv = parseKvPairs(s.content).map(p =>
+        new GenericInternalRow(Array[Any](
+          u(p.key), u(p.value), p.value_json.map(u).orNull, p.ord)): Any)
+      if (kv.nonEmpty) sections += new GenericInternalRow(Array[Any](
+        u(s.name), s.level, new GenericArrayData(kv.toArray)))
+    }
+    if (title == null && sectionsData.nonEmpty) title = sectionsData.head.name
+    new GenericInternalRow(Array[Any](
+      if (title == null) null else u(title),
+      new GenericArrayData(sections.toArray)))
+  }
+
+  /** Catalyst → external value with the same representations the typed
+    * `Row.getAs[Any]` path produced, so [[renderRecord]] renders identically
+    * (String, java.sql.Timestamp/Date, java.math.BigDecimal, Seq, Map).
+    */
+  private[graft] def externalValue(dt: org.apache.spark.sql.types.DataType, v: Any): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) null
+    else dt match {
+      case StringType    => v.toString
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long])
+      case DateType      =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.asInstanceOf[Int])
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+      case ArrayType(et, _) =>
+        v.asInstanceOf[ArrayData].toObjectArray(et).toSeq.map(externalValue(et, _))
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray.toObjectArray(kt).map(externalValue(kt, _))
+        val vs = m.valueArray.toObjectArray(vt).map(externalValue(vt, _))
+        ks.zip(vs).toMap
+      case st: StructType =>
+        val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        // Row.toString is mkString("[",",","]") for any Row impl, so pyStr
+        // parity with the old GenericRowWithSchema holds
+        org.apache.spark.sql.Row.fromSeq(
+          st.fields.toSeq.zipWithIndex.map { case (f, i) =>
+            externalValue(f.dataType, r.get(i, f.dataType)) })
+      case _ => v // primitives arrive as their boxed Java types already
+    }
+  }
+
   // --------------------------------------------------------------- Spark layer
 
   /** doc_id fallback chain (cli.py:868-878). */
@@ -274,38 +384,47 @@ object MarkdownKv {
   }
 
   /** M1: record → `{doc_id, markdown_kv_content}` (mode "string",
-    * cli.py:884-890). Row order of fields = column order.
+    * cli.py:884-890). Row order of fields = column order. One
+    * [[graft.functions.MdkvRender]] kernel call per row inside
+    * whole-stage codegen (the typed-Dataset map paid an encoder
+    * round-trip of the whole row).
     */
-  def toMarkdownKv(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val names = df.columns
-    val idIdx = DocIdFields.filter(names.contains)
-    df.map { row =>
-      val fields = names.toSeq.map(n => n -> row.getAs[Any](n))
-      val docId = idIdx.iterator.map(row.getAs[Any])
-        .collectFirst { case v if v != null => v.toString }.getOrElse("unknown")
-      (docId, renderRecord(fields))
-    }.toDF("doc_id", "markdown_kv_content")
-  }
+  def toMarkdownKv(df: DataFrame): DataFrame =
+    df.select(graft.functions.MdkvRender(
+        struct(df.columns.map(col).toIndexedSeq: _*)).as("r"))
+      .select(col("r.doc_id").as("doc_id"),
+        col("r.markdown_kv_content").as("markdown_kv_content"))
 
-  /** M2–M4: parse a content column into row-per-kv. */
+  /** M2–M4: parse a content column into row-per-kv. Kernel parse +
+    * codegen'd explode; doc_id/extracted_at ride as plain columns.
+    */
   def parseRowPerKv(df: DataFrame, contentCol: String, docIdCol: String,
       extractedAt: Timestamp): Dataset[KvRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(docIdCol).cast("string"), col(contentCol))
-      .as[(String, String)]
-      .flatMap { case (id, content) => parseToRowPerKv(content, id, extractedAt) }
+    df.select(col(docIdCol).cast("string").as("doc_id"),
+        explode(graft.functions.MdkvKvRows(col(contentCol))).as("kv"))
+      .select(col("doc_id"), col("kv.section").as("section"),
+        col("kv.key").as("key"), col("kv.value").as("value"),
+        col("kv.value_json").as("value_json"), col("kv.ord").as("ord"),
+        lit(extractedAt).as("extracted_at"))
+      .as[KvRow]
   }
 
-  /** M5: parse a content column into nested document-level rows. */
+  /** M5: parse a content column into nested document-level rows; title
+    * falls back to doc_id exactly as `title.getOrElse(docId)` did.
+    */
   def parseDocumentLevel(df: DataFrame, contentCol: String, docIdCol: String,
       extractedAt: Timestamp): Dataset[DocRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(docIdCol).cast("string"), col(contentCol))
-      .as[(String, String)]
-      .map { case (id, content) => parseToDocumentLevel(content, id, extractedAt) }
+    df.select(col(docIdCol).cast("string").as("doc_id"),
+        col(contentCol).as("raw_md"),
+        graft.functions.MdkvDoc(col(contentCol)).as("d"))
+      .select(col("doc_id"),
+        coalesce(col("d.title"), col("doc_id")).as("title"),
+        col("d.sections").as("sections"),
+        col("raw_md"), lit(extractedAt).as("extracted_at"))
+      .as[DocRow]
   }
 }

@@ -140,4 +140,20 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("required_filter_strict")
     "\\*\\(\\d+\\)".r.findAllIn(p).length should be >= 2
   }
+
+  test("mdkv parse/render runs as native kernels, no encoder round-trip") {
+    // the typed-Dataset formulation paid DeserializeToObject /
+    // SerializeFromObject stage breaks per parse (the engine's last
+    // non-codegen surface); the MdkvRender/MdkvKvRows/MdkvDoc kernels
+    // must keep the whole pipeline in Tungsten rows
+    for (name <- Seq("mdkv_render", "mdkv_roundtrip_kv", "mdkv_doc_level")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        p should not include "DeserializeToObject"
+        p should not include "SerializeFromObject"
+        p should not include "MapElements"
+        p should not include "MapPartitions"
+      }
+    }
+  }
 }
