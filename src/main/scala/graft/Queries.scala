@@ -451,6 +451,39 @@ object Queries {
       bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
       .withColumn("hamming", col("hamming").cast(LongType))
 
+  /** SimHash near-dup REMOVAL (md5-60 oracle variant): transitive
+    * clusters of the `dedup_simhash` pair set collapse to their min-id
+    * survivor; the oracle replays pairs all-pairs (equal by pigeonhole)
+    * then walks components with a recursive CTE.
+    */
+  def dedupSimhashDrop(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropSimhashNearDuplicates(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+      maxHamming = 3, bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      .select("doc_id")
+
+  /** Incremental SIMHASH dedup: docs < 250 are the existing corpus,
+    * represented ONLY by its (id, simhash) store; the batch is docs
+    * >= 250 plus planted copies of corpus texts (dropped via the store's
+    * Hamming check) and copies of batch texts (dropped by within-batch
+    * clustering). Corpus text is never re-read.
+    */
+  def dedupSimhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") < 250)
+    val store = graft.operators.Dedup.simhashTable(corpus, "doc_id", "text",
+      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+    val batch = d.filter(col("doc_id") >= 250)
+      .union(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id").between(250, 274))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.operators.Dedup.dropSimhashDuplicatesIncremental(
+      batch, "doc_id", "text", store, maxHamming = 3,
+      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      .select("doc_id")
+  }
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -763,6 +796,8 @@ object Queries {
     "dedup_ngram_block" -> dedupNgramBlock _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_drop" -> dedupSimhashDrop _,
+    "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
@@ -874,25 +909,74 @@ object Queries {
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
   }
 
-  private val dedupSimhashOracle: String = {
-    val votes = (0 until 60).map(j =>
-      s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
-      .mkString(",\n  ")
-    val bits = (0 until 60).map(j =>
-      s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
-      .mkString(" | ")
-    s"""WITH tok AS (SELECT doc_id AS id,
+  private val simhashVotesSql: String = (0 until 60).map(j =>
+    s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+    .mkString(",\n  ")
+  private val simhashBitsSql: String = (0 until 60).map(j =>
+    s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+    .mkString(" | ")
+
+  /** tok → md5-60 hash → votes → sh chain over a docs CTE named `docs`
+    * with (id, text) — the shared simhash replay for all three simhash
+    * oracles.
+    */
+  private val simhashChainSql: String =
+    s"""tok AS (SELECT id,
        |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
-       |  FROM documents),
+       |  FROM docs),
        |h AS (SELECT id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
        |  FROM tok),
-       |v AS (SELECT id, $votes FROM h GROUP BY id),
-       |s AS (SELECT id, $bits AS sh FROM v)
+       |v AS (SELECT id, $simhashVotesSql FROM h GROUP BY id),
+       |s AS (SELECT id, $simhashBitsSql AS sh FROM v)""".stripMargin
+
+  private val dedupSimhashOracle: String =
+    s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+       |$simhashChainSql
        |SELECT x.id AS id_a, y.id AS id_b,
        |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
        |FROM s x JOIN s y ON x.id < y.id
        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
-  }
+
+  private val dedupSimhashDropOracle: String =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id AS id, text FROM documents),
+       |$simhashChainSql,
+       |p AS (SELECT x.id AS id_a, y.id AS id_b
+       |  FROM s x JOIN s y ON x.id < y.id
+       |  WHERE bit_count(xor(x.sh, y.sh)) <= 3),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
+
+  private val dedupSimhashIncrementalOracle: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+       |  UNION ALL SELECT doc_id + 20000, text FROM documents
+       |    WHERE doc_id BETWEEN 250 AND 274),
+       |$simhashChainSql,
+       |corp AS (SELECT * FROM s WHERE id < 250),
+       |bat AS (SELECT * FROM s WHERE id >= 250),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM bat a JOIN bat b ON a.id < b.id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src),
+       |hits AS (SELECT DISTINCT b.id FROM bat b JOIN corp c
+       |  ON bit_count(xor(b.sh, c.sh)) <= 3)
+       |SELECT id AS doc_id FROM bat
+       |WHERE id NOT IN (SELECT id FROM losers)
+       |  AND id NOT IN (SELECT id FROM hits)""".stripMargin
 
   private def hash60Sql(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
@@ -1010,6 +1094,8 @@ object Queries {
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,
     "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_simhash_drop" -> dedupSimhashDropOracle,
+    "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
     "csv_roundtrip" ->

@@ -392,6 +392,15 @@ object Dedup {
   ): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, bands,
       rowsPerBand, threshold)
+    dropClusterLosers(df, idCol, pairs, losersBroadcastMax)
+  }
+
+  /** pairs → connected components → anti-join the non-survivors (everyone
+    * but the min-id member of each transitive cluster) out of `df`.
+    * Shared tail of every near-dup REMOVAL flavor (minhash, simhash).
+    */
+  private def dropClusterLosers(df: DataFrame, idCol: String,
+      pairs: DataFrame, losersBroadcastMax: Long): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -408,6 +417,101 @@ object Dedup {
       if (losers.count() <= losersBroadcastMax) broadcast(losers) else losers
     df.join(pinned, Seq(idCol), "left_anti")
   }
+
+  /** SimHash near-dup REMOVAL: [[simhashNearDupPairs]] → transitive
+    * clusters → min-id survivor per cluster (the simhash twin of
+    * [[dropNearDuplicates]], same size-adaptive CC + loser anti-join).
+    */
+  def dropSimhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_),
+      losersBroadcastMax: Long = broadcastMaxPairs
+  ): DataFrame = {
+    val pairs = simhashNearDupPairs(df, idCol, textCol, maxHamming, bits,
+      tokenHash)
+    dropClusterLosers(df, idCol, pairs, losersBroadcastMax)
+  }
+
+  /** Incremental SIMHASH dedup — the Hamming-distance twin of
+    * [[dropNearDuplicatesIncremental]]: dedup a new batch against an
+    * existing corpus represented ONLY by its stored (id, simhash) table
+    * ([[simhashTable]] layout, maintained append-only via
+    * [[appendSimhashes]]); corpus text is never re-read.
+    *
+    * Keeps batch rows that (a) survive within-batch simhash clustering
+    * ([[dropSimhashNearDuplicates]] — min-id survivor per transitive
+    * cluster) and (b) are not within `maxHamming` of ANY corpus hash.
+    *
+    * Scale shape: the corpus rides as 8-byte hashes (~a millionth of
+    * corpus text bytes); both sides explode their 4 pigeonhole chunk
+    * keys MAP-SIDE, the candidate join shuffles rows sized by the BATCH
+    * (batch side pinned broadcast when small, so the corpus store
+    * streams in place), and the Hamming verify is an inline bit_count
+    * filter on the joined row — no second join, no corpus-sized shuffle
+    * anywhere.
+    */
+  def dropSimhashDuplicatesIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusHashes: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
+    val survivors = dropSimhashNearDuplicates(batch, idCol, textCol,
+      maxHamming, bits, tokenHash).persist()
+    val bh = simhashTable(survivors, idCol, textCol, bits, tokenHash)
+      .persist() // counted for the broadcast guard, then chunk-joined
+    val nBatch = bh.count()
+    val bChunks = bh.select(col("id"), col("sh"),
+      explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
+    val cname = corpusHashes.columns // accept any column names: (id, sh)
+    val cChunks = corpusHashes
+      .select(col(cname(1)).as("csh"))
+      .select(col("csh"), explode(simhashChunkKeys(col("csh"), bits)).as("cck"))
+    val hits = cChunks
+      .join(pinIfSmall(bChunks, nBatch * 4), col("ck") === col("cck"))
+      .filter(bit_count(col("sh").bitwiseXOR(col("csh"))) <= maxHamming)
+      .select(col("id").as(idCol))
+      .distinct()
+    survivors.join(pinIfSmall(hits, nBatch), Seq(idCol), "left_anti")
+  }
+
+  /** Append a batch's simhashes to a parquet store — the maintenance half
+    * of [[dropSimhashDuplicatesIncremental]]: run on the rows that
+    * landed; tomorrow's batch Hamming-checks against them without
+    * re-reading today's text.
+    */
+  def appendSimhashes(df: DataFrame, idCol: String, textCol: String,
+      storePath: String, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): Unit =
+    simhashTable(df, idCol, textCol, bits, tokenHash)
+      .write.mode("append").parquet(storePath)
+
+  /** Read a simhash store; a MISSING store is an empty set (first run
+    * bootstraps) — any other failure propagates, same contract as
+    * [[readFingerprints]].
+    */
+  def readSimhashes(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    try spark.read.parquet(storePath)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            Option(e.getMessage).exists(_.contains("Path does not exist")) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sh",
+              org.apache.spark.sql.types.LongType))))
+    }
 
   /** Incremental NEAR-dup dedup — the operator a daily 100 TB ingest
     * actually runs: dedup a new batch against an existing corpus without
@@ -701,19 +805,19 @@ object Dedup {
     * md5 prefix ([[md5Hash60]] with `bits = 60`) — same algorithm, and a
     * DuckDB oracle can replay it exactly.
     */
-  def simhashNearDupPairs(
+  /** (id, sh) simhash table — the explode+agg formulation (all `bits`
+    * conditional-sum votes in ONE whole-stage HashAggregate, same codegen
+    * reason as minhash). Token-less documents have no simhash and are
+    * absent. This is also the STORE layout the incremental path persists.
+    */
+  def simhashTable(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3,
       bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)
   ): DataFrame = {
     require(bits % 4 == 0 && bits <= 64, s"bits must be ≤64, multiple of 4: $bits")
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
-    // explode+agg formulation for the same codegen reason as minhash:
-    // `bits` conditional-sum aggregates run in one whole-stage HashAggregate
     val tok = df
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .select(col("id"), tokenHash(col("t")).as("h"))
@@ -724,12 +828,32 @@ object Dedup {
     val shCol = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-    val hashed = votes.select(col("id"), shCol.as("sh"))
+    votes.select(col("id"), shCol.as("sh"))
+  }
+
+  /** The 4 pigeonhole chunk keys of a simhash (Hamming ≤ 3 over 4 chunks
+    * guarantees one equal chunk) — map-side, prefixed by chunk index.
+    */
+  private def simhashChunkKeys(sh: Column, bits: Int): Column = {
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    array((0 until 4).map(c =>
+      concat_ws(":", lit(c),
+        shiftright(sh, c * chunkBits).bitwiseAND(lit(chunkMask)))): _*)
+  }
+
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)
+  ): DataFrame = {
+    val hashed = simhashTable(df, idCol, textCol, bits, tokenHash)
       .persist() // reused by the chunk explode (×2 via self-join) + verify
     val chunked = hashed.select(col("id"),
-      explode(array((0 until 4).map(c =>
-        concat_ws(":", lit(c),
-          shiftright(col("sh"), c * chunkBits).bitwiseAND(lit(chunkMask)))): _*)).as("ck"))
+      explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
     val cands = chunked.as("x")
       .join(chunked.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

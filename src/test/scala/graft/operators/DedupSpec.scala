@@ -195,6 +195,45 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L, 13L)
   }
 
+  test("dropSimhashNearDuplicates keeps one survivor per transitive cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // = 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // = 1
+      (4L, "entirely unrelated content speaking about mathematics and topology today")
+    ).toDF("id", "text")
+    val out = Dedup.dropSimhashNearDuplicates(docs, "id", "text", maxHamming = 3)
+    out.select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+    // path parity: forcing the shuffle anti-join gives the same survivors
+    Dedup.dropSimhashNearDuplicates(docs, "id", "text", maxHamming = 3,
+      losersBroadcastMax = 0L)
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
+
+  test("dropSimhashDuplicatesIncremental: store Hamming check + in-batch clustering") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "completely different words entirely here now today friends and colleagues")
+    ).toDF("id", "text")
+    // the simhash store round-trips through parquet (the production shape)
+    val storePath = java.nio.file.Files.createTempDirectory("shstore")
+      .toString + "/simhashes"
+    Dedup.appendSimhashes(corpus, "id", "text", storePath)
+    val store = Dedup.readSimhashes(spark, storePath)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // = corpus 1
+      (11L, "fresh new totally original content appears within this batch today"),
+      (12L, "fresh new totally original content appears within this batch today"), // = 11
+      (13L, "another genuinely novel document with its own words and nothing shared")
+    ).toDF("id", "text")
+    val out = Dedup.dropSimhashDuplicatesIncremental(batch, "id", "text", store)
+    out.select("id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+    // missing store bootstraps empty (first run): only in-batch dedup
+    val empty = Dedup.readSimhashes(spark, storePath + "_missing")
+    Dedup.dropSimhashDuplicatesIncremental(batch, "id", "text", empty)
+      .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L, 13L)
+  }
+
   test("readFingerprints: missing store bootstraps empty; corrupt store fails") {
     val tmp = java.nio.file.Files.createTempDirectory("fpstore").toString
     // missing path → empty frame (first-run bootstrap)
