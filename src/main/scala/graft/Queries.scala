@@ -624,6 +624,24 @@ object Queries {
   /** IVF ANN: 16 seed centroids (vec_id < 16), 4 probed lists, exact
     * cosine top-5 within the probed fraction of the corpus.
     */
+  /** PQ ANN top-5 by asymmetric distance: codebook seeded from the first
+    * 8 vectors sliced into 4×16-dim subspaces, corpus encoded to 4 codes
+    * map-side, queries (vec_id < 10) carry their distance LUT. The
+    * oracle replays encode (argmin per subspace, ties to the lower
+    * code) and ADC (per-subspace `list_reduce` folds summed in subspace
+    * order) bit-exactly.
+    */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    graft.operators.Similarity.pqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, codebook = cb,
+      m = 4, numCodes = 8, dsub = 16)
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.Similarity.seedCentroids(
@@ -802,6 +820,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_pq_topk" -> annPqTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
@@ -1003,6 +1022,39 @@ object Queries {
        |              ELSE ${thresholdFor(0.05)} END""".stripMargin
   }
 
+  /** Sequential-double fold of ‖a−b‖² over a 16-dim subspace — the DuckDB
+    * replay of [[graft.functions.PqKernels]]' subDist loop.
+    */
+  private def subDistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(16), " +
+      s"i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
+
+  private val annPqTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |sub AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT sub.m, v.vec_id AS code,
+       |  list_slice(v.e, sub.m*16+1, sub.m*16+16) AS cv
+       |  FROM v CROSS JOIN sub WHERE v.vec_id < 8),
+       |enc0 AS (SELECT v.vec_id, cb.m, cb.code,
+       |  ${subDistSql("list_slice(v.e, cb.m*16+1, cb.m*16+16)", "cb.cv")} AS sd
+       |  FROM v CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, code FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, m ORDER BY sd, code) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+       |ps AS (SELECT q.query_id, enc.vec_id AS neighbor_id, enc.m,
+       |  ${subDistSql("list_slice(q.e, enc.m*16+1, enc.m*16+16)", "cb.cv")} AS sd
+       |  FROM q JOIN enc ON enc.vec_id <> q.query_id
+       |  JOIN cb ON cb.m = enc.m AND cb.code = enc.code),
+       |adc0 AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(sd ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM ps GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val annIvfTopKOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -1088,6 +1140,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
+    "ann_pq_topk" -> annPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,

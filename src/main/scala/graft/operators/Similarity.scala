@@ -317,6 +317,81 @@ object Similarity {
       (-best.getField("s")).as("centroid_sim"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Flat PQ codebook seeded from the first `k` vectors (id order), each
+    * sliced into `m` sub-vectors of `dsub` dims — entry (sub·k + code)
+    * holds vector `code`'s slice for subspace `sub`. Sampled data points
+    * as centroids is the standard cheap quantizer (per-subspace k-means
+    * would refine them; the encode/ADC mechanics are identical), and
+    * float → double widening is exact, so Spark and the oracle see
+    * identical codebook bits. An index-BUILD step, run once per index;
+    * the collect is `k` rows, driver-small by construction.
+    */
+  def seedPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 4, k: Int = 8, dsub: Int = 16): Array[Double] = {
+    val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.length == k, s"need $k seed vectors, got ${seeds.length}")
+    val flat = new Array[Double](m * k * dsub)
+    for (sub <- 0 until m; code <- 0 until k; i <- 0 until dsub)
+      flat((sub * k + code) * dsub + i) = seeds(code)(sub * dsub + i)
+    flat
+  }
+
+  /** Encode a corpus to PQ codes — the compression half of the index:
+    * array<float>[m·dsub] (4·m·dsub bytes) → array<int>[m] codes (m
+    * small ints; m bytes once stored dictionary-encoded). Map-side, zero
+    * shuffles; the codebook rides as one executor-shared reference.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Double], m: Int = 4, numCodes: Int = 8,
+      dsub: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.PqCodes(col(vecCol), codebook, m, numCodes, dsub)
+        .as("codes"))
+
+  /** PQ ANN top-k by asymmetric distance (ADC): the corpus participates
+    * as m-code rows (the 64×-compressed index — at 100 TB of raw
+    * embeddings this is the difference between an index that fits in
+    * executor memory and one that doesn't), each query precomputes its
+    * m·k distance LUT ONCE map-side, and scoring a pair is m array
+    * lookups instead of a D-dim dot. Queries broadcast; the corpus is
+    * never shuffled — only scored candidates move into the per-query
+    * top-k window. Exact per-subspace: ADC = ‖q − recon(codes)‖².
+    *
+    * Returns (query_id, neighbor_id, rank, adc) ranked by adc ASC with
+    * id tiebreak; self-pairs excluded.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16
+  ): DataFrame = {
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.PqCodes(col(vecCol), codebook, m, numCodes, dsub)
+        .as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
+        .as("lut"))
+    val scored = enc
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
   /** Approximate top-k: queries join only their own LSH bucket; exact
     * cosine rank within the bucket. One shuffle on the bucket key; never
     * a full cross join. Recall is tunable via `planes` (fewer planes =

@@ -166,4 +166,61 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "SortMergeJoin"
   }
+
+  // 8 vectors in 2 subspaces of 2 dims; ids 0..3 double as codebook seeds
+  private def pqVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),
+    (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+    (4L, Array(1.1f, 0.1f, 0.0f, 0.1f)),  // ≈ seed 0
+    (5L, Array(0.0f, 0.9f, 0.1f, 0.9f)),  // ≈ seed 1
+    (6L, Array(0.1f, 0.0f, 0.9f, 0.0f)),  // ≈ seed 2
+    (7L, Array(0.9f, 1.1f, 1.0f, 1.0f))   // ≈ seed 3
+  ).toDF("vec_id", "embedding")
+
+  test("pqEncode: seeds encode to themselves; near vectors to their seed") {
+    val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 2)
+    val codes = Similarity.pqEncode(pqVecs, "vec_id", "embedding", cb,
+      m = 2, numCodes = 4, dsub = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    // each seed's sub-vectors are exactly its own codebook entries
+    for (id <- 0L to 3L) codes(id) shouldBe Seq(id.toInt, id.toInt)
+    // near-copies quantize to their seed in both subspaces
+    codes(4L) shouldBe Seq(0, 0)
+    codes(5L) shouldBe Seq(1, 1)
+    codes(6L) shouldBe Seq(2, 2)
+    codes(7L) shouldBe Seq(3, 3)
+  }
+
+  test("pqTopK: ADC equals L2 to the reconstructed vector; ranks sane") {
+    val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 2)
+    val out = Similarity.pqTopK(pqVecs, pqVecs.filter($"vec_id" === 4),
+      "vec_id", "embedding", k = 3, codebook = cb,
+      m = 2, numCodes = 4, dsub = 2)
+      .orderBy("rank")
+      .select("neighbor_id", "rank", "adc").as[(Long, Long, Double)].collect()
+    // query 4 ≈ seed 0; self-pair excluded, so the top hit is id 0 — the
+    // only other vector encoding to (0, 0)
+    out.head._1 shouldBe 0L
+    // ADC telescopes: dist to id 0's reconstruction = ‖q − seed0‖²
+    val q = Array(1.1f, 0.1f, 0.0f, 0.1f).map(_.toDouble) // widened like the kernel
+    val recon = Array(1.0, 0.0, 0.0, 0.0)
+    val expected = q.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    val adcTo0 = out.find(_._1 == 0L).get._3
+    adcTo0 shouldBe expected +- 1e-9
+  }
+
+  test("pqTopK plan: queries broadcast, corpus never shuffled, no cartesian") {
+    val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 2)
+    val plan = Similarity.pqTopK(pqVecs, pqVecs.limit(2), "vec_id",
+      "embedding", 3, cb, m = 2, numCodes = 4, dsub = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin") // =!= join, broadcast side pinned
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
 }
