@@ -317,6 +317,19 @@ object JobRunner {
         out = graft.operators.Dedup.removeDuplicateSpans(
           out, need("id_field"), need("text_field"),
           Yaml.str(c, "span_window").map(_.toDouble.toInt).getOrElse(20))
+      case "near" =>
+        // within-batch MinHash-LSH clustering, min-id survivor per cluster
+        out = graft.operators.Dedup.dropNearDuplicates(
+          out, need("id_field"), need("text_field"))
+      case "incremental_simhash" =>
+        // vs an existing (id, simhash) store (missing store = first run);
+        // append surviving rows' hashes post-commit via
+        // Dedup.appendSimhashes — store maintenance is a separate write,
+        // same contract as the exact incremental store
+        out = graft.operators.Dedup.dropSimhashDuplicatesIncremental(
+          out, need("id_field"), need("text_field"),
+          graft.operators.Dedup.readSimhashes(
+            df.sparkSession, need("simhash_store")))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
     }

@@ -248,6 +248,43 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation dedupe: incremental_simhash uses and survives a simhash store") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("shstore-")
+      .toString + "/sh"
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different words entirely here now today friends")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "incremental_simhash", "simhash_store" -> store))
+    // first run: store missing → nothing dropped; then persist hashes
+    val out1 = JobRunner.applyCuration(day1, raw)
+    out1.count() shouldBe 2
+    graft.operators.Dedup.appendSimhashes(out1, "doc_id", "text", store)
+    // second run: near-identical of a stored doc dropped, fresh kept
+    val day2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "a genuinely new document with its very own novel words")
+    ).toDF("doc_id", "text")
+    JobRunner.applyCuration(day2, raw)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
+  }
+
+  test("curation dedupe: near collapses in-batch minhash clusters") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river"),
+      (3L, "some altogether different sentence about compilers and parsers")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text", "dedupe" -> "near"))
+    JobRunner.applyCuration(df, raw)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
+
   test("curation dedupe: spans cuts repeated passages in place") {
     import spark.implicits._
     val df = Seq(
