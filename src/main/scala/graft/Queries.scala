@@ -484,6 +484,43 @@ object Queries {
       .select("doc_id")
   }
 
+  /** Corpus vocabulary top-50 by term frequency (tf + document
+    * frequency, ties → token ascending) — tokenizer-training /
+    * stopword-derivation input. TakeOrderedAndProject top-k, never a
+    * global sort.
+    */
+  def textVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabTopK(
+      t(spark, dir, "documents"), "doc_id", "text", k = 50)
+
+  /** Token-count histogram (width-10 buckets) of the documents table. */
+  def statsLengthHist(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tokenLengthHistogram(
+      t(spark, dir, "documents"), "text", bucketWidth = 10)
+
+  /** Per-source Gopher quality rollup: docs, keepers, and per-rule fail
+    * counts — the corpus-QA dashboard a curation pass reads per source.
+    * Integer counts only, so the rollup is order-independent and
+    * hash-exact.
+    */
+  def textQualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val rep = graft.operators.TextAnalysis.gopherQualityReport(
+      d.select("doc_id", "text"), "doc_id", "text")
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    d.select(col("doc_id"), col("source")).join(rep, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("keep")).as("n_keep"),
+        cnt(col("fail_word_count")).as("n_fail_word_count"),
+        cnt(col("fail_mean_token_len")).as("n_fail_mean_token_len"),
+        cnt(col("fail_punct_ratio")).as("n_fail_punct_ratio"),
+        cnt(col("fail_dup_word")).as("n_fail_dup_word"),
+        cnt(col("fail_top_word")).as("n_fail_top_word"),
+        cnt(col("fail_top_bigram")).as("n_fail_top_bigram"))
+  }
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -838,7 +875,10 @@ object Queries {
     "multimodal_frames" -> multimodalFrames _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
-    "text_repetition" -> textRepetition _
+    "text_repetition" -> textRepetition _,
+    "text_vocab_topk" -> textVocabTopK _,
+    "stats_length_hist" -> statsLengthHist _,
+    "text_quality_by_source" -> textQualityBySource _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -926,6 +966,57 @@ object Queries {
        |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
        |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
+  }
+
+  /** Shared Gopher rule-replay CTE chain (quality signals → repetition
+    * signals → per-rule fail booleans in `f`) — reused by the
+    * `text_gopher_filter` and `text_quality_by_source` oracles.
+    */
+  private val gopherCtesSql: String = {
+    val t = graft.operators.TextAnalysis.GopherThresholds()
+    s"""tok AS (SELECT doc_id, text,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |q AS (SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS token_count,
+       |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) /
+       |    CAST(len(t) AS DOUBLE) AS mean_token_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
+       |  FROM tok),
+       |words0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos,
+       |    unnest(ws) AS w
+       |  FROM (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents)),
+       |ww AS (SELECT doc_id, pos, w,
+       |  CASE WHEN lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+       |    THEN w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+       |  END AS bg
+       |  FROM words0 WHERE w <> ''),
+       |wa AS (SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n_words,
+       |  CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(wc) AS max_wc
+       |  FROM (SELECT doc_id, w, count(*) AS wc FROM ww GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |ba AS (SELECT doc_id AS bdoc, CAST(SUM(bc) AS BIGINT) AS n_bigrams,
+       |  MAX(bc) AS max_bc
+       |  FROM (SELECT doc_id, bg, count(*) AS bc FROM ww
+       |        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
+       |  GROUP BY doc_id),
+       |r AS (SELECT wa.doc_id,
+       |  1.0 - n_distinct * 1.0 / n_words AS dup_word_frac,
+       |  max_wc * 1.0 / n_words AS top_word_frac,
+       |  max_bc * 1.0 / n_bigrams AS top_bigram_frac
+       |  FROM wa LEFT JOIN ba ON wa.doc_id = ba.bdoc),
+       |f AS (SELECT q.doc_id,
+       |  NOT (token_count BETWEEN ${t.minWords} AND ${t.maxWords})
+       |    AS fail_word_count,
+       |  NOT (mean_token_len BETWEEN ${t.minMeanTokenLen}
+       |    AND ${t.maxMeanTokenLen}) AS fail_mean_token_len,
+       |  punct_ratio > ${t.maxPunctRatio} AS fail_punct_ratio,
+       |  COALESCE(dup_word_frac > ${t.maxDupWordFrac}, FALSE) AS fail_dup_word,
+       |  COALESCE(top_word_frac > ${t.maxTopWordFrac}, FALSE) AS fail_top_word,
+       |  COALESCE(top_bigram_frac > ${t.maxTopBigramFrac}, FALSE)
+       |    AS fail_top_bigram
+       |  FROM q LEFT JOIN r ON q.doc_id = r.doc_id)""".stripMargin
   }
 
   private val simhashVotesSql: String = (0 until 60).map(j =>
@@ -1593,57 +1684,36 @@ object Queries {
         |  string_agg(array_to_string(piece, ' '), ' ' ORDER BY ps) AS seq_text,
         |  CAST(SUM(pe - ps) AS BIGINT) AS n_tokens
         |FROM p GROUP BY source, seq_id""".stripMargin,
-    "text_gopher_filter" -> {
-      val t = graft.operators.TextAnalysis.GopherThresholds()
-      s"""WITH tok AS (SELECT doc_id, text,
-         |  string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
-         |q AS (SELECT doc_id,
-         |  CAST(len(t) AS BIGINT) AS token_count,
-         |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) /
-         |    CAST(len(t) AS DOUBLE) AS mean_token_len,
-         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-         |    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio
-         |  FROM tok),
-         |words0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos,
-         |    unnest(ws) AS w
-         |  FROM (SELECT doc_id,
-         |    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents)),
-         |ww AS (SELECT doc_id, pos, w,
-         |  CASE WHEN lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
-         |    THEN w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-         |  END AS bg
-         |  FROM words0 WHERE w <> ''),
-         |wa AS (SELECT doc_id, CAST(SUM(wc) AS BIGINT) AS n_words,
-         |  CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(wc) AS max_wc
-         |  FROM (SELECT doc_id, w, count(*) AS wc FROM ww GROUP BY doc_id, w)
-         |  GROUP BY doc_id),
-         |ba AS (SELECT doc_id AS bdoc, CAST(SUM(bc) AS BIGINT) AS n_bigrams,
-         |  MAX(bc) AS max_bc
-         |  FROM (SELECT doc_id, bg, count(*) AS bc FROM ww
-         |        WHERE bg IS NOT NULL GROUP BY doc_id, bg)
-         |  GROUP BY doc_id),
-         |r AS (SELECT wa.doc_id,
-         |  1.0 - n_distinct * 1.0 / n_words AS dup_word_frac,
-         |  max_wc * 1.0 / n_words AS top_word_frac,
-         |  max_bc * 1.0 / n_bigrams AS top_bigram_frac
-         |  FROM wa LEFT JOIN ba ON wa.doc_id = ba.bdoc),
-         |f AS (SELECT q.doc_id,
-         |  NOT (token_count BETWEEN ${t.minWords} AND ${t.maxWords})
-         |    AS fail_word_count,
-         |  NOT (mean_token_len BETWEEN ${t.minMeanTokenLen}
-         |    AND ${t.maxMeanTokenLen}) AS fail_mean_token_len,
-         |  punct_ratio > ${t.maxPunctRatio} AS fail_punct_ratio,
-         |  COALESCE(dup_word_frac > ${t.maxDupWordFrac}, FALSE) AS fail_dup_word,
-         |  COALESCE(top_word_frac > ${t.maxTopWordFrac}, FALSE) AS fail_top_word,
-         |  COALESCE(top_bigram_frac > ${t.maxTopBigramFrac}, FALSE)
-         |    AS fail_top_bigram
-         |  FROM q LEFT JOIN r ON q.doc_id = r.doc_id)
+    "text_gopher_filter" ->
+      s"""WITH $gopherCtesSql
          |SELECT doc_id, fail_word_count, fail_mean_token_len, fail_punct_ratio,
          |  fail_dup_word, fail_top_word, fail_top_bigram,
          |  NOT (fail_word_count OR fail_mean_token_len OR fail_punct_ratio OR
          |       fail_dup_word OR fail_top_word OR fail_top_bigram) AS keep
-         |FROM f""".stripMargin
-    },
+         |FROM f""".stripMargin,
+    "text_quality_by_source" ->
+      s"""WITH $gopherCtesSql,
+         |k AS (SELECT doc_id, fail_word_count, fail_mean_token_len,
+         |  fail_punct_ratio, fail_dup_word, fail_top_word, fail_top_bigram,
+         |  NOT (fail_word_count OR fail_mean_token_len OR fail_punct_ratio OR
+         |       fail_dup_word OR fail_top_word OR fail_top_bigram) AS keep
+         |  FROM f)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN k.fail_word_count THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_word_count,
+         |  CAST(sum(CASE WHEN k.fail_mean_token_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_mean_token_len,
+         |  CAST(sum(CASE WHEN k.fail_punct_ratio THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_punct_ratio,
+         |  CAST(sum(CASE WHEN k.fail_dup_word THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_dup_word,
+         |  CAST(sum(CASE WHEN k.fail_top_word THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_top_word,
+         |  CAST(sum(CASE WHEN k.fail_top_bigram THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_fail_top_bigram
+         |FROM documents d JOIN k ON d.doc_id = k.doc_id
+         |GROUP BY d.source""".stripMargin,
     "ann_brute_topk" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding,
         |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -1661,6 +1731,22 @@ object Queries {
         |  FROM s)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
         |FROM r WHERE rank <= 5""".stripMargin,
+    "text_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        |  FROM tok WHERE token <> '' GROUP BY token),
+        |r AS (SELECT token, tf, df_docs,
+        |  row_number() OVER (ORDER BY tf DESC, token) AS rank FROM tfc)
+        |SELECT token, tf, df_docs, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 50""".stripMargin,
+    "stats_length_hist" ->
+      """SELECT CAST(floor(len(string_split_regex(lower(trim(text)), '\s+'))
+        |  / 10.0) AS BIGINT) * 10 AS bucket_lo,
+        |CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint

@@ -226,4 +226,52 @@ object TextAnalysis {
         (col("max_bc").cast("double") / col("n_bigrams").cast("double"))
           .as("top_bigram_frac"))
   }
+
+  // ------------------------------------------------------ corpus analytics
+
+  /** Corpus vocabulary: term frequency + document frequency per token —
+    * the input to tokenizer/vocab training and data-driven stopword
+    * derivation. Two-level aggregation so BOTH counts partial-aggregate:
+    * the (token, doc) pre-aggregate shuffles once on the pair, then one
+    * narrow shuffle per distinct token; raw postings never move twice.
+    * Empty tokens (blank documents) are excluded.
+    */
+  def vocabCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df_docs"))
+
+  /** Top-`k` vocabulary by term frequency (ties → token ascending), with
+    * a rank column. `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps a k-bounded heap and
+    * the driver merges k-item heaps, so the full vocab is never globally
+    * sorted or moved to one partition; the rank window then runs over
+    * exactly k rows.
+    */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = vocabCounts(df, idCol, textCol)
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Token-count histogram of the corpus (bucket lower bounds, width
+    * `bucketWidth`) — the length-distribution diagnostic a curation pass
+    * reads before choosing chunk/filter thresholds. Map-side bucket
+    * assignment + one narrow count shuffle.
+    */
+  def tokenLengthHistogram(df: DataFrame, textCol: String,
+      bucketWidth: Int = 10): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    df.select((floor(tokenCount(col(textCol)) / bucketWidth) * bucketWidth)
+        .cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

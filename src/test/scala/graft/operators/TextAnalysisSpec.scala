@@ -85,4 +85,37 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.fingerprint(col("y")).as("fy")).collect()(0)
     r.getString(0) shouldBe r.getString(1)
   }
+
+  test("vocabTopK: tf sums per-doc counts, df counts docs, ties break on token") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry"),
+      (3L, "banana")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabTopK(df, "doc_id", "text", k = 3)
+      .select("token", "tf", "df_docs", "rank")
+      .as[(String, Long, Long, Long)].collect()
+    // apple tf=3 df=2; banana tf=2 df=2; cherry tf=2 df=1 (tie: banana < cherry)
+    top shouldBe Array(
+      ("apple", 3L, 2L, 1L),
+      ("banana", 2L, 2L, 2L),
+      ("cherry", 2L, 1L, 3L))
+  }
+
+  test("vocabTopK plan: top-k without a global sort") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.vocabTopK(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("tokenLengthHistogram buckets by width") {
+    val df = Seq(
+      (1L, "one two three"),                          // 3 → bucket 0
+      (2L, Seq.fill(12)("w").mkString(" ")),          // 12 → bucket 10
+      (3L, Seq.fill(10)("w").mkString(" "))           // 10 → bucket 10
+    ).toDF("doc_id", "text")
+    TextAnalysis.tokenLengthHistogram(df, "text", bucketWidth = 10)
+      .as[(Long, Long)].collect().sorted shouldBe Array((0L, 1L), (10L, 2L))
+  }
 }
