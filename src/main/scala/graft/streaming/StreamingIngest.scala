@@ -72,6 +72,32 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming INCREMENTAL exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.dropDuplicatesIncremental]]: within-stream
+    * dups drop via watermark-bounded fingerprint state, and rows whose
+    * text the EXISTING corpus already contains drop via a stream-static
+    * left-anti join against the corpus fingerprint store (the same
+    * append-only parquet store the batch path maintains via
+    * `appendFingerprints`; read it with `readFingerprints`).
+    *
+    * Scale shape: the static side re-reads only the store's narrow
+    * 16-byte fingerprint column per micro-batch (partition-prunable,
+    * never the corpus text); stream state stays bounded by the
+    * watermark horizon exactly as [[dedupStream]].
+    */
+  def dedupStreamIncremental(stream: DataFrame, textCol: String,
+      tsCol: String, watermarkDelay: String,
+      corpusFingerprints: DataFrame): DataFrame = {
+    val fpName = corpusFingerprints.columns.head
+    stream
+      .withColumn("__fp", graft.operators.Dedup.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .join(corpusFingerprints.select(col(fpName).as("__cfp")),
+        col("__fp") === col("__cfp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Beyond-reference: watermarked tumbling-window event counts — the
     * canonical streaming aggregation (late data beyond the watermark is
     * dropped; state is bounded).

@@ -68,6 +68,35 @@ class StreamingIngestSpec extends SparkSpec {
       Array("brand new", "fresh doc", "hello world")
   }
 
+  test("streaming incremental dedup drops corpus-known text via the static store") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-inc-")
+    val ckpt = Files.createTempDirectory("stream-inc-ckpt-").toString
+    val store = Files.createTempDirectory("stream-inc-store-").toString + "/fp"
+    // existing corpus: "hello world" is already committed
+    graft.operators.Dedup.appendFingerprints(
+      Seq((1L, "hello world")).toDF("id", "text"), "text", store)
+    Files.writeString(in.resolve("a.csv"),
+      "ts,doc\n2024-01-01 00:00:01,HELLO  world\n" + // corpus dup → dropped
+        "2024-01-01 00:00:02,fresh doc\n" +
+        "2024-01-01 00:00:03,Fresh DOC\n") // in-stream dup → dropped
+    val out = Files.createTempDirectory("stream-inc-out-").toString + "/data"
+    val raw = spark.readStream
+      .schema("ts timestamp, doc string")
+      .option("header", "true").csv(in.toString)
+    val deduped = StreamingIngest.dedupStreamIncremental(
+      raw, "doc", "ts", "1 hour",
+      graft.operators.Dedup.readFingerprints(spark, store))
+    val q = deduped.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.read.parquet(out).collect()
+      .map(_.getString(1)) shouldBe Array("fresh doc")
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
