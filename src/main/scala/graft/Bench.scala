@@ -33,6 +33,12 @@ object Bench {
           // timed region so each number is attributable to its own plan.
           spark.catalog.clearCache()
           System.gc()
+          // the GC above queues broadcast/shuffle cleanup on the async
+          // ContextCleaner; give it a moment to drain OFF the timed
+          // region, or the heavy dedup/ANN families' cleanup lands
+          // inside whichever small query runs next (mdkv_doc_level
+          // measured 0.7 s isolated vs ~3 s mid-suite from exactly this)
+          Thread.sleep(200)
           val t0 = System.nanoTime()
           // noop sink, not count(): count() lets Catalyst prune every
           // unreferenced projection, so projection-heavy queries would time
