@@ -463,9 +463,16 @@ object Dedup {
       bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)
   ): DataFrame = {
-    val survivors = dropSimhashNearDuplicates(batch, idCol, textCol,
-      maxHamming, bits, tokenHash).persist()
-    val bh = simhashTable(survivors, idCol, textCol, bits, tokenHash)
+    // ONE hash pass over the batch: the in-batch pair detection and the
+    // corpus check both read this table (the survivor slice is a semi-join
+    // on ids, not a re-tokenize of the surviving text)
+    val bhAll = simhashTable(batch, idCol, textCol, bits, tokenHash)
+      .persist()
+    val pairs = simhashPairsFromTable(bhAll, maxHamming, bits)
+    val survivors = dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs)
+      .persist()
+    val bh = bhAll
+      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .persist() // counted for the broadcast guard, then chunk-joined
     val nBatch = bh.count()
     val bChunks = bh.select(col("id"), col("sh"),
@@ -544,10 +551,22 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.9
   ): DataFrame = {
-    val survivors = dropNearDuplicates(batch, idCol, textCol, shingleN,
-      bands, rowsPerBand, threshold).persist()
-    val shBatch = shingleTable(survivors, idCol, textCol, shingleN).persist()
-    val batchBands = bandKeysFromShingles(shBatch, bands, rowsPerBand)
+    // ONE shingle + band-key pass over the batch: in-batch clustering and
+    // the corpus LSH join both read these tables (the survivor slices are
+    // id semi-joins, not a re-shingle of the surviving text)
+    val shAll = shingleTable(batch, idCol, textCol, shingleN).persist()
+    val bandsAll = bandKeysFromShingles(shAll, bands, rowsPerBand).persist()
+    val inBatchCands = bandsAll.as("x")
+      .join(bandsAll.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val pairs = verifyJaccard(inBatchCands, shAll, threshold)
+    val survivors = dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs)
+      .persist()
+    val survIds = survivors.select(col(idCol).as("id"))
+    val shBatch = shAll.join(survIds, Seq("id"), "left_semi").persist()
+    val batchBands = bandsAll.join(survIds, Seq("id"), "left_semi")
       .persist() // counted for the broadcast guard, then LSH-joined
     val nBatchKeys = batchBands.count()
     val bandsName = corpusBands.columns // accept any column names: (id, bk)
@@ -849,9 +868,18 @@ object Dedup {
       maxHamming: Int = 3,
       bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)
-  ): DataFrame = {
-    val hashed = simhashTable(df, idCol, textCol, bits, tokenHash)
-      .persist() // reused by the chunk explode (×2 via self-join) + verify
+  ): DataFrame =
+    simhashPairsFromTable(
+      simhashTable(df, idCol, textCol, bits, tokenHash)
+        .persist(), // reused by the chunk explode (×2 self-join) + verify
+      maxHamming, bits)
+
+  /** Pair detection over an already-built (id, sh) table — shared by the
+    * self-dedup path above and the incremental path (which reuses the
+    * batch table for the corpus check instead of rehashing).
+    */
+  private def simhashPairsFromTable(hashed: DataFrame, maxHamming: Int,
+      bits: Int): DataFrame = {
     val chunked = hashed.select(col("id"),
       explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
     val cands = chunked.as("x")
