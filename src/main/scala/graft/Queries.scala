@@ -679,6 +679,25 @@ object Queries {
       m = 4, numCodes = 8, dsub = 16)
   }
 
+  /** IVF+PQ composed (the FAISS IVFPQ shape): the 16 seeded coarse
+    * centroids prune to 4 probed lists per query, PQ codes + the query
+    * LUT score the candidates. The oracle composes the ivf assignment
+    * CTEs with the PQ encode/ADC CTEs — both replay bit-exactly, so the
+    * composition does too.
+    */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    graft.operators.Similarity.ivfPqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.Similarity.seedCentroids(
@@ -858,6 +877,7 @@ object Queries {
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_pq_topk" -> annPqTopK _,
+    "ann_ivfpq_topk" -> annIvfPqTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
@@ -1146,6 +1166,43 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
 
+  private val annIvfPqTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |sub AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT sub.m, v.vec_id AS code,
+       |  list_slice(v.e, sub.m*16+1, sub.m*16+16) AS cv
+       |  FROM v CROSS JOIN sub WHERE v.vec_id < 8),
+       |enc0 AS (SELECT v.vec_id, cb.m, cb.code,
+       |  ${subDistSql("list_slice(v.e, cb.m*16+1, cb.m*16+16)", "cb.cv")} AS sd
+       |  FROM v CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, code FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, m ORDER BY sd, code) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |cand AS (SELECT qp.query_id, qp.qe, a.vec_id AS neighbor_id
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |ps AS (SELECT cd.query_id, cd.neighbor_id, enc.m,
+       |  ${subDistSql("list_slice(cd.qe, enc.m*16+1, enc.m*16+16)", "cb.cv")} AS sd
+       |  FROM cand cd JOIN enc ON enc.vec_id = cd.neighbor_id
+       |  JOIN cb ON cb.m = enc.m AND cb.code = enc.code),
+       |adc0 AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(sd ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM ps GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val annIvfTopKOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -1232,6 +1289,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,
+    "ann_ivfpq_topk" -> annIvfPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,

@@ -257,6 +257,15 @@ object Similarity {
     * Ties (equal centroid score) resolve to the LOWER list id on both
     * the assignment and the probe side.
     */
+  /** (−score, list) structs for every centroid — negated so `least` /
+    * `array_sort` pick the BEST-cosine list with ties to the lower id.
+    */
+  private def scoredListStructs(vec: Column,
+      centroids: Seq[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
+    }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -269,9 +278,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
     def scoredLists(vec: Column): Seq[Column] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
-      }
+      scoredListStructs(vec, centroids)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
@@ -382,6 +389,55 @@ object Similarity {
         .as("lut"))
     val scored = enc
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** IVF+PQ ANN — the two scale mechanisms composed, the standard
+    * billion-vector index shape (FAISS IVFPQ): the coarse quantizer
+    * prunes which corpus slice each query touches (~nprobe/numLists of
+    * it), and within the probed lists scoring runs on PQ codes via the
+    * query's LUT — so the big join moves (id, list, m codes) rows, never
+    * raw vectors, and each scored pair costs m lookups. Corpus assignment
+    * and encoding are both map-side; queries broadcast with their LUT.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      least(scoredListStructs(col(vecCol), centroids): _*).getField("l")
+        .as("list"),
+      graft.functions.PqCodes(col(vecCol), codebook, m, numCodes, dsub)
+        .as("codes"))
+    val probes = queries.select(col(idCol).as("query_id"),
+        graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
+          .as("lut"),
+        explode(slice(array_sort(
+          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
+          .as("__p"))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    val scored = enc
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc",
         graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
     val w = Window.partitionBy("query_id")

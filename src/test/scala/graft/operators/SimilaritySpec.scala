@@ -213,6 +213,28 @@ class SimilaritySpec extends SparkSpec {
     adcTo0 shouldBe expected +- 1e-9
   }
 
+  test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
+    val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 2)
+    val cents = Similarity.seedCentroids(pqVecs, "vec_id", "embedding", 2)
+    val q = pqVecs.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().sorted
+    // probing every list disables the pruning, so the two must agree
+    val full = rows(Similarity.ivfPqTopK(pqVecs, q, "vec_id", "embedding",
+      k = 3, centroids = cents, nprobe = 2, codebook = cb,
+      m = 2, numCodes = 4, dsub = 2))
+    val plain = rows(Similarity.pqTopK(pqVecs, q, "vec_id", "embedding",
+      k = 3, codebook = cb, m = 2, numCodes = 4, dsub = 2))
+    full shouldBe plain
+    // nprobe = 1 prunes: candidates only from the query's own list
+    val pruned = Similarity.ivfPqTopK(pqVecs, q, "vec_id", "embedding",
+      k = 8, centroids = cents, nprobe = 1, codebook = cb,
+      m = 2, numCodes = 4, dsub = 2)
+    pruned.count() should be < (pruned.select("query_id").distinct.count() * 7)
+  }
+
   test("pqTopK plan: queries broadcast, corpus never shuffled, no cartesian") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
