@@ -750,6 +750,30 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "text", "source"),
       "doc_id", "text", "source", seqLen = 64)
 
+  /** Packing-efficiency rollup per shard: sequences produced, tokens
+    * packed, capacity, and utilization — the number a training run
+    * checks before shipping a packed corpus. Utilization is one exact
+    * integer division, so the double is cross-engine deterministic.
+    */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    textPack(spark, dir).groupBy(col("source")).agg(
+      count(lit(1)).as("n_sequences"),
+      sum(col("n_tokens")).as("total_tokens"),
+      (count(lit(1)) * lit(64L)).as("capacity"),
+      (sum(col("n_tokens")).cast("double") /
+        (count(lit(1)) * lit(64L)).cast("double")).as("utilization"))
+
+  /** Cluster-id export: every document that participates in a minhash
+    * near-dup pair, labeled with its transitive cluster's min id — the
+    * inspectable artifact behind `dedup_minhash_drop`'s removal
+    * decision. The oracle walks the same closure with a recursive CTE.
+    */
+  def dedupMinhashClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashNearDupPairs(
+        t(spark, dir, "documents"), "doc_id", "text"))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -888,6 +912,8 @@ object Queries {
     "text_gopher_filter" -> textGopherFilter _,
     "text_chunk" -> textChunk _,
     "text_pack" -> textPack _,
+    "pack_efficiency" -> packEfficiency _,
+    "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
@@ -987,6 +1013,30 @@ object Queries {
        |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
   }
+
+  /** Per-shard sequence-packing replay — shared by `text_pack` and the
+    * `pack_efficiency` rollup.
+    */
+  private val textPackOracle: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      |b AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n
+      |  FROM tok WHERE len(t) > 0),
+      |s AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY source
+      |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |  0) AS BIGINT) AS strt FROM b),
+      |e AS (SELECT doc_id, source, t, n, strt,
+      |  unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS seq_id FROM s),
+      |p AS (SELECT source, seq_id,
+      |  greatest(strt, seq_id * 64) AS ps,
+      |  least(strt + n, (seq_id + 1) * 64) AS pe,
+      |  t[(greatest(strt, seq_id*64) - strt + 1) :
+      |    (least(strt+n, (seq_id+1)*64) - strt)] AS piece
+      |  FROM e)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+      |  string_agg(array_to_string(piece, ' '), ' ' ORDER BY ps) AS seq_text,
+      |  CAST(SUM(pe - ps) AS BIGINT) AS n_tokens
+      |FROM p GROUP BY source, seq_id""".stripMargin
 
   /** Shared Gopher rule-replay CTE chain (quality signals → repetition
     * signals → per-rule fail booleans in `f`) — reused by the
@@ -1722,26 +1772,34 @@ object Queries {
         |  array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
         |  CAST(least(32, n - chunk_idx*24) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
-    "text_pack" ->
-      """WITH tok AS (SELECT doc_id, source,
+    "text_pack" -> textPackOracle,
+    "pack_efficiency" ->
+      s"""WITH packed AS ($textPackOracle)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_sequences,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) * 64 AS BIGINT) AS capacity,
+         |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) * 64 AS DOUBLE)
+         |    AS utilization
+         |FROM packed GROUP BY source""".stripMargin,
+    "dedup_minhash_clusters" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
-        |b AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n
-        |  FROM tok WHERE len(t) > 0),
-        |s AS (SELECT *, CAST(COALESCE(SUM(n) OVER (PARTITION BY source
-        |  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |  0) AS BIGINT) AS strt FROM b),
-        |e AS (SELECT doc_id, source, t, n, strt,
-        |  unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS seq_id FROM s),
-        |p AS (SELECT source, seq_id,
-        |  greatest(strt, seq_id * 64) AS ps,
-        |  least(strt + n, (seq_id + 1) * 64) AS pe,
-        |  t[(greatest(strt, seq_id*64) - strt + 1) :
-        |    (least(strt+n, (seq_id+1)*64) - strt)] AS piece
-        |  FROM e)
-        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
-        |  string_agg(array_to_string(piece, ' '), ' ' ORDER BY ps) AS seq_text,
-        |  CAST(SUM(pe - ps) AS BIGINT) AS n_tokens
-        |FROM p GROUP BY source, seq_id""".stripMargin,
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
     "text_gopher_filter" ->
       s"""WITH $gopherCtesSql
          |SELECT doc_id, fail_word_count, fail_mean_token_len, fail_punct_ratio,
