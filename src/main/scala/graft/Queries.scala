@@ -448,7 +448,7 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.simhashNearDupPairs(
       t(spark, dir, "documents"), "doc_id", "text", maxHamming = 3,
-      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      bits = 60, hasher = graft.operators.Dedup.SimhashHasher.Md5_60)
       .withColumn("hamming", col("hamming").cast(LongType))
 
   /** SimHash near-dup REMOVAL (md5-60 oracle variant): transitive
@@ -459,7 +459,7 @@ object Queries {
   def dedupSimhashDrop(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.dropSimhashNearDuplicates(
       t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
-      maxHamming = 3, bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      maxHamming = 3, bits = 60, hasher = graft.operators.Dedup.SimhashHasher.Md5_60)
       .select("doc_id")
 
   /** Incremental SIMHASH dedup: docs < 250 are the existing corpus,
@@ -472,7 +472,7 @@ object Queries {
     val d = t(spark, dir, "documents").select("doc_id", "text")
     val corpus = d.filter(col("doc_id") < 250)
     val store = graft.operators.Dedup.simhashTable(corpus, "doc_id", "text",
-      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      bits = 60, hasher = graft.operators.Dedup.SimhashHasher.Md5_60)
     val batch = d.filter(col("doc_id") >= 250)
       .union(d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
@@ -480,7 +480,7 @@ object Queries {
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
     graft.operators.Dedup.dropSimhashDuplicatesIncremental(
       batch, "doc_id", "text", store, maxHamming = 3,
-      bits = 60, tokenHash = graft.operators.Dedup.md5Hash60)
+      bits = 60, hasher = graft.operators.Dedup.SimhashHasher.Md5_60)
       .select("doc_id")
   }
 
@@ -543,7 +543,7 @@ object Queries {
     * .simhashNearDupPairs]] defaults). xxhash64 has no DuckDB analog, so
     * this variant is registered BENCH-ONLY ([[benchOnly]]): algorithm
     * correctness is oracle-checked via `dedup_simhash`, which runs the
-    * identical code path with the md5-prefix tokenHash swapped in. The
+    * identical code path with the md5-prefix hasher swapped in. The
     * md5 variant is ~2.3× slower, so without this entry the headline
     * bench would misstate the production path's cost.
     */

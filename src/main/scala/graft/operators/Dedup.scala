@@ -428,11 +428,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_),
+      hasher: SimhashHasher = SimhashHasher.Xx,
       losersBroadcastMax: Long = broadcastMaxPairs
   ): DataFrame = {
     val pairs = simhashNearDupPairs(df, idCol, textCol, maxHamming, bits,
-      tokenHash)
+      hasher)
     dropClusterLosers(df, idCol, pairs, losersBroadcastMax)
   }
 
@@ -461,12 +461,12 @@ object Dedup {
       corpusHashes: DataFrame,
       maxHamming: Int = 3,
       bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)
+      hasher: SimhashHasher = SimhashHasher.Xx
   ): DataFrame = {
     // ONE hash pass over the batch: the in-batch pair detection and the
     // corpus check both read this table (the survivor slice is a semi-join
     // on ids, not a re-tokenize of the surviving text)
-    val bhAll = simhashTable(batch, idCol, textCol, bits, tokenHash)
+    val bhAll = simhashTable(batch, idCol, textCol, bits, hasher)
       .persist()
     val pairs = simhashPairsFromTable(bhAll, maxHamming, bits)
     val survivors = dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs)
@@ -496,8 +496,8 @@ object Dedup {
     */
   def appendSimhashes(df: DataFrame, idCol: String, textCol: String,
       storePath: String, bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): Unit =
-    simhashTable(df, idCol, textCol, bits, tokenHash)
+      hasher: SimhashHasher = SimhashHasher.Xx): Unit =
+    simhashTable(df, idCol, textCol, bits, hasher)
       .write.mode("append").parquet(storePath)
 
   /** Read a simhash store; a MISSING store is an empty set (first run
@@ -814,40 +814,56 @@ object Dedup {
       .withColumn(outCol, simhashFromVotes(col("__votes")))
       .drop("__votes")
 
-  /** SimHash near-duplicate pairs: split the `bits`-bit simhash into four
-    * chunks; sharing any chunk makes a candidate (Hamming ≤ 3 over
-    * 4 chunks guarantees one equal chunk by pigeonhole); verify by exact
-    * Hamming distance. Shuffles on the chunk key only.
-    *
-    * `tokenHash` picks the per-token hash (default xxhash64, the fastest
-    * codegen'd choice). An oracle-replicable alternative is the 60-bit
-    * md5 prefix ([[md5Hash60]] with `bits = 60`) — same algorithm, and a
-    * DuckDB oracle can replay it exactly.
+  /** Token-hash choice for the simhash family. The two NAMED hashes run
+    * the single-call [[graft.functions.SimhashBits]] kernel, which makes
+    * the simhash table a map-side PROJECTION (no token explode, no vote
+    * shuffle — the first shuffle in the pipeline moves to the chunk-key
+    * join); [[SimhashHasher.Custom]] keeps the explode+agg formulation
+    * for arbitrary Column hashes.
     */
-  /** (id, sh) simhash table — the explode+agg formulation (all `bits`
-    * conditional-sum votes in ONE whole-stage HashAggregate, same codegen
-    * reason as minhash). Token-less documents have no simhash and are
-    * absent. This is also the STORE layout the incremental path persists.
+  sealed trait SimhashHasher
+  object SimhashHasher {
+    /** Spark `xxhash64` (seed 42) — the production default. */
+    case object Xx extends SimhashHasher
+    /** 60-bit md5 prefix ([[md5Hash60]]) — oracle-replayable in DuckDB. */
+    case object Md5_60 extends SimhashHasher
+    /** Any Column hash; runs the explode+HashAggregate vote path. */
+    final case class Custom(hash: Column => Column) extends SimhashHasher
+  }
+
+  /** (id, sh) simhash table. Named hashers run one kernel call per row
+    * inside whole-stage codegen; Custom falls back to the explode+agg
+    * formulation (all `bits` conditional-sum votes in ONE whole-stage
+    * HashAggregate). Null-text documents have no simhash and are absent.
+    * This is also the STORE layout the incremental path persists.
     */
   def simhashTable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)
+      hasher: SimhashHasher = SimhashHasher.Xx
   ): DataFrame = {
     require(bits % 4 == 0 && bits <= 64, s"bits must be ≤64, multiple of 4: $bits")
-    val tok = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), tokenHash(col("t")).as("h"))
-    val voteAggs = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-        .otherwise(lit(-1L))).as(s"v$j"))
-    val votes = tok.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
-    val shCol = (0 until bits).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    votes.select(col("id"), shCol.as("sh"))
+    hasher match {
+      case SimhashHasher.Custom(tokenHash) =>
+        val tok = df
+          .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+          .select(col("id"), tokenHash(col("t")).as("h"))
+        val voteAggs = (0 until bits).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))).as(s"v$j"))
+        val votes = tok.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+        val shCol = (0 until bits).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))
+        votes.select(col("id"), shCol.as("sh"))
+      case named =>
+        df.select(col(idCol).as("id"),
+          graft.functions.SimhashBits(col(textCol), bits,
+            named == SimhashHasher.Md5_60).as("sh"))
+          .filter(col("sh").isNotNull)
+    }
   }
 
   /** The 4 pigeonhole chunk keys of a simhash (Hamming ≤ 3 over 4 chunks
@@ -861,16 +877,21 @@ object Dedup {
         shiftright(sh, c * chunkBits).bitwiseAND(lit(chunkMask)))): _*)
   }
 
+  /** SimHash near-duplicate pairs: split the `bits`-bit simhash into four
+    * chunks; sharing any chunk makes a candidate (Hamming ≤ 3 over
+    * 4 chunks guarantees one equal chunk by pigeonhole); verify by exact
+    * Hamming distance. Shuffles on the chunk key only.
+    */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)
+      hasher: SimhashHasher = SimhashHasher.Xx
   ): DataFrame =
     simhashPairsFromTable(
-      simhashTable(df, idCol, textCol, bits, tokenHash)
+      simhashTable(df, idCol, textCol, bits, hasher)
         .persist(), // reused by the chunk explode (×2 self-join) + verify
       maxHamming, bits)
 

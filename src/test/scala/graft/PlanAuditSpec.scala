@@ -39,15 +39,17 @@ class PlanAuditSpec extends SparkSpec {
     read should not include "n_chars" // unused column pruned from the scan
   }
 
-  test("md5-hash simhash keeps the one-pass vote aggregate") {
-    // the 60 conditional-sum votes must stay ONE partial+final
-    // HashAggregate pair over the token explode (not 60 passes), with
-    // the md5-prefix token hash inlined as a plain projection (AQE hides
-    // the *(n) codegen markers pre-execution, so assert the agg shape)
+  test("simhash table is a map-side kernel projection, not a vote aggregate") {
+    // the SimhashBits kernel computes tokenize→hash→votes→bits in one
+    // call per row, so the (id, sh) table is a PROJECTION: no token
+    // explode, no vote HashAggregate, no shuffle until the chunk-key
+    // join. Generate appears only for the chunk-key explode.
     val p = plan("dedup_simhash")
-    p should include("HashAggregate")
-    p should not include "SortAggregate" // sums stay hash-aggregable
+    p should include("simhashbits")
+    p should not include "SortAggregate"
     p should not include "ObjectHashAggregate"
+    // the old explode+60-conditional-sum vote shape is gone
+    p should not include "v59"
   }
 
   test("candidate-verify joins are pinned broadcast (not AQE-dependent)") {

@@ -195,6 +195,25 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L, 13L)
   }
 
+  test("SimhashBits kernel equals the explode+agg vote formulation") {
+    import org.apache.spark.sql.functions.xxhash64
+    val docs = Seq(
+      (1L, "The quick Brown   fox"),
+      (2L, ""),                       // empty text → simhash of one "" token
+      (3L, "  padded   whitespace \t everywhere  "),
+      (4L, "unicode Ärger ÉTÉ ß tokens"),
+      (5L, "a"),
+      (6L, "repeated repeated repeated words words")
+    ).toDF("id", "text")
+    def table(h: Dedup.SimhashHasher, bits: Int) =
+      Dedup.simhashTable(docs, "id", "text", bits, h)
+        .as[(Long, Long)].collect().toMap
+    table(Dedup.SimhashHasher.Xx, 64) shouldBe
+      table(Dedup.SimhashHasher.Custom(xxhash64(_)), 64)
+    table(Dedup.SimhashHasher.Md5_60, 60) shouldBe
+      table(Dedup.SimhashHasher.Custom(Dedup.md5Hash60), 60)
+  }
+
   test("dropSimhashNearDuplicates keeps one survivor per transitive cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
