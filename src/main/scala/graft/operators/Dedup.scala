@@ -154,26 +154,19 @@ object Dedup {
     df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** (id, bk) banded minhash keys from a shingle table. Codegen
-    * formulation: explode shingles and take k seeded mins as ONE hash
-    * aggregation. Higher-order array lambdas (transform/array_min) are
-    * interpreted per element — boxed Longs, no whole-stage codegen — and
-    * measured ~6× slower than this explode+HashAggregate shape.
+  /** (id, bk) banded minhash keys from a shingle table — one
+    * [[graft.functions.MinhashBands]] kernel call per document (the
+    * signature is a map-side projection; no explode into a k-column min
+    * aggregate, no shuffle until the band-key join). The kernel replays
+    * the exact XxHash64 seed chains of the aggregate formulation it
+    * replaced, so keys match any previously-written band-key store
+    * bit-for-bit (pinned by DedupSpec).
     */
   private def bandKeysFromShingles(sh: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val exploded = sh
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h")) // string hashed once
-    val minAggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      xxhash64(array(slice: _*), lit(b)) // band index seeds the hash
-    }
-    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-  }
+      rowsPerBand: Int): DataFrame =
+    sh.select(col("id"),
+      explode(graft.functions.MinhashBands(col("sh"), bands, rowsPerBand))
+        .as("bk"))
 
   /** (id, bk) banded minhash keys of a corpus — the STORE representation
     * for incremental near-dup dedup: `bands` 8-byte keys per document,

@@ -195,6 +195,35 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe Array(10L, 11L, 13L)
   }
 
+  test("MinhashBands kernel equals the explode+agg formulation (store compat)") {
+    import org.apache.spark.sql.functions.{array, explode, min, xxhash64, lit}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "some other words that shingle differently here"),
+      (3L, "a b"), // exactly one 2-shingle
+      (4L, "unicode Ärger ÉTÉ ß tokens in the mix today")
+    ).toDF("id", "text")
+    val (bands, rpb) = (16, 2)
+    val sh = docs.select($"id", Dedup.wordShingles($"text", 2).as("sh"))
+      .filter(org.apache.spark.sql.functions.size($"sh") > 0)
+    val kernel = sh.select($"id",
+      explode(graft.functions.MinhashBands($"sh", bands, rpb)).as("bk"))
+      .as[(Long, Long)].collect().sorted
+    // the legacy aggregate formulation the kernel must replay bit-for-bit
+    val k = bands * rpb
+    val exploded = sh.select($"id", explode($"sh").as("s"))
+      .select($"id", xxhash64($"s").as("h"))
+    val minAggs = (0 until k).map(i => min(xxhash64($"h", lit(i))).as(s"m$i"))
+    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rpb until (b + 1) * rpb).map(i => org.apache.spark.sql.functions.col(s"m$i"))
+      xxhash64(array(slice: _*), lit(b))
+    }
+    val legacy = sig.select($"id", explode(array(bandCols: _*)).as("bk"))
+      .as[(Long, Long)].collect().sorted
+    kernel shouldBe legacy
+  }
+
   test("SimhashBits kernel equals the explode+agg vote formulation") {
     import org.apache.spark.sql.functions.xxhash64
     val docs = Seq(
