@@ -521,6 +521,28 @@ object Queries {
         cnt(col("fail_top_bigram")).as("n_fail_top_bigram"))
   }
 
+  /** Discrete per-language length quantiles (p50/p90/p99 of n_chars):
+    * the value at sorted position floor(p·(n−1))+1 — no interpolation,
+    * so the output is integer-deterministic across engines (continuous
+    * quantiles interpolate in floating point and DuckDB's arithmetic
+    * differs in the last bit). One grouped sort per stratum — the
+    * formulation that scales is exactly this window, since each language
+    * partition sorts independently.
+    */
+  def statsQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = t(spark, dir, "documents").select(col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    def pick(p: Double, name: String) =
+      max(when(col("rn") === floor(lit(p) * (col("n") - 1)) + 1,
+        col("n_chars"))).as(name)
+    ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
+  }
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -924,6 +946,7 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_vocab_topk" -> textVocabTopK _,
     "stats_length_hist" -> statsLengthHist _,
+    "stats_quantiles" -> statsQuantiles _,
     "text_quality_by_source" -> textQualityBySource _
   )
 
@@ -1863,6 +1886,18 @@ object Queries {
         |  / 10.0) AS BIGINT) * 10 AS bucket_lo,
         |CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "stats_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |    THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+        |    THEN n_chars END) AS p90,
+        |  MAX(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+        |    THEN n_chars END) AS p99
+        |FROM r GROUP BY lang""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
