@@ -70,7 +70,7 @@ object Coercion {
     * path a regex reject. Semantics unchanged: residual in-shape failures
     * (month 13) still fall through try_to_timestamp to NULL.
     */
-  private val TimestampFormatGuards: Seq[String] = Seq(
+  private[graft] val TimestampFormatGuards: Seq[String] = Seq(
     "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$",
     "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}$",
     "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$",
@@ -132,13 +132,18 @@ object Coercion {
     case TimestampType => c
     case DateType      => c.cast(TimestampType) // datetime.combine(d, time.min)
     case s if isStringy(s) =>
-      // coalesce over the exact format list — NOT Spark's flexible cast,
-      // which accepts a superset the reference rejects. Each attempt is
-      // shape-guarded (see TimestampFormatGuards) so non-matching formats
-      // cost a regex check, not a thrown-and-caught parse exception.
-      coalesce(TimestampFormats.zip(TimestampFormatGuards).map {
-        case (f, g) => when(c.rlike(g), try_to_timestamp(c, lit(f)))
-      }: _*)
+      // CASE dispatch over the exact format list — NOT Spark's flexible
+      // cast, which accepts a superset the reference rejects. The shape
+      // index comes from ONE TimestampShape kernel scan (the previous
+      // guarded coalesce ran up to 8 rlike evaluations per value; the
+      // kernel is the same first-match guard order as one char scan,
+      // spec-pinned against the TimestampFormatGuards regexes), and the
+      // CASE runs only the matching branch's parse. Residual in-shape
+      // failures (month 13) still fall through try_to_timestamp to NULL.
+      val idx = graft.functions.TimestampShape(c)
+      TimestampFormats.zipWithIndex.map { case (f, i) =>
+        when(idx === lit(i), try_to_timestamp(c, lit(f)))
+      }.reduceRight(_ otherwise _) // nested CASE; no-match falls to null
     case _ => nullOf(TimestampType)
   }
 

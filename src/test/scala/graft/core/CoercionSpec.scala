@@ -137,4 +137,39 @@ class CoercionSpec extends SparkSpec {
       .collect().map(_.get(0))
     out should contain theSameElementsAs Seq(null, null, null, null, "x")
   }
+
+  test("TimestampShape kernel equals first-matching guard regex") {
+    // the kernel is the dispatch half of toTimestampCol: its index must
+    // agree with the original rlike guard chain on every shape, near-miss,
+    // and the Java-regex trailing-newline quirk (where guard-pass +
+    // parse-fail and kernel-reject are both null — asserted via the full
+    // coercion below, not the raw index)
+    val samples = Seq(
+      "2024-01-15T10:30:00", "2024-01-15T10:30:00.5",
+      "2024-01-15T10:30:00.123456", "2024-01-15T10:30:00Z",
+      "2024-01-15T10:30:00.123Z", "2024-01-15 10:30:00", "2024-01-15",
+      "2024-01-15T10:30:00+01:00", "2024-01-15T10:30:00-05:30",
+      "2024-01-15T10:30:00+0100", "2024-13-45T99:99:99", // in-shape garbage
+      "2024-1-15T10:30:00", "24-01-15", "2024/01/15", "hello",
+      "2024-01-15T10:30:00.1234567", // 7 fraction digits: no shape
+      "2024-01-15T10:30:00.123+01:00", // fraction+offset: no shape
+      " 2024-01-15T10:30:00", "2024-01-15T10:30:00 ", ""
+    )
+    val guards = Coercion.TimestampFormatGuards.map(_.r)
+    for (s <- samples) {
+      val expected = guards.indexWhere(_.findFirstIn(s).isDefined)
+      withClue(s"'$s': ") {
+        graft.functions.TimestampShape.shapeIndex(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        ) shouldBe expected
+      }
+    }
+    // newline-quirk strings: the END RESULT must stay null on both paths
+    val quirky = Seq("2024-01-15\n", "2024-01-15T10:30:00\n")
+    val out = quirky.toDF("v")
+      .select(Coercion.toTimestampCol(col("v"),
+        org.apache.spark.sql.types.StringType).as("t"))
+      .collect().map(_.get(0))
+    out shouldBe Array(null, null)
+  }
 }
