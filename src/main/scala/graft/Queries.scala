@@ -213,6 +213,18 @@ object Queries {
     }
   }
 
+  /** Z-curve (Morton) value of each event over (user_id, epoch seconds)
+    * — the interleave behind [[graft.operators.Layout.zorderBy]]'s
+    * two-dimensional file clustering; registering the raw z-value makes
+    * the bit math oracle-checkable (the layout action itself — range
+    * partition + sort — has nondeterministic file boundaries by design
+    * and is spec-tested instead).
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir).select(col("event_id"),
+      graft.operators.Layout.zValue(col("user_id"),
+        unix_timestamp(col("ts"))).as("z_value"))
+
   /** Rollup aggregation (subtotals + grand total). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -947,6 +959,7 @@ object Queries {
     "text_vocab_topk" -> textVocabTopK _,
     "stats_length_hist" -> statsLengthHist _,
     "stats_quantiles" -> statsQuantiles _,
+    "layout_zorder" -> layoutZorder _,
     "text_quality_by_source" -> textQualityBySource _
   )
 
@@ -1886,6 +1899,14 @@ object Queries {
         |  / 10.0) AS BIGINT) * 10 AS bucket_lo,
         |CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "layout_zorder" -> {
+      val terms = (0 until 32).map(i =>
+        s"(((u >> $i) & 1) << ${2 * i}) | (((e >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT event_id, user_id AS u,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events)
+         |SELECT event_id, $terms AS z_value FROM b""".stripMargin
+    },
     "stats_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,
         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,

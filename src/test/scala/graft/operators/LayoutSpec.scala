@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits (a even positions, b odd)") {
+    val df = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (5L, 3L)
+    ).toDF("a", "b")
+    val out = df.select(Layout.zValue($"a", $"b").as("z"))
+      .as[Long].collect()
+    out(0) shouldBe 0L
+    out(1) shouldBe 1L                    // a bit 0 → z bit 0
+    out(2) shouldBe 2L                    // b bit 0 → z bit 1
+    out(3) shouldBe 3L
+    out(4) shouldBe 0x5555555555555555L   // a fills even bits
+    out(5) shouldBe 0xAAAAAAAAAAAAAAAAL   // b fills odd bits
+    // 5 = 101, 3 = 011 → z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 27? no:
+    // even bits from a(101): bits 0,4 set → 0b010001; odd bits from
+    // b(011): bits 1,3 set → 0b001010; OR = 0b011011 = 27
+    out(6) shouldBe 27L
+  }
+
+  test("zorderBy clusters both dimensions within output partitions") {
+    // a 32×32 grid: after z-ordering into 16 partitions, each partition's
+    // bounding box in (x, y) must be far smaller than the full grid —
+    // that tightness is exactly what makes parquet min/max stats prune
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y)))
+      .toDF("x", "y")
+    val parts = Layout.zorderBy(grid, "x", "y", partitions = 16)
+      .select(spark_partition_id().as("p"), $"x", $"y")
+      .groupBy("p")
+      .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"),
+        count(lit(1)).as("n"))
+      .collect()
+    parts.map(_.getAs[Long]("n")).sum shouldBe 1024L
+    // a z-ordered 64-row slice of a 32×32 grid covers at most a 16×16 box
+    // (one level of the quadtree + boundary slack); a single-column sort
+    // would give dx=0 but dy=31 for every slice
+    val nonTrivial = parts.filter(_.getAs[Long]("n") >= 32)
+    nonTrivial should not be empty
+    for (r <- nonTrivial) {
+      r.getAs[Int]("dx") should be <= 16
+      r.getAs[Int]("dy") should be <= 16
+    }
+  }
+
+  test("zorderByApprox preserves rows and needs no global window") {
+    val df = (0 until 500).map(i => (i.toLong, (i * 37 % 500).toLong))
+      .toDF("a", "b")
+    val out = Layout.zorderByApprox(df, "a", "b", partitions = 4,
+      buckets = 256)
+    out.count() shouldBe 500L
+    out.columns.sorted shouldBe Array("a", "b")
+    // constant column degenerates to bucket 0 without erroring
+    Layout.zorderByApprox(df.withColumn("b", lit(7L)), "a", "b", 2, 16)
+      .count() shouldBe 500L
+  }
+}
