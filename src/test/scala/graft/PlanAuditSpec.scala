@@ -143,6 +143,27 @@ class PlanAuditSpec extends SparkSpec {
     "\\*\\(\\d+\\)".r.findAllIn(p).length should be >= 2
   }
 
+  test("PQ plans broadcast the query side and never sort-merge the corpus") {
+    for (name <- Seq("ann_pq_topk", "ann_ivfpq_topk")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        p should (include("BroadcastNestedLoopJoin") or include("BroadcastHashJoin"))
+        p should not include "SortMergeJoin"
+        p should not include "CartesianProduct"
+        p should include("pqcodes") // corpus encoded map-side
+        p should include("pqlut")   // query LUT computed map-side
+      }
+    }
+  }
+
+  test("incremental dedup computes signatures map-side (kernel projections)") {
+    plan("dedup_simhash_incremental") should include("simhashbits")
+    plan("dedup_minhash_incremental") should include("minhashbands")
+    // the old k-column min/vote aggregates are gone
+    plan("dedup_minhash_incremental") should not include "m63"
+    plan("dedup_simhash_incremental") should not include "v59"
+  }
+
   test("mdkv parse/render runs as native kernels, no encoder round-trip") {
     // the typed-Dataset formulation paid DeserializeToObject /
     // SerializeFromObject stage breaks per parse (the engine's last
