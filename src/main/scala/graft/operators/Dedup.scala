@@ -185,11 +185,13 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.9
+      threshold: Double = 0.9,
+      maxBandDf: Int = 0
   ): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist() // reused by the band explode and both verify joins
-    val banded = bandKeysFromShingles(sh, bands, rowsPerBand)
+    val banded = capHotKeys(
+      bandKeysFromShingles(sh, bands, rowsPerBand), "bk", maxBandDf)
       .persist() // self-joined below: without this the k hashes run twice
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
@@ -197,6 +199,29 @@ object Dedup {
       .distinct()
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Drop LSH keys shared by more than `maxDf` documents — the bucket
+    * twin of [[ngramJaccardPairs]]' stop-shingle cap: a band/chunk key
+    * with df = d yields d² candidate pairs before the distinct, so one
+    * boilerplate bucket at df = 10⁵ would emit 10¹⁰ rows. Hot keys are
+    * found with a partial-aggregated count (one narrow row per distinct
+    * key) and removed by broadcast anti-join (hot keys are few by
+    * definition). RECALL TRADE, documented: a true near-dup pair whose
+    * EVERY shared bucket is hot is lost; genuine near-dups share many
+    * independent buckets, so at sane thresholds (≥ ~1000) the loss is
+    * boilerplate, not signal. `maxDf ≤ 0` disables (the default, and the
+    * oracle-checked configuration).
+    */
+  private def capHotKeys(keyed: DataFrame, keyCol: String,
+      maxDf: Int): DataFrame =
+    if (maxDf <= 0) keyed
+    else {
+      val hot = keyed.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(keyCol)
+      keyed.join(broadcast(hot), Seq(keyCol), "left_anti")
+    }
 
   /** Pairs at or below this count get the pinned-broadcast verify plan;
     * above it the verify joins run unhinted (sort-merge), because the
@@ -881,21 +906,24 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       bits: Int = 64,
-      hasher: SimhashHasher = SimhashHasher.Xx
+      hasher: SimhashHasher = SimhashHasher.Xx,
+      maxChunkDf: Int = 0
   ): DataFrame =
     simhashPairsFromTable(
       simhashTable(df, idCol, textCol, bits, hasher)
         .persist(), // reused by the chunk explode (×2 self-join) + verify
-      maxHamming, bits)
+      maxHamming, bits, maxChunkDf)
 
   /** Pair detection over an already-built (id, sh) table — shared by the
     * self-dedup path above and the incremental path (which reuses the
     * batch table for the corpus check instead of rehashing).
     */
   private def simhashPairsFromTable(hashed: DataFrame, maxHamming: Int,
-      bits: Int): DataFrame = {
-    val chunked = hashed.select(col("id"),
-      explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
+      bits: Int, maxChunkDf: Int = 0): DataFrame = {
+    val chunked = capHotKeys(
+      hashed.select(col("id"),
+        explode(simhashChunkKeys(col("sh"), bits)).as("ck")),
+      "ck", maxChunkDf)
     val cands = chunked.as("x")
       .join(chunked.as("y"), col("x.ck") === col("y.ck") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -224,6 +224,33 @@ class DedupSpec extends SparkSpec {
     kernel shouldBe legacy
   }
 
+  test("maxBandDf caps hot LSH buckets; pairs sharing other bands survive") {
+    // two identical docs share every band (found regardless of which
+    // bands get capped away, as long as ANY shared band stays under the
+    // cap); with a cap of 2, bands shared by all three would go hot only
+    // at df > 2, so the pair is still found
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different content with its own words here")
+    ).toDF("id", "text")
+    val uncapped = Dedup.minhashNearDupPairs(docs, "id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    uncapped shouldBe Set((1L, 2L))
+    Dedup.minhashNearDupPairs(docs, "id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.9,
+      maxBandDf = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe uncapped
+    // cap of 1 kills every shared band — documented recall trade: the
+    // pair disappears, which is why the cap defaults OFF and sane
+    // production values sit in the thousands
+    Dedup.minhashNearDupPairs(docs, "id", "text",
+      shingleN = 2, bands = 8, rowsPerBand = 2, threshold = 0.9,
+      maxBandDf = 1)
+      .count() shouldBe 0L
+  }
+
   test("SimhashBits kernel equals the explode+agg vote formulation") {
     import org.apache.spark.sql.functions.xxhash64
     val docs = Seq(
