@@ -406,10 +406,11 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
-      losersBroadcastMax: Long = broadcastMaxPairs
+      losersBroadcastMax: Long = broadcastMaxPairs,
+      maxBandDf: Int = 0
   ): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, bands,
-      rowsPerBand, threshold)
+      rowsPerBand, threshold, maxBandDf)
     dropClusterLosers(df, idCol, pairs, losersBroadcastMax)
   }
 
