@@ -555,6 +555,17 @@ object Queries {
       pick(0.5, "p50"), pick(0.9, "p90"), pick(0.99, "p99"))
   }
 
+  /** Deterministic corpus-shuffle keys (seed 7): where each document
+    * lands in the epoch order, reproducible across runs and engines —
+    * the sort/partition action itself is [[graft.operators.Sampling
+    * .deterministicShuffle]]; registering the keys makes the order
+    * oracle-checkable.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 7L)
+        .as("shuffle_key"))
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -960,6 +971,7 @@ object Queries {
     "stats_length_hist" -> statsLengthHist _,
     "stats_quantiles" -> statsQuantiles _,
     "layout_zorder" -> layoutZorder _,
+    "corpus_shuffle" -> corpusShuffle _,
     "text_quality_by_source" -> textQualityBySource _
   )
 
@@ -1899,6 +1911,10 @@ object Queries {
         |  / 10.0) AS BIGINT) * 10 AS bucket_lo,
         |CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |${hash60Sql("CAST(doc_id AS VARCHAR) || ':7'")} AS shuffle_key
+         |FROM documents""".stripMargin,
     "layout_zorder" -> {
       val terms = (0 until 32).map(i =>
         s"(((u >> $i) & 1) << ${2 * i}) | (((e >> $i) & 1) << ${2 * i + 1})")

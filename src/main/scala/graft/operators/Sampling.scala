@@ -145,4 +145,27 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn", "__k")
   }
+
+  /** Deterministic pseudo-random shuffle key: where a row lands in the
+    * training order, as a pure function of (id, seed). Training-data
+    * prep needs the corpus order randomized (dedup/curation leave it
+    * clustered by source) but REPRODUCIBLE — rerunning the pipeline must
+    * produce the identical epoch order, and changing the seed must
+    * produce an independent one. `rand()` is partition-layout dependent;
+    * this is not.
+    */
+  def shuffleKey(id: Column, seed: Long): Column =
+    Dedup.md5Hash60(concat(id.cast("string"), lit(":"), lit(seed.toString)))
+
+  /** The shuffle action: range-partition + sort by the deterministic
+    * key, so a subsequent write materializes the corpus in seeded
+    * pseudo-random order with `partitions` roughly equal output files.
+    * One range shuffle — the cost any global reorder necessarily pays.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+      partitions: Int): DataFrame =
+    df.withColumn("__sk", shuffleKey(col(idCol), seed))
+      .repartitionByRange(partitions, col("__sk"))
+      .sortWithinPartitions("__sk")
+      .drop("__sk")
 }

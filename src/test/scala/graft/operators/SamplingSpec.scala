@@ -67,4 +67,18 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     again shouldBe s.select("doc_id").collect().map(_.getLong(0)).toSet
   }
+
+  test("deterministicShuffle: reproducible order, seed-independent, layout-stable") {
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(df, "doc_id", seed, partitions = 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1 = order(docs, seed = 7)
+    o1 shouldBe order(docs, seed = 7)                 // rerun → identical
+    o1 shouldBe order(docs.repartition(13), seed = 7) // layout-independent
+    o1 should not be order(docs, seed = 8)            // new seed → new order
+    o1.sorted shouldBe docs.select("doc_id")          // a permutation
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // and it actually shuffles: not the id order
+    o1 should not be o1.sorted
+  }
 }
