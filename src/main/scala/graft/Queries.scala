@@ -626,6 +626,19 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, tables = 8)
 
+  /** Semantic decontamination: vec_id < 25 is the held-out benchmark;
+    * corpus rows (vec_id >= 25) within 0.4 cosine of any benchmark
+    * vector drop. The oracle replays all 8 LSH bucketings from the same
+    * sign literals, then the exact-cosine verify.
+    */
+  def annDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Decontaminate.dropNearBenchmarkEmbeddings(
+      e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+      "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 8)
+      .select("vec_id")
+  }
+
   /** Deterministic Bernoulli sample: shuffle-free hash filter; the
     * oracle replays the identical hash + threshold, so the sampled SET
     * (not just its size) is checked.
@@ -944,6 +957,7 @@ object Queries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
+    "ann_decontaminate" -> annDecontaminate _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
@@ -1060,6 +1074,29 @@ object Queries {
        |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
        |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
+  }
+
+  private val annDecontaminateOracle: String = {
+    val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 8).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val anyBucket = (0 until 8).map(tt => s"x.b$tt = y.b$tt").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols
+       |  FROM v CROSS JOIN p),
+       |hits AS (SELECT DISTINCT x.vec_id
+       |  FROM d x JOIN d y ON x.vec_id >= 25 AND y.vec_id < 25
+       |    AND ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
+       |SELECT vec_id FROM v
+       |WHERE vec_id >= 25 AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
   }
 
   /** Per-shard sequence-packing replay — shared by `text_pack` and the
@@ -1398,6 +1435,7 @@ object Queries {
     "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
+    "ann_decontaminate" -> annDecontaminateOracle,
     "csv_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |source, n_chars FROM documents""".stripMargin,

@@ -69,4 +69,42 @@ object Decontaminate {
         .filter(col("n_hits") > maxHits)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** SEMANTIC decontamination: drop corpus rows whose EMBEDDING is
+    * within `threshold` cosine of any benchmark embedding — catches the
+    * paraphrased/translated leakage the n-gram overlap above misses.
+    * Multi-table hyperplane LSH buckets both sides (a pair is a
+    * candidate when it shares a bucket in ANY table, recall
+    * 1 − (1 − (1−θ/π)^planes)^tables); the benchmark side is broadcast
+    * (small by definition), the benchmark vector rides the joined row so
+    * the exact-cosine verify is INLINE — the corpus is never shuffled
+    * and never scanned twice. A corpus row identical to a benchmark row
+    * drops, as decontamination semantics require.
+    */
+  def dropNearBenchmarkEmbeddings(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 4,
+      tables: Int = 8,
+      dim: Int = 64): DataFrame = {
+    import Similarity.{dotDouble, norm}
+    val allSigns = (0 until tables * planes).map(Similarity.planeSigns(_, dim))
+    def bucketed(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn("__bits",
+          graft.functions.HyperplaneBits(col(v), allSigns, planes))
+        .select(col(id), col(v), posexplode(col("__bits")).as(Seq("t", "b")))
+        .select(col(id), col(v), concat_ws(":", col("t"), col("b")).as("bk"))
+    val c = bucketed(corpus, "cid", "cv").withColumn("cn", norm(col("cv")))
+    val bmk = bucketed(benchmark, "bid", "bv").withColumn("bn", norm(col("bv")))
+    val hits = c.join(broadcast(bmk), Seq("bk"))
+      .filter(dotDouble(col("cv"), col("bv")) / (col("cn") * col("bn"))
+        >= threshold)
+      .select(col("cid").as(idCol))
+      .distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

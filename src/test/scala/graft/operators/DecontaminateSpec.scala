@@ -47,4 +47,22 @@ class DecontaminateSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
   }
+
+  test("embedding decontamination drops benchmark-similar vectors only") {
+    import spark.implicits._
+    val bmk = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val corp = Seq(
+      (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)),  // ≈ benchmark → dropped
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal → kept
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),    // identical → dropped
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))    // opposite → kept
+    ).toDF("id", "v")
+    val out = Decontaminate.dropNearBenchmarkEmbeddings(
+      corp, bmk, "id", "v", threshold = 0.9, planes = 2, tables = 4, dim = 4)
+    out.select("id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+    // plan: benchmark side broadcast, no cartesian
+    val p = out.queryExecution.sparkPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
 }
