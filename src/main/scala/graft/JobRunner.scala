@@ -526,6 +526,35 @@ object JobRunner {
       }
     }
 
+    // Curation-store maintenance — the append half of incremental dedupe,
+    // opt-in via `curation.update_store: true`: the rows that actually
+    // landed are appended to the fingerprint/simhash store so tomorrow's
+    // batch dedups against them. Post-commit and NON-fatal for the same
+    // reason as state: data is already committed; a lost append costs one
+    // redundant dedup check next run, never duplicate data.
+    tracer.span("phase.curation_store") {
+      try {
+        val cur = Yaml.map(job.raw, "curation")
+        if (cur.nonEmpty && Yaml.bool(cur, "update_store")) {
+          def need(k: String): String = Yaml.str(cur, k).getOrElse(
+            throw new IllegalArgumentException(s"curation requires $k"))
+          Yaml.str(cur, "dedupe") match {
+            case Some("incremental") =>
+              graft.operators.Dedup.appendFingerprints(
+                curated, need("text_field"), need("fingerprint_store"))
+            case Some("incremental_simhash") =>
+              graft.operators.Dedup.appendSimhashes(
+                curated, need("id_field"), need("text_field"),
+                need("simhash_store"))
+            case _ => ()
+          }
+        }
+      } catch {
+        case e: Exception =>
+          log(s"curation store append failed (non-fatal): ${e.getMessage}")
+      }
+    }
+
     // records_per_second over extracted records (metrics.py:213-219)
     val elapsed = (System.nanoTime() - startNanos) / 1e9
     val extracted = metrics.getOrElse("records", 0L)

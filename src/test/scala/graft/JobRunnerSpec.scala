@@ -336,6 +336,44 @@ class JobRunnerSpec extends SparkSpec {
       .cursorLastValue("people", "id") shouldBe Some("3")
   }
 
+  test("curation update_store: day-2 job dedups against day-1's store") {
+    def jobYaml(dir: java.nio.file.Path, out: String, store: String): String =
+      write(dir, "job_store.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  fingerprint_store: $store
+           |  update_store: true
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val store = dir1.resolve("fpstore").toString
+    val r1 = JobRunner.run(spark,
+      jobYaml(dir1, dir1.resolve("out1").toString, store))
+    r1.exitCode shouldBe ExitCodes.Success
+    r1.validRecords shouldBe 2
+    // day 2: one already-committed text (alice), one new
+    val (dir2, _) = fixture(Seq("3,alice,7.0", "4,carol,6.0"), "strict")
+    val r2 = JobRunner.run(spark,
+      jobYaml(dir2, dir2.resolve("out2").toString, store))
+    r2.exitCode shouldBe ExitCodes.Success
+    r2.validRecords shouldBe 1 // alice dropped via the day-1 store
+    spark.read.parquet(r2.outputPath).select("id").collect()
+      .map(_.get(0).toString) shouldBe Array("4")
+    // and day-2's survivor was appended for day 3
+    graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
