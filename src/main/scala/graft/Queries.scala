@@ -566,6 +566,21 @@ object Queries {
       graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 7L)
         .as("shuffle_key"))
 
+  /** Domain-blocklist filter over the synthesized URL column: drop docs
+    * from src3/src7 domains (including subdomains); the oracle rebuilds
+    * the same URLs and replays the domain extraction.
+    */
+  def urlDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://Src"), col("doc_id") % 20, lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), col("doc_id") % 50)
+    graft.operators.UrlOps.filterBlockedDomains(
+      t(spark, dir, "documents").select("doc_id").withColumn("url", url),
+      "url", Seq("src3.example.com", "src7.example.com", "blocked.net"))
+      .select("doc_id", "url")
+  }
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -986,6 +1001,7 @@ object Queries {
     "stats_quantiles" -> statsQuantiles _,
     "layout_zorder" -> layoutZorder _,
     "corpus_shuffle" -> corpusShuffle _,
+    "url_domain_filter" -> urlDomainFilter _,
     "text_quality_by_source" -> textQualityBySource _
   )
 
@@ -1949,6 +1965,20 @@ object Queries {
         |  / 10.0) AS BIGINT) * 10 AS bucket_lo,
         |CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "url_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        |  '/Docs/' || (doc_id % 50) AS url
+        |  FROM documents),
+        |d AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_extract(lower(url),
+        |    '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1), '^www\.', '') AS dom
+        |  FROM u)
+        |SELECT doc_id, url FROM d
+        |WHERE NOT (dom = 'src3.example.com' OR dom LIKE '%.src3.example.com'
+        |  OR dom = 'src7.example.com' OR dom LIKE '%.src7.example.com'
+        |  OR dom = 'blocked.net' OR dom LIKE '%.blocked.net')""".stripMargin,
     "corpus_shuffle" ->
       s"""SELECT doc_id,
          |${hash60Sql("CAST(doc_id AS VARCHAR) || ':7'")} AS shuffle_key

@@ -44,6 +44,30 @@ object UrlOps {
     regexp_replace(concat(host, rest), "/$", "")
   }
 
+  /** Registrable host of a URL: lowercased, port stripped, leading
+    * `www.` stripped — the key a domain blocklist matches on.
+    */
+  def domain(u: Column): Column = {
+    val host = regexp_extract(lower(u), "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    regexp_replace(host, "^www\\.", "")
+  }
+
+  /** Domain-blocklist filter — the C4-style source exclusion step: drop
+    * rows whose URL's domain IS a blocked domain or any subdomain of
+    * one. The blocklist chains into one codegen'd boolean (driver
+    * literals), so the filter is map-side and shuffle-free; for a
+    * blocklist too large to inline (millions of domains), switch to a
+    * broadcast anti-join on the [[domain]] column — same semantics.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val d = domain(col(urlCol))
+    val bad = blocked.map(_.toLowerCase).map(b =>
+      d === lit(b) || d.endsWith(lit("." + b)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(!bad)
+  }
+
   /** Per-row normalized column plus the canonical-first verdict: the
     * minimum id per normalized URL is the keeper. One shuffle on the
     * (narrow) normalized-URL key.

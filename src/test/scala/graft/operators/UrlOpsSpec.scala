@@ -61,4 +61,27 @@ class UrlOpsSpec extends SparkSpec {
     out(2L) shouldBe (("https://a.com/x", 1L, false))
     out(3L) shouldBe (("https://a.com/y", 3L, true))
   }
+
+  test("domain: lowercased host, port and www. stripped") {
+    import spark.implicits._
+    val out = Seq(
+      "HTTPS://WWW.Example.COM:443/a?b=1",
+      "http://sub.Example.com/x",
+      "https://example.com#f"
+    ).toDF("u").select(UrlOps.domain($"u")).as[String].collect()
+    out shouldBe Array("example.com", "sub.example.com", "example.com")
+  }
+
+  test("filterBlockedDomains drops blocked domains and their subdomains only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://bad.net/x"),
+      (2L, "https://sub.bad.net/y"),       // subdomain → dropped
+      (3L, "https://notbad.net/z"),        // suffix-similar host → KEPT
+      (4L, "https://good.org/w"),
+      (5L, "HTTP://WWW.Bad.NET:80/v")      // case/port/www variants → dropped
+    ).toDF("id", "url")
+    UrlOps.filterBlockedDomains(df, "url", Seq("bad.net"))
+      .select("id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+  }
 }
