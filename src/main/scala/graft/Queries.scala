@@ -641,6 +641,31 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, tables = 8)
 
+  /** Incremental EMBEDDING near-dup dedup: vectors < 250 are the
+    * existing corpus, represented by its LSH bucket-key store (plus
+    * candidate-pruned vector lookups for the exact-cosine verify); the
+    * batch is vectors >= 250 plus planted corpus copies (dropped via the
+    * store join) and NEGATED corpus vectors (cosine −1 → kept). The
+    * oracle replays the bucketing from the same sign literals and walks
+    * within-batch components with a recursive CTE.
+    */
+  def annNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = e.filter(col("vec_id") < 250)
+    val store = graft.operators.Similarity.embeddingBucketKeys(
+      corpus, "vec_id", "embedding", planes = 4, tables = 8)
+    val batch = e.filter(col("vec_id") >= 250)
+      .union(e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .union(e.filter(col("vec_id") < 15)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    graft.operators.Similarity.dropNearCorpusEmbeddings(
+      batch, "vec_id", "embedding", store, corpus,
+      threshold = 0.4, planes = 4, tables = 8)
+      .select("vec_id")
+  }
+
   /** Semantic decontamination: vec_id < 25 is the held-out benchmark;
     * corpus rows (vec_id >= 25) within 0.4 cosine of any benchmark
     * vector drop. The oracle replays all 8 LSH bucketings from the same
@@ -973,6 +998,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_decontaminate" -> annDecontaminate _,
+    "ann_neardup_incremental" -> annNearDupIncremental _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
@@ -1090,6 +1116,45 @@ object Queries {
        |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
        |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
+  }
+
+  private val annNearDupIncrementalOracle: String = {
+    val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 8).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val anyBucket = (0 until 8).map(tt => s"x.b$tt = y.b$tt").mkString(" OR ")
+    s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |all0 AS (SELECT vec_id, e FROM v
+       |  UNION ALL SELECT vec_id + 10000, e FROM v WHERE vec_id < 25
+       |  UNION ALL SELECT vec_id + 30000, list_transform(e, x -> -x)
+       |    FROM v WHERE vec_id < 15),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols
+       |  FROM all0 CROSS JOIN p),
+       |corp AS (SELECT * FROM d WHERE vec_id < 250),
+       |bat AS (SELECT * FROM d WHERE vec_id >= 250),
+       |pp AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bat x JOIN bat y ON x.vec_id < y.vec_id AND ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |  UNION SELECT id_b, id_a FROM pp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM eg
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN eg e2 ON r.dst = e2.src),
+       |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src),
+       |hits AS (SELECT DISTINCT x.vec_id
+       |  FROM bat x JOIN corp y ON ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
+       |SELECT vec_id FROM bat
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |  AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
   }
 
   private val annDecontaminateOracle: String = {
@@ -1452,6 +1517,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
     "ann_decontaminate" -> annDecontaminateOracle,
+    "ann_neardup_incremental" -> annNearDupIncrementalOracle,
     "csv_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |source, n_chars FROM documents""".stripMargin,

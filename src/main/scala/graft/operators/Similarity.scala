@@ -448,6 +448,97 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc")
   }
 
+  /** (id, bk) multi-table LSH bucket keys of an embedding table — the
+    * STORE layout for incremental embedding dedup: `tables` keys per
+    * vector, maintained append-only via [[appendEmbeddingBuckets]], so
+    * tomorrow's batch LSH-joins against the corpus without re-hashing
+    * it.
+    */
+  def embeddingBucketKeys(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
+    df.select(col(idCol).as("id"),
+        graft.functions.HyperplaneBits(col(vecCol), allSigns, planes)
+          .as("__bits"))
+      .select(col("id"), posexplode(col("__bits")).as(Seq("t", "b")))
+      .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
+  }
+
+  /** Append a batch's bucket keys to a parquet store — the maintenance
+    * half of [[dropNearCorpusEmbeddings]].
+    */
+  def appendEmbeddingBuckets(df: DataFrame, idCol: String, vecCol: String,
+      storePath: String, planes: Int = 8, tables: Int = 8,
+      dim: Int = 64): Unit =
+    embeddingBucketKeys(df, idCol, vecCol, planes, tables, dim)
+      .write.mode("append").parquet(storePath)
+
+  /** Incremental EMBEDDING near-dup dedup — the semantic twin of
+    * [[graft.operators.Dedup.dropNearDuplicatesIncremental]]: dedup a
+    * new batch of vectors against an existing corpus without re-hashing
+    * it. The corpus participates twice, both times batch- or
+    * candidate-bounded:
+    *  - `corpusBuckets` — the (id, bk) store. The LSH join broadcasts
+    *    the BATCH's bucket keys, so the store streams in place.
+    *  - `corpusVecs` — (id, vec), touched ONLY for candidate ids
+    *    (semi-join pruned) so the exact-cosine verify reads a
+    *    candidate-bounded slice, with the batch vectors broadcast.
+    *
+    * Keeps batch rows that (a) survive within-batch cosine clustering
+    * ([[cosineNearDupPairs]] → components → min-id survivor) and (b) are
+    * not within `threshold` cosine of ANY corpus vector.
+    */
+  def dropNearCorpusEmbeddings(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpusBuckets: DataFrame,
+      corpusVecs: DataFrame,
+      threshold: Double,
+      planes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val pairs = cosineNearDupPairs(batch, idCol, vecCol, threshold,
+      planes, tables, dim)
+    val comps = Dedup.connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+      .persist() // counted for the size guard, then anti-joined
+    val pinnedLosers =
+      if (losers.count() <= Dedup.broadcastMaxPairs) broadcast(losers)
+      else losers
+    val survivors = batch.join(pinnedLosers, Seq(idCol), "left_anti")
+      .persist()
+    val bBuckets = embeddingBucketKeys(survivors, idCol, vecCol,
+      planes, tables, dim)
+    val cname = corpusBuckets.columns // accept any column names: (id, bk)
+    val cands = corpusBuckets
+      .select(col(cname(0)).as("cid"), col(cname(1)).as("cbk"))
+      .join(broadcast(bBuckets), col("bk") === col("cbk"))
+      .select(col("id").as("bid"), col("cid"))
+      .distinct()
+      .persist() // counted for the downstream broadcast guards
+    val nCands = cands.count()
+    def pin(d: DataFrame): DataFrame =
+      if (nCands <= Dedup.broadcastMaxPairs) broadcast(d) else d
+    val candIds = cands.select(col("cid").as(idCol)).distinct()
+    val candVecs = corpusVecs.join(pin(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val bVecs = survivors
+      .select(col(idCol).as("bid"), col(vecCol).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+    val hits = cands
+      .join(pin(bVecs), "bid")
+      .join(pin(candVecs), "cid")
+      .filter(dotDouble(col("bv"), col("cv")) / (col("bn") * col("cn"))
+        >= threshold)
+      .select(col("bid").as(idCol))
+      .distinct()
+    survivors.join(pin(hits), Seq(idCol), "left_anti")
+  }
+
   /** Approximate top-k: queries join only their own LSH bucket; exact
     * cosine rank within the bucket. One shuffle on the bucket key; never
     * a full cross join. Recall is tunable via `planes` (fewer planes =

@@ -235,6 +235,28 @@ class SimilaritySpec extends SparkSpec {
     pruned.count() should be < (pruned.select("query_id").distinct.count() * 7)
   }
 
+  test("dropNearCorpusEmbeddings: store hits + in-batch clustering") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "v")
+    // the bucket store round-trips through parquet (the production shape)
+    val storePath = java.nio.file.Files.createTempDirectory("ebstore")
+      .toString + "/buckets"
+    Similarity.appendEmbeddingBuckets(corpus, "vec_id", "v", storePath,
+      planes = 4, tables = 4, dim = 3)
+    val store = spark.read.parquet(storePath)
+    val batch = Seq(
+      (10L, Array(0.99f, 0.01f, 0.0f)),   // ≈ corpus 1 → dropped via store
+      (11L, Array(0.0f, 0.0f, 1.0f)),     // orthogonal to all → kept
+      (12L, Array(0.0f, 0.0f, 0.98f)),    // ≈ 11 → in-batch loser
+      (13L, Array(-1.0f, 0.0f, 0.0f))     // opposite of corpus 1 → kept
+    ).toDF("vec_id", "v")
+    val out = Similarity.dropNearCorpusEmbeddings(batch, "vec_id", "v",
+      store, corpus, threshold = 0.9, planes = 4, tables = 4, dim = 3)
+    out.select("vec_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+  }
+
   test("pqTopK plan: queries broadcast, corpus never shuffled, no cartesian") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
