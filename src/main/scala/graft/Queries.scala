@@ -225,6 +225,18 @@ object Queries {
       graft.operators.Layout.zValue(col("user_id"),
         unix_timestamp(col("ts"))).as("z_value"))
 
+  /** Hopping-window event counts (10-minute windows every 5 minutes —
+    * each event lands in exactly two overlapping windows): the batch
+    * twin of the streaming windowed aggregation, same `window()`
+    * semantics the stream runs with a watermark.
+    */
+  def eventsHoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsTable(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Rollup aggregation (subtotals + grand total). */
   def aggRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -889,6 +901,21 @@ object Queries {
         graft.operators.Multimodal.payloadSize(col("payload")).as("payload_size"),
         graft.operators.Multimodal.contentHash(col("payload")).as("sha256_hex"))
 
+  /** Binary-asset exact dedup: planted byte-identical copies (doc_id <
+    * 50, re-keyed +10000) drop; each surviving asset is the min-id owner
+    * of its sha256.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val assets = graft.operators.Multimodal.assetsFromText(d, "doc_id", "text")
+      .union(graft.operators.Multimodal.assetsFromText(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")),
+        "doc_id", "text"))
+    graft.operators.Multimodal.dedupByContent(assets, "asset_id", "payload")
+      .select("asset_id")
+  }
+
   /** Batched decode through the partition-level decoder. The stub dims
     * are md5-derived (60-bit prefix), so the whole row is oracle-checked.
     */
@@ -976,6 +1003,7 @@ object Queries {
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_remove" -> dedupSpansRemove _,
     "events_sessionize" -> eventsSessionize _,
+    "events_hopping_window" -> eventsHoppingWindow _,
     "agg_rollup" -> aggRollup _,
     "agg_cube" -> aggCube _,
     "corpus_mix" -> corpusMix _,
@@ -1017,6 +1045,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
+    "multimodal_dedup" -> multimodalDedup _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
     "text_quality" -> textQuality _,
@@ -1646,6 +1675,17 @@ object Queries {
         |  FROM documents
         |UNION ALL SELECT CAST(doc_id AS VARCHAR), '_default', '_default', 0, 4
         |  FROM documents""".stripMargin,
+    "events_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+        |  FROM events),
+        |w AS (SELECT event_type, t,
+        |  unnest([(t // 300000000) * 300000000,
+        |          (t // 300000000) * 300000000 - 300000000]) AS ws
+        |  FROM e)
+        |SELECT make_timestamp(ws) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM w WHERE t >= ws AND t < ws + 600000000
+        |GROUP BY ws, event_type""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events),
@@ -2077,6 +2117,13 @@ object Queries {
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
         |CAST(length(text) AS BIGINT) AS char_count FROM documents""".stripMargin,
+    "multimodal_dedup" ->
+      """WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents
+        |  UNION ALL SELECT doc_id + 10000, sha256(text) FROM documents
+        |  WHERE doc_id < 50),
+        |r AS (SELECT asset_id, row_number() OVER
+        |  (PARTITION BY h ORDER BY asset_id) AS rn FROM a)
+        |SELECT asset_id FROM r WHERE rn = 1""".stripMargin,
     "multimodal_hash" ->
       """SELECT doc_id AS asset_id,
         |CAST(octet_length(encode(text)) AS BIGINT) AS payload_size,

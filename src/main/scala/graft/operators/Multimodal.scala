@@ -150,4 +150,20 @@ object Multimodal {
       col(idCol).cast("long").as("asset_id"),
       lit("application/octet-stream").as("mime"),
       encode(col(textCol), "UTF-8").as("payload"))
+
+  /** Exact dedup of binary assets by content hash: keep the lowest-id
+    * row per distinct payload — the first pass every image/audio corpus
+    * runs (identical bytes re-crawled under different URLs). One shuffle
+    * on the 32-byte sha256, never on payload bytes; the same
+    * fixed-width-key contract as text exact dedup.
+    */
+  def dedupByContent(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(contentHash(col(payloadCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 }
