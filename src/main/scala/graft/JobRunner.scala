@@ -373,7 +373,12 @@ object JobRunner {
 
   private def runPhases(spark: SparkSession, jobYamlPath: String,
       mode: String, registry: Registry, log: String => Unit,
-      tracer: graft.infra.Tracer): JobReport = {
+      tracer: graft.infra.Tracer): JobReport = graft.core.CacheScope.scoped {
+    // the scope releases every intermediate the curation operators
+    // persist() once the job's commit + store maintenance are done — a
+    // long-lived Orchestrator/BatchRunner session would otherwise
+    // accumulate cached shingle/band/candidate tables across jobs until
+    // eviction pressure or OOM
     val startNanos = System.nanoTime() // wall-clock for records_per_second
     val jobDir = Option(Paths.get(jobYamlPath).getParent).map(_.toString).getOrElse(".")
     val (job, src, tgt, contract, vmode) = tracer.span("phase.configure") {

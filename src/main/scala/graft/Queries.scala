@@ -2082,9 +2082,10 @@ object Queries {
         |    '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1), '^www\.', '') AS dom
         |  FROM u)
         |SELECT doc_id, url FROM d
-        |WHERE NOT (dom = 'src3.example.com' OR dom LIKE '%.src3.example.com'
+        |WHERE NOT coalesce(
+        |  dom = 'src3.example.com' OR dom LIKE '%.src3.example.com'
         |  OR dom = 'src7.example.com' OR dom LIKE '%.src7.example.com'
-        |  OR dom = 'blocked.net' OR dom LIKE '%.blocked.net')""".stripMargin,
+        |  OR dom = 'blocked.net' OR dom LIKE '%.blocked.net', FALSE)""".stripMargin,
     "corpus_shuffle" ->
       s"""SELECT doc_id,
          |${hash60Sql("CAST(doc_id AS VARCHAR) || ':7'")} AS shuffle_key

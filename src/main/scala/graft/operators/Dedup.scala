@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
+
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (fingerprint groupBy), MinHash+LSH (banded), SimHash (chunked),
   * and blocked n-gram Jaccard.
@@ -139,10 +141,11 @@ object Dedup {
     * precision at 1.0 regardless). The generated aggregate has k min
     * columns; k beyond ~128 mostly buys janino compile time.
     *
-    * Caching: intermediate frames are persist()ed because they feed
-    * multiple downstream joins; they stay cached for the session. In a
-    * long-lived loop over many corpora, call
-    * `spark.catalog.clearCache()` between rounds.
+    * Caching: intermediate frames are persisted through
+    * [[graft.core.CacheScope]] because they feed multiple downstream
+    * joins. Wrap build + terminal action in `CacheScope.scoped { ... }`
+    * (JobRunner does this per job) and every intermediate is released
+    * when the block exits; bare callers can `CacheScope.releaseAll()`.
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
@@ -188,11 +191,11 @@ object Dedup {
       threshold: Double = 0.9,
       maxBandDf: Int = 0
   ): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, shingleN)
-      .persist() // reused by the band explode and both verify joins
-    val banded = capHotKeys(
-      bandKeysFromShingles(sh, bands, rowsPerBand), "bk", maxBandDf)
-      .persist() // self-joined below: without this the k hashes run twice
+    val sh = CacheScope.persist(shingleTable(df, idCol, textCol, shingleN))
+      // reused by the band explode and both verify joins
+    val banded = CacheScope.persist(capHotKeys(
+      bandKeysFromShingles(sh, bands, rowsPerBand), "bk", maxBandDf))
+      // self-joined below: without this the k hashes run twice
     val cands = banded.as("x")
       .join(banded.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -237,6 +240,23 @@ object Dedup {
   private def pinIfSmall(df: DataFrame, pairCount: Long): DataFrame =
     if (pairCount <= broadcastMaxPairs) broadcast(df) else df
 
+  /** Broadcast-pin guard count. Deliberately a FULL `count()` even
+    * though the pin decision only needs `n <= bound`: every call site
+    * counts a frame it has just persisted and is about to feed into
+    * multiple joins, so the scan doubles as the cache materialization —
+    * a truncated count saves nothing (RDD block construction computes
+    * whole partitions regardless of how much of the iterator a consumer
+    * drains), and `count()` over an `InMemoryRelation` is answered from
+    * per-batch row counts without per-row iteration. An early-exit
+    * `toRdd.mapPartitions` variant was benchmarked and lost ~2× on the
+    * incremental-dedup family at sf0.1 for exactly these reasons. What
+    * DOES bound the per-batch action overhead is count REUSE: each
+    * incremental path runs ONE guard count per shared input and derives
+    * every dependent pin decision from it.
+    */
+  private[graft] def guardCount(df: DataFrame): Long =
+    df.count()
+
   /** Exact-Jaccard verification of a candidate-pair set. Both joins
     * BROADCAST the candidate side explicitly when the candidate count is
     * broadcast-safe: the corpus shingle table is then streamed in place
@@ -259,8 +279,8 @@ object Dedup {
     */
   private def verifyJaccardBetween(pairs: DataFrame, shA: DataFrame,
       shB: DataFrame, threshold: Double): DataFrame = {
-    val p = pairs.persist() // counted for the broadcast guard, then joined
-    val nPairs = p.count()
+    val p = CacheScope.persist(pairs) // guard-counted for the broadcast pin, then joined
+    val nPairs = guardCount(p)
     val withA = shA.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .join(pinIfSmall(p, nPairs), "id_a")
     shB.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -288,12 +308,14 @@ object Dedup {
     * propagation with pointer jumping: every node adopts the smallest of
     * its own label, its neighbors' labels, and its label's label (path
     * halving) — O(log diameter) join rounds. Iteration hygiene (the part
-    * that matters at scale): each round's labels are `localCheckpoint()`ed
-    * to truncate the logical plan — without it Catalyst replans an
-    * ever-deeper tree every round and planning time, not data volume,
-    * becomes the bottleneck past ~15 iterations. Superseded checkpoint
-    * RDDs are freed by the ContextCleaner; the convergence check is an
-    * early-exit scan of the just-materialized round.
+    * that matters at scale): each round's labels go through
+    * [[graft.core.CacheScope.checkpoint]] to truncate the logical plan —
+    * without it Catalyst replans an ever-deeper tree every round and
+    * planning time, not data volume, becomes the bottleneck past ~15
+    * iterations. Superseded rounds are unpersisted as soon as the next
+    * round materializes (a 20-round run over a big corpus would
+    * otherwise hold 20 label tables in cache); the convergence check is
+    * an early-exit scan of the just-materialized round.
     *
     * Both paths produce the identical min-label result; the driver path
     * requires an orderable id type (numeric/string) and falls through to
@@ -301,20 +323,23 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
       driverMaxPairs: Long = 4000000L): DataFrame = {
-    // one materialization of the pair set; both paths reuse it
-    val pe = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // one scope-released materialization of the pair set; both paths reuse it
+    val pe = CacheScope.persist(pairs.select(col("id_a"), col("id_b")))
     val idType = pe.schema("id_a").dataType
-    if (pe.count() <= driverMaxPairs) driverOrdering(idType) match {
-      case Some(ord) => return driverComponents(pe, idType, ord)
-      case None      => () // un-orderable id type: distributed loop below
-    }
-    val edges = pe.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pe.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint() // scanned every round: fixed lineage, one materialization
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    if (guardCount(pe) <= driverMaxPairs)
+      driverOrdering(idType) match {
+        case Some(ord) => return driverComponents(pe, idType, ord)
+        case None      => () // un-orderable id type: distributed loop below
+      }
+    val spark = pairs.sparkSession
+    val edges = CacheScope.persist( // scanned every round: one materialization
+      pe.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pe.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct())
+    var labels = CacheScope.checkpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
+    var prevRound: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -328,15 +353,19 @@ object Dedup {
       val candidate = least(
         coalesce(col("ncomp"), col("component")),
         coalesce(col("pcomp"), col("component")))
-      val updated = labels
+      // one job: materializes the round + truncates lineage (releasably)
+      val cached = CacheScope.persist(labels
         .join(neighborMin, Seq("id"), "left")
         .join(parents, Seq("component"), "left")
         .select(col("id"),
           least(col("component"), candidate).as("component"),
-          (candidate < col("component")).as("__changed"))
-        .localCheckpoint() // one job: materializes round + truncates lineage
+          (candidate < col("component")).as("__changed")))
+      cached.count()
+      val updated = spark.createDataFrame(cached.rdd, cached.schema)
       converged = updated.filter(col("__changed")).limit(1).count() == 0
       labels = updated.drop("__changed")
+      prevRound.foreach(_.unpersist(false)) // superseded round: release now
+      prevRound = Some(cached)
       iter += 1
     }
     labels
@@ -421,9 +450,9 @@ object Dedup {
   private def dropClusterLosers(df: DataFrame, idCol: String,
       pairs: DataFrame, losersBroadcastMax: Long): DataFrame = {
     val comps = connectedComponents(pairs)
-    val losers = comps.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist() // counted for the size guard, then anti-joined
+    val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)))
+      // guard-counted for the size guard, then anti-joined
     // losers is pair-bounded, NOT broadcast-small by construction: a
     // dup-catastrophic corpus (the exact case the distributed-CC path
     // exists for) can yield a loser set past the 8 GB broadcast ceiling.
@@ -433,7 +462,9 @@ object Dedup {
     // shuffle, but a plan that COMPLETES where an over-ceiling broadcast
     // fails the job outright.
     val pinned =
-      if (losers.count() <= losersBroadcastMax) broadcast(losers) else losers
+      if (guardCount(losers) <= losersBroadcastMax)
+        broadcast(losers)
+      else losers
     df.join(pinned, Seq(idCol), "left_anti")
   }
 
@@ -485,15 +516,15 @@ object Dedup {
     // ONE hash pass over the batch: the in-batch pair detection and the
     // corpus check both read this table (the survivor slice is a semi-join
     // on ids, not a re-tokenize of the surviving text)
-    val bhAll = simhashTable(batch, idCol, textCol, bits, hasher)
-      .persist()
+    val bhAll = CacheScope.persist(
+      simhashTable(batch, idCol, textCol, bits, hasher))
     val pairs = simhashPairsFromTable(bhAll, maxHamming, bits)
-    val survivors = dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs)
-      .persist()
-    val bh = bhAll
-      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .persist() // counted for the broadcast guard, then chunk-joined
-    val nBatch = bh.count()
+    val survivors = CacheScope.persist(
+      dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs))
+    val bh = CacheScope.persist(bhAll
+      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+      // guard-counted for the broadcast guard, then chunk-joined
+    val nBatch = guardCount(bh)
     val bChunks = bh.select(col("id"), col("sh"),
       explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
     val cname = corpusHashes.columns // accept any column names: (id, sh)
@@ -573,32 +604,33 @@ object Dedup {
     // ONE shingle + band-key pass over the batch: in-batch clustering and
     // the corpus LSH join both read these tables (the survivor slices are
     // id semi-joins, not a re-shingle of the surviving text)
-    val shAll = shingleTable(batch, idCol, textCol, shingleN).persist()
-    val bandsAll = bandKeysFromShingles(shAll, bands, rowsPerBand).persist()
+    val shAll = CacheScope.persist(shingleTable(batch, idCol, textCol, shingleN))
+    val bandsAll = CacheScope.persist(bandKeysFromShingles(shAll, bands, rowsPerBand))
     val inBatchCands = bandsAll.as("x")
       .join(bandsAll.as("y"),
         col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val pairs = verifyJaccard(inBatchCands, shAll, threshold)
-    val survivors = dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs)
-      .persist()
+    val survivors = CacheScope.persist(
+      dropClusterLosers(batch, idCol, pairs, broadcastMaxPairs))
     val survIds = survivors.select(col(idCol).as("id"))
-    val shBatch = shAll.join(survIds, Seq("id"), "left_semi").persist()
-    val batchBands = bandsAll.join(survIds, Seq("id"), "left_semi")
-      .persist() // counted for the broadcast guard, then LSH-joined
-    val nBatchKeys = batchBands.count()
+    val shBatch = CacheScope.persist(shAll.join(survIds, Seq("id"), "left_semi"))
+    val batchBands = CacheScope.persist(
+      bandsAll.join(survIds, Seq("id"), "left_semi"))
+      // guard-counted for the broadcast guard, then LSH-joined
+    val nBatchKeys = guardCount(batchBands)
     val bandsName = corpusBands.columns // accept any column names: (id, bk)
     val corpusKeys = corpusBands.select(
       col(bandsName(0)).as("cid"), col(bandsName(1)).as("cbk"))
     // LSH candidates: batch keys × corpus store on the 8-byte band key.
     // Batch side pinned broadcast when small — the corpus store streams.
-    val cands = corpusKeys
+    val cands = CacheScope.persist(corpusKeys
       .join(pinIfSmall(batchBands, nBatchKeys), col("bk") === col("cbk"))
       .select(col("id").as("id_a"), col("cid").as("id_b"))
-      .distinct()
-      .persist() // counted for the downstream broadcast guards
-    val nCands = cands.count()
+      .distinct())
+    // one guard count shared by every downstream pin decision
+    val nCands = guardCount(cands)
     // shingle ONLY the candidate corpus docs (semi-join prune)
     val candCorpusIds = cands.select(col("id_b").as(idCol)).distinct()
     val candDocs = corpusDocs
@@ -911,8 +943,8 @@ object Dedup {
       maxChunkDf: Int = 0
   ): DataFrame =
     simhashPairsFromTable(
-      simhashTable(df, idCol, textCol, bits, hasher)
-        .persist(), // reused by the chunk explode (×2 self-join) + verify
+      // reused by the chunk explode (×2 self-join) + verify
+      CacheScope.persist(simhashTable(df, idCol, textCol, bits, hasher)),
       maxHamming, bits, maxChunkDf)
 
   /** Pair detection over an already-built (id, sh) table — shared by the
@@ -933,8 +965,8 @@ object Dedup {
     // full simhash table streams, never shuffles, even if stats mispredict.
     // Same broadcastMaxPairs guard — unhinted join on dup-catastrophic
     // candidate sets that would blow the broadcast ceiling.
-    val cp = cands.persist()
-    val nPairs = cp.count()
+    val cp = CacheScope.persist(cands)
+    val nPairs = guardCount(cp)
     val withA = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
       .join(pinIfSmall(cp, nPairs), "id_a")
     hashed.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -998,7 +1030,7 @@ object Dedup {
           .select("blk", "s")
         raw.join(broadcast(hot), Seq("blk", "s"), "left_anti")
       }
-    val posts = capped.persist() // both sides of the postings self-join
+    val posts = CacheScope.persist(capped) // both sides of the postings self-join
     posts.as("x")
       .join(posts.as("y"),
         col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
   import graft.functions.VecDot
+  import graft.core.CacheScope
 
   /** Sequential-in-double dot product of two float vectors. */
   def dotDouble(a: Column, b: Column): Column = VecDot(a, b)
@@ -109,17 +110,35 @@ object Similarity {
       dim: Int = 64
   ): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // bucket of table t uses plane seeds [t*planes, (t+1)*planes); ONE
-    // HyperplaneBits kernel call per row computes all tables×planes dots
-    // (the previous per-plane formulation ran 64 VecDot nodes per row),
-    // and posexplode's position is the table index
+    val bucketed = CacheScope.persist(
+      bucketTable(base, planes, tables, dim)) // both sides of the self-join
+    nearDupPairsFromBuckets(base, bucketed, threshold)
+  }
+
+  /** (id, bk) multi-table bucket keys of a (id, v) frame — the shared
+    * first stage of every embedding near-dup pipeline. Bucket of table t
+    * uses plane seeds [t*planes, (t+1)*planes); ONE HyperplaneBits kernel
+    * call per row computes all tables×planes dots (the previous per-plane
+    * formulation ran 64 VecDot nodes per row), and posexplode's position
+    * is the table index.
+    */
+  private def bucketTable(base: DataFrame, planes: Int, tables: Int,
+      dim: Int): DataFrame = {
     val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
-    val bucketed = base
+    base
       .withColumn("__bits",
         graft.functions.HyperplaneBits(col("v"), allSigns, planes))
       .select(col("id"), posexplode(col("__bits")).as(Seq("t", "b")))
       .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
-      .persist() // both sides of the self-join
+  }
+
+  /** Candidate self-join + exact-cosine verify over an already-built
+    * (persisted) bucket table — shared by the self-dedup path above and
+    * the incremental path, which reuses the SAME bucket table for the
+    * store join instead of re-hashing the batch.
+    */
+  private def nearDupPairsFromBuckets(base: DataFrame, bucketed: DataFrame,
+      threshold: Double): DataFrame = {
     val cands = bucketed.as("x")
       .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -132,15 +151,15 @@ object Similarity {
     // Dedup.broadcastMaxPairs threshold: a dup-catastrophic candidate set
     // times the vector payload can exceed the 8 GB broadcast ceiling, so
     // past the threshold the joins run unhinted instead of failing.
-    val cp = cands.persist()
-    val nPairs = cp.count()
+    val cp = CacheScope.persist(cands)
+    val nPairs = Dedup.guardCount(cp)
     def pin(d: DataFrame): DataFrame =
       if (nPairs <= Dedup.broadcastMaxPairs) broadcast(d) else d
     val candIds = cp.select(col("id_a").as("id"))
       .union(cp.select(col("id_b").as("id"))).distinct()
-    val candVecs = base.join(pin(candIds), Seq("id"), "left_semi")
-      .withColumn("nrm", norm(col("v")))
-      .persist()
+    val candVecs = CacheScope.persist(
+      base.join(pin(candIds), Seq("id"), "left_semi")
+        .withColumn("nrm", norm(col("v"))))
     cp
       .join(pin(candVecs.select(col("id").as("id_a"),
         col("v").as("va"), col("nrm").as("na"))), "id_a")
@@ -391,6 +410,11 @@ object Similarity {
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adc",
         graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+      // a corpus vector that fails to encode (null, short, or containing
+      // a null element) has null codes → null ADC; nulls sort FIRST under
+      // asc, so without this filter unencodable rows would occupy the top
+      // ranks of every query, displacing real neighbors
+      .filter(col("adc").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     scored
@@ -440,6 +464,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc",
         graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+      .filter(col("adc").isNotNull) // see pqTopK: nulls would rank first
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     scored
@@ -455,14 +480,9 @@ object Similarity {
     * it.
     */
   def embeddingBucketKeys(df: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
-    df.select(col(idCol).as("id"),
-        graft.functions.HyperplaneBits(col(vecCol), allSigns, planes)
-          .as("__bits"))
-      .select(col("id"), posexplode(col("__bits")).as(Seq("t", "b")))
-      .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
-  }
+      planes: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame =
+    bucketTable(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+      planes, tables, dim)
 
   /** Append a batch's bucket keys to a parquet store — the maintenance
     * half of [[dropNearCorpusEmbeddings]].
@@ -499,27 +519,35 @@ object Similarity {
       tables: Int = 8,
       dim: Int = 64
   ): DataFrame = {
-    val pairs = cosineNearDupPairs(batch, idCol, vecCol, threshold,
-      planes, tables, dim)
+    // ONE HyperplaneBits pass over the batch: in-batch clustering and the
+    // store join both read this bucket table (the survivor slice is an id
+    // semi-join, not a re-hash of the surviving vectors) — the same
+    // shared-first-stage shape as Dedup.dropNearDuplicatesIncremental's
+    // shAll/bandsAll
+    val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val allBuckets = CacheScope.persist(
+      bucketTable(base, planes, tables, dim))
+    val pairs = nearDupPairsFromBuckets(base, allBuckets, threshold)
     val comps = Dedup.connectedComponents(pairs)
-    val losers = comps.filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-      .persist() // counted for the size guard, then anti-joined
+    val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol)))
+      // guard-counted for the size guard, then anti-joined
     val pinnedLosers =
-      if (losers.count() <= Dedup.broadcastMaxPairs) broadcast(losers)
+      if (Dedup.guardCount(losers)
+          <= Dedup.broadcastMaxPairs) broadcast(losers)
       else losers
-    val survivors = batch.join(pinnedLosers, Seq(idCol), "left_anti")
-      .persist()
-    val bBuckets = embeddingBucketKeys(survivors, idCol, vecCol,
-      planes, tables, dim)
+    val survivors = CacheScope.persist(
+      batch.join(pinnedLosers, Seq(idCol), "left_anti"))
+    val bBuckets = allBuckets
+      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val cname = corpusBuckets.columns // accept any column names: (id, bk)
-    val cands = corpusBuckets
+    val cands = CacheScope.persist(corpusBuckets
       .select(col(cname(0)).as("cid"), col(cname(1)).as("cbk"))
       .join(broadcast(bBuckets), col("bk") === col("cbk"))
       .select(col("id").as("bid"), col("cid"))
-      .distinct()
-      .persist() // counted for the downstream broadcast guards
-    val nCands = cands.count()
+      .distinct())
+    // one guard count shared by every downstream pin decision
+    val nCands = Dedup.guardCount(cands)
     def pin(d: DataFrame): DataFrame =
       if (nCands <= Dedup.broadcastMaxPairs) broadcast(d) else d
     val candIds = cands.select(col("cid").as(idCol)).distinct()

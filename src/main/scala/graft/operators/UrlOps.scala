@@ -65,7 +65,10 @@ object UrlOps {
     val bad = blocked.map(_.toLowerCase).map(b =>
       d === lit(b) || d.endsWith(lit("." + b)))
       .reduceOption(_ || _).getOrElse(lit(false))
-    df.filter(!bad)
+    // null-URL rows: `bad` evaluates to null and a bare filter(!bad)
+    // would silently drop them even though their domain is not on the
+    // blocklist — keep them explicitly (drop only what IS blocked)
+    df.filter(coalesce(!bad, lit(true)))
   }
 
   /** Per-row normalized column plus the canonical-first verdict: the

@@ -374,6 +374,40 @@ class JobRunnerSpec extends SparkSpec {
     graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
   }
 
+  test("curated job releases every cache it creates (long-lived session)") {
+    // dedupe: near runs the persist-heaviest curation path (shingle +
+    // band + candidate caches, connected components); a long-lived
+    // Orchestrator/BatchRunner session runs MANY such jobs, so each run
+    // must leave the block-manager exactly as it found it
+    val (dir, _) = fixture(Seq(
+      "1,the quick brown fox jumps over the lazy dog by the river,1.0",
+      "2,the quick brown fox jumps over the lazy dog by the river,2.0",
+      "3,some altogether different sentence about compilers and parsers,3.0"),
+      "strict")
+    val out = dir.resolve("out_cur").toString
+    val job = write(dir, "job_cur.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |curation:
+         |  id_field: id
+         |  text_field: name
+         |  dedupe: near
+         |source:
+         |  files:
+         |    - {path: data.csv}
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Success
+    r.validRecords shouldBe 2 // near-dup of id 1 collapsed
+    (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"

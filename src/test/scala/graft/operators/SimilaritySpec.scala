@@ -213,6 +213,25 @@ class SimilaritySpec extends SparkSpec {
     adcTo0 shouldBe expected +- 1e-9
   }
 
+  test("pqTopK: unencodable corpus rows never displace real neighbors") {
+    val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 2)
+    // rows that fail to encode (short / null vector) get null codes →
+    // null ADC; nulls sort first under asc, so pre-fix they occupied the
+    // top ranks of every query
+    val corrupted = pqVecs.union(Seq(
+      (100L, Array(1.0f)),
+      (101L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding"))
+    val out = Similarity.pqTopK(corrupted, pqVecs.filter($"vec_id" === 4),
+      "vec_id", "embedding", k = 3, codebook = cb,
+      m = 2, numCodes = 4, dsub = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    out should have length 3
+    out.head shouldBe 0L // same top hit as the clean-corpus test
+    out should contain noneOf (100L, 101L)
+  }
+
   test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)

@@ -84,4 +84,17 @@ class UrlOpsSpec extends SparkSpec {
     UrlOps.filterBlockedDomains(df, "url", Seq("bad.net"))
       .select("id").as[Long].collect().sorted shouldBe Array(3L, 4L)
   }
+
+  test("filterBlockedDomains keeps null-URL rows (not on the blocklist)") {
+    import spark.implicits._
+    // pre-fix, `bad` evaluated to null for a null URL and filter(!bad)
+    // silently dropped the row
+    val df = Seq(
+      (1L, "https://bad.net/x"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "https://ok.org/")
+    ).toDF("id", "url")
+    UrlOps.filterBlockedDomains(df, "url", Seq("bad.net"))
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+  }
 }
