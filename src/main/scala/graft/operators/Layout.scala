@@ -90,11 +90,73 @@ object Layout {
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double"))
       .collect()
-    def bucketCol(c: String, lo: Double, hi: Double): Column =
-      if (lo == hi) lit(0L)
-      else width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(buckets)) - 1
-    df.withColumn("__za", bucketCol(colA, row.getDouble(0), row.getDouble(1)))
-      .withColumn("__zb", bucketCol(colB, row.getDouble(2), row.getDouble(3)))
+    // width_bucket returns buckets+1 for values equal to the column max,
+    // so after the -1 the max rows would need bits+1 bits and wrap to
+    // z≈0 in the interleave — clamp them into the top bucket. Null
+    // values (and an all-null column, whose min/max are null) bin to
+    // bucket 0 so every row keeps a non-null, deterministic z.
+    def bucketCol(c: String, i: Int): Column =
+      if (row.isNullAt(i) || row.isNullAt(i + 1) ||
+          row.getDouble(i) == row.getDouble(i + 1)) lit(0L)
+      else coalesce(
+        least(
+          width_bucket(col(c).cast("double"),
+            lit(row.getDouble(i)), lit(row.getDouble(i + 1)), lit(buckets)) - 1,
+          lit((buckets - 1).toLong)),
+        lit(0L))
+    df.withColumn("__za", bucketCol(colA, 0))
+      .withColumn("__zb", bucketCol(colB, 2))
+      .withColumn("__z", zValue(col("__za"), col("__zb"), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__za", "__zb", "__z")
+  }
+
+  /** Quantile-bounded Z-order — [[zorderByApprox]] for PATHOLOGICAL
+    * domains. Equi-width buckets degrade under skew: on a log-normal
+    * column one outlier stretches the range until most rows share
+    * bucket 0, the Z-value carries no information in that dimension, and
+    * file min/max statistics stop pruning. Here bucket boundaries are
+    * `approxQuantile`s (ONE sample-sketch pass computes both columns'
+    * boundaries), so buckets hold ~equal row counts no matter the shape
+    * of the domain.
+    *
+    * Binning against arbitrary boundaries is a literal BINARY-SEARCH
+    * `when`-tree (depth log2(buckets)) — a pure Column expression, so it
+    * stays map-side and codegen'd like `width_bucket`; no UDF, no join
+    * against a boundary table. Nulls (and columns whose sketch comes
+    * back empty) bin to bucket 0, as in [[zorderByApprox]].
+    */
+  def zorderByQuantile(df: DataFrame, colA: String, colB: String,
+      partitions: Int, buckets: Int = 256,
+      relativeError: Double = 0.001): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val doubled = df
+      .withColumn("__qa", col(colA).cast("double"))
+      .withColumn("__qb", col(colB).cast("double"))
+    val Array(rawA, rawB) =
+      doubled.stat.approxQuantile(Array("__qa", "__qb"), probs, relativeError)
+    // skewed domains repeat quantile values; distinct-sorted cut points
+    // (bucket count adapts downward, the search tree stays balanced)
+    def cuts(raw: Array[Double]): Array[Double] = raw.distinct.sorted
+    def bucketCol(c: String, bounds: Array[Double]): Column = {
+      // index of the first boundary > value == count of boundaries <= value
+      def search(lo: Int, hi: Int): Column = // buckets [lo, hi] remain
+        if (lo >= hi) lit(lo.toLong)
+        else {
+          val mid = (lo + hi) / 2
+          when(col(c).cast("double") < lit(bounds(mid)), search(lo, mid))
+            .otherwise(search(mid + 1, hi))
+        }
+      if (bounds.isEmpty) lit(0L)
+      else coalesce(search(0, bounds.length), lit(0L))
+    }
+    val (ca, cb) = (cuts(rawA), cuts(rawB))
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(
+      math.max(ca.length, cb.length))) // bucket indices go up to cuts.length
+    df.withColumn("__za", bucketCol(colA, ca))
+      .withColumn("__zb", bucketCol(colB, cb))
       .withColumn("__z", zValue(col("__za"), col("__zb"), bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")

@@ -60,4 +60,55 @@ class LayoutSpec extends SparkSpec {
     Layout.zorderByApprox(df.withColumn("b", lit(7L)), "a", "b", 2, 16)
       .count() shouldBe 500L
   }
+
+  test("zorderByApprox: column-max rows land in the TOP bucket, not z≈0") {
+    // width_bucket returns buckets+1 at the column max; pre-clamp, the
+    // max rows needed bits+1 bits and wrapped to the LOW end of the
+    // layout. With the clamp, (max, max) must sort after (0, 0).
+    val df = (0 to 100).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    val pid = Layout.zorderByApprox(df, "a", "b", partitions = 2,
+      buckets = 16)
+      .withColumn("pid", spark_partition_id())
+      .select("a", "pid").as[(Long, Int)].collect().toMap
+    pid(100L) should be > pid(0L)
+  }
+
+  test("zorderByQuantile: balanced partitions on a log-normal column where equi-width degrades") {
+    // exp(i/400) over 8000 rows: the top value stretches the equi-width
+    // range until ~72% of rows share bucket 0 — that partition's file
+    // would span most of the domain and never prune. Quantile cut points
+    // hold ~equal row counts regardless of skew.
+    val df = (0 until 8000).map(i => (math.exp(i / 400.0), 1L))
+      .toDF("skewed", "k")
+    def partStats(out: org.apache.spark.sql.DataFrame) =
+      out.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(count(lit(1)).as("n"), min("skewed").as("lo"), max("skewed").as("hi"))
+        .collect()
+    val q = partStats(Layout.zorderByQuantile(df, "skewed", "k", partitions = 4))
+    val w = partStats(Layout.zorderByApprox(df, "skewed", "k", partitions = 4,
+      buckets = 256))
+    q.map(_.getAs[Long]("n")).sum shouldBe 8000L
+    // equi-width: one fat partition holds the bucket-0 mass
+    w.map(_.getAs[Long]("n")).max.toDouble / 8000 should be >= 0.6
+    // quantile: no partition much above the balanced quarter share
+    q.map(_.getAs[Long]("n")).max.toDouble / 8000 should be <= 0.35
+    // and the per-partition [min,max] ranges barely overlap (tight stats)
+    val ranges = q.map(r => (r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    val overlapping = ranges.combinations(2).count {
+      case Array((lo1, hi1), (lo2, hi2)) => lo1 < hi2 && lo2 < hi1
+    }
+    overlapping shouldBe 0
+  }
+
+  test("zorderByApprox: all-null and partly-null columns don't error") {
+    val df = (0 until 50).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    // all-null column → min/max are null → bucket 0 (pre-fix: NPE)
+    Layout.zorderByApprox(df.withColumn("b", lit(null).cast("long")),
+      "a", "b", 2, 16).count() shouldBe 50L
+    // per-row nulls bin to bucket 0, rows preserved
+    val mixed = df.withColumn("b",
+      when(col("a") % 2 === 0, col("b")))
+    Layout.zorderByApprox(mixed, "a", "b", 2, 16).count() shouldBe 50L
+  }
 }
