@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
   * src/dativo_ingest/secrets/: base.py, managers/{env,filesystem,vault,
   * aws,gcp}.py, parsers.py, validation.py).
   *
-  * The env + filesystem backends are fully implemented (they are pure
-  * local I/O). vault/aws/gcp are adapter stubs that fail with a clear
-  * message: this build has zero egress and no cloud SDKs, so a network
-  * secret fetch cannot be exercised — the registry, config plumbing, and
-  * error surface are real.
+  * The env + filesystem backends are pure local I/O. vault/aws/gcp
+  * ([[RemoteSecretManagers]]) reconstruct the exact HTTP requests the
+  * reference's SDK clients send, against the same injectable
+  * [[graft.catalog.HttpTransport]] as the catalog backends — testable
+  * offline, live over [[graft.catalog.JavaHttpTransport]] in a deploy.
   */
 trait SecretManager {
   def typeName: String
@@ -190,48 +190,74 @@ final class FilesystemSecretManager(
   }
 }
 
-/** Remote-manager adapter stub: registry/config surface is real, the
-  * network fetch is not available in a zero-egress build (reference
-  * managers/{vault,aws,gcp}.py would import hvac/boto3/google-cloud).
-  */
-final class UnavailableSecretManager(
-    val typeName: String,
-    requirement: String,
-    val config: Map[String, Any] = Map.empty
-) extends SecretManager {
-  def loadSecrets(tenantId: String): Map[String, Any] =
-    throw new UnsupportedOperationException(
-      s"Secret manager '$typeName' requires $requirement, which is not " +
-        "available in this build. Use 'env' or 'filesystem', or deploy with " +
-        "the corresponding SDK on the classpath.")
-}
-
 object SecretManagers {
 
-  /** Registry with the reference's aliases (secrets/__init__.py:41-54). */
+  private def str(config: Map[String, Any], key: String): Option[String] =
+    config.get(key).map(_.toString)
+  private def seq(config: Map[String, Any], key: String): Seq[Any] =
+    config.get(key) match {
+      case Some(s: Seq[Any] @unchecked) => s
+      case Some(other)                  => Seq(other)
+      case None                         => Seq.empty
+    }
+
+  /** Registry with the reference's aliases (secrets/__init__.py:41-54).
+    * The remote managers (vault/aws/gcp) build their requests at parity
+    * with the reference's SDK clients and send them through `transport`
+    * — injectable for offline tests, a live HTTP client by default.
+    */
   def create(managerType: Option[String],
       secretsDir: Path = Paths.get("/secrets"),
       config: Map[String, Any] = Map.empty,
-      env: Map[String, String] = sys.env): SecretManager =
+      env: Map[String, String] = sys.env,
+      transport: graft.catalog.HttpTransport =
+        new graft.catalog.JavaHttpTransport()): SecretManager =
     managerType.map(_.toLowerCase).getOrElse("env") match {
       case "env" | "environment" =>
         new EnvironmentSecretManager(
-          prefix = config.get("prefix").map(_.toString).getOrElse("GRAFT_SECRET"),
-          delimiter = config.get("delimiter").map(_.toString).getOrElse("__"),
+          prefix = str(config, "prefix").getOrElse("GRAFT_SECRET"),
+          delimiter = str(config, "delimiter").getOrElse("__"),
           allowGlobalScope = config.get("allow_global_scope")
             .forall(v => String.valueOf(v).equalsIgnoreCase("true")),
           env = env, config = config)
       case "filesystem" | "fs" | "file" =>
         new FilesystemSecretManager(
-          secretsDir = config.get("secrets_dir").map(p => Paths.get(p.toString))
+          secretsDir = str(config, "secrets_dir").map(Paths.get(_))
             .getOrElse(secretsDir),
           env = env, config = config)
-      case t @ ("vault" | "hashicorp" | "hashicorp_vault") =>
-        new UnavailableSecretManager(t, "a HashiCorp Vault client + network access", config)
-      case t @ ("aws" | "aws_secrets_manager") =>
-        new UnavailableSecretManager(t, "the AWS SDK + network access", config)
-      case t @ ("gcp" | "gcp_secret_manager") =>
-        new UnavailableSecretManager(t, "the GCP Secret Manager SDK + network access", config)
+      case "vault" | "hashicorp" | "hashicorp_vault" =>
+        new VaultSecretManager(
+          address = str(config, "address"),
+          mountPoint = str(config, "mount_point").getOrElse("secret"),
+          pathTemplate = str(config, "path_template").getOrElse("{tenant}"),
+          kvVersion = str(config, "kv_version").map(_.toInt).getOrElse(2),
+          namespace = str(config, "namespace"),
+          authMethod = str(config, "auth_method").getOrElse("token"),
+          token = str(config, "token"),
+          roleId = str(config, "role_id"),
+          secretId = str(config, "secret_id"),
+          paths = seq(config, "paths"),
+          transport = transport, env = env, config = config)
+      case "aws" | "aws_secrets_manager" =>
+        new AwsSecretsManager(
+          regionName = str(config, "region_name"),
+          secretIdTemplate = str(config, "secret_id_template")
+            .getOrElse("{tenant}/{name}"),
+          secrets = seq(config, "secrets"),
+          bundleSecretIdTemplate = str(config, "bundle_secret_id_template"),
+          bundleFormat = str(config, "bundle_format").getOrElse("json"),
+          transport = transport, env = env, config = config)
+      case "gcp" | "gcp_secret_manager" =>
+        new GcpSecretManager(
+          projectId = str(config, "project_id"),
+          secretIdTemplate = str(config, "secret_id_template")
+            .getOrElse("{tenant}-{name}"),
+          secrets = seq(config, "secrets"),
+          bundleSecretIdTemplate = str(config, "bundle_secret_id_template"),
+          bundleFormat = str(config, "bundle_format").getOrElse("json"),
+          version = str(config, "version").getOrElse("latest"),
+          accessToken = str(config, "access_token"),
+          transport = transport, env = env, config = config)
       case other =>
         throw new IllegalArgumentException(
           s"Unsupported secret manager '$other'. Supported: aws, env, " +

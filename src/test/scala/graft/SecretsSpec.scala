@@ -109,12 +109,16 @@ class SecretsSpec extends AnyFunSuite with Matchers {
 
   // --- registry (secrets/__init__.py) ---
 
-  test("create: aliases resolve; remote managers fail with a clear error") {
+  test("create: aliases resolve; remote managers validate their config") {
     SecretManagers.create(Some("fs")).typeName shouldBe "filesystem"
     SecretManagers.create(Some("environment")).typeName shouldBe "env"
-    val vault = SecretManagers.create(Some("vault"))
-    val e = the[UnsupportedOperationException] thrownBy vault.loadSecrets("t")
-    e.getMessage should include("vault")
+    // vault requires an address (vault.py:44-45) — surfaced at construction
+    val e = the[IllegalArgumentException] thrownBy
+      SecretManagers.create(Some("vault"), env = Map.empty)
+    e.getMessage should include("Vault address")
+    SecretManagers.create(Some("vault"),
+      config = Map("address" -> "http://v:8200", "token" -> "t"),
+      env = Map.empty).typeName shouldBe "vault"
     an[IllegalArgumentException] should be thrownBy SecretManagers.create(Some("nope"))
   }
 
