@@ -98,6 +98,26 @@ object StreamingIngest {
       .drop("__fp")
   }
 
+  /** Streaming twin of the batch hopping-window aggregation
+    * ([[graft.Queries.eventsHoppingWindow]]): the SAME
+    * `window(ts, windowDuration, slideDuration)` call, watermarked so
+    * per-window state evicts once the watermark passes the window end.
+    * With the 10-minute/5-minute defaults every event lands in exactly
+    * two overlapping windows; append-mode sinks emit each window once,
+    * when it closes — so a drained stream's output matches the batch
+    * rows for every window the watermark has passed.
+    */
+  def hoppingEventCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String = "10 minutes",
+      slideDuration: String = "5 minutes",
+      watermarkDelay: String = "1 second"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"))
+
   /** Beyond-reference: watermarked tumbling-window event counts — the
     * canonical streaming aggregation (late data beyond the watermark is
     * dropped; state is bounded).

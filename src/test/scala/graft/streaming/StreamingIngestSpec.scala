@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.core.{ContractField, DataContract, ValidationMode}
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class StreamingIngestSpec extends SparkSpec {
@@ -95,6 +96,50 @@ class StreamingIngestSpec extends SparkSpec {
     q.awaitTermination(60000)
     spark.read.parquet(out).collect()
       .map(_.getString(1)) shouldBe Array("fresh doc")
+  }
+
+  test("hopping-window stream matches the batch aggregation after restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-hop-")
+    val ckpt = Files.createTempDirectory("stream-hop-ckpt-").toString
+    val out = Files.createTempDirectory("stream-hop-out-").toString + "/data"
+    // each event lands in exactly two 10-minute windows hopping every 5
+    Files.writeString(in.resolve("a.csv"),
+      "ts,event_type\n2024-01-01 00:02:00,click\n" +
+        "2024-01-01 00:07:00,click\n2024-01-01 00:07:30,view\n" +
+        "2024-01-01 00:12:00,click\n")
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("ts timestamp, event_type string")
+        .option("header", "true").csv(in.toString)
+      val q = StreamingIngest.hoppingEventCounts(raw, "ts", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    // restart with a far-later sentinel: the checkpointed window state
+    // survives, the watermark passes every file-a window, and append
+    // mode flushes them all (the sentinel's own windows stay open)
+    Files.writeString(in.resolve("b.csv"),
+      "ts,event_type\n2024-01-01 01:00:00,sentinel\n")
+    run()
+    val streamed = spark.read.parquet(out)
+      .select($"window_start".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    // batch twin over the same file-a events: identical window() call
+    val batch = Seq(
+      ("2024-01-01 00:02:00", "click"), ("2024-01-01 00:07:00", "click"),
+      ("2024-01-01 00:07:30", "view"), ("2024-01-01 00:12:00", "click"))
+      .toDF("ts", "event_type").withColumn("ts", $"ts".cast("timestamp"))
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".cast("string"), $"event_type", $"n_events")
+      .as[(String, String, Long)].collect().toSet
+    batch should not be empty
+    streamed shouldBe batch
   }
 
   test("watermarked windowed event counts over a stream") {
