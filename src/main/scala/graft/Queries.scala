@@ -1057,7 +1057,8 @@ object Queries {
     "layout_zorder" -> layoutZorder _,
     "corpus_shuffle" -> corpusShuffle _,
     "url_domain_filter" -> urlDomainFilter _,
-    "text_quality_by_source" -> textQualityBySource _
+    "text_quality_by_source" -> textQualityBySource _,
+    "text_chunk_bpe" -> textChunkBpe _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -1065,27 +1066,32 @@ object Queries {
     * twin (same code path) + sbt specs; these exist so BENCH reflects
     * production defaults, not just oracle-replayable ones.
     */
-  /** BENCH-ONLY: token-window chunking cutting in BPE tokens through the
-    * native greedy-merge kernel, over a deterministic letter-pair merge
-    * table. BPE segmentation is not expressible in ANSI SQL, so there is
-    * no oracle — correctness is ChunkingSpec + property-tested — but the
-    * headline bench should price the production tokenizer path, not just
-    * the whitespace default.
+  /** The deterministic letter-pair merge table for the BPE query and its
+    * oracle: marker+letter merges first, then every letter pair in
+    * for-comprehension order — rank = position. BOTH the Spark kernel
+    * and the DuckDB replay derive from this one sequence.
+    */
+  private val bpeLetters = "etaoinshrdlu"
+  private val bpeMerges: Seq[(String, String)] =
+    bpeLetters.map(c => (graft.functions.BpeTokens.Marker, c.toString)) ++
+      (for (a <- bpeLetters; b <- bpeLetters) yield (a.toString, b.toString))
+
+  /** Token-window chunking cutting in BPE tokens through the native
+    * greedy-merge kernel ([[graft.functions.BpeTokens]]) — the
+    * production tokenizer path priced by the headline bench AND
+    * oracle-checked: the greedy lowest-rank/leftmost merge loop is
+    * replayed in DuckDB with a recursive CTE over the same literal merge
+    * table (one merge per iteration; terminal rows have no ranked pair).
     */
   def textChunkBpe(spark: SparkSession, dir: String): DataFrame = {
-    val letters = "etaoinshrdlu"
-    val merges =
-      letters.map(c => (graft.functions.BpeTokens.Marker, c.toString)) ++
-        (for (a <- letters; b <- letters) yield (a.toString, b.toString))
-    val tok = graft.operators.BpeTokenizer(merges)
+    val tok = graft.operators.BpeTokenizer(bpeMerges)
     graft.operators.Chunking.chunkByTokens(
       t(spark, dir, "documents").select("doc_id", "text"),
       "doc_id", "text", maxTokens = 64, overlap = 0, tokenizer = tok)
   }
 
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash_prod" -> dedupSimhashProd _,
-    "text_chunk_bpe" -> textChunkBpe _
+    "dedup_simhash_prod" -> dedupSimhashProd _
   )
 
   // ---------------------------------------------- generated oracle SQL
@@ -1207,6 +1213,63 @@ object Queries {
        |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
        |SELECT vec_id FROM v
        |WHERE vec_id >= 25 AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
+  }
+
+  /** Greedy-BPE chunking replay: the EXACT merge loop of
+    * [[graft.functions.BpeTokens.bpeWord]] as a recursive CTE — each
+    * iteration merges the single lowest-rank (leftmost on tie) adjacent
+    * pair, encoded as `rank * 100000 + position` so one `list_min` picks
+    * it; terminal rows (no ranked pair left) are each word's final
+    * segmentation. Words dedupe before the replay (the SQL mirror of the
+    * kernel's per-executor memo), docs reassemble by word position, and
+    * the chunk slicing + marker detokenization replays
+    * [[graft.operators.Chunking.chunkByTokens]] with maxTokens=64.
+    */
+  private def textChunkBpeOracle: String = {
+    val mk = bpeMerges.map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+    val M = graft.functions.BpeTokens.Marker
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id,
+       |  list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS t
+       |  FROM documents),
+       |words AS (SELECT DISTINCT '$M' || w AS mw
+       |  FROM (SELECT unnest(t) AS w FROM tok)),
+       |bpe AS (
+       |  SELECT mw, string_split(mw, '') AS parts FROM words
+       |  UNION ALL
+       |  SELECT mw, parts[:bp-1] || [parts[bp] || parts[bp+1]] || parts[bp+2:]
+       |  FROM (
+       |    SELECT mw, parts,
+       |      CAST(list_min(list_transform(range(1, CAST(len(parts) AS BIGINT)),
+       |        i -> CASE WHEN list_position($mk, parts[i] || parts[i+1]) > 0
+       |             THEN list_position($mk, parts[i] || parts[i+1]) * 100000 + i
+       |             END))
+       |        % 100000 AS INT) AS bp
+       |    FROM bpe) WHERE bp IS NOT NULL
+       |),
+       |fin AS (
+       |  SELECT mw, parts FROM bpe
+       |  WHERE list_min(list_transform(range(1, CAST(len(parts) AS BIGINT)),
+       |    i -> CASE WHEN list_position($mk, parts[i] || parts[i+1]) > 0
+       |         THEN 1 END)) IS NULL
+       |),
+       |wx AS (SELECT doc_id, i, '$M' || t[i] AS mw
+       |  FROM tok, unnest(range(1, CAST(len(t)+1 AS BIGINT))) AS u(i)),
+       |doctoks AS (
+       |  SELECT wx.doc_id, flatten(list(fin.parts ORDER BY wx.i)) AS toks
+       |  FROM wx JOIN fin ON wx.mw = fin.mw GROUP BY wx.doc_id),
+       |c AS (SELECT tok.doc_id, coalesce(doctoks.toks, []) AS t,
+       |    CAST(len(coalesce(doctoks.toks, [])) AS BIGINT) AS n
+       |  FROM tok LEFT JOIN doctoks ON tok.doc_id = doctoks.doc_id),
+       |e AS (SELECT doc_id, t, n,
+       |  unnest(range(0, CAST((greatest(n - 64, 0) + 63) // 64 AS BIGINT) + 1))
+       |    AS chunk_idx
+       |  FROM c)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  trim(replace(array_to_string(t[chunk_idx*64+1 : chunk_idx*64+64], ''),
+       |    '$M', ' ')) AS chunk_text,
+       |  CAST(least(64, n - chunk_idx*64) AS BIGINT) AS n_tokens
+       |FROM e""".stripMargin
   }
 
   /** Per-shard sequence-packing replay — shared by `text_pack` and the
@@ -1980,6 +2043,7 @@ object Queries {
         |  array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text,
         |  CAST(least(32, n - chunk_idx*24) AS BIGINT) AS n_tokens
         |FROM e""".stripMargin,
+    "text_chunk_bpe" -> textChunkBpeOracle,
     "text_pack" -> textPackOracle,
     "pack_efficiency" ->
       s"""WITH packed AS ($textPackOracle)
