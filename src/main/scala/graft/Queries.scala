@@ -818,6 +818,27 @@ object Queries {
       "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
   }
 
+  /** IVF ANN through the PERSISTED-ASSIGNMENT store — the production
+    * index shape: assignments written once to a parquet store
+    * partitioned by list, the probe reading only the probed-list union
+    * (partition-pruned). Same centroids/probe mechanics as ann_ivf_topk,
+    * so the SAME oracle checks it — the store round trip must be
+    * value-exact.
+    */
+  def annIvfStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val store = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_ivf_store_" + Integer.toHexString(dir.hashCode)).toString
+    graft.operators.Similarity.writeIvfAssignments(
+      emb, "vec_id", "embedding", cents, store)
+    graft.operators.Similarity.ivfTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
+  }
+
   /** IVF ANN over k-means-REFINED centroids: the 16 seeds (vec_id < 16)
     * Lloyd-refined for 2 iterations on the deterministic vec_id < 256
     * sample, then the same probe/top-k mechanics as ann_ivf_topk. The
@@ -1028,6 +1049,7 @@ object Queries {
     "ann_decontaminate" -> annDecontaminate _,
     "ann_neardup_incremental" -> annNearDupIncremental _,
     "ann_ivf_topk" -> annIvfTopK _,
+    "ann_ivf_store_topk" -> annIvfStoreTopK _,
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -1090,8 +1112,31 @@ object Queries {
       "doc_id", "text", maxTokens = 64, overlap = 0, tokenizer = tok)
   }
 
+  /** BENCH-ONLY: `dedup_minhash_drop` down the FORCED 100 TB fallback
+    * plans — distributed pointer-jumping connected components, unhinted
+    * verify joins, the loser shuffle-anti-join — so the scale tail is
+    * priced every round, not just compiled. The thresholds are forced
+    * via the `graft.dedup.*` system properties during plan construction
+    * (all pin decisions and the CC loop run eagerly inside the call);
+    * ScaleFallbackSpec pins bit-identity of this path to the fast one.
+    */
+  def dedupMinhashForced(spark: SparkSession, dir: String): DataFrame = {
+    sys.props("graft.dedup.broadcastMaxPairs") = "0"
+    sys.props("graft.dedup.driverMaxPairs") = "0"
+    try
+      graft.operators.Dedup.dropNearDuplicates(
+        t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
+        .select("doc_id")
+    finally {
+      sys.props.remove("graft.dedup.broadcastMaxPairs")
+      sys.props.remove("graft.dedup.driverMaxPairs")
+    }
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_simhash_prod" -> dedupSimhashProd _
+    "dedup_simhash_prod" -> dedupSimhashProd _,
+    "dedup_minhash_forced" -> dedupMinhashForced _
   )
 
   // ---------------------------------------------- generated oracle SQL
@@ -1596,6 +1641,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
+    "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,
     "ann_ivfpq_topk" -> annIvfPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,

@@ -54,7 +54,10 @@ object CacheScope {
   def checkpoint(df: DataFrame): DataFrame = {
     val p = persist(df)
     p.count() // eager, like localCheckpoint(eager = true)
-    p.sparkSession.createDataFrame(p.rdd, p.schema)
+    // InternalRow leaf (rows copied out of reused scan buffers, exactly
+    // as Dataset.checkpoint does) — no external-Row round trip
+    org.apache.spark.sql.GraftExpressionBridge.dataFrameFromInternalRdd(
+      p.sparkSession, p.queryExecution.toRdd.map(_.copy()), p.schema)
   }
 
   /** Run `body` in a fresh scope; unpersist everything the body persisted

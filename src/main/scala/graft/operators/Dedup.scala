@@ -233,8 +233,23 @@ object Dedup {
     * path exists for — can push that past Spark's 8 GB broadcast ceiling
     * and driver memory. Same candidate-bounded reasoning (and the same
     * default) as [[connectedComponents]]' `driverMaxPairs`.
+    *
+    * Overridable via `-Dgraft.dedup.broadcastMaxPairs=N` (re-read per
+    * call): setting 0 forces every guard to the unhinted/shuffle tail —
+    * how ScaleFallbackSpec and the `dedup_minhash_forced` bench entry
+    * exercise the 100 TB fallback plans on small data.
     */
-  val broadcastMaxPairs: Long = 4000000L
+  def broadcastMaxPairs: Long =
+    sys.props.get("graft.dedup.broadcastMaxPairs").map(_.toLong)
+      .getOrElse(4000000L)
+
+  /** [[connectedComponents]]' driver-union-find ceiling; 0 (via
+    * `-Dgraft.dedup.driverMaxPairs=0`) forces the distributed
+    * pointer-jumping loop.
+    */
+  def defaultDriverMaxPairs: Long =
+    sys.props.get("graft.dedup.driverMaxPairs").map(_.toLong)
+      .getOrElse(4000000L)
 
   /** Broadcast-pin `df` only when the measured candidate count allows it. */
   private def pinIfSmall(df: DataFrame, pairCount: Long): DataFrame =
@@ -322,7 +337,7 @@ object Dedup {
     * the distributed loop otherwise.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
-      driverMaxPairs: Long = 4000000L): DataFrame = {
+      driverMaxPairs: Long = defaultDriverMaxPairs): DataFrame = {
     // one scope-released materialization of the pair set; both paths reuse it
     val pe = CacheScope.persist(pairs.select(col("id_a"), col("id_b")))
     val idType = pe.schema("id_a").dataType
@@ -361,7 +376,9 @@ object Dedup {
           least(col("component"), candidate).as("component"),
           (candidate < col("component")).as("__changed")))
       cached.count()
-      val updated = spark.createDataFrame(cached.rdd, cached.schema)
+      val updated = org.apache.spark.sql.GraftExpressionBridge
+        .dataFrameFromInternalRdd(spark,
+          cached.queryExecution.toRdd.map(_.copy()), cached.schema)
       converged = updated.filter(col("__changed")).limit(1).count() == 0
       labels = updated.drop("__changed")
       prevRound.foreach(_.unpersist(false)) // superseded round: release now

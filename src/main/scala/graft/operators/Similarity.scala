@@ -321,6 +321,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** The persisted-assignment IVF index — the production shape past a
+    * few hundred lists, where [[ivfTopK]]'s literal-centroid expressions
+    * stop scaling: list assignment runs ONCE at index-build time
+    * (map-side, zero shuffles) and lands in a parquet store PARTITIONED
+    * BY list, with the vector norm precomputed. Probing then reads only
+    * the lists some query actually probes — partition pruning makes the
+    * scan cost O(probed lists), not O(corpus).
+    */
+  def writeIvfAssignments(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], storePath: String): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cn", norm(col("v")))
+      .withColumn("list",
+        least(scoredListStructs(col("v"), centroids): _*).getField("l"))
+      .write.mode("overwrite").partitionBy("list").parquet(storePath)
+
+  /** Probe a stored IVF index: same scoring/tie/top-k mechanics as
+    * [[ivfTopK]] (results are bit-identical for the same centroids —
+    * floats and the build-time norm round-trip parquet exactly), but the
+    * corpus side is the store scan pruned to the probed-list union. That
+    * union is driver-small by construction (≤ |queries| × nprobe ids),
+    * so inlining it as a literal IN pushes the pruning into the file
+    * index — on a 10k-list production index a 10-query probe touches
+    * ~40 partition directories and never lists the rest.
+    */
+  def ivfTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("__p", explode(slice(
+        array_sort(array(scoredListStructs(col("qv"), centroids): _*)),
+        1, nprobe)))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    val probedLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val assigned = spark.read.parquet(storePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("cn"), col("list"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding outlier scores — the IVF assignment read the other way:
     * each vector's best centroid cosine. Vectors far from EVERY centroid
     * (low `centroid_sim`) are embedding-space noise — mislabeled or

@@ -232,6 +232,32 @@ class SimilaritySpec extends SparkSpec {
     out should contain noneOf (100L, 101L)
   }
 
+  test("ivfTopKFromStore: bit-identical to ivfTopK, store scan partition-pruned") {
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt % 40)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding",
+      numLists = 8)
+    val queries = corpus.filter($"vec_id" < 3)
+    val direct = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, centroids = cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val store = java.nio.file.Files
+      .createTempDirectory("ivf-store-").toString + "/idx"
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding", cents, store)
+    val stored = Similarity.ivfTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2)
+    stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)) shouldBe direct
+    // the probed-list union reaches the file index as a partition filter
+    // — the store scan never lists the unprobed list= directories
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "list#\\d+ IN \\("
+  }
+
   test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
