@@ -408,6 +408,43 @@ class JobRunnerSpec extends SparkSpec {
     (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
   }
 
+  test("repeated curated jobs keep storage stable (orchestrated regime)") {
+    // the Orchestrator/BatchRunner production shape: one session, many
+    // scheduled curated runs. Storage must not grow run-over-run — the
+    // pre-scope behavior leaked every run's shingle/band/candidate
+    // caches until eviction pressure
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val memBefore = spark.sparkContext.getRDDStorageInfo.length
+    for (round <- 1 to 4) {
+      val (dir, _) = fixture(Seq(
+        s"1,the quick brown fox jumps over the lazy dog in round $round,1.0",
+        s"2,the quick brown fox jumps over the lazy dog in round $round,2.0",
+        s"3,a different sentence about compilers in round $round,3.0"),
+        "strict")
+      val out = dir.resolve("out").toString
+      val job = write(dir, "job.yaml",
+        s"""tenant_id: t$round
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: near
+           |source:
+           |  files:
+           |    - {path: data.csv}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+      JobRunner.run(spark, job).exitCode shouldBe ExitCodes.Success
+      // stable after EVERY run, not just at the end
+      (spark.sparkContext.getPersistentRDDs.keySet.toSet -- before) shouldBe empty
+      spark.sparkContext.getRDDStorageInfo.length shouldBe memBefore
+    }
+  }
+
   test("env-var expansion incl. ${VAR:-default}") {
     Yaml.expandEnv("x-${GRAFT_NOPE:-fallback}-y", Map.empty) shouldBe "x-fallback-y"
     Yaml.expandEnv("${HOME_X:-/a}/b", Map("HOME_X" -> "/h")) shouldBe "/h/b"
