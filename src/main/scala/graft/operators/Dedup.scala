@@ -117,6 +117,37 @@ object Dedup {
               org.apache.spark.sql.types.StringType))))
     }
 
+  /** BUCKETED fingerprint store — the 100 TB shape of the incremental
+    * store. The per-batch check is a left-ANTI join whose corpus side
+    * cannot be broadcast (it is the big side by definition) and whose
+    * batch side Spark cannot build against (anti builds right), so with
+    * a plain parquet store the corpus fingerprint column is re-SHUFFLED
+    * on every batch. `bucketBy(fp)` + `saveAsTable` stores the corpus
+    * pre-partitioned on the join key: the batch-vs-store join then reads
+    * the store with ZERO Exchange — only the batch shuffles, into the
+    * bucket count — and appends stay bucket-aligned, so the store is
+    * never rewritten. Pass `spark.table(table)` as the
+    * `corpusFingerprints` of [[dropDuplicatesIncremental]]; the
+    * exchange elimination is automatic (BucketedStoreSpec pins it).
+    */
+  def saveBucketedFingerprints(df: DataFrame, textCol: String,
+      table: String, buckets: Int = 256): Unit =
+    df.select(fingerprint(col(textCol)).as("fp"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
+
+  /** Bucketed (id, band-key) store for [[dropNearDuplicatesIncremental]]
+    * — same reasoning as [[saveBucketedFingerprints]]: the LSH join
+    * shuffles on `bk`, so a store bucketed on `bk` streams in place
+    * while only the batch band keys move.
+    */
+  def saveBucketedBandKeys(df: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 256, shingleN: Int = 3,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+    minhashBandKeys(df, idCol, textCol, shingleN, bands, rowsPerBand)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+
   // ------------------------------------------------------------- MinHash-LSH
 
   /** Row-wise MinHash signature (array<bigint> of length k) — for callers

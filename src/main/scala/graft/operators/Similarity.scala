@@ -555,6 +555,18 @@ object Similarity {
     embeddingBucketKeys(df, idCol, vecCol, planes, tables, dim)
       .write.mode("append").parquet(storePath)
 
+  /** BUCKETED bucket-key store — the 100 TB shape (see
+    * [[graft.operators.Dedup.saveBucketedFingerprints]]): the store join
+    * shuffles on `bk`, so a table bucketed on `bk` streams in place
+    * every batch; pass `spark.table(table)` as `corpusBuckets`.
+    */
+  def saveBucketedEmbeddingBuckets(df: DataFrame, idCol: String,
+      vecCol: String, table: String, buckets: Int = 256, planes: Int = 8,
+      tables: Int = 8, dim: Int = 64): Unit =
+    embeddingBucketKeys(df, idCol, vecCol, planes, tables, dim)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+
   /** Incremental EMBEDDING near-dup dedup — the semantic twin of
     * [[graft.operators.Dedup.dropNearDuplicatesIncremental]]: dedup a
     * new batch of vectors against an existing corpus without re-hashing
