@@ -6,8 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // min over `reps` runs per query: single-run local[32] timings swing
     // ±20% with GC/JIT noise; the minimum is the stable "cost of the
-    // plan" estimate. Reported in the JSON so rounds stay comparable.
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // plan" estimate. Per-rep times are ALSO emitted so a contended run
+    // (uniform inflation across untouched queries — the r9 failure mode)
+    // is distinguishable from a real plan regression after the fact.
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,9 +21,22 @@ object Bench {
     // absorb one-time JVM/codegen/IO warm-up outside the timed region
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // Contention sentinel: time a tiny fixed probe before and after the
+    // suite. Its plan never changes, so if the machine is quiet the two
+    // timings agree; drift marks the whole run as untrustworthy. min-of-3
+    // on the probe itself so the sentinel isn't noisier than what it guards.
+    def sentinelProbe(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/region.parquet").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val sentinelBefore = sentinelProbe()
     // optional args filter to isolated queries (dev loop; driver passes none)
     val only = args.toSet
-    val results = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
+    val perRep = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
@@ -48,12 +63,37 @@ object Bench {
           catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
-      }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        name -> times
+      }
+    val sentinelAfter = sentinelProbe()
+    val sentinelRatio =
+      if (sentinelBefore > 0) sentinelAfter / sentinelBefore else 1.0
+    // Per-query spread (median/min): a quiet run sits near 1.0; a loaded
+    // box inflates the median uniformly. Either signal alone can false-
+    // positive (sentinel: a burst between probes; spread: one GC-unlucky
+    // rep), so `contended` requires sentinel drift OR a broadly inflated
+    // median — >25% of queries with median/min > 1.5.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val spreads = perRep.map { case (n, ts) =>
+      n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
+    }
+    val inflatedFrac =
+      if (spreads.nonEmpty) spreads.count(_._2 > 1.5).toDouble / spreads.size else 0.0
+    val contended = sentinelRatio > 1.5 || (reps >= 3 && inflatedFrac > 0.25)
+    val results = perRep.map { case (n, ts) => n -> ts.min }
+    def fmt(d: Double): String = f"$d%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    val repJson = perRep.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":{"before":${fmt(sentinelBefore)},"after":${fmt(sentinelAfter)},"ratio":${fmt(sentinelRatio)}},"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -829,14 +829,37 @@ object Queries {
     val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.Similarity.seedCentroids(
       emb, "vec_id", "embedding", numLists = 16)
-    val store = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      "graft_ivf_store_" + Integer.toHexString(dir.hashCode)).toString
+    // Per-RUN unique store directory: a fixed tmpdir path keyed by a
+    // 32-bit hash let two concurrent verify/bench processes share one
+    // store (overwrite racing a probe read) and silently reused stale
+    // stores from crashed runs. createTempDirectory is collision-free
+    // by construction; the run cleans up after itself.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store_").toString
     graft.operators.Similarity.writeIvfAssignments(
       emb, "vec_id", "embedding", cents, store)
+    ivfStoreDirs.add(store)
     graft.operators.Similarity.ivfTopKFromStore(
       spark, store, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
+  }
+
+  /** Store dirs created by the IVF/IVFPQ store queries this process, so
+    * repeated bench reps don't accumulate tmp trees. Best-effort delete
+    * on JVM exit (the frames returned above lazily READ the store, so
+    * deletion can only happen after the consuming action).
+    */
+  private val ivfStoreDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  sys.addShutdownHook {
+    ivfStoreDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
+          .asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
   }
 
   /** IVF ANN over k-means-REFINED centroids: the 16 seeds (vec_id < 16)
@@ -1116,23 +1139,19 @@ object Queries {
     * plans — distributed pointer-jumping connected components, unhinted
     * verify joins, the loser shuffle-anti-join — so the scale tail is
     * priced every round, not just compiled. The thresholds are forced
-    * via the `graft.dedup.*` system properties during plan construction
-    * (all pin decisions and the CC loop run eagerly inside the call);
+    * THREAD-scoped via [[graft.operators.Dedup.withGuardThresholds]]
+    * during plan construction (all pin decisions and the CC loop run
+    * eagerly inside the call) — unlike the earlier JVM-global sys.props
+    * toggle, concurrent jobs in the same session are unaffected.
     * ScaleFallbackSpec pins bit-identity of this path to the fast one.
     */
-  def dedupMinhashForced(spark: SparkSession, dir: String): DataFrame = {
-    sys.props("graft.dedup.broadcastMaxPairs") = "0"
-    sys.props("graft.dedup.driverMaxPairs") = "0"
-    try
+  def dedupMinhashForced(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.withGuardThresholds(0L, 0L) {
       graft.operators.Dedup.dropNearDuplicates(
         t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
         .select("doc_id")
-    finally {
-      sys.props.remove("graft.dedup.broadcastMaxPairs")
-      sys.props.remove("graft.dedup.driverMaxPairs")
     }
-  }
 
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_prod" -> dedupSimhashProd _,

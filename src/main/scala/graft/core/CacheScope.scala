@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -37,9 +38,21 @@ object CacheScope {
     val p = df.persist()
     val buf = active.get()
     if (buf != null) buf += p
-    else unscoped.synchronized { unscoped += p }
+    else unscoped.synchronized {
+      // Auto-compact: bare (unscoped) use in a long-lived session would
+      // otherwise grow this buffer forever — it holds plan references
+      // until releaseAll(). Entries whose blocks are already gone (the
+      // caller unpersisted directly, or clearCache() ran) carry no cache
+      // to release, so drop them at each registration; the registry stays
+      // bounded by the number of LIVE unscoped caches.
+      unscoped.filterInPlace(_.storageLevel != StorageLevel.NONE)
+      unscoped += p
+    }
     p
   }
+
+  /** Number of frames currently registered outside any scope (test hook). */
+  private[graft] def unscopedSize: Int = unscoped.synchronized(unscoped.size)
 
   /** Materialize `df` into the scope's cache and return a PLAN-TRUNCATED
     * frame reading from it — the releasable twin of `localCheckpoint()`.

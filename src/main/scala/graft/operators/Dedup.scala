@@ -246,7 +246,7 @@ object Dedup {
     * boilerplate, not signal. `maxDf ≤ 0` disables (the default, and the
     * oracle-checked configuration).
     */
-  private def capHotKeys(keyed: DataFrame, keyCol: String,
+  private[operators] def capHotKeys(keyed: DataFrame, keyCol: String,
       maxDf: Int): DataFrame =
     if (maxDf <= 0) keyed
     else {
@@ -265,22 +265,45 @@ object Dedup {
     * and driver memory. Same candidate-bounded reasoning (and the same
     * default) as [[connectedComponents]]' `driverMaxPairs`.
     *
-    * Overridable via `-Dgraft.dedup.broadcastMaxPairs=N` (re-read per
-    * call): setting 0 forces every guard to the unhinted/shuffle tail —
-    * how ScaleFallbackSpec and the `dedup_minhash_forced` bench entry
+    * Overridable two ways, checked in order:
+    *  1. [[withGuardThresholds]] — THREAD-scoped, for in-process callers
+    *     (bench forced entries, specs). The earlier JVM-global
+    *     `sys.props` toggle silently re-planned CONCURRENT jobs in the
+    *     same session (BatchRunner runs jobs on a thread pool) down the
+    *     forced 100 TB fallback path for the duration of the bench
+    *     window; the dynamic variable confines the override to the
+    *     calling thread (and threads it spawns).
+    *  2. `-Dgraft.dedup.broadcastMaxPairs=N` — process launch
+    *     configuration (re-read per call), for CLI tuning.
+    * Setting 0 forces every guard to the unhinted/shuffle tail — how
+    * ScaleFallbackSpec and the `dedup_minhash_forced` bench entry
     * exercise the 100 TB fallback plans on small data.
     */
   def broadcastMaxPairs: Long =
-    sys.props.get("graft.dedup.broadcastMaxPairs").map(_.toLong)
+    guardOverride.value.map(_._1)
+      .orElse(sys.props.get("graft.dedup.broadcastMaxPairs").map(_.toLong))
       .getOrElse(4000000L)
 
   /** [[connectedComponents]]' driver-union-find ceiling; 0 (via
-    * `-Dgraft.dedup.driverMaxPairs=0`) forces the distributed
-    * pointer-jumping loop.
+    * [[withGuardThresholds]] or `-Dgraft.dedup.driverMaxPairs=0`) forces
+    * the distributed pointer-jumping loop.
     */
   def defaultDriverMaxPairs: Long =
-    sys.props.get("graft.dedup.driverMaxPairs").map(_.toLong)
+    guardOverride.value.map(_._2)
+      .orElse(sys.props.get("graft.dedup.driverMaxPairs").map(_.toLong))
       .getOrElse(4000000L)
+
+  private val guardOverride =
+    new scala.util.DynamicVariable[Option[(Long, Long)]](None)
+
+  /** Run `body` with thread-scoped guard thresholds
+    * (broadcastMaxPairs, driverMaxPairs). Safe to use while other jobs
+    * run in the same session — only this thread (and its children via
+    * InheritableThreadLocal) sees the override.
+    */
+  def withGuardThresholds[T](broadcastMax: Long, driverMax: Long)
+      (body: => T): T =
+    guardOverride.withValue(Some((broadcastMax, driverMax)))(body)
 
   /** Broadcast-pin `df` only when the measured candidate count allows it. */
   private def pinIfSmall(df: DataFrame, pairCount: Long): DataFrame =

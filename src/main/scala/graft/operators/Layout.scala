@@ -140,19 +140,9 @@ object Layout {
     // skewed domains repeat quantile values; distinct-sorted cut points
     // (bucket count adapts downward, the search tree stays balanced)
     def cuts(raw: Array[Double]): Array[Double] = raw.distinct.sorted
-    def bucketCol(c: String, bounds: Array[Double]): Column = {
-      // index of the first boundary > value == count of boundaries <= value
-      def search(lo: Int, hi: Int): Column = // buckets [lo, hi] remain
-        if (lo >= hi) lit(lo.toLong)
-        else {
-          val mid = (lo + hi) / 2
-          when(col(c).cast("double") < lit(bounds(mid)), search(lo, mid))
-            .otherwise(search(mid + 1, hi))
-        }
-      if (bounds.isEmpty) lit(0L)
-      else coalesce(search(0, bounds.length), lit(0L))
-    }
     val (ca, cb) = (cuts(rawA), cuts(rawB))
+    def bucketCol(c: String, bounds: Array[Double]): Column =
+      quantileBucket(col(c), bounds)
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(
       math.max(ca.length, cb.length))) // bucket indices go up to cuts.length
     df.withColumn("__za", bucketCol(colA, ca))
@@ -161,5 +151,31 @@ object Layout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__za", "__zb", "__z")
+  }
+
+  /** Bucket index of `value` against sorted distinct `bounds` — a literal
+    * binary-search `when`-tree (depth log2(|bounds|)): pure Column, so it
+    * stays map-side and codegen'd; no UDF, no boundary-table join.
+    * Returns the count of boundaries <= value.
+    *
+    * The null guard sits OUTSIDE the search tree: inside it a null value
+    * makes every `<` comparison null, so each `when` falls through to its
+    * otherwise branch and a null row would land in the TOP bucket — and
+    * since the leaves are non-null literals a trailing coalesce never
+    * fires. Guarding first sends nulls to bucket 0, matching
+    * [[zorderByApprox]].
+    */
+  private[operators] def quantileBucket(value: Column,
+      bounds: Array[Double]): Column = {
+    def search(lo: Int, hi: Int): Column = // buckets [lo, hi] remain
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(value.cast("double") < lit(bounds(mid)), search(lo, mid))
+          .otherwise(search(mid + 1, hi))
+      }
+    if (bounds.isEmpty) lit(0L)
+    else when(value.cast("double").isNull, lit(0L))
+      .otherwise(search(0, bounds.length))
   }
 }

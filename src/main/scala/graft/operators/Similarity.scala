@@ -107,11 +107,20 @@ object Similarity {
       threshold: Double,
       planes: Int = 8,
       tables: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucketDf: Int = 0
   ): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = CacheScope.persist(
-      bucketTable(base, planes, tables, dim)) // both sides of the self-join
+    // Hot-bucket cap (default OFF, the oracle-checked configuration):
+    // the bucket self-join below is Σdf² over bucket keys, and a
+    // degenerate embedding distribution — mass-duplicated vectors,
+    // all-zero rows, exactly what a crawl corpus contains — piles one
+    // bucket high enough that the CANDIDATE join (not the guarded
+    // verify) is the scale-killer. Same mechanism and recall trade as
+    // the minhash band cap: see Dedup.capHotKeys.
+    val bucketed = CacheScope.persist(Dedup.capHotKeys(
+      bucketTable(base, planes, tables, dim), "bk", maxBucketDf))
+      // both sides of the self-join
     nearDupPairsFromBuckets(base, bucketed, threshold)
   }
 
@@ -591,16 +600,22 @@ object Similarity {
       threshold: Double,
       planes: Int = 8,
       tables: Int = 8,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucketDf: Int = 0
   ): DataFrame = {
     // ONE HyperplaneBits pass over the batch: in-batch clustering and the
     // store join both read this bucket table (the survivor slice is an id
     // semi-join, not a re-hash of the surviving vectors) — the same
     // shared-first-stage shape as Dedup.dropNearDuplicatesIncremental's
-    // shAll/bandsAll
+    // shAll/bandsAll.
+    // Hot-bucket cap (default OFF): capping here bounds BOTH the in-batch
+    // self-join and the batch side of the store join; the corpus side is
+    // capped independently below — a key hot on either side would
+    // otherwise make the candidate join Σ(df_batch × df_corpus) on that
+    // key. Recall trade documented at Dedup.capHotKeys.
     val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val allBuckets = CacheScope.persist(
-      bucketTable(base, planes, tables, dim))
+    val allBuckets = CacheScope.persist(Dedup.capHotKeys(
+      bucketTable(base, planes, tables, dim), "bk", maxBucketDf))
     val pairs = nearDupPairsFromBuckets(base, allBuckets, threshold)
     val comps = Dedup.connectedComponents(pairs)
     val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))
@@ -615,8 +630,15 @@ object Similarity {
     val bBuckets = allBuckets
       .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val cname = corpusBuckets.columns // accept any column names: (id, bk)
-    val cands = CacheScope.persist(corpusBuckets
-      .select(col(cname(0)).as("cid"), col(cname(1)).as("cbk"))
+    // Corpus-side hot-bucket cap: a partial-aggregated count over the
+    // store (one narrow row per distinct key — cheap even at 100 TB
+    // store scale) finds keys with df > cap; they are dropped by
+    // broadcast anti-join before the candidate join, so a boilerplate
+    // bucket in the CORPUS can't multiply against every batch row.
+    val corpusKeyed = Dedup.capHotKeys(corpusBuckets
+      .select(col(cname(0)).as("cid"), col(cname(1)).as("cbk")),
+      "cbk", maxBucketDf)
+    val cands = CacheScope.persist(corpusKeyed
       .join(broadcast(bBuckets), col("bk") === col("cbk"))
       .select(col("id").as("bid"), col("cid"))
       .distinct())

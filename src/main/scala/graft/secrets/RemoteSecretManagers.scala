@@ -29,9 +29,8 @@ object RemoteSecretManagers {
       * both substitute {tenant} and {name}.
       */
     def resolveIdentifier(tenantId: String, template: String): String =
-      identifier.getOrElse(template)
-        .replace("{tenant}", tenantId)
-        .replace("{name}", name)
+      RemoteSecretManagers.renderTemplate(identifier.getOrElse(template),
+        "tenant" -> tenantId, "name" -> name)
   }
 
   /** base.py:64-98: entries are bare names or maps with `name` plus
@@ -55,6 +54,26 @@ object RemoteSecretManagers {
 
   private[secrets] def base64Utf8(b64: String): String =
     new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+
+  /** Substitute `{key}` placeholders, then FAIL on any leftover braces.
+    * The reference renders these templates with Python's `str.format`,
+    * which raises on unknown placeholders (a typo like `{tenat}` or a
+    * stray `{name}` in a path template); a silent `.replace` would turn
+    * that loud config error into a confusing 404-style read failure
+    * against the remote manager. Matching fail-fast behavior here.
+    */
+  private[secrets] def renderTemplate(template: String,
+      subs: (String, String)*): String = {
+    val rendered = subs.foldLeft(template) { case (acc, (k, v)) =>
+      acc.replace(s"{$k}", v)
+    }
+    if (rendered.contains('{') || rendered.contains('}'))
+      throw new IllegalArgumentException(
+        s"Unresolved placeholder in secret template '$template' " +
+          s"(rendered: '$rendered'); supported: " +
+          subs.map { case (k, _) => s"{$k}" }.mkString(", "))
+    rendered
+  }
 }
 
 /** HashiCorp Vault KV backend (reference managers/vault.py). hvac is a
@@ -161,7 +180,8 @@ final class VaultSecretManager(
   def loadSecrets(tenantId: String): Map[String, Any] = {
     val tok = authenticate()
     normalizedPaths.foldLeft(Map.empty[String, Any]) { (acc, pc) =>
-      val rendered = pc.path.replace("{tenant}", tenantId)
+      val rendered = RemoteSecretManagers.renderTemplate(pc.path,
+        "tenant" -> tenantId)
       val url =
         if (pc.kv == 1) s"$addr/v1/${pc.mount}/$rendered"
         else s"$addr/v1/${pc.mount}/data/$rendered"
@@ -254,7 +274,8 @@ final class AwsSecretsManager(
         "AWS Secrets Manager requires either 'secrets' definitions or " +
           "'bundle_secret_id_template'.")
       case Some(t) =>
-        val payload = getSecretValue(t.replace("{tenant}", tenantId))
+        val payload = getSecretValue(RemoteSecretManagers.renderTemplate(
+          t, "tenant" -> tenantId))
         SecretParsers.parsePayload(payload, Some(bundleFormat), env) match {
           case m: Map[String, Any] @unchecked => m
           case _ => throw new IllegalArgumentException(
@@ -339,7 +360,8 @@ final class GcpSecretManager(
         "GCP Secret Manager requires either 'secrets' definitions or " +
           "'bundle_secret_id_template'.")
       case Some(t) =>
-        val payload = accessSecret(t.replace("{tenant}", tenantId), version)
+        val payload = accessSecret(RemoteSecretManagers.renderTemplate(
+          t, "tenant" -> tenantId), version)
         SecretParsers.parsePayload(payload, Some(bundleFormat), env) match {
           case m: Map[String, Any] @unchecked => m
           case _ => throw new IllegalArgumentException(

@@ -86,6 +86,22 @@ class CacheScopeSpec extends SparkSpec {
     (cachedRddIds -- before) shouldBe empty
   }
 
+  test("unscoped registry auto-compacts entries already unpersisted") {
+    CacheScope.releaseAll() // start from a clean registry
+    val dead = CacheScope.persist(docs.select("doc_id"))
+    dead.count() shouldBe 4L
+    dead.unpersist(blocking = true) // caller released it directly
+    CacheScope.unscopedSize shouldBe 1 // stale entry still registered...
+    val live = CacheScope.persist(docs.select("text"))
+    live.count() shouldBe 4L
+    // ...but the next registration compacted it away: only the live frame
+    // remains, so bare use in a long-lived session stays bounded by the
+    // number of LIVE caches, not total persist() calls ever made.
+    CacheScope.unscopedSize shouldBe 1
+    CacheScope.releaseAll()
+    CacheScope.unscopedSize shouldBe 0
+  }
+
   test("guardCount: exact count (doubles as cache materialization)") {
     val df = spark.range(100).toDF("id")
     Dedup.guardCount(df) shouldBe 100L

@@ -90,18 +90,17 @@ class BucketedStoreSpec extends SparkSpec {
     // goes sort-merge — force it and the store-side shuffle vanishes.
     // Caches are cleared before each build so both plans print their
     // full trees (cached subtrees would hide their internal shuffles).
-    sys.props("graft.dedup.broadcastMaxPairs") = "0"
     def forcedShuffles(store: => DataFrame): Int = withoutAutoBroadcast {
       graft.core.CacheScope.releaseAll()
       spark.catalog.clearCache()
       shuffles(Dedup.dropNearDuplicatesIncremental(
         batch, "doc_id", "text", store, corpus))
     }
-    try {
+    Dedup.withGuardThresholds(0L, Dedup.defaultDriverMaxPairs) {
       val b = forcedShuffles(spark.table(table))
       val p = forcedShuffles(Dedup.minhashBandKeys(corpus, "doc_id", "text"))
       b should be < p
-    } finally sys.props.remove("graft.dedup.broadcastMaxPairs")
+    }
     spark.sql(s"DROP TABLE $table")
   }
 

@@ -111,4 +111,22 @@ class LayoutSpec extends SparkSpec {
       when(col("a") % 2 === 0, col("b")))
     Layout.zorderByApprox(mixed, "a", "b", 2, 16).count() shouldBe 50L
   }
+
+  test("quantileBucket: nulls bin to bucket 0, as on the approx path") {
+    // Pre-fix, a null value fell through every when-branch of the
+    // binary-search tree (null `<` comparisons take the otherwise arm)
+    // and landed in the TOP bucket, contradicting zorderByApprox.
+    val bounds = Array(10.0, 20.0, 30.0)
+    val df = Seq[java.lang.Long](null, 5L, 10L, 25L, 99L).toDF("v")
+    df.select(Layout.quantileBucket(col("v"), bounds).as("b"))
+      .as[Long].collect() shouldBe Array(0L, 0L, 1L, 2L, 3L)
+    // empty bounds (all-null column → empty sketch) → everything bucket 0
+    df.select(Layout.quantileBucket(col("v"), Array.empty[Double]).as("b"))
+      .as[Long].collect() shouldBe Array(0L, 0L, 0L, 0L, 0L)
+    // end-to-end: an all-null column doesn't error and preserves rows
+    val wide = (0 until 64).map(i => (i.toLong, i.toLong)).toDF("a", "b")
+    Layout.zorderByQuantile(
+      wide.withColumn("b", lit(null).cast("long")), "a", "b", 2, 8)
+      .count() shouldBe 64L
+  }
 }

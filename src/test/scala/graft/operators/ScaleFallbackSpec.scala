@@ -8,23 +8,18 @@ import org.apache.spark.sql.DataFrame
   * pointer-jumping connected components, unhinted verify joins, the
   * loser shuffle-anti-join) that small-data runs never take because the
   * driver/broadcast fast paths always win. Forcing the thresholds to 0
-  * via the `graft.dedup.*` system properties routes the SAME public
-  * calls down the scale plans on sf-test data; the results must be
-  * bit-identical to the fast paths, and the wall time is recorded (the
-  * `dedup_minhash_forced` bench entry prices it per round).
+  * via the THREAD-scoped `Dedup.withGuardThresholds` routes the SAME
+  * public calls down the scale plans on sf-test data (without the JVM-
+  * global sys.props side channel that could leak into concurrently
+  * running suites); the results must be bit-identical to the fast
+  * paths, and the wall time is recorded (the `dedup_minhash_forced`
+  * bench entry prices it per round).
   */
 class ScaleFallbackSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withForcedFallbacks[T](body: => T): T = {
-    sys.props("graft.dedup.broadcastMaxPairs") = "0"
-    sys.props("graft.dedup.driverMaxPairs") = "0"
-    try body
-    finally {
-      sys.props.remove("graft.dedup.broadcastMaxPairs")
-      sys.props.remove("graft.dedup.driverMaxPairs")
-    }
-  }
+  private def withForcedFallbacks[T](body: => T): T =
+    Dedup.withGuardThresholds(0L, 0L)(body)
 
   private def docs: DataFrame =
     spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

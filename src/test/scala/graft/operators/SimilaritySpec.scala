@@ -302,6 +302,50 @@ class SimilaritySpec extends SparkSpec {
     out.select("vec_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
   }
 
+  test("hot-bucket cap bounds a degenerate (all-same-vector) candidate set") {
+    // mass-duplicated vectors — the crawl-corpus degenerate case: every
+    // row lands in the SAME bucket of every table, so the uncapped
+    // candidate self-join is all-pairs, Σdf² = n² per table
+    val n = 40
+    val dup = (1 to n).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val uncapped = Similarity.cosineNearDupPairs(dup, "vec_id", "v",
+      threshold = 0.99, planes = 4, tables = 2, dim = 3)
+    uncapped.count() shouldBe n.toLong * (n - 1) / 2 // all-pairs
+    // capped: every bucket's df (= n) exceeds the cap, so the hot keys
+    // are dropped BEFORE the candidate join — the join emits nothing.
+    // This is the documented recall trade (Dedup.capHotKeys): at scale
+    // the cap is set far above any genuine near-dup cluster size.
+    val capped = Similarity.cosineNearDupPairs(dup, "vec_id", "v",
+      threshold = 0.99, planes = 4, tables = 2, dim = 3, maxBucketDf = 10)
+    capped.count() shouldBe 0L
+  }
+
+  test("hot-bucket cap bounds the corpus side of the incremental store join") {
+    // degenerate CORPUS: one boilerplate bucket with df = 60 would
+    // multiply against every batch row in the store join; the cap drops
+    // it on the corpus side independently of the batch-side cap
+    val corpus = (1 to 60).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val store = Similarity.embeddingBucketKeys(corpus, "vec_id", "v",
+      planes = 4, tables = 2, dim = 3)
+    val batch = Seq(
+      (100L, Array(0.99f, 0.01f, 0.0f)), // ≈ the boilerplate cluster
+      (101L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "v")
+    // uncapped: batch row 100 is dropped (a true store hit)
+    Similarity.dropNearCorpusEmbeddings(batch, "vec_id", "v", store, corpus,
+        threshold = 0.9, planes = 4, tables = 2, dim = 3)
+      .select("vec_id").as[Long].collect().sorted shouldBe Array(101L)
+    // capped at 10: the hot corpus bucket is excluded from the candidate
+    // join entirely — row 100 SURVIVES (recall trade), and the candidate
+    // volume is bounded instead of Σ(df_batch × df_corpus)
+    Similarity.dropNearCorpusEmbeddings(batch, "vec_id", "v", store, corpus,
+        threshold = 0.9, planes = 4, tables = 2, dim = 3, maxBucketDf = 10)
+      .select("vec_id").as[Long].collect().sorted shouldBe
+      Array(100L, 101L)
+  }
+
   test("pqTopK plan: queries broadcast, corpus never shuffled, no cartesian") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)

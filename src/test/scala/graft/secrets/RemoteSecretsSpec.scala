@@ -237,6 +237,31 @@ class RemoteSecretsSpec extends AnyFunSuite with Matchers {
       .getMessage should include("project_id")
   }
 
+  test("template typos fail fast, matching str.format (base.py:50-61)") {
+    // reference renders with Python str.format, which RAISES on an
+    // unknown placeholder; a silent .replace would surface as a 404
+    // against the remote manager instead of a config error
+    val d = RemoteSecretManagers.SecretDefinition("db")
+    (the[IllegalArgumentException] thrownBy
+      d.resolveIdentifier("acme", "{tenat}/{name}"))
+      .getMessage should include("{tenat}")
+    d.resolveIdentifier("acme", "{tenant}/{name}") shouldBe "acme/db"
+    // vault path templates: {name} is NOT a supported placeholder there
+    val t = new Recorder(
+      ("GET http://v:8200/v1/auth/token/lookup-self", HttpResponse(200, "{}")))
+    val m = new VaultSecretManager(address = Some("http://v:8200"),
+      token = Some("t0"), pathTemplate = "teams/{tenant}/{name}",
+      transport = t, env = Map.empty)
+    (the[IllegalArgumentException] thrownBy m.loadSecrets("acme"))
+      .getMessage should include("Unresolved placeholder")
+    // aws/gcp bundle templates share the guard
+    val aws = new AwsSecretsManager(regionName = Some("r1"),
+      bundleSecretIdTemplate = Some("{tenant}-{bundle}"),
+      transport = new Recorder(), env = Map.empty)
+    (the[IllegalArgumentException] thrownBy aws.loadSecrets("acme"))
+      .getMessage should include("Unresolved placeholder")
+  }
+
   // ------------------------------------------------------------- registry
 
   test("registry builds configured remote managers end-to-end") {

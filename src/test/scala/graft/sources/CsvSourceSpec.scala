@@ -47,7 +47,15 @@ class CsvSourceSpec extends SparkSpec {
     n shouldBe 600
     df.filter(df("id") === "1042").select("name").collect()
       .head.getString(0) shouldBe "m42" // swapped-header group mapped by name
-    secs should be < 30.0 // probe is pooled, not a serial per-file loop
+    // The anti-pattern this probes for is a serial per-file loop: one scan
+    // (or worse, one Spark job) per file. Assert it STRUCTURALLY — 600
+    // files in two header groups must collapse to exactly two FileScan
+    // nodes — so green-ness doesn't depend on machine load. The wall-clock
+    // bound is only a generous backstop against a pathological driver-side
+    // probe (a serial loop here measures minutes, not seconds).
+    df.queryExecution.executedPlan.toString
+      .split("FileScan").length shouldBe 3 // exactly two scan nodes
+    secs should be < 120.0
   }
 
   test("extra columns in the file survive to the raw frame") {
