@@ -294,6 +294,7 @@ object JobRunner {
     if (c.isEmpty) return df
     def need(k: String): String = Yaml.str(c, k).getOrElse(
       throw new IllegalArgumentException(s"curation requires $k"))
+    val bucketed = curationStoreBucketed(c)
     var out = df
     if (Yaml.bool(c, "redact_pii"))
       out = out.withColumn(need("text_field"),
@@ -306,11 +307,30 @@ object JobRunner {
         // vs an existing fingerprint store (missing store = first run);
         // append surviving rows' fingerprints post-commit via
         // Dedup.appendFingerprints — store maintenance is a separate
-        // write, not part of the job's single action
+        // write, not part of the job's single action. With
+        // `store_format: bucketed`, `fingerprint_store` names a TABLE
+        // bucketed on the join key (the 100 TB shape: the store streams
+        // with zero Exchange; only the batch shuffles).
         out = graft.operators.Dedup.dropDuplicatesIncremental(
           out, need("id_field"), need("text_field"),
-          graft.operators.Dedup.readFingerprints(
+          if (bucketed) graft.operators.Dedup.readBucketedFingerprints(
+            df.sparkSession, need("fingerprint_store"))
+          else graft.operators.Dedup.readFingerprints(
             df.sparkSession, need("fingerprint_store")))
+      case "incremental_near" =>
+        // vs an existing (id, band-key) MinHash store; the exact-Jaccard
+        // verify re-reads candidate corpus documents from `corpus_path`
+        // (the prior days' committed output), semi-join pruned to
+        // candidates only. Store maintenance post-commit via
+        // appendBandKeys / saveBucketedBandKeys, same split as above.
+        out = graft.operators.Dedup.dropNearDuplicatesIncremental(
+          out, need("id_field"), need("text_field"),
+          if (bucketed) graft.operators.Dedup.readBucketedBandKeys(
+            df.sparkSession, need("band_key_store"))
+          else graft.operators.Dedup.readBandKeys(
+            df.sparkSession, need("band_key_store")),
+          readCorpusDocs(df.sparkSession, need("corpus_path"),
+            need("id_field"), need("text_field"), out))
       case "spans" =>
         // cut repeated passages in place (keep-first); schema preserved,
         // fully-duplicate documents disappear
@@ -342,6 +362,35 @@ object JobRunner {
     }
     out
   }
+
+  /** `curation.store_format`: `parquet` (default — store keys are paths,
+    * appends are plain parquet) or `bucketed` (store keys name TABLES
+    * bucketed on the join key, so the per-batch store join reads with
+    * zero Exchange — the 100 TB shape; see
+    * [[graft.operators.Dedup.saveBucketedFingerprints]]).
+    */
+  private def curationStoreBucketed(c: Map[String, Any]): Boolean =
+    Yaml.str(c, "store_format").getOrElse("parquet") match {
+      case "parquet"  => false
+      case "bucketed" => true
+      case other => throw new IllegalArgumentException(
+        s"unknown curation.store_format: $other (parquet|bucketed)")
+    }
+
+  /** Corpus documents for the incremental near-dup verify. A missing
+    * path is the day-1 bootstrap (empty corpus, typed off the batch so
+    * the join keys line up); any other failure propagates — same
+    * contract as the store readers.
+    */
+  private def readCorpusDocs(spark: SparkSession, path: String,
+      idCol: String, textCol: String, batch: DataFrame): DataFrame =
+    try spark.read.parquet(path).select(col(idCol), col(textCol))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            Option(e.getMessage).exists(_.contains("Path does not exist")) =>
+        batch.select(col(idCol), col(textCol)).limit(0)
+    }
 
   /** Output base path `root/domain/data_product/table` (cli.py:695-723).
     * Local-path root comes from connection.path; S3 from connection.s3.bucket.
@@ -543,10 +592,22 @@ object JobRunner {
         if (cur.nonEmpty && Yaml.bool(cur, "update_store")) {
           def need(k: String): String = Yaml.str(cur, k).getOrElse(
             throw new IllegalArgumentException(s"curation requires $k"))
+          val bucketed = curationStoreBucketed(cur)
           Yaml.str(cur, "dedupe") match {
+            case Some("incremental") if bucketed =>
+              graft.operators.Dedup.saveBucketedFingerprints(
+                curated, need("text_field"), need("fingerprint_store"))
             case Some("incremental") =>
               graft.operators.Dedup.appendFingerprints(
                 curated, need("text_field"), need("fingerprint_store"))
+            case Some("incremental_near") if bucketed =>
+              graft.operators.Dedup.saveBucketedBandKeys(
+                curated, need("id_field"), need("text_field"),
+                need("band_key_store"))
+            case Some("incremental_near") =>
+              graft.operators.Dedup.appendBandKeys(
+                curated, need("id_field"), need("text_field"),
+                need("band_key_store"))
             case Some("incremental_simhash") =>
               graft.operators.Dedup.appendSimhashes(
                 curated, need("id_field"), need("text_field"),

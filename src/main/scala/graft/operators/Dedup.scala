@@ -110,12 +110,26 @@ object Dedup {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" ||
             Option(e.getMessage).exists(_.contains("Path does not exist")) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("fp",
-              org.apache.spark.sql.types.StringType))))
+        emptyFingerprints(spark)
     }
+
+  private def emptyFingerprints(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType))))
+
+  /** Read a BUCKETED fingerprint table ([[saveBucketedFingerprints]]);
+    * a missing table is an empty set — the same first-run bootstrap
+    * contract as [[readFingerprints]] (and like there, only absence is
+    * bootstrap: a present-but-unreadable table fails the job).
+    */
+  def readBucketedFingerprints(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else emptyFingerprints(spark)
 
   /** BUCKETED fingerprint store — the 100 TB shape of the incremental
     * store. The per-batch check is a left-ANTI join whose corpus side
@@ -734,14 +748,26 @@ object Dedup {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" ||
             Option(e.getMessage).exists(_.contains("Path does not exist")) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("bk",
-              org.apache.spark.sql.types.LongType))))
+        emptyBandKeys(spark)
     }
+
+  private def emptyBandKeys(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bk",
+          org.apache.spark.sql.types.LongType))))
+
+  /** Read a BUCKETED band-key table ([[saveBucketedBandKeys]]); missing
+    * table = empty set, same bootstrap contract as [[readBandKeys]].
+    */
+  def readBucketedBandKeys(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else emptyBandKeys(spark)
 
   /** Exact substring-SPAN dedup — repeated-passage detection at the
     * granularity pre-training curation actually wants (Lee et al. 2022,

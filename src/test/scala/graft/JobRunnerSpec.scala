@@ -374,6 +374,106 @@ class JobRunnerSpec extends SparkSpec {
     graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
   }
 
+  test("curation store_format bucketed: two-day cycle, day-2 store join has no store-side Exchange") {
+    import spark.implicits._
+    val table = "jrspec_fp_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def jobYaml(dir: java.nio.file.Path, out: String): String =
+      write(dir, "job_bstore.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  store_format: bucketed
+           |  fingerprint_store: $table
+           |  update_store: true
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    // day 1: missing TABLE bootstraps (nothing dropped), then the
+    // update_store append creates the bucketed table
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val r1 = JobRunner.run(spark, jobYaml(dir1, dir1.resolve("out1").toString))
+    r1.exitCode shouldBe ExitCodes.Success
+    r1.validRecords shouldBe 2
+    spark.catalog.tableExists(table) shouldBe true
+    // day 2: known text dropped via the bucketed store, fresh kept,
+    // survivor appended bucket-aligned for day 3
+    val (dir2, _) = fixture(Seq("3,alice,7.0", "4,carol,6.0"), "strict")
+    val r2 = JobRunner.run(spark, jobYaml(dir2, dir2.resolve("out2").toString))
+    r2.exitCode shouldBe ExitCodes.Success
+    r2.validRecords shouldBe 1
+    spark.read.parquet(r2.outputPath).select("id").collect()
+      .map(_.get(0).toString) shouldBe Array("4")
+    spark.table(table).count() shouldBe 3
+    // the property that matters at 100 TB: day-2's curation plan reads
+    // the store PRE-PARTITIONED on the join key — no Exchange above the
+    // store scan, so the config-routed plan has exactly one fewer
+    // shuffle than the same curation against a plain parquet store.
+    // Auto-broadcast off so the tiny test store takes the sort-merge
+    // shape a real corpus would.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val day2 = Seq(("5", "alice", "1.0"), ("6", "dave", "2.0"))
+        .toDF("id", "name", "score")
+      def curationShuffles(cur: Map[String, Any]): Int =
+        "Exchange hashpartitioning".r.findAllIn(
+          JobRunner.applyCuration(day2, Map("curation" -> cur))
+            .queryExecution.executedPlan.toString).length
+      val bucketedCur = Map[String, Any](
+        "id_field" -> "id", "text_field" -> "name",
+        "dedupe" -> "incremental", "store_format" -> "bucketed",
+        "fingerprint_store" -> table)
+      // plain-store twin with identical contents, written from the table
+      val plainStore = dir2.resolve("fp_plain").toString
+      spark.table(table).write.parquet(plainStore)
+      val plainCur = Map[String, Any](
+        "id_field" -> "id", "text_field" -> "name",
+        "dedupe" -> "incremental", "fingerprint_store" -> plainStore)
+      curationShuffles(bucketedCur) shouldBe curationShuffles(plainCur) - 1
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("curation dedupe incremental_near: day-2 drops near-dups of day-1 corpus") {
+    import spark.implicits._
+    val table = "jrspec_bk_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val corpusDir = java.nio.file.Files.createTempDirectory("nearcorpus-")
+      .toString + "/docs"
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "an altogether different sentence about compilers and parsers")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "incremental_near", "store_format" -> "bucketed",
+      "band_key_store" -> table, "corpus_path" -> corpusDir))
+    // day 1: missing store AND corpus → bootstrap, nothing dropped
+    val out1 = JobRunner.applyCuration(day1, raw)
+    out1.count() shouldBe 2
+    // maintenance half (what update_store runs post-commit)
+    graft.operators.Dedup.saveBucketedBandKeys(out1, "doc_id", "text", table)
+    day1.write.mode("append").parquet(corpusDir)
+    // day 2: near-identical of a stored doc dropped, fresh kept
+    val day2 = Seq(
+      (10L, "THE QUICK brown fox jumps over the lazy dog by the river"),
+      (11L, "a genuinely new document about sailing across the open bay")
+    ).toDF("doc_id", "text")
+    JobRunner.applyCuration(day2, raw)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(11L)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("curated job releases every cache it creates (long-lived session)") {
     // dedupe: near runs the persist-heaviest curation path (shingle +
     // band + candidate caches, connected components); a long-lived
