@@ -862,6 +862,30 @@ object Queries {
     }
   }
 
+  /** IVFPQ ANN through the PQ-COMPRESSED persisted index — the 100 TB
+    * index shape: (id, codes, list) partitioned by list, probed via
+    * LUT/ADC with partition pruning. Same centroids/codebook/probe
+    * mechanics as ann_ivfpq_topk, so the SAME oracle checks it — codes
+    * are ints and round-trip the store exactly.
+    */
+  def annIvfPqStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_store_").toString
+    graft.operators.Similarity.writeIvfPqAssignments(
+      emb, "vec_id", "embedding", cents, cb, store,
+      m = 4, numCodes = 8, dsub = 16)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.ivfPqTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
   /** IVF ANN over k-means-REFINED centroids: the 16 seeds (vec_id < 16)
     * Lloyd-refined for 2 iterations on the deterministic vec_id < 256
     * sample, then the same probe/top-k mechanics as ann_ivf_topk. The
@@ -1075,6 +1099,7 @@ object Queries {
     "ann_ivf_store_topk" -> annIvfStoreTopK _,
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
+    "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
@@ -1663,6 +1688,9 @@ object Queries {
     "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,
     "ann_ivfpq_topk" -> annIvfPqTopKOracle,
+    // the stored-index twin is value-identical by construction (codes
+    // round-trip parquet exactly), so the same oracle checks it
+    "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,

@@ -544,6 +544,80 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adc")
   }
 
+  /** The PQ-compressed stored IVF index — what [[writeIvfAssignments]]
+    * should be at 100 TB: the persisted rows are (id, codes[m])
+    * partitioned by list, NOT raw vectors — m small ints per vector
+    * (dictionary-encoded to ~m bytes) instead of 4·m·dsub float bytes,
+    * the same 64× compression [[pqTopK]] banks on, now in the
+    * PERSISTED index. Assignment and encoding both run map-side once at
+    * build time; probing reads only probed-list partitions and scores
+    * via LUT/ADC — the scan is O(probed lists) over compressed rows.
+    * Keep the raw-vector store ([[writeIvfAssignments]]) alongside when
+    * exact re-ranking is needed; this store alone answers ADC top-k.
+    */
+  def writeIvfPqAssignments(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], codebook: Array[Double],
+      storePath: String, m: Int = 4, numCodes: Int = 8,
+      dsub: Int = 16): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list",
+        least(scoredListStructs(col("v"), centroids): _*).getField("l"))
+      .select(col("id"),
+        graft.functions.PqCodes(col("v"), codebook, m, numCodes, dsub)
+          .as("codes"),
+        col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(storePath)
+
+  /** Probe a stored IVFPQ index: same LUT/ADC scoring, tie and top-k
+    * mechanics as [[ivfPqTopK]] (bit-identical results for the same
+    * centroids/codebook — codes are ints, which round-trip parquet
+    * exactly), but the corpus side is the compressed store pruned to
+    * the probed-list union, inlined as a literal IN like
+    * [[ivfTopKFromStore]] so pruning reaches the file index.
+    */
+  def ivfPqTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val probes = queries.select(col(idCol).as("query_id"),
+        graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
+          .as("lut"),
+        explode(slice(array_sort(
+          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
+          .as("__p"))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    val probedLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val enc = spark.read.parquet(storePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as("neighbor_id"), col("codes"), col("list"))
+    val scored = enc
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+      .filter(col("adc").isNotNull) // see pqTopK: nulls would rank first
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
   /** (id, bk) multi-table LSH bucket keys of an embedding table — the
     * STORE layout for incremental embedding dedup: `tables` keys per
     * vector, maintained append-only via [[appendEmbeddingBuckets]], so

@@ -258,6 +258,40 @@ class SimilaritySpec extends SparkSpec {
     plan should include regex "list#\\d+ IN \\("
   }
 
+  test("ivfPqTopKFromStore: bit-identical to ivfPqTopK, compressed store pruned") {
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt % 40)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding",
+      numLists = 8)
+    val cb = Similarity.seedPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 4)
+    val queries = corpus.filter($"vec_id" < 3)
+    val direct = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, centroids = cents, nprobe = 2, codebook = cb,
+      m = 2, numCodes = 4, dsub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfpq-store-").toString + "/idx"
+    Similarity.writeIvfPqAssignments(corpus, "vec_id", "embedding", cents,
+      cb, store, m = 2, numCodes = 4, dsub = 4)
+    // the persisted rows are codes, not vectors — the 64× compression
+    // is IN the store, not just in flight
+    val storedSchema = spark.read.parquet(store).schema.fieldNames.toSet
+    storedSchema shouldBe Set("id", "codes", "list")
+    val stored = Similarity.ivfPqTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+      codebook = cb, m = 2, numCodes = 4, dsub = 4)
+    stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3)) shouldBe direct
+    // probed-list pruning reaches the file index, like the raw store
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "list#\\d+ IN \\("
+  }
+
   test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
