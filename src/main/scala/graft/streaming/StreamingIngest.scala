@@ -98,6 +98,89 @@ object StreamingIngest {
       .drop("__fp")
   }
 
+  /** Streaming NEAR-dup dedup — the streaming twin of
+    * [[graft.operators.Dedup.dropNearDuplicatesIncremental]], closing
+    * the last batch-only gap in the incremental-dedup family (exact
+    * fingerprints and simhash already have streaming forms above).
+    *
+    * MinHash banding is not expressible as watermark state (a document's
+    * `bands` keys need set-similarity joins, not per-key first-arrival),
+    * so this runs `foreachBatch`: each micro-batch executes the BATCH
+    * operator against the band-key store — within-batch clustering plus
+    * the store LSH join — writes the survivors, then appends their band
+    * keys and documents so the NEXT micro-batch dedups against
+    * everything that has ever landed. Identical semantics to running the
+    * batch operator once per arriving file; the checkpoint provides the
+    * restart cursor.
+    *
+    * Exactly-once: the store/corpus appends are not transactional with
+    * the checkpoint, so a crash INSIDE a micro-batch could replay it on
+    * restart. A `_graft_nearded_batch_<id>` marker under `outPath`
+    * (underscore-prefixed: invisible to parquet readers, like _SUCCESS)
+    * skips fully-completed batches on replay — restarts between batches
+    * (the common case, tested) are exactly-once; a mid-batch crash can
+    * at worst re-append band keys, which the LSH join tolerates (dup
+    * keys produce dup candidates, pruned by the candidate `distinct`).
+    * A production deploy would swap the three appends for one
+    * transactional table commit.
+    *
+    * Scale shape per micro-batch is the batch operator's: the store
+    * streams against broadcast batch keys; corpus docs are read
+    * candidate-pruned; with a BUCKETED store table this would read with
+    * zero store-side Exchange (pass table-backed paths accordingly).
+    */
+  def nearDedupStreamIncremental(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandKeyStorePath: String,
+      corpusDocsPath: String,
+      outPath: String,
+      checkpoint: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new java.io.File(
+          s"$outPath/_graft_nearded_batch_$batchId")
+        if (!marker.exists()) {
+          graft.core.CacheScope.scoped {
+            val store = graft.operators.Dedup.readBandKeys(
+              spark, bandKeyStorePath)
+            val corpus =
+              try spark.read.parquet(corpusDocsPath)
+                .select(col(idCol), col(textCol))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if e.getCondition == "PATH_NOT_FOUND" ||
+                      Option(e.getMessage)
+                        .exists(_.contains("Path does not exist")) =>
+                  batch.select(col(idCol), col(textCol)).limit(0)
+              }
+            // persisted: written to three sinks below, computed once
+            val survivors = graft.core.CacheScope.persist(
+              graft.operators.Dedup.dropNearDuplicatesIncremental(
+                batch, idCol, textCol, store, corpus,
+                shingleN, bands, rowsPerBand, threshold))
+            survivors.write.mode("append").parquet(outPath)
+            graft.operators.Dedup.appendBandKeys(survivors, idCol,
+              textCol, bandKeyStorePath, shingleN, bands, rowsPerBand)
+            survivors.select(col(idCol), col(textCol))
+              .write.mode("append").parquet(corpusDocsPath)
+          }
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming twin of the batch hopping-window aggregation
     * ([[graft.Queries.eventsHoppingWindow]]): the SAME
     * `window(ts, windowDuration, slideDuration)` call, watermarked so

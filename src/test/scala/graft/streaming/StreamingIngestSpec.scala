@@ -142,6 +142,61 @@ class StreamingIngestSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming near-dup dedup matches the batch path across restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-nd-")
+    val ckpt = Files.createTempDirectory("stream-nd-ckpt-").toString
+    val base = Files.createTempDirectory("stream-nd-store-").toString
+    val (store, corpus, out) =
+      (s"$base/bands", s"$base/corpus", s"$base/out")
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("doc_id long, text string")
+        .option("header", "true").csv(in.toString)
+      StreamingIngest.nearDedupStreamIncremental(raw, "doc_id", "text",
+        store, corpus, out, ckpt).awaitTermination(120000)
+    }
+    // micro-batch 1: bootstrap (no store/corpus yet) + in-batch cluster
+    Files.writeString(in.resolve("a.csv"),
+      "doc_id,text\n" +
+        "1,the quick brown fox jumps over the lazy dog by the river\n" +
+        "2,the quick brown fox jumps over the lazy dog by the river\n" +
+        "3,an altogether different sentence about compilers and parsers\n")
+    run()
+    // micro-batch 2 lands AFTER a restart: the checkpoint skips a.csv;
+    // doc 10 is a near-dup of STORED doc 1 (cross-batch, caught only via
+    // the band-key store), doc 11 is fresh
+    Files.writeString(in.resolve("b.csv"),
+      "doc_id,text\n" +
+        "10,THE QUICK brown fox jumps over the lazy dog by the river\n" +
+        "11,a genuinely new document about sailing across the open bay\n")
+    run()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().sorted
+    // batch twin: the SAME operator applied file-by-file with manual
+    // store maintenance — the foreachBatch loop must be exactly this
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the river"),
+      (3L, "an altogether different sentence about compilers and parsers")
+    ).toDF("doc_id", "text")
+    val s1 = graft.operators.Dedup.dropNearDuplicates(day1, "doc_id", "text")
+    val day2 = Seq(
+      (10L, "THE QUICK brown fox jumps over the lazy dog by the river"),
+      (11L, "a genuinely new document about sailing across the open bay")
+    ).toDF("doc_id", "text")
+    val s2 = graft.operators.Dedup.dropNearDuplicatesIncremental(
+      day2, "doc_id", "text",
+      graft.operators.Dedup.minhashBandKeys(s1, "doc_id", "text"), s1)
+    val batchTwin = (s1.select("doc_id").as[Long].collect() ++
+      s2.select("doc_id").as[Long].collect()).sorted
+    streamed shouldBe batchTwin
+    streamed shouldBe Array(1L, 3L, 11L)
+    // and the maintained store now covers every survivor (3 docs × 16
+    // bands), ready for micro-batch 3
+    spark.read.parquet(store).count() shouldBe 3 * 16
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
