@@ -68,21 +68,10 @@ object Bench {
     val sentinelAfter = sentinelProbe()
     val sentinelRatio =
       if (sentinelBefore > 0) sentinelAfter / sentinelBefore else 1.0
-    // Per-query spread (median/min): a quiet run sits near 1.0; a loaded
-    // box inflates the median uniformly. Either signal alone can false-
-    // positive (sentinel: a burst between probes; spread: one GC-unlucky
-    // rep), so `contended` requires sentinel drift OR a broadly inflated
-    // median — >25% of queries with median/min > 1.5.
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val spreads = perRep.map { case (n, ts) =>
       n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
     }
-    val inflatedFrac =
-      if (spreads.nonEmpty) spreads.count(_._2 > 1.5).toDouble / spreads.size else 0.0
-    val contended = sentinelRatio > 1.5 || (reps >= 3 && inflatedFrac > 0.25)
+    val contended = contentionVerdict(sentinelRatio, spreads.map(_._2), reps)
     val results = perRep.map { case (n, ts) => n -> ts.min }
     def fmt(d: Double): String = f"$d%.4f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -95,5 +84,28 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":{"before":${fmt(sentinelBefore)},"after":${fmt(sentinelAfter)},"ratio":${fmt(sentinelRatio)}},"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Per-query spread is median/min over the reps: a quiet run sits near
+    * 1.0; a loaded box inflates the median uniformly. Either signal
+    * alone can false-positive (sentinel: a burst between the two
+    * probes; spread: one GC-unlucky rep), so the run is flagged on
+    * sentinel drift OR a BROADLY inflated median — more than 25% of
+    * queries with median/min > 1.5. Spread needs >= 3 reps to mean
+    * anything (with 2 the median averages in the first rep's residual
+    * warm-up, which legitimately exceeds 1.5 on a quiet machine).
+    */
+  private[graft] def contentionVerdict(sentinelRatio: Double,
+      spreads: Seq[Double], reps: Int): Boolean = {
+    val inflatedFrac =
+      if (spreads.nonEmpty) spreads.count(_ > 1.5).toDouble / spreads.size
+      else 0.0
+    sentinelRatio > 1.5 || (reps >= 3 && inflatedFrac > 0.25)
   }
 }

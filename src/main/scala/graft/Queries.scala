@@ -1178,9 +1178,23 @@ object Queries {
         .select("doc_id")
     }
 
+  /** BENCH-ONLY: `ann_cosine_neardup` with the hot-bucket df-cap
+    * ENGAGED (cap = 1000, far above any healthy bucket at this SF, so
+    * the result set is unchanged) — prices the cap's OVERHEAD (one
+    * partial-aggregated bucket count + broadcast anti-join per capped
+    * join) on a healthy corpus every round. The cap's benefit case
+    * (degenerate mass-duplicate buckets) is pinned in SimilaritySpec;
+    * this entry keeps its steady-state cost honest.
+    */
+  def annCosineNearDupCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, planes = 4, tables = 8, maxBucketDf = 1000)
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_prod" -> dedupSimhashProd _,
-    "dedup_minhash_forced" -> dedupMinhashForced _
+    "dedup_minhash_forced" -> dedupMinhashForced _,
+    "ann_cosine_neardup_capped" -> annCosineNearDupCapped _
   )
 
   // ---------------------------------------------- generated oracle SQL
