@@ -345,11 +345,18 @@ object JobRunner {
         // vs an existing (id, simhash) store (missing store = first run);
         // append surviving rows' hashes post-commit via
         // Dedup.appendSimhashes — store maintenance is a separate write,
-        // same contract as the exact incremental store
-        out = graft.operators.Dedup.dropSimhashDuplicatesIncremental(
-          out, need("id_field"), need("text_field"),
-          graft.operators.Dedup.readSimhashes(
-            df.sparkSession, need("simhash_store")))
+        // same contract as the exact incremental store. Bucketed form
+        // stores pre-exploded (sh, chunk-key) rows bucketed on the key.
+        out =
+          if (bucketed)
+            graft.operators.Dedup.dropSimhashDuplicatesIncrementalChunked(
+              out, need("id_field"), need("text_field"),
+              graft.operators.Dedup.readBucketedSimhashChunks(
+                df.sparkSession, need("simhash_store")))
+          else graft.operators.Dedup.dropSimhashDuplicatesIncremental(
+            out, need("id_field"), need("text_field"),
+            graft.operators.Dedup.readSimhashes(
+              df.sparkSession, need("simhash_store")))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
     }
@@ -608,6 +615,10 @@ object JobRunner {
               graft.operators.Dedup.appendBandKeys(
                 curated, need("id_field"), need("text_field"),
                 need("band_key_store"))
+            case Some("incremental_simhash") if bucketed =>
+              graft.operators.Dedup.saveBucketedSimhashChunks(
+                curated, need("id_field"), need("text_field"),
+                need("simhash_store"))
             case Some("incremental_simhash") =>
               graft.operators.Dedup.appendSimhashes(
                 curated, need("id_field"), need("text_field"),

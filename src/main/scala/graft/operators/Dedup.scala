@@ -598,6 +598,47 @@ object Dedup {
       bits: Int = 64,
       hasher: SimhashHasher = SimhashHasher.Xx
   ): DataFrame = {
+    val cname = corpusHashes.columns // accept any column names: (id, sh)
+    dropSimhashIncrementalFromChunks(batch, idCol, textCol,
+      corpusHashes
+        .select(col(cname(1)).as("csh"))
+        .select(col("csh"),
+          explode(simhashChunkKeys(col("csh"), bits)).as("cck")),
+      maxHamming, bits, hasher)
+  }
+
+  /** [[dropSimhashDuplicatesIncremental]] against a PRE-EXPLODED
+    * (sh, chunk-key) store — the form [[saveBucketedSimhashChunks]]
+    * writes. With the store bucketed on the chunk key, the candidate
+    * join's fallback regime (batch too big to broadcast — exactly the
+    * 100 TB tail) reads the store with ZERO Exchange; the (id, sh)
+    * store above must re-explode and re-shuffle its chunks every batch
+    * in that regime.
+    */
+  def dropSimhashDuplicatesIncrementalChunked(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusChunks: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      hasher: SimhashHasher = SimhashHasher.Xx
+  ): DataFrame = {
+    val cname = corpusChunks.columns // accept any column names: (sh, ck)
+    dropSimhashIncrementalFromChunks(batch, idCol, textCol,
+      corpusChunks.select(col(cname(0)).as("csh"), col(cname(1)).as("cck")),
+      maxHamming, bits, hasher)
+  }
+
+  private def dropSimhashIncrementalFromChunks(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      cChunks: DataFrame, // (csh, cck)
+      maxHamming: Int,
+      bits: Int,
+      hasher: SimhashHasher
+  ): DataFrame = {
     // ONE hash pass over the batch: the in-batch pair detection and the
     // corpus check both read this table (the survivor slice is a semi-join
     // on ids, not a re-tokenize of the surviving text)
@@ -612,10 +653,6 @@ object Dedup {
     val nBatch = guardCount(bh)
     val bChunks = bh.select(col("id"), col("sh"),
       explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
-    val cname = corpusHashes.columns // accept any column names: (id, sh)
-    val cChunks = corpusHashes
-      .select(col(cname(1)).as("csh"))
-      .select(col("csh"), explode(simhashChunkKeys(col("csh"), bits)).as("cck"))
     val hits = cChunks
       .join(pinIfSmall(bChunks, nBatch * 4), col("ck") === col("cck"))
       .filter(bit_count(col("sh").bitwiseXOR(col("csh"))) <= maxHamming)
@@ -634,6 +671,37 @@ object Dedup {
       hasher: SimhashHasher = SimhashHasher.Xx): Unit =
     simhashTable(df, idCol, textCol, bits, hasher)
       .write.mode("append").parquet(storePath)
+
+  /** BUCKETED simhash-chunk store — the 100 TB shape of the simhash
+    * store (same reasoning as [[saveBucketedFingerprints]]): rows are
+    * the PRE-EXPLODED (sh, chunk-key) pairs — 4 rows × 16 bytes per doc
+    * — bucketed on the chunk key the candidate join shuffles on, so in
+    * the non-broadcast regime the store streams in place. The (id, sh)
+    * layout cannot be bucket-joined: its join key is derived
+    * (explode of pigeonhole chunks), which discards the scan's
+    * partitioning.
+    */
+  def saveBucketedSimhashChunks(df: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int = 256, bits: Int = 64,
+      hasher: SimhashHasher = SimhashHasher.Xx): Unit =
+    simhashTable(df, idCol, textCol, bits, hasher)
+      .select(col("sh"), explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "ck").sortBy("ck").saveAsTable(table)
+
+  /** Read a bucketed simhash-chunk table; missing table = empty set,
+    * same bootstrap contract as [[readSimhashes]].
+    */
+  def readBucketedSimhashChunks(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ck",
+          org.apache.spark.sql.types.StringType))))
 
   /** Read a simhash store; a MISSING store is an empty set (first run
     * bootstraps) — any other failure propagates, same contract as

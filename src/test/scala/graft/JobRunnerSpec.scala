@@ -272,6 +272,32 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation dedupe: incremental_simhash routes through the bucketed chunk store") {
+    import spark.implicits._
+    val table = "jrspec_sc_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val day1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "completely different words entirely here now today friends")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "incremental_simhash", "store_format" -> "bucketed",
+      "simhash_store" -> table))
+    // day 1: missing TABLE bootstraps; then the bucketed maintenance half
+    JobRunner.applyCuration(day1, raw).count() shouldBe 2
+    graft.operators.Dedup.saveBucketedSimhashChunks(
+      day1, "doc_id", "text", table)
+    spark.table(table).columns shouldBe Array("sh", "ck") // pre-exploded
+    val day2 = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "a genuinely new document with its very own novel words")
+    ).toDF("doc_id", "text")
+    JobRunner.applyCuration(day2, raw)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("curation dedupe: near collapses in-batch minhash clusters") {
     import spark.implicits._
     val df = Seq(

@@ -104,6 +104,35 @@ class BucketedStoreSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("bucketed simhash-chunk store: identical results, store side reads with no Exchange") {
+    val table = "bspec_sc"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.saveBucketedSimhashChunks(corpus, "doc_id", "text", table)
+    val viaBucketed = Dedup.dropSimhashDuplicatesIncrementalChunked(
+      batch, "doc_id", "text", spark.table(table))
+    val viaPlain = Dedup.dropSimhashDuplicatesIncremental(
+      batch, "doc_id", "text", Dedup.simhashTable(corpus, "doc_id", "text"))
+    viaBucketed.select("doc_id").as[Long].collect().sorted shouldBe
+      viaPlain.select("doc_id").as[Long].collect().sorted
+    // the bucketed win appears in the non-broadcast (100 TB tail)
+    // regime, where the chunk join goes sort-merge: the pre-exploded
+    // store streams in place while the (id, sh) store must explode and
+    // shuffle its chunks every batch
+    def forcedShuffles(body: => DataFrame): Int = withoutAutoBroadcast {
+      graft.core.CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      shuffles(body)
+    }
+    Dedup.withGuardThresholds(0L, Dedup.defaultDriverMaxPairs) {
+      val b = forcedShuffles(Dedup.dropSimhashDuplicatesIncrementalChunked(
+        batch, "doc_id", "text", spark.table(table)))
+      val p = forcedShuffles(Dedup.dropSimhashDuplicatesIncremental(
+        batch, "doc_id", "text", Dedup.simhashTable(corpus, "doc_id", "text")))
+      b should be < p
+    }
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("bucketed embedding-bucket store: incremental embedding dedup identical") {
     val dim = 8
     def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
