@@ -126,8 +126,11 @@ object StreamingIngest {
     *
     * Scale shape per micro-batch is the batch operator's: the store
     * streams against broadcast batch keys; corpus docs are read
-    * candidate-pruned; with a BUCKETED store table this would read with
-    * zero store-side Exchange (pass table-backed paths accordingly).
+    * candidate-pruned. With `bucketedStore = true`,
+    * `bandKeyStorePath` names a TABLE maintained via
+    * `saveBucketedBandKeys`, and the store join reads with zero
+    * store-side Exchange in the non-broadcast regime — the right shape
+    * for a long-running ingester whose store grows without bound.
     */
   def nearDedupStreamIncremental(
       stream: DataFrame,
@@ -141,6 +144,7 @@ object StreamingIngest {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       threshold: Double = 0.9,
+      bucketedStore: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -151,8 +155,10 @@ object StreamingIngest {
           s"$outPath/_graft_nearded_batch_$batchId")
         if (!marker.exists()) {
           graft.core.CacheScope.scoped {
-            val store = graft.operators.Dedup.readBandKeys(
-              spark, bandKeyStorePath)
+            val store =
+              if (bucketedStore) graft.operators.Dedup.readBucketedBandKeys(
+                spark, bandKeyStorePath)
+              else graft.operators.Dedup.readBandKeys(spark, bandKeyStorePath)
             val corpus =
               try spark.read.parquet(corpusDocsPath)
                 .select(col(idCol), col(textCol))
@@ -169,8 +175,13 @@ object StreamingIngest {
                 batch, idCol, textCol, store, corpus,
                 shingleN, bands, rowsPerBand, threshold))
             survivors.write.mode("append").parquet(outPath)
-            graft.operators.Dedup.appendBandKeys(survivors, idCol,
-              textCol, bandKeyStorePath, shingleN, bands, rowsPerBand)
+            if (bucketedStore)
+              graft.operators.Dedup.saveBucketedBandKeys(survivors, idCol,
+                textCol, bandKeyStorePath,
+                shingleN = shingleN, bands = bands, rowsPerBand = rowsPerBand)
+            else
+              graft.operators.Dedup.appendBandKeys(survivors, idCol,
+                textCol, bandKeyStorePath, shingleN, bands, rowsPerBand)
             survivors.select(col(idCol), col(textCol))
               .write.mode("append").parquet(corpusDocsPath)
           }

@@ -197,6 +197,38 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(store).count() shouldBe 3 * 16
   }
 
+  test("streaming near-dup dedup with a bucketed band-key table") {
+    import spark.implicits._
+    val table = "sispec_nd_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val in = Files.createTempDirectory("stream-ndb-")
+    val ckpt = Files.createTempDirectory("stream-ndb-ckpt-").toString
+    val base = Files.createTempDirectory("stream-ndb-store-").toString
+    Files.writeString(in.resolve("a.csv"),
+      "doc_id,text\n" +
+        "1,the quick brown fox jumps over the lazy dog by the river\n" +
+        "3,an altogether different sentence about compilers and parsers\n")
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("doc_id long, text string")
+        .option("header", "true").csv(in.toString)
+      StreamingIngest.nearDedupStreamIncremental(raw, "doc_id", "text",
+        table, s"$base/corpus", s"$base/out", ckpt,
+        bucketedStore = true).awaitTermination(120000)
+    }
+    run()
+    Files.writeString(in.resolve("b.csv"),
+      "doc_id,text\n" +
+        "10,THE QUICK brown fox jumps over the lazy dog by the river\n" +
+        "11,a genuinely new document about sailing across the open bay\n")
+    run()
+    spark.read.parquet(s"$base/out").select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 3L, 11L)
+    // the maintained store is the bucketed TABLE, appended per batch
+    spark.table(table).count() shouldBe 3 * 16
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
