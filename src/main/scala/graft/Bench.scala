@@ -73,7 +73,10 @@ object Bench {
     }
     val contended = contentionVerdict(sentinelRatio, spreads.map(_._2), reps)
     val results = perRep.map { case (n, ts) => n -> ts.min }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would emit invalid JSON
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val repJson = perRep.map { case (k, ts) =>
