@@ -21,10 +21,14 @@ object Bench {
     // absorb one-time JVM/codegen/IO warm-up outside the timed region
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    // Contention sentinel: time a tiny fixed probe before and after the
-    // suite. Its plan never changes, so if the machine is quiet the two
-    // timings agree; drift marks the whole run as untrustworthy. min-of-3
-    // on the probe itself so the sentinel isn't noisier than what it guards.
+    // Contention sentinel: time a tiny fixed probe before the suite,
+    // after every 10th query, and after — a SERIES, because a two-point
+    // before/after check is blind to load that starts and ends mid-run
+    // (measured: a concurrent test suite inflated 15 queries and still
+    // left before ≈ after). Its plan never changes, so on a quiet
+    // machine the series is flat after the first (still-warming) probe.
+    // min-of-3 per probe so the sentinel isn't noisier than what it
+    // guards.
     def sentinelProbe(): Double = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -33,12 +37,14 @@ object Bench {
       }
       ts.min
     }
-    val sentinelBefore = sentinelProbe()
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelProbe())
     // optional args filter to isolated queries (dev loop; driver passes none)
     val only = args.toSet
     val perRep = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qi) =>
+        if (qi > 0 && qi % 10 == 0) sentinels += sentinelProbe()
         val times = (1 to reps).map { _ =>
           // isolate each timed run: operators that persist() intermediates
           // (dedup/ANN families) would otherwise leave cached blocks that
@@ -65,13 +71,12 @@ object Bench {
         }
         name -> times
       }
-    val sentinelAfter = sentinelProbe()
-    val sentinelRatio =
-      if (sentinelBefore > 0) sentinelAfter / sentinelBefore else 1.0
+    sentinels += sentinelProbe()
     val spreads = perRep.map { case (n, ts) =>
       n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
     }
-    val contended = contentionVerdict(sentinelRatio, spreads.map(_._2), reps)
+    val contended =
+      contentionVerdict(sentinels.toSeq, spreads.map(_._2), reps)
     val results = perRep.map { case (n, ts) => n -> ts.min }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma-decimal locale would emit invalid JSON
@@ -85,7 +90,8 @@ object Bench {
     val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":{"before":${fmt(sentinelBefore)},"after":${fmt(sentinelAfter)},"ratio":${fmt(sentinelRatio)}},"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    val sentinelJson = sentinels.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":{"series":$sentinelJson,"before":${fmt(sentinels.head)},"after":${fmt(sentinels.last)}},"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 
@@ -95,20 +101,31 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Per-query spread is median/min over the reps: a quiet run sits near
-    * 1.0; a loaded box inflates the median uniformly. Either signal
-    * alone can false-positive (sentinel: a burst between the two
-    * probes; spread: one GC-unlucky rep), so the run is flagged on
-    * sentinel drift OR a BROADLY inflated median — more than 25% of
-    * queries with median/min > 1.5. Spread needs >= 3 reps to mean
-    * anything (with 2 the median averages in the first rep's residual
-    * warm-up, which legitimately exceeds 1.5 on a quiet machine).
+  /** Contention verdict from two independent signals; flagged when
+    * EITHER fires (each alone can miss a load shape):
+    *
+    *  - Sentinel drift: any post-warm-up probe (the FIRST probe still
+    *    carries JIT/IO warm-up and is excluded) exceeding 2.5× the
+    *    series minimum means the machine slowed mid-run even if it was
+    *    quiet at both ends.
+    *  - Spread: per-query median/min over the reps. A quiet full run
+    *    measures ~5% of queries above 1.5 and none above 2.0; a run
+    *    co-loaded with a test suite measures 18% / 11%. Thresholds sit
+    *    between: >10% above 1.5 or >5% above 2.0. Needs >= 3 reps
+    *    (with 2, the median averages in the first rep's legitimate
+    *    warm-up residual) and >= 20 queries (on a dev-loop subset one
+    *    GC-unlucky query dominates the fraction; the driver's full run
+    *    always qualifies).
     */
-  private[graft] def contentionVerdict(sentinelRatio: Double,
+  private[graft] def contentionVerdict(sentinels: Seq[Double],
       spreads: Seq[Double], reps: Int): Boolean = {
-    val inflatedFrac =
-      if (spreads.nonEmpty) spreads.count(_ > 1.5).toDouble / spreads.size
+    val post = sentinels.drop(1).filter(_ > 0)
+    val sentinelDrift = post.size >= 2 && post.max / post.min > 2.5
+    def frac(thr: Double): Double =
+      if (spreads.nonEmpty) spreads.count(_ > thr).toDouble / spreads.size
       else 0.0
-    sentinelRatio > 1.5 || (reps >= 3 && inflatedFrac > 0.25)
+    val spreadFlag = reps >= 3 && spreads.size >= 20 &&
+      (frac(1.5) > 0.10 || frac(2.0) > 0.05)
+    sentinelDrift || spreadFlag
   }
 }
