@@ -400,6 +400,7 @@ object RunJobs {
       .config("spark.ui.enabled", "false")
     // concurrent jobs share executors fairly instead of FIFO head-of-line
     if (concurrency > 1) builder.config("spark.scheduler.mode", "FAIR")
+    JobRunner.configureCatalog(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

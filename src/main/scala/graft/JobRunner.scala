@@ -384,6 +384,28 @@ object JobRunner {
         s"unknown curation.store_format: $other (parquet|bucketed)")
     }
 
+  /** Catalog persistence for oneshot CLI sessions. The default
+    * in-memory catalog dies with its process, so bucketed store tables
+    * written by yesterday's `RunJob` are invisible (and their warehouse
+    * directories collide) in today's — the cross-process cycle needs
+    * catalog metadata that OUTLIVES the session. `GRAFT_CATALOG=hive`
+    * enables Spark's Hive catalog (Derby metastore on local disk — the
+    * standard persistent-catalog form; a real deploy points it at the
+    * shared metastore); `GRAFT_WAREHOUSE=<dir>` co-locates warehouse and
+    * metastore under one directory instead of the process CWD. Long-lived
+    * sessions (Orchestrator / BatchRunner job loops) don't need this —
+    * their catalog lives as long as the store cycle does.
+    */
+  def configureCatalog(builder: SparkSession.Builder): Unit = {
+    sys.env.get("GRAFT_WAREHOUSE").foreach { w =>
+      builder.config("spark.sql.warehouse.dir", s"$w/warehouse")
+      builder.config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$w/metastore_db;create=true")
+    }
+    if (sys.env.get("GRAFT_CATALOG").contains("hive"))
+      builder.enableHiveSupport()
+  }
+
   /** Corpus documents for the incremental near-dup verify. A missing
     * path is the day-1 bootstrap (empty corpus, typed off the batch so
     * the join keys line up); any other failure propagates — same
@@ -701,14 +723,15 @@ object RunJob {
   def main(args: Array[String]): Unit = {
     val jobPath = args(0)
     val mode = if (args.length > 1) args(1) else "self_hosted"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    JobRunner.configureCatalog(builder)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       // warn-only startup checks, single-job parity with --job-dir

@@ -129,7 +129,34 @@ object Dedup {
   def readBucketedFingerprints(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
-    else emptyFingerprints(spark)
+    else { bucketedBootstrapGuard(spark, table); emptyFingerprints(spark) }
+
+  /** Guard the "missing table = first run" bootstrap against the one
+    * situation where it silently commits duplicates: the table is not in
+    * THIS session's catalog but its warehouse directory exists on disk —
+    * i.e. a previous PROCESS wrote it and this session runs on the
+    * default in-memory catalog, which dies with its session. Bootstrapping
+    * here would dedup against nothing and re-commit the corpus, so fail
+    * loudly instead (the same philosophy as [[readFingerprints]]'
+    * absence-only bootstrap). Oneshot CLI cycles need a persistent
+    * metastore (`GRAFT_CATALOG=hive`) or a long-lived session
+    * (Orchestrator / BatchRunner).
+    */
+  private def bucketedBootstrapGuard(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).toString))
+    if (java.nio.file.Files.exists(loc))
+      throw new IllegalStateException(
+        s"Bucketed store table '$table' is not in this session's catalog " +
+          s"but its warehouse location '$loc' exists on disk. A previous " +
+          "process likely wrote it and this session's in-memory catalog " +
+          "cannot see it; bootstrapping would silently disable incremental " +
+          "dedup and commit duplicates. Run with a persistent metastore " +
+          "(GRAFT_CATALOG=hive on the CLI), reuse a long-lived session, " +
+          "or remove the stale location.")
+  }
 
   /** BUCKETED fingerprint store — the 100 TB shape of the incremental
     * store. The per-batch check is a left-ANTI join whose corpus side
@@ -695,13 +722,16 @@ object Dedup {
   def readBucketedSimhashChunks(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("sh",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ck",
-          org.apache.spark.sql.types.StringType))))
+    else {
+      bucketedBootstrapGuard(spark, table)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sh",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ck",
+            org.apache.spark.sql.types.StringType))))
+    }
 
   /** Read a simhash store; a MISSING store is an empty set (first run
     * bootstraps) — any other failure propagates, same contract as
@@ -830,12 +860,14 @@ object Dedup {
           org.apache.spark.sql.types.LongType))))
 
   /** Read a BUCKETED band-key table ([[saveBucketedBandKeys]]); missing
-    * table = empty set, same bootstrap contract as [[readBandKeys]].
+    * table = empty set, same bootstrap contract as [[readBandKeys]]
+    * (guarded against the stale-warehouse case — see
+    * [[readBucketedFingerprints]]).
     */
   def readBucketedBandKeys(spark: org.apache.spark.sql.SparkSession,
       table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
-    else emptyBandKeys(spark)
+    else { bucketedBootstrapGuard(spark, table); emptyBandKeys(spark) }
 
   /** Exact substring-SPAN dedup — repeated-passage detection at the
     * granularity pre-training curation actually wants (Lee et al. 2022,

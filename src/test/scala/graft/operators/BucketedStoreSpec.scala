@@ -133,6 +133,31 @@ class BucketedStoreSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("stale-warehouse bootstrap guard: missing table + existing location fails loudly") {
+    // the cross-process hazard: a previous RunJob wrote the table, this
+    // session's in-memory catalog can't see it — bootstrapping would
+    // silently disable incremental dedup and commit duplicates
+    val table = "bspec_stale_guard"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).toString))
+    java.nio.file.Files.createDirectories(loc)
+    try {
+      val e = the[IllegalStateException] thrownBy
+        Dedup.readBucketedFingerprints(spark, table)
+      e.getMessage should include("warehouse location")
+      (the[IllegalStateException] thrownBy
+        Dedup.readBucketedBandKeys(spark, table))
+        .getMessage should include("GRAFT_CATALOG=hive")
+      (the[IllegalStateException] thrownBy
+        Dedup.readBucketedSimhashChunks(spark, table))
+        .getMessage should include("stale location")
+    } finally java.nio.file.Files.deleteIfExists(loc)
+    // location gone → genuine first run → bootstrap works again
+    Dedup.readBucketedFingerprints(spark, table).count() shouldBe 0
+  }
+
   test("bucketed embedding-bucket store: incremental embedding dedup identical") {
     val dim = 8
     def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
