@@ -272,11 +272,22 @@ object SecretManagers {
       env: Map[String, String] = sys.env): Map[String, Any] =
     create(managerType, secretsDir, config, env).loadSecrets(tenantId)
 
-  /** `/secrets/{tenant}/x.env` template → resolved path (base.py:10-23). */
+  /** `/secrets/{tenant}/x.env` template → resolved path (base.py:10-23).
+    * Parity with base.py's `str.format(tenant=...)`, which raises on any
+    * placeholder it wasn't given: a leftover brace group that is NOT a
+    * `${VAR}` env reference (a typo like `{tenat}`, or `{name}` copied
+    * from a remote-manager template) fails loudly here instead of
+    * surfacing later as a missing-file error on the literal path.
+    */
   def resolveSecretPath(fileTemplate: String, tenantId: String,
-      env: Map[String, String] = sys.env): Path =
-    Paths.get(SecretParsers.expandVars(
-      fileTemplate.replace("{tenant}", tenantId), env))
+      env: Map[String, String] = sys.env): Path = {
+    val substituted = fileTemplate.replace("{tenant}", tenantId)
+    "(?<!\\$)\\{[^}]*\\}".r.findFirstIn(substituted).foreach(s =>
+      throw new IllegalArgumentException(
+        s"Unresolved placeholder '$s' in secret file_template " +
+          s"'$fileTemplate'; supported: {tenant} and $${VAR} env references."))
+    Paths.get(SecretParsers.expandVars(substituted, env))
+  }
 
   /** Required-secret presence check per connector (secrets/validation.py):
     * derives requirements from credentials.file_template + connector-

@@ -125,6 +125,13 @@ class SecretsSpec extends AnyFunSuite with Matchers {
   test("resolveSecretPath substitutes tenant and env vars (base.py:10-23)") {
     SecretManagers.resolveSecretPath("/secrets/{tenant}/postgres.env", "acme") shouldBe
       Paths.get("/secrets/acme/postgres.env")
+    // ${VAR} env references pass through to expansion...
+    SecretManagers.resolveSecretPath("/secrets/${SDIR}/{tenant}.env", "acme",
+      env = Map("SDIR" -> "prod")) shouldBe Paths.get("/secrets/prod/acme.env")
+    // ...but a placeholder typo fails loudly, like base.py's str.format
+    (the[IllegalArgumentException] thrownBy
+      SecretManagers.resolveSecretPath("/secrets/{tenat}/x.env", "acme"))
+      .getMessage should include("{tenat}")
   }
 
   // --- validation (secrets/validation.py) ---
