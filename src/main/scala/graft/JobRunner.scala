@@ -629,14 +629,22 @@ object JobRunner {
             case Some("incremental") =>
               graft.operators.Dedup.appendFingerprints(
                 curated, need("text_field"), need("fingerprint_store"))
-            case Some("incremental_near") if bucketed =>
-              graft.operators.Dedup.saveBucketedBandKeys(
-                curated, need("id_field"), need("text_field"),
-                need("band_key_store"))
             case Some("incremental_near") =>
-              graft.operators.Dedup.appendBandKeys(
-                curated, need("id_field"), need("text_field"),
-                need("band_key_store"))
+              // TWO appends: band keys for the LSH join AND the documents
+              // for the exact-Jaccard verify — without the corpus append,
+              // tomorrow's candidates verify against an empty corpus and
+              // near-dups silently pass (the verify semi-join prunes
+              // everything).
+              if (bucketed)
+                graft.operators.Dedup.saveBucketedBandKeys(
+                  curated, need("id_field"), need("text_field"),
+                  need("band_key_store"))
+              else
+                graft.operators.Dedup.appendBandKeys(
+                  curated, need("id_field"), need("text_field"),
+                  need("band_key_store"))
+              curated.select(col(need("id_field")), col(need("text_field")))
+                .write.mode("append").parquet(need("corpus_path"))
             case Some("incremental_simhash") if bucketed =>
               graft.operators.Dedup.saveBucketedSimhashChunks(
                 curated, need("id_field"), need("text_field"),

@@ -44,8 +44,17 @@ object CacheScope {
       // until releaseAll(). Entries whose blocks are already gone (the
       // caller unpersisted directly, or clearCache() ran) carry no cache
       // to release, so drop them at each registration; the registry stays
-      // bounded by the number of LIVE unscoped caches.
-      unscoped.filterInPlace(_.storageLevel != StorageLevel.NONE)
+      // bounded by the number of LIVE unscoped caches. A frame whose
+      // session has been STOPPED throws IllegalStateException on
+      // storageLevel — nothing releasable, compact it away; any OTHER
+      // throw is treated as live (kept) so a transient error can't
+      // silently evict a frame releaseAll() still needs to unpersist.
+      unscoped.filterInPlace(d =>
+        try d.storageLevel != StorageLevel.NONE
+        catch {
+          case _: IllegalStateException => false
+          case _: Exception             => true
+        })
       unscoped += p
     }
     p

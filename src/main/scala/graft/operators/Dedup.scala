@@ -144,10 +144,14 @@ object Dedup {
     */
   private def bucketedBootstrapGuard(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val loc = java.nio.file.Paths.get(new java.net.URI(
+    // Hadoop FS, not java.nio: the warehouse can be s3a:// (no NIO
+    // provider) or a local path with characters a java.net.URI rejects —
+    // either would turn the day-1 bootstrap into a crash.
+    val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)).toString))
-    if (java.nio.file.Files.exists(loc))
+        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc))
       throw new IllegalStateException(
         s"Bucketed store table '$table' is not in this session's catalog " +
           s"but its warehouse location '$loc' exists on disk. A previous " +

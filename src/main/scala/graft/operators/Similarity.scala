@@ -117,10 +117,15 @@ object Similarity {
     // all-zero rows, exactly what a crawl corpus contains — piles one
     // bucket high enough that the CANDIDATE join (not the guarded
     // verify) is the scale-killer. Same mechanism and recall trade as
-    // the minhash band cap: see Dedup.capHotKeys.
-    val bucketed = CacheScope.persist(Dedup.capHotKeys(
-      bucketTable(base, planes, tables, dim), "bk", maxBucketDf))
-      // both sides of the self-join
+    // the minhash band cap: see Dedup.capHotKeys. The RAW bucket table
+    // is what gets persisted — capHotKeys reads its input twice (df
+    // count + anti-join probe), so persisting only the capped output
+    // would run the HyperplaneBits kernel pass twice.
+    val raw = CacheScope.persist(bucketTable(base, planes, tables, dim))
+    val bucketed =
+      if (maxBucketDf > 0)
+        CacheScope.persist(Dedup.capHotKeys(raw, "bk", maxBucketDf))
+      else raw // both sides of the self-join
     nearDupPairsFromBuckets(base, bucketed, threshold)
   }
 
@@ -686,10 +691,15 @@ object Similarity {
     // self-join and the batch side of the store join; the corpus side is
     // capped independently below — a key hot on either side would
     // otherwise make the candidate join Σ(df_batch × df_corpus) on that
-    // key. Recall trade documented at Dedup.capHotKeys.
+    // key. Recall trade documented at Dedup.capHotKeys. Persist the RAW
+    // table, then the capped view of it, so the kernel runs once even
+    // though capHotKeys reads its input twice.
     val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val allBuckets = CacheScope.persist(Dedup.capHotKeys(
-      bucketTable(base, planes, tables, dim), "bk", maxBucketDf))
+    val rawBuckets = CacheScope.persist(bucketTable(base, planes, tables, dim))
+    val allBuckets =
+      if (maxBucketDf > 0)
+        CacheScope.persist(Dedup.capHotKeys(rawBuckets, "bk", maxBucketDf))
+      else rawBuckets
     val pairs = nearDupPairsFromBuckets(base, allBuckets, threshold)
     val comps = Dedup.connectedComponents(pairs)
     val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))

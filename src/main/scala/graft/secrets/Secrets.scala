@@ -282,10 +282,16 @@ object SecretManagers {
   def resolveSecretPath(fileTemplate: String, tenantId: String,
       env: Map[String, String] = sys.env): Path = {
     val substituted = fileTemplate.replace("{tenant}", tenantId)
-    "(?<!\\$)\\{[^}]*\\}".r.findFirstIn(substituted).foreach(s =>
+    // strip the ${VAR} env references this port deliberately supports,
+    // then ANY remaining brace — a matched typo group like {tenat} or an
+    // unbalanced one like {tenant missing its close — fails loudly
+    val withoutEnv =
+      substituted.replaceAll("\\$\\{[A-Za-z_][A-Za-z0-9_]*\\}", "")
+    if (withoutEnv.contains('{') || withoutEnv.contains('}'))
       throw new IllegalArgumentException(
-        s"Unresolved placeholder '$s' in secret file_template " +
-          s"'$fileTemplate'; supported: {tenant} and $${VAR} env references."))
+        s"Unresolved placeholder in secret file_template '$fileTemplate' " +
+          s"(rendered: '$substituted'); supported: {tenant} and " +
+          "${VAR} env references.")
     Paths.get(SecretParsers.expandVars(substituted, env))
   }
 

@@ -113,16 +113,21 @@ object StreamingIngest {
     * batch operator once per arriving file; the checkpoint provides the
     * restart cursor.
     *
-    * Exactly-once: the store/corpus appends are not transactional with
-    * the checkpoint, so a crash INSIDE a micro-batch could replay it on
-    * restart. A `_graft_nearded_batch_<id>` marker under `outPath`
-    * (underscore-prefixed: invisible to parquet readers, like _SUCCESS)
-    * skips fully-completed batches on replay — restarts between batches
-    * (the common case, tested) are exactly-once; a mid-batch crash can
-    * at worst re-append band keys, which the LSH join tolerates (dup
-    * keys produce dup candidates, pruned by the candidate `distinct`).
-    * A production deploy would swap the three appends for one
-    * transactional table commit.
+    * Exactly-once: the output/store/corpus writes are not transactional
+    * with the checkpoint, so a crash INSIDE a micro-batch can replay it
+    * on restart. A `_graft_nearded_batch_<id>` marker under `outPath`
+    * (underscore-prefixed: invisible to parquet readers, like _SUCCESS;
+    * written through the Hadoop FS API so object-store outputs work)
+    * skips fully-completed batches on replay — restarts BETWEEN batches
+    * (the common case, tested) are exactly-once. Mid-batch crash
+    * windows, precisely: before the output write → clean replay; after
+    * the output write but before the band-key append → the replay
+    * recomputes the same survivors and appends them to the output
+    * AGAIN (duplicate rows); after the band-key append → the replayed
+    * batch matches its own stored keys and drops entirely (no duplicate
+    * output, but the corpus-doc append may be lost — future verifies
+    * lose recall on those docs). A production deploy swaps the three
+    * writes for one transactional table commit.
     *
     * Scale shape per micro-batch is the batch operator's: the store
     * streams against broadcast batch keys; corpus docs are read
@@ -151,9 +156,11 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new java.io.File(
+        val marker = new org.apache.hadoop.fs.Path(
           s"$outPath/_graft_nearded_batch_$batchId")
-        if (!marker.exists()) {
+        val fs = marker.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
           graft.core.CacheScope.scoped {
             val store =
               if (bucketedStore) graft.operators.Dedup.readBucketedBandKeys(
@@ -185,8 +192,7 @@ object StreamingIngest {
             survivors.select(col(idCol), col(textCol))
               .write.mode("append").parquet(corpusDocsPath)
           }
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          fs.create(marker, false).close()
           ()
         }
       }

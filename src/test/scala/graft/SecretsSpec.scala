@@ -132,6 +132,10 @@ class SecretsSpec extends AnyFunSuite with Matchers {
     (the[IllegalArgumentException] thrownBy
       SecretManagers.resolveSecretPath("/secrets/{tenat}/x.env", "acme"))
       .getMessage should include("{tenat}")
+    // unbalanced braces fail too (a dropped close would otherwise
+    // resolve to a silent literal path)
+    an[IllegalArgumentException] should be thrownBy
+      SecretManagers.resolveSecretPath("/secrets/{tenant/x.env", "acme")
   }
 
   // --- validation (secrets/validation.py) ---
