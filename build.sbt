@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw (unprefixed) stdout for forked runMain: the benchmark/verify
+// drivers parse JSON lines from program output, and sbt's default
+// LoggedOutput strategy prepends "[info] " to every line, which makes
+// `{"metric":...}` unparseable to any reader that expects a line
+// starting with '{'.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

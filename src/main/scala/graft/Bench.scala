@@ -29,22 +29,28 @@ object Bench {
     // machine the series is flat after the first (still-warming) probe.
     // min-of-3 per probe so the sentinel isn't noisier than what it
     // guards.
-    def sentinelProbe(): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        spark.read.parquet(s"$sfDir/region.parquet").count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      ts.min
-    }
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelProbe())
+    // Option, not a bare Double: if the probe file is missing the bench
+    // must still run (without the contention check), matching the
+    // swallow-Throwable warm-up above — a dev pointing SPARK_GRAFT_SF_DIR
+    // at a partial dataset shouldn't crash at startup.
+    def sentinelProbe(): Option[Double] =
+      try {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.read.parquet(s"$sfDir/region.parquet").count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(ts.min)
+      } catch { case _: Throwable => None }
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinels ++= sentinelProbe()
     // optional args filter to isolated queries (dev loop; driver passes none)
     val only = args.toSet
     val perRep = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .zipWithIndex
       .map { case ((name, fn), qi) =>
-        if (qi > 0 && qi % 10 == 0) sentinels += sentinelProbe()
+        if (qi > 0 && qi % 10 == 0) sentinels ++= sentinelProbe()
         val times = (1 to reps).map { _ =>
           // isolate each timed run: operators that persist() intermediates
           // (dedup/ANN families) would otherwise leave cached blocks that
@@ -71,28 +77,80 @@ object Bench {
         }
         name -> times
       }
-    sentinels += sentinelProbe()
+    sentinels ++= sentinelProbe()
     val spreads = perRep.map { case (n, ts) =>
       n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
     }
     val contended =
       contentionVerdict(sentinels.toSeq, spreads.map(_._2), reps)
     val results = perRep.map { case (n, ts) => n -> ts.min }
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma-decimal locale would emit invalid JSON
-    def fmt(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
     val repJson = perRep.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(fmt(_, 4)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val spreadJson = spreads.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sentinelJson = sentinels.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":{"series":$sentinelJson,"before":${fmt(sentinels.head)},"after":${fmt(sentinels.last)}},"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    val sentinelJson = sentinels.map(fmt(_, 4)).mkString("[", ",", "]")
+    val sentinelObj =
+      if (sentinels.isEmpty) s"""{"series":[]}"""
+      else s"""{"series":$sentinelJson,"before":${fmt(sentinels.head, 4)},"after":${fmt(sentinels.last, 4)}}"""
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":$sentinelObj,"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+    // Full detail also lands in a FILE: the driver that collects this
+    // run keeps only a bounded tail of stdout, so the per-rep evidence
+    // must survive somewhere a reviewer can always reach.
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // Two stdout lines, full first, compact LAST. The collector keeps
+    // only the final ~2000 characters of output and parses a line that
+    // starts with '{': the full line alone is ~4 kB and gets its head
+    // truncated away, so the parseable record must be the short one.
+    // The compact line keeps the slowest queries (where the perf signal
+    // lives) under a hard byte budget; the full map is one line up and
+    // in the detail file.
+    println(full)
+    println(compactLine(total, sfDir, contended, results, reps))
     spark.stop()
+  }
+
+  /** Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    * a comma-decimal locale would emit invalid JSON.
+    */
+  private[graft] def fmt(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  /** The machine-readable benchmark record, sized to survive tail
+    * truncation: one line, starting at column zero with '{', at most
+    * [[CompactBudget]] bytes INCLUDING everything that follows it on a
+    * collector's 2000-byte tail (sbt's trailing "[success] ..." line).
+    *
+    * Queries are admitted slowest-first until the budget is reached —
+    * regressions surface in the slow tail, so those names must always
+    * be present — and the count of dropped fast queries is recorded as
+    * `omitted` (their time is still inside `value`). Values carry 2
+    * decimals: at the ≥50 ms magnitude where queries can be omitted,
+    * ±5 ms resolution is already below run-to-run noise.
+    */
+  private[graft] val CompactBudget = 1800
+  private[graft] def compactLine(total: Double, sfDir: String,
+      contended: Boolean, results: Seq[(String, Double)], reps: Int): String = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').lastOption.getOrElse(sfDir)
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","contended":$contended,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
+    }
+    val bySlowest = results.sortBy(-_._2)
+    // admit slowest-first until the rendered line fits the budget
+    var keep = bySlowest.size
+    while (keep > 0 &&
+        render(bySlowest.take(keep), bySlowest.size - keep).length > CompactBudget)
+      keep -= 1
+    render(bySlowest.take(keep), bySlowest.size - keep)
   }
 
   private[graft] def median(xs: Seq[Double]): Double = {

@@ -61,4 +61,54 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
     Bench.median(Seq(3.0, 1.0, 2.0)) shouldBe 2.0
     Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) shouldBe 2.5
   }
+
+  // ------------------------------------------------------ compact line
+  // The collector that records each round's bench keeps only the final
+  // ~2000 bytes of stdout and parses a line starting with '{'. These
+  // tests pin the real-world case: the REGISTERED query set (the exact
+  // names the driver will time) must render under the budget with the
+  // slowest queries always present.
+
+  private def realNames: Seq[String] =
+    (SparkEntry.queries ++ Queries.benchOnly).keys.toSeq.sorted
+
+  private def parseJson(s: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+
+  test("compact line fits the tail budget for the full registered query set") {
+    val results = realNames.zipWithIndex.map { case (n, i) =>
+      n -> (0.05 + (i % 17) * 0.43) // realistic mixed magnitudes
+    }
+    val line = Bench.compactLine(123.4567, "/root/testdata/sf0.1",
+      contended = false, results, reps = 3)
+    line.length should be <= Bench.CompactBudget
+    line should startWith("{")
+    val node = parseJson(line) // valid JSON
+    node.get("metric").asText() shouldBe "total"
+    node.get("unit").asText() shouldBe "sec"
+    node.get("sf").asText() shouldBe "sf0.1"
+    node.get("value").asDouble() shouldBe 123.46 +- 1e-9
+    // every query above the median time survives the cut
+    val kept = node.get("queries")
+    val slowest = results.sortBy(-_._2).take(results.size / 2)
+    slowest.foreach { case (n, _) => kept.has(n) shouldBe true }
+    node.get("omitted").asInt() shouldBe (results.size - kept.size())
+  }
+
+  test("compact line keeps everything when it already fits") {
+    val results = Seq("q1_agg" -> 1.5, "q6_filter_agg" -> 0.3)
+    val line = Bench.compactLine(1.8, "/root/testdata/sf0.01",
+      contended = true, results, reps = 3)
+    val node = parseJson(line)
+    node.get("queries").size() shouldBe 2
+    node.get("omitted").asInt() shouldBe 0
+    node.get("contended").asBoolean() shouldBe true
+  }
+
+  test("compact line: pathological names degrade to omission, never overflow") {
+    val results = (1 to 200).map(i => s"very_long_query_name_padding_${i}_x" * 2 -> i * 0.1)
+    val line = Bench.compactLine(10.0, "sf9", contended = false, results, reps = 3)
+    line.length should be <= Bench.CompactBudget
+    parseJson(line).get("omitted").asInt() should be > 0
+  }
 }
