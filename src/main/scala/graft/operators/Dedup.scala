@@ -147,9 +147,19 @@ object Dedup {
     // Hadoop FS, not java.nio: the warehouse can be s3a:// (no NIO
     // provider) or a local path with characters a java.net.URI rejects —
     // either would turn the day-1 bootstrap into a crash.
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        spark.sessionState.sqlParser.parseTableIdentifier(table)))
+    // defaultTablePath resolves the table's DATABASE first; a
+    // db-qualified store table whose database doesn't exist yet is a
+    // genuine first run (no database → no warehouse dir to collide
+    // with), so that lookup failure falls through to the documented
+    // empty-store bootstrap instead of crashing it.
+    val tablePath =
+      try spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException =>
+          return
+      }
+    val loc = new org.apache.hadoop.fs.Path(tablePath)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc))
       throw new IllegalStateException(
@@ -316,8 +326,8 @@ object Dedup {
     *     `sys.props` toggle silently re-planned CONCURRENT jobs in the
     *     same session (BatchRunner runs jobs on a thread pool) down the
     *     forced 100 TB fallback path for the duration of the bench
-    *     window; the dynamic variable confines the override to the
-    *     calling thread (and threads it spawns).
+    *     window; the thread-local confines the override to exactly the
+    *     calling thread.
     *  2. `-Dgraft.dedup.broadcastMaxPairs=N` — process launch
     *     configuration (re-read per call), for CLI tuning.
     * Setting 0 forces every guard to the unhinted/shuffle tail — how
@@ -325,7 +335,7 @@ object Dedup {
     * exercise the 100 TB fallback plans on small data.
     */
   def broadcastMaxPairs: Long =
-    guardOverride.value.map(_._1)
+    guardOverride.get().map(_._1)
       .orElse(sys.props.get("graft.dedup.broadcastMaxPairs").map(_.toLong))
       .getOrElse(4000000L)
 
@@ -334,21 +344,33 @@ object Dedup {
     * the distributed pointer-jumping loop.
     */
   def defaultDriverMaxPairs: Long =
-    guardOverride.value.map(_._2)
+    guardOverride.get().map(_._2)
       .orElse(sys.props.get("graft.dedup.driverMaxPairs").map(_.toLong))
       .getOrElse(4000000L)
 
+  // Plain ThreadLocal, NOT scala.util.DynamicVariable: DynamicVariable
+  // is backed by InheritableThreadLocal, so any thread SPAWNED while an
+  // override was active (e.g. a lazily-created Spark driver pool
+  // thread) would snapshot it and keep it for the thread's lifetime —
+  // withValue only restores the calling thread. Nothing here needs
+  // child-thread inheritance: the thresholds are read during plan
+  // construction and guard counts, both on the calling thread.
   private val guardOverride =
-    new scala.util.DynamicVariable[Option[(Long, Long)]](None)
+    new ThreadLocal[Option[(Long, Long)]] {
+      override def initialValue: Option[(Long, Long)] = None
+    }
 
   /** Run `body` with thread-scoped guard thresholds
     * (broadcastMaxPairs, driverMaxPairs). Safe to use while other jobs
-    * run in the same session — only this thread (and its children via
-    * InheritableThreadLocal) sees the override.
+    * run in the same session — ONLY the calling thread sees the
+    * override (threads it spawns do not inherit it).
     */
   def withGuardThresholds[T](broadcastMax: Long, driverMax: Long)
-      (body: => T): T =
-    guardOverride.withValue(Some((broadcastMax, driverMax)))(body)
+      (body: => T): T = {
+    val prev = guardOverride.get()
+    guardOverride.set(Some((broadcastMax, driverMax)))
+    try body finally guardOverride.set(prev)
+  }
 
   /** Broadcast-pin `df` only when the measured candidate count allows it. */
   private def pinIfSmall(df: DataFrame, pairCount: Long): DataFrame =

@@ -55,24 +55,37 @@ object RemoteSecretManagers {
   private[secrets] def base64Utf8(b64: String): String =
     new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
 
-  /** Substitute `{key}` placeholders, then FAIL on any leftover braces.
+  /** Substitute `{key}` placeholders, failing fast on TEMPLATE defects.
     * The reference renders these templates with Python's `str.format`,
     * which raises on unknown placeholders (a typo like `{tenat}` or a
     * stray `{name}` in a path template); a silent `.replace` would turn
     * that loud config error into a confusing 404-style read failure
-    * against the remote manager. Matching fail-fast behavior here.
+    * against the remote manager.
+    *
+    * Validation inspects the TEMPLATE, never the rendered result —
+    * str.format only parses the format string, so a tenant id or secret
+    * name whose VALUE contains braces is legal and must render
+    * verbatim. Substitution is a single left-to-right pass for the same
+    * reason: a sequential `.replace` chain would re-scan earlier
+    * substituted values and expand placeholder-shaped text inside them.
     */
+  private val placeholderRe = "\\{([^{}]*)\\}".r
   private[secrets] def renderTemplate(template: String,
       subs: (String, String)*): String = {
-    val rendered = subs.foldLeft(template) { case (acc, (k, v)) =>
-      acc.replace(s"{$k}", v)
-    }
-    if (rendered.contains('{') || rendered.contains('}'))
+    val subMap = subs.toMap
+    def fail(what: String): Nothing =
       throw new IllegalArgumentException(
-        s"Unresolved placeholder in secret template '$template' " +
-          s"(rendered: '$rendered'); supported: " +
+        s"$what in secret template '$template'; supported: " +
           subs.map { case (k, _) => s"{$k}" }.mkString(", "))
-    rendered
+    placeholderRe.findAllMatchIn(template).foreach { m =>
+      if (!subMap.contains(m.group(1)))
+        fail(s"Unresolved placeholder '{${m.group(1)}}'")
+    }
+    val stripped = placeholderRe.replaceAllIn(template, "")
+    if (stripped.contains('{') || stripped.contains('}'))
+      fail("Unbalanced brace")
+    placeholderRe.replaceAllIn(template,
+      m => scala.util.matching.Regex.quoteReplacement(subMap(m.group(1))))
   }
 }
 

@@ -281,18 +281,21 @@ object SecretManagers {
     */
   def resolveSecretPath(fileTemplate: String, tenantId: String,
       env: Map[String, String] = sys.env): Path = {
-    val substituted = fileTemplate.replace("{tenant}", tenantId)
-    // strip the ${VAR} env references this port deliberately supports,
-    // then ANY remaining brace — a matched typo group like {tenat} or an
-    // unbalanced one like {tenant missing its close — fails loudly
-    val withoutEnv =
-      substituted.replaceAll("\\$\\{[A-Za-z_][A-Za-z0-9_]*\\}", "")
-    if (withoutEnv.contains('{') || withoutEnv.contains('}'))
+    // Validate the TEMPLATE, not the rendered path: str.format only
+    // parses the format string, so a tenant VALUE containing braces is
+    // legal and must pass through verbatim. Strip the ${VAR} env
+    // references this port deliberately supports, then {tenant}; ANY
+    // remaining brace — a typo group like {tenat} or an unbalanced
+    // {tenant missing its close — fails loudly.
+    val templateResidue = fileTemplate
+      .replaceAll("\\$\\{[A-Za-z_][A-Za-z0-9_]*\\}", "")
+      .replace("{tenant}", "")
+    if (templateResidue.contains('{') || templateResidue.contains('}'))
       throw new IllegalArgumentException(
-        s"Unresolved placeholder in secret file_template '$fileTemplate' " +
-          s"(rendered: '$substituted'); supported: {tenant} and " +
-          "${VAR} env references.")
-    Paths.get(SecretParsers.expandVars(substituted, env))
+        s"Unresolved placeholder in secret file_template '$fileTemplate'; " +
+          "supported: {tenant} and ${VAR} env references.")
+    Paths.get(SecretParsers.expandVars(
+      fileTemplate.replace("{tenant}", tenantId), env))
   }
 
   /** Required-secret presence check per connector (secrets/validation.py):

@@ -156,8 +156,9 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$outPath/_graft_nearded_batch_$batchId")
+        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
+        val marker = new org.apache.hadoop.fs.Path(markerDir,
+          s"batch_$batchId")
         val fs = marker.getFileSystem(
           spark.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
@@ -192,7 +193,19 @@ object StreamingIngest {
             survivors.select(col(idCol), col(textCol))
               .write.mode("append").parquet(corpusDocsPath)
           }
+          fs.mkdirs(markerDir)
           fs.create(marker, false).close()
+          // Prune markers from earlier batches: a restart only ever
+          // replays the LATEST checkpoint-uncommitted batch, so once
+          // batch N runs, markers < N can never be consulted again —
+          // without this a long-running ingester accumulates one file
+          // per micro-batch forever. Idempotent on replay (the replayed
+          // batch re-prunes the same ids).
+          val stale = fs.listStatus(markerDir).filter { st =>
+            st.getPath.getName.stripPrefix("batch_").toLongOption
+              .exists(_ < batchId)
+          }
+          stale.foreach(st => fs.delete(st.getPath, false))
           ()
         }
       }

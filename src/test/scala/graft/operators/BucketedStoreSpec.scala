@@ -158,6 +158,15 @@ class BucketedStoreSpec extends SparkSpec {
     Dedup.readBucketedFingerprints(spark, table).count() shouldBe 0
   }
 
+  test("bootstrap guard: db-qualified table in a nonexistent database bootstraps") {
+    // no database → no warehouse dir to collide with → the documented
+    // day-1 empty-store bootstrap, not a NoSuchDatabaseException crash
+    Dedup.readBucketedFingerprints(spark, "no_such_db_bspec.fp")
+      .count() shouldBe 0
+    Dedup.readBucketedBandKeys(spark, "no_such_db_bspec.bands")
+      .count() shouldBe 0
+  }
+
   test("bucketed embedding-bucket store: incremental embedding dedup identical") {
     val dim = 8
     def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)

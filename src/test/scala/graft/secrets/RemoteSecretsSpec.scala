@@ -246,6 +246,14 @@ class RemoteSecretsSpec extends AnyFunSuite with Matchers {
       d.resolveIdentifier("acme", "{tenat}/{name}"))
       .getMessage should include("{tenat}")
     d.resolveIdentifier("acme", "{tenant}/{name}") shouldBe "acme/db"
+    // str.format parses only the TEMPLATE: braces inside a substituted
+    // VALUE are legal and render verbatim (the old rendered-string scan
+    // rejected them)
+    d.resolveIdentifier("ac{me}", "{tenant}/{name}") shouldBe "ac{me}/db"
+    // unbalanced braces in the template itself still fail
+    (the[IllegalArgumentException] thrownBy
+      d.resolveIdentifier("acme", "{tenant/{name}"))
+      .getMessage should include("brace")
     // vault path templates: {name} is NOT a supported placeholder there
     val t = new Recorder(
       ("GET http://v:8200/v1/auth/token/lookup-self", HttpResponse(200, "{}")))
