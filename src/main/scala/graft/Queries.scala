@@ -198,9 +198,13 @@ object Queries {
       .agg(count(lit(1)).as("order_count"))
   }
 
-  /** events.ts is parquet timestamp[ns]; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong, so normalize to a sortable
-    * microsecond timestamp here (ns ties are impossible in the testdata).
+  /** events.ts has shipped in three parquet shapes so far: timestamp[ns]
+    * (read as int64 under spark.sql.legacy.parquet.nanosAsLong),
+    * timestamp[us] without a UTC flag (read as TIMESTAMP_NTZ), and plain
+    * UTC timestamp. Normalize all three to a session-TZ timestamp (the
+    * session TZ is pinned UTC, so NTZ→LTZ is a relabel, matching the
+    * oracle's CAST(ts AS TIMESTAMP)); epoch arithmetic downstream
+    * (unix_micros, cast-to-long) is an analysis error on NTZ.
     */
   private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
@@ -209,6 +213,8 @@ object Queries {
         // integral div: double division would ROUND the microseconds while
         // every ns-aware engine truncates
         e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        e.withColumn("ts", col("ts").cast(TimestampType))
       case _ => e
     }
   }
