@@ -46,37 +46,10 @@ object Bench {
     sentinels ++= sentinelProbe()
     // optional args filter to isolated queries (dev loop; driver passes none)
     val only = args.toSet
-    val perRep = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
+    val registered = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .zipWithIndex
-      .map { case ((name, fn), qi) =>
-        if (qi > 0 && qi % 10 == 0) sentinels ++= sentinelProbe()
-        val times = (1 to reps).map { _ =>
-          // isolate each timed run: operators that persist() intermediates
-          // (dedup/ANN families) would otherwise leave cached blocks that
-          // tax every query running after them in the alphabetical order —
-          // the r7 bench showed code-unchanged small queries slowing 2-8x
-          // from exactly this. Clear the cache and nudge GC OUTSIDE the
-          // timed region so each number is attributable to its own plan.
-          spark.catalog.clearCache()
-          System.gc()
-          // the GC above queues broadcast/shuffle cleanup on the async
-          // ContextCleaner; give it a moment to drain OFF the timed
-          // region, or the heavy dedup/ANN families' cleanup lands
-          // inside whichever small query runs next (mdkv_doc_level
-          // measured 0.7 s isolated vs ~3 s mid-suite from exactly this)
-          Thread.sleep(200)
-          val t0 = System.nanoTime()
-          // noop sink, not count(): count() lets Catalyst prune every
-          // unreferenced projection, so projection-heavy queries would time
-          // a bare scan instead of the operator. The noop sink consumes
-          // every row and column with zero write cost.
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times
-      }
+    val (perRep, errors) = timeSuite(spark, sfDir, registered, reps,
+      onTick = qi => if (qi > 0 && qi % 10 == 0) sentinels ++= sentinelProbe())
     sentinels ++= sentinelProbe()
     val spreads = perRep.map { case (n, ts) =>
       n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
@@ -96,7 +69,14 @@ object Bench {
     val sentinelObj =
       if (sentinels.isEmpty) s"""{"series":[]}"""
       else s"""{"series":$sentinelJson,"before":${fmt(sentinels.head, 4)},"after":${fmt(sentinels.last, 4)}}"""
-    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":$sentinelObj,"contended":$contended,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":" + jsonStr(m) }
+      .mkString("{", ",", "}")
+    // A thrown query must be LOUD: the r11/r12 benches recorded
+    // time-to-throw for two analysis-broken queries as if they ran.
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.map(_._1).mkString(", "))
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":$sentinelObj,"contended":$contended,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
     // Full detail also lands in a FILE: the driver that collects this
     // run keeps only a bounded tail of stdout, so the per-rep evidence
     // must survive somewhere a reviewer can always reach.
@@ -112,9 +92,69 @@ object Bench {
     // lives) under a hard byte budget; the full map is one line up and
     // in the detail file.
     println(full)
-    println(compactLine(total, sfDir, contended, results, reps))
+    println(compactLine(total, sfDir, contended, results, reps, errors.size))
     spark.stop()
   }
+
+  /** Time each registered query `reps` times. A query whose execution
+    * THROWS lands in the returned error map (exception class + first
+    * message line) instead of the timing map, and its remaining reps are
+    * skipped — recording time-to-throw as a legitimate number made two
+    * analysis-broken queries look benched for two rounds (r11/r12).
+    *
+    * Each timed run is isolated: operators that persist() intermediates
+    * (dedup/ANN families) would otherwise leave cached blocks that tax
+    * every query after them in the alphabetical order — the r7 bench
+    * showed code-unchanged small queries slowing 2-8x from exactly this.
+    * Cache clear + GC happen OUTSIDE the timed region, then a 200 ms
+    * drain so the async ContextCleaner's broadcast/shuffle cleanup does
+    * not land inside whichever small query runs next (mdkv_doc_level
+    * measured 0.7 s isolated vs ~3 s mid-suite from exactly this).
+    *
+    * The noop sink, not count(): count() lets Catalyst prune every
+    * unreferenced projection, so projection-heavy queries would time a
+    * bare scan instead of the operator. The noop sink consumes every row
+    * and column with zero write cost.
+    */
+  private[graft] def timeSuite(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      reps: Int, onTick: Int => Unit = _ => ())
+      : (Seq[(String, Seq[Double])], Seq[(String, String)]) = {
+    val timed = queries.zipWithIndex.map { case ((name, fn), qi) =>
+      onTick(qi)
+      var err: Option[String] = None
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var rep = 0
+      while (rep < reps && err.isEmpty) {
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(200)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")
+                .linesIterator.take(1).mkString.take(200))
+        }
+        rep += 1
+      }
+      (name, times.toSeq, err)
+    }
+    (timed.collect { case (n, ts, None) => n -> ts },
+      timed.collect { case (n, _, Some(m)) => n -> m })
+  }
+
+  /** Minimal JSON string escape for exception messages. */
+  private[graft] def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
 
   /** Locale.ROOT: the f-interpolator honors the JVM default locale, and
     * a comma-decimal locale would emit invalid JSON.
@@ -136,13 +176,14 @@ object Bench {
     */
   private[graft] val CompactBudget = 1800
   private[graft] def compactLine(total: Double, sfDir: String,
-      contended: Boolean, results: Seq[(String, Double)], reps: Int): String = {
+      contended: Boolean, results: Seq[(String, Double)], reps: Int,
+      errors: Int = 0): String = {
     val sfName = sfDir.replaceAll("/+$", "").split('/').lastOption.getOrElse(sfDir)
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","contended":$contended,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","contended":$contended,"errors":$errors,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
     }
     val bySlowest = results.sortBy(-_._2)
     // admit slowest-first until the rendered line fits the budget

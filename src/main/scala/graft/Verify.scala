@@ -16,17 +16,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // per-query scope: operators that persist() intermediates release
-      // them as soon as the result is written
-      try graft.core.CacheScope.scoped {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,9 +28,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // per-query scope: operators that persist() intermediates release
+      // them as soon as the result is written
+      try graft.core.CacheScope.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
+      catch { case e: Throwable =>
+        val msg = e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")
+            .linesIterator.take(1).mkString.take(300)
+        failed(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+      }
+    }
+    // A failed query must leave a durable trace: stderr alone let two
+    // broken queries vanish from the correctness file for two rounds
+    // (r11/r12) — the collector dropped entries with no parquet and the
+    // file just shrank. _failed.json is ALWAYS written (empty object on
+    // a clean run) so "no failures" and "nobody recorded failures" are
+    // distinguishable, and the checker turns its entries into ERR rows.
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[verify] registered=${SparkEntry.queries.size} " +
+      s"written=${SparkEntry.queries.size - failed.size} failed=${failed.size}")
     spark.stop()
   }
 }

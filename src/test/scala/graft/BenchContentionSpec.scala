@@ -111,4 +111,33 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
     line.length should be <= Bench.CompactBudget
     parseJson(line).get("omitted").asInt() should be > 0
   }
+
+  // ------------------------------------------------------ thrown queries
+  // r11/r12 recorded time-to-throw for two analysis-broken queries as if
+  // they ran; a thrown query must surface in `errors`, never in `queries`.
+
+  test("a throwing query lands in errors, not in the timing map") {
+    val spark = SparkSpec.session
+    val queries = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "good" -> ((s, _) => s.range(3).toDF("id")),
+      "broken" -> ((s, _) =>
+        s.range(1).toDF("id").selectExpr("unix_micros(cast(id as string))")))
+    val (timed, errors) = Bench.timeSuite(spark, "unused", queries, reps = 2)
+    timed.map(_._1) shouldBe Seq("good")
+    timed.head._2 should have size 2
+    errors.map(_._1) shouldBe Seq("broken")
+    errors.head._2 should include("AnalysisException")
+  }
+
+  test("error map renders as valid JSON even with quotes/newlines in messages") {
+    val msg = "boom \"quoted\"\nsecond line\ttab"
+    val json = "{\"broken\":" + Bench.jsonStr(msg) + "}"
+    parseJson(json).get("broken").asText() shouldBe msg
+  }
+
+  test("compact line carries the error count") {
+    val line = Bench.compactLine(1.0, "sf9", contended = false,
+      Seq("q" -> 1.0), reps = 3, errors = 2)
+    parseJson(line).get("errors").asInt() shouldBe 2
+  }
 }

@@ -18,8 +18,23 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Queries that threw inside Verify (written by Verify as _failed.json).
+# Surfacing these as ERR rows makes a silently-disappearing query
+# impossible: r11/r12 shrank 80 -> 78 rows and no artifact said why.
+try:
+    verify_failed = json.load(open(f"{outdir}/_failed.json"))
+except FileNotFoundError:
+    verify_failed = {}
 ok = fail = 0
+for name, msg in sorted(verify_failed.items()):
+    if name not in oracle:
+        fail += 1
+        print(f"ERR  {name}: verify failed: {msg}")
 for name, sql in sorted(oracle.items()):
+    if name in verify_failed:
+        fail += 1
+        print(f"ERR  {name}: verify failed: {verify_failed[name]}")
+        continue
     try:
         exp = con.execute(sql).fetchdf()
         got = duckdb.connect().execute(
