@@ -1099,6 +1099,7 @@ object Queries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
+    "ann_cosine_neardup_capped" -> annCosineNearDupCapped _,
     "ann_decontaminate" -> annDecontaminate _,
     "ann_neardup_incremental" -> annNearDupIncremental _,
     "ann_ivf_topk" -> annIvfTopK _,
@@ -1184,13 +1185,14 @@ object Queries {
         .select("doc_id")
     }
 
-  /** BENCH-ONLY: `ann_cosine_neardup` with the hot-bucket df-cap
-    * ENGAGED (cap = 1000, far above any healthy bucket at this SF, so
-    * the result set is unchanged) — prices the cap's OVERHEAD (one
-    * partial-aggregated bucket count + broadcast anti-join per capped
-    * join) on a healthy corpus every round. The cap's benefit case
-    * (degenerate mass-duplicate buckets) is pinned in SimilaritySpec;
-    * this entry keeps its steady-state cost honest.
+  /** `ann_cosine_neardup` with the hot-bucket df-cap ENGAGED (cap =
+    * 1000, far above any healthy bucket at this SF, so the result set
+    * is unchanged) — prices the cap's OVERHEAD (one partial-aggregated
+    * bucket count + broadcast anti-join per capped join) on a healthy
+    * corpus every round, and is oracle-checked against a SQL replay of
+    * the cap itself ([[annCosineNearDupCappedOracle]]). The cap's
+    * benefit case (degenerate mass-duplicate buckets) is pinned in
+    * SimilaritySpec.
     */
   def annCosineNearDupCapped(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupPairs(
@@ -1199,8 +1201,7 @@ object Queries {
 
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_prod" -> dedupSimhashProd _,
-    "dedup_minhash_forced" -> dedupMinhashForced _,
-    "ann_cosine_neardup_capped" -> annCosineNearDupCapped _
+    "dedup_minhash_forced" -> dedupMinhashForced _
   )
 
   // ---------------------------------------------- generated oracle SQL
@@ -1259,6 +1260,46 @@ object Queries {
        |c AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
        |  FROM d x JOIN d y ON x.vec_id < y.vec_id AND ($anyBucket))
+       |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
+  }
+
+  /** The hot-bucket-capped variant, cap replayed exactly: unpivot the
+    * per-table buckets to (vec_id, t, b) keys, keep keys with df <= cap
+    * (capHotKeys drops STRICTLY greater), pair within surviving keys,
+    * DISTINCT the pairs (a pair can survive in several tables), then the
+    * same exact-cosine verify. At a healthy SF no bucket exceeds the
+    * cap, so this must equal the uncapped result — but the oracle
+    * replays the cap rather than assuming that, so it stays correct if
+    * the testdata ever regenerates with a degenerate (mass-duplicate)
+    * embedding distribution.
+    */
+  private val annCosineNearDupCappedOracle: String = {
+    val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 8).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val unpivot = (0 until 8)
+      .map(tt => s"SELECT vec_id, $tt AS t, b$tt AS b FROM d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols
+       |  FROM v CROSS JOIN p),
+       |k AS ($unpivot),
+       |ok AS (SELECT t, b FROM k GROUP BY t, b HAVING count(*) <= 1000),
+       |kk AS (SELECT k.vec_id, k.t, k.b FROM k JOIN ok USING (t, b)),
+       |pairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM kk x JOIN kk y ON x.vec_id < y.vec_id
+       |    AND x.t = y.t AND x.b = y.b),
+       |c AS (SELECT id_a, id_b,
+       |  ${dotSql("a.e", "b.e")} / (a.nrm * b.nrm) AS cosine
+       |  FROM pairs JOIN d a ON a.vec_id = pairs.id_a
+       |  JOIN d b ON b.vec_id = pairs.id_b)
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
   }
 
@@ -1721,6 +1762,7 @@ object Queries {
     "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
+    "ann_cosine_neardup_capped" -> annCosineNearDupCappedOracle,
     "ann_decontaminate" -> annDecontaminateOracle,
     "ann_neardup_incremental" -> annNearDupIncrementalOracle,
     "csv_roundtrip" ->
