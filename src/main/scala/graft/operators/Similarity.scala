@@ -195,7 +195,17 @@ object Similarity {
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
       numLists: Int): Seq[Array[Double]] =
     df.orderBy(col(idCol)).limit(numLists).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+      .map(rowVecToDouble).toSeq
+
+  /** Driver-side vector read that accepts BOTH array<float> and
+    * array<double> rows — the native kernels already take either, and a
+    * testdata/user schema drift to double must not ClassCastException
+    * the three index-build collect sites (same failure class as the
+    * events TIMESTAMP_NTZ regen that killed two queries for two rounds;
+    * float → double widening is exact, so results are unchanged).
+    */
+  private def rowVecToDouble(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Number](0).map(_.doubleValue()).toArray
 
   /** Spherical k-means (Lloyd) refinement of seeded IVF centroids — an
     * index-BUILD step, run once per index on a DETERMINISTIC sample.
@@ -224,7 +234,7 @@ object Similarity {
       iterations: Int = 2): Seq[Array[Double]] = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     val vecs = sample.orderBy(col(idCol)).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(rowVecToDouble)
     var cents = seeds.map(_.clone()).toArray
     var it = 0
     while (it < iterations) {
@@ -433,7 +443,7 @@ object Similarity {
   def seedPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 4, k: Int = 8, dsub: Int = 16): Array[Double] = {
     val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(rowVecToDouble)
     require(seeds.length == k, s"need $k seed vectors, got ${seeds.length}")
     val flat = new Array[Double](m * k * dsub)
     for (sub <- 0 until m; code <- 0 until k; i <- 0 until dsub)
