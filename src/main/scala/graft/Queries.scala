@@ -333,6 +333,27 @@ object Queries {
     graft.operators.Dedup.dropDuplicatesIncremental(batch, "doc_id", "text", corpusFp)
   }
 
+  /** [[dedupIncremental]]'s fixture through the Bloom-prefiltered path:
+    * the corpus membership check runs against a sketch map-side, the
+    * store is consulted only for bloom-positive candidates, and false
+    * positives are removed exactly — so the SAME oracle SQL checks it
+    * (the sketch is invisible in the result by construction).
+    */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpusFp = d.filter(col("doc_id") < 250)
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+    val sketch = graft.operators.Dedup.buildFingerprintBloom(
+      corpusFp, expectedItems = 10000)
+    val batch = d.filter(col("doc_id") >= 250)
+      .union(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.operators.Dedup.dropDuplicatesIncrementalBloom(
+      batch, "doc_id", "text", corpusFp, sketch)
+  }
+
   /** Incremental NEAR-dup dedup: docs < 250 are the existing corpus,
     * represented by its minhash band-key store (plus candidate-pruned
     * text lookups for the exact verify); the batch is docs >= 250 plus
@@ -1073,6 +1094,7 @@ object Queries {
     "events_interval_join" -> eventsIntervalJoin _,
     "url_dedup" -> urlDedup _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom _,
     "dedup_minhash_incremental" -> dedupMinhashIncremental _,
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_remove" -> dedupSpansRemove _,
@@ -1744,6 +1766,21 @@ object Queries {
        |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
        |WHERE rn = 1""".stripMargin
 
+  private val dedupIncrementalOracle: String =
+    """WITH corpus AS (SELECT
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE doc_id < 250),
+      |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+      |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
+      |b AS (SELECT doc_id, text,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM batch),
+      |k AS (SELECT doc_id, text, fp,
+      |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
+      |SELECT doc_id, text FROM k
+      |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_ivf_store_topk" -> annIvfTopKOracle,
@@ -2050,20 +2087,10 @@ object Queries {
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM salted""".stripMargin
     },
-    "dedup_incremental" ->
-      """WITH corpus AS (SELECT
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents WHERE doc_id < 250),
-        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
-        |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 25),
-        |b AS (SELECT doc_id, text,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM batch),
-        |k AS (SELECT doc_id, text, fp,
-        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM b)
-        |SELECT doc_id, text FROM k
-        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracle,
+    // the bloom path must be RESULT-invisible (sketch = prefilter only,
+    // false positives removed exactly), so the identical oracle checks it
+    "dedup_incremental_bloom" -> dedupIncrementalOracle,
     "dedup_minhash_incremental" ->
       """WITH RECURSIVE
         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),

@@ -203,6 +203,113 @@ object Dedup {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
 
+  // ----------------------------------------------------------- Bloom sketch
+
+  /** Serialized Bloom filter over a fingerprint store's `fp` column —
+    * the SKETCH shape of the incremental membership check, for the
+    * common regime where almost every batch row is NEW: the sketch
+    * (numBits/8 bytes, independent of corpus size) answers "definitely
+    * not in the corpus" map-side with zero store I/O per batch row, so
+    * the store is only consulted for the bloom-POSITIVE sliver. Built
+    * with Catalyst's `BloomFilterAggregate` (partial-aggregated,
+    * mergeable — one narrow pass over the store, the same machinery
+    * AQE's runtime row-filtering uses), keyed by `xxhash64(fp)`.
+    *
+    * `expectedItems`/`fpp` size the sketch; both ends of the pipeline
+    * (store sketch and [[mergeFingerprintBloom]]-maintained increments)
+    * must use the SAME sizing or the merge throws
+    * `IncompatibleMergeException`. An empty store yields a valid empty
+    * sketch (first-run bootstrap, matching [[readFingerprints]]).
+    */
+  def buildFingerprintBloom(corpusFingerprints: DataFrame,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fpName = corpusFingerprints.columns.head
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = GraftExpressionBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(GraftExpressionBridge.expression(col(fpName)))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val row = corpusFingerprints.select(agg).head()
+    if (row.isNullAt(0)) { // aggregate over zero rows → null, not empty
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter
+        .create(expectedItems, numBits).writeTo(out)
+      out.toByteArray
+    } else row.getAs[Array[Byte]](0)
+  }
+
+  /** Merge two sketches built with the same sizing — the store-append
+    * twin for the bloom path: sketch today's committed batch with
+    * [[buildFingerprintBloom]] and fold it into the persisted corpus
+    * sketch instead of rebuilding over the whole store.
+    */
+  def mergeFingerprintBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
+    fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `fp might be in sketch` as a codegen'd Column (Catalyst
+    * `BloomFilterMightContain` over the same `xxhash64(fp)` key the
+    * sketch was built with; the sketch rides along as a binary literal,
+    * shipped once per task like the ANN centroid literals).
+    */
+  private def bloomMightContain(sketch: Array[Byte], fp: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    GraftExpressionBridge.column(new BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftExpressionBridge.expression(fp)))))
+  }
+
+  /** Bloom-prefiltered incremental exact dedup — result is EXACTLY
+    * [[dropDuplicatesIncremental]] (the sketch is only a prefilter;
+    * false positives are removed by an exact check), but the corpus
+    * store is touched only for the bloom-positive sliver of the batch:
+    *
+    *  1. bloom-NEGATIVE rows pass map-side — zero store I/O, zero
+    *     shuffle (the sketch literal evaluates inside the scan stage);
+    *  2. the store streams ONCE against the broadcast candidate
+    *     fingerprints (left-semi, no store-side Exchange) to find which
+    *     candidates are real corpus hits;
+    *  3. candidates anti-join the (small) hit set.
+    *
+    * vs the plain path, which anti-joins the FULL batch against the
+    * FULL store every run. At 100 TB-corpus / mostly-new-batch the
+    * sketch turns the dominant cost (store join) into a broadcast of
+    * |candidates| keys. Candidate-set size is guard-counted: a
+    * dup-catastrophic batch (candidates ≈ batch) falls back to
+    * unhinted joins instead of a driver-killing broadcast.
+    */
+  def dropDuplicatesIncrementalBloom(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusFingerprints: DataFrame,
+      sketch: Array[Byte]): DataFrame = {
+    val inBatch = dropExactDuplicates(batch, idCol, textCol)
+      .withColumn("__fp", fingerprint(col(textCol)))
+    val might = bloomMightContain(sketch, col("__fp"))
+    val clean = inBatch.filter(!might)
+    val cands = CacheScope.persist(inBatch.filter(might))
+    val nCands = guardCount(cands)
+    def pin(d: DataFrame): DataFrame =
+      if (nCands <= broadcastMaxPairs) broadcast(d) else d
+    val fpName = corpusFingerprints.columns.head
+    val hits = corpusFingerprints.select(col(fpName).as("__fp"))
+      .join(pin(cands.select("__fp").distinct()), Seq("__fp"), "left_semi")
+    // unionByName: the USING-style anti-join moved __fp to the front of
+    // `kept`, and positional union would splice text into the id column
+    val kept = cands.join(pin(hits), Seq("__fp"), "left_anti")
+    clean.unionByName(kept).drop("__fp")
+  }
+
   // ------------------------------------------------------------- MinHash-LSH
 
   /** Row-wise MinHash signature (array<bigint> of length k) — for callers
