@@ -231,6 +231,94 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"))
 
+  /** Per-user session state for [[sessionizeStream]] (micros;
+    * 0-based session ids, matching the batch operator).
+    */
+  case class SessionProgress(sessionId: Long, startUs: Long, endUs: Long,
+      n: Long)
+
+  /** One closed session — the same row shape as the batch
+    * [[graft.operators.Sessionize.sessions]].
+    */
+  case class SessionRow(user_id: Long, session_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming twin of the batch gap sessionization
+    * ([[graft.operators.Sessionize.sessions]]): `groupByKey(user)` +
+    * `flatMapGroupsWithState` with EVENT-TIME timeout. A session closes
+    * and emits either when a later event opens the next one (gap in
+    * truncated epoch seconds > `gapSeconds`, the batch rule exactly) or
+    * when the watermark passes its end + gap (the timeout) — so an idle
+    * user costs ZERO state once their last session times out, which is
+    * what lets this run forever: state is one small row per ACTIVE user,
+    * not per user ever seen.
+    *
+    * Exact vs the batch operator when each user's events arrive
+    * time-ordered across micro-batches (the log-ingestion norm; within a
+    * micro-batch arrival order doesn't matter — events are sorted).
+    * Cross-batch REORDERING beyond that is the usual streaming
+    * trade: an out-of-order event after its session already advanced
+    * would split the session; the batch pass repairs those downstream.
+    */
+  def sessionizeStream(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long, watermarkDelay: String)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val session = events.sparkSession
+    import session.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def toTs(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+    def close(user: Long, s: SessionProgress): SessionRow =
+      SessionRow(user, s.sessionId, toTs(s.startUs), toTs(s.endUs), s.n)
+    events
+      // project FIRST: the cast mints new attributes, and a watermark
+      // tagged before the select would not survive onto them
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionProgress, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionProgress]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(user, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+            var cur = state.getOption
+            for (us <- rows.map(r => micros(r._2)).toArray.sorted) {
+              cur match {
+                case None =>
+                  cur = Some(SessionProgress(0L, us, us, 1L))
+                case Some(s) =>
+                  // truncated-seconds gap, the batch boundary rule
+                  if (Math.floorDiv(us, 1000000L) -
+                      Math.floorDiv(s.endUs, 1000000L) > gapSeconds) {
+                    out += close(user, s)
+                    cur = Some(SessionProgress(s.sessionId + 1,
+                      us, us, 1L))
+                  } else
+                    cur = Some(s.copy(endUs = Math.max(s.endUs, us),
+                      n = s.n + 1))
+              }
+            }
+            for (s <- cur) {
+              state.update(s)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.endUs, 1000L) + gapSeconds * 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Beyond-reference: watermarked tumbling-window event counts — the
     * canonical streaming aggregation (late data beyond the watermark is
     * dropped; state is bounded).
