@@ -934,6 +934,22 @@ object Queries {
       "vec_id", "embedding", k = 5, centroids = refined, nprobe = 4)
   }
 
+  /** SemDeDup-style near-dup pairs: cluster-blocked by the SAME
+    * k-means-refined 16-centroid quantizer as [[annIvfRefinedTopK]]
+    * (so the oracle reuses its Lloyd-replay CTEs), exact cosine within
+    * clusters at the [[annCosineNearDup]] threshold.
+    */
+  def annSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val seeds = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val refined = graft.operators.Similarity.refineCentroids(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding", seeds,
+      iterations = 2)
+    graft.operators.Similarity.semDedupPairs(
+      emb, "vec_id", "embedding", refined, threshold = 0.4)
+  }
+
   /** Embedding outlier scores: every vector's best-centroid cosine over
     * the same 16 seed centroids as ann_ivf_topk — low scores mark
     * embedding-space noise.
@@ -1122,6 +1138,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_cosine_neardup_capped" -> annCosineNearDupCapped _,
+    "ann_semdedup" -> annSemDedup _,
     "ann_decontaminate" -> annDecontaminate _,
     "ann_neardup_incremental" -> annNearDupIncremental _,
     "ann_ivf_topk" -> annIvfTopK _,
@@ -1324,6 +1341,30 @@ object Queries {
        |  JOIN d b ON b.vec_id = pairs.id_b)
        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.4""".stripMargin
   }
+
+  /** SemDeDup oracle: the SAME seed + 2-iteration Lloyd refinement CTEs
+    * as [[annIvfRefinedTopKOracle]] (identical quantizer bits), best
+    * list per vector with ties to the lower id, then exact-cosine pairs
+    * within each list at the near-dup threshold.
+    */
+  private val annSemDedupOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c_0 AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |samp AS (SELECT vec_id, e FROM v WHERE vec_id < 256),
+       |${lloydIterSql(1, "c_0")},
+       |${lloydIterSql(2, "c_1")},
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c_2 c),
+       |a AS (SELECT vec_id, e, l, sqrt(${dotSql("e", "e")}) AS nrm
+       |  FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) AS cosine
+       |  FROM a x JOIN a y ON x.l = y.l AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
 
   private val annNearDupIncrementalOracle: String = {
     val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
@@ -1800,6 +1841,7 @@ object Queries {
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
     "ann_cosine_neardup_capped" -> annCosineNearDupCappedOracle,
+    "ann_semdedup" -> annSemDedupOracle,
     "ann_decontaminate" -> annDecontaminateOracle,
     "ann_neardup_incremental" -> annNearDupIncrementalOracle,
     "csv_roundtrip" ->

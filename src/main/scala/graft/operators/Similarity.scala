@@ -309,6 +309,48 @@ object Similarity {
       struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
     }
 
+  /** SemDeDup-style cluster-blocked near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its best-cosine centroid
+    * MAP-SIDE (literal centroids, the same coarse quantizer the IVF
+    * index uses — ties to the lower list id), then verify exact cosine
+    * only WITHIN each cluster. The cluster is the candidate blocker: a
+    * semantically-informed alternative to [[cosineNearDupPairs]]'s
+    * hyperplane buckets — near-identical vectors share a best centroid
+    * far more reliably than they share k random sign bits, so recall
+    * per candidate-pair is higher when a decent quantizer exists
+    * (k-means-refined seeds; see [[refineCentroids]]).
+    *
+    * Scale shape: the assignment adds NO pass of its own (a projection
+    * on the existing scan), candidates shuffle as (id, list) rows, and
+    * the pair verify is the shared candidate-bounded machinery of the
+    * LSH path (broadcast-pinned under the guard count, corpus read once
+    * semi-join-pruned). `maxListDf` caps a degenerate cluster exactly
+    * like the LSH hot-bucket cap — at 100 TB a boilerplate cluster is
+    * the same Σdf² risk as a boilerplate bucket.
+    */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      threshold: Double,
+      maxListDf: Int = 0
+  ): DataFrame = {
+    require(centroids.nonEmpty, "semDedupPairs needs at least one centroid")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // least() rejects a single argument; one centroid = one cluster
+    val bestList =
+      if (centroids.size == 1) lit(0)
+      else least(scoredListStructs(col("v"), centroids): _*).getField("l")
+    val assigned = CacheScope.persist(base.select(col("id"),
+      bestList.as("bk")))
+    val blocked =
+      if (maxListDf > 0)
+        CacheScope.persist(Dedup.capHotKeys(assigned, "bk", maxListDf))
+      else assigned
+    nearDupPairsFromBuckets(base, blocked, threshold)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
