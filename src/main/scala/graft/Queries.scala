@@ -727,6 +727,12 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "lang", "source"),
       "doc_id", fraction = 0.2)
 
+  /** Deterministic 80/10/10 train/val/test assignment over documents. */
+  def sampleSplits(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplits(
+      t(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** Deterministic stratified sample: first 20 docs per language in
     * hash order (uniform without-replacement draw per stratum).
     */
@@ -1149,6 +1155,7 @@ object Queries {
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
+    "sample_splits" -> sampleSplits _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
     "text_decontaminate" -> textDecontaminate _,
@@ -1637,6 +1644,19 @@ object Queries {
        |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} <
        |  ${graft.operators.Sampling.thresholdFor(0.2)}""".stripMargin
 
+  private val sampleSplitsOracle: String = {
+    // the SAME cumulative-threshold literals the Spark projection embeds
+    // (0.8 + 0.1 ≠ 0.9 in doubles; sharing the accumulation makes the
+    // boundary bit-identical cross-engine)
+    val Seq(tTrain, tVal) = graft.operators.Sampling.splitThresholds(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    s"""SELECT doc_id, source,
+       |CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} < $tTrain
+       |  THEN 'train'
+       |WHEN ${hash60Sql("CAST(doc_id AS VARCHAR)")} < $tVal THEN 'val'
+       |ELSE 'test' END AS split FROM documents""".stripMargin
+  }
+
   private val sampleStratifiedOracle: String =
     s"""SELECT doc_id, lang FROM (
        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
@@ -1833,6 +1853,7 @@ object Queries {
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
+    "sample_splits" -> sampleSplitsOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,
     "dedup_simhash" -> dedupSimhashOracle,

@@ -72,6 +72,49 @@ object Sampling {
     df.filter(sampleKey(col(idCol)) < threshold)
   }
 
+  /** Deterministic train/val/test split assignment: label every row
+    * with the first split whose CUMULATIVE hash threshold its sample
+    * key falls under — the standard leakage-safe dataset partition: a
+    * row always lands in the same split regardless of partition layout,
+    * engine, or rerun, and the splits are disjoint and exhaustive by
+    * construction (the last split absorbs the float-rounding tail).
+    * Pure codegen'd projection — NO shuffle, scan-speed at 100 TB — and
+    * exactly replayable in SQL from the same literal thresholds.
+    */
+  /** The cumulative split-boundary thresholds, as the EXACT long
+    * literals both the Spark projection and a SQL oracle must embed —
+    * shared so the double accumulation (0.8 + 0.1 is not 0.9 in
+    * binary floating point) rounds identically on both sides. The last
+    * split has no threshold: it absorbs the remainder.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be >= 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) <= 1e-9,
+      s"split fractions must sum to 1, got $total")
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init.map(thresholdFor)
+  }
+
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val thresholds = splitThresholds(splits) // validates before .init below
+    val key = sampleKey(col(idCol))
+    val labeled = splits.init.zip(thresholds)
+      .foldLeft(Option.empty[Column]) {
+        case (acc, ((name, _), t)) =>
+          val cond = key < lit(t)
+          Some(acc match {
+            case None    => when(cond, lit(name))
+            case Some(c) => c.when(cond, lit(name))
+          })
+      }
+    val splitCol = labeled
+      .map(_.otherwise(lit(splits.last._1)))
+      .getOrElse(lit(splits.last._1))
+    df.withColumn("split", splitCol)
+  }
+
   /** Deterministic stratified sample: the first `n` rows of each stratum
     * in (hash, id) order — a uniform without-replacement draw per
     * stratum.

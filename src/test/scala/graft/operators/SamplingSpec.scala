@@ -68,6 +68,41 @@ class SamplingSpec extends SparkSpec {
     again shouldBe s.select("doc_id").collect().map(_.getLong(0)).toSet
   }
 
+  test("assignSplits: disjoint, exhaustive, layout-stable, boundary = bernoulli") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplits(docs, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row labeled with a declared split
+    a.size shouldBe docs.count()
+    a.values.toSet shouldBe Set("train", "val", "test")
+    // layout-stable
+    val b = Sampling.assignSplits(docs.repartition(13), "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    b shouldBe a
+    // the train boundary IS the 0.8 bernoulli draw (same key, same
+    // threshold) — the property that makes splits composable with the
+    // other sampling ops
+    val bern = Sampling.bernoulliSample(docs, "doc_id", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    a.filter(_._2 == "train").keySet shouldBe bern
+  }
+
+  test("assignSplits: no shuffle; bad fractions rejected") {
+    val plan = Sampling.assignSplits(docs, "doc_id",
+      Seq("a" -> 0.5, "b" -> 0.5)).queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplits(docs, "doc_id", Seq.empty)
+    // single split: everything lands in it
+    Sampling.assignSplits(docs, "doc_id", Seq("all" -> 1.0))
+      .select("split").distinct().collect().map(_.getString(0)) shouldBe
+      Array("all")
+  }
+
   test("deterministicShuffle: reproducible order, seed-independent, layout-stable") {
     def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
       Sampling.deterministicShuffle(df, "doc_id", seed, partitions = 4)
