@@ -295,6 +295,10 @@ object JobRunner {
     def need(k: String): String = Yaml.str(c, k).getOrElse(
       throw new IllegalArgumentException(s"curation requires $k"))
     val bucketed = curationStoreBucketed(c)
+    if (curationStoreFormat(c) == "bloom" &&
+        Yaml.str(c, "dedupe").exists(_ != "incremental"))
+      throw new IllegalArgumentException(
+        "store_format: bloom supports only dedupe: incremental")
     var out = df
     if (Yaml.bool(c, "redact_pii"))
       out = out.withColumn(need("text_field"),
@@ -310,13 +314,26 @@ object JobRunner {
         // write, not part of the job's single action. With
         // `store_format: bucketed`, `fingerprint_store` names a TABLE
         // bucketed on the join key (the 100 TB shape: the store streams
-        // with zero Exchange; only the batch shuffles).
-        out = graft.operators.Dedup.dropDuplicatesIncremental(
-          out, need("id_field"), need("text_field"),
-          if (bucketed) graft.operators.Dedup.readBucketedFingerprints(
+        // with zero Exchange; only the batch shuffles). With
+        // `store_format: bloom`, the store's `_bloom` sidecar prefilters
+        // map-side (missing sidecar = build once from the store) and
+        // only bloom-positive rows touch the store.
+        if (curationStoreFormat(c) == "bloom") {
+          val store = graft.operators.Dedup.readFingerprints(
             df.sparkSession, need("fingerprint_store"))
-          else graft.operators.Dedup.readFingerprints(
-            df.sparkSession, need("fingerprint_store")))
+          val sketch = graft.operators.Dedup.readBloomSidecar(
+            df.sparkSession, need("fingerprint_store")).getOrElse(
+            graft.operators.Dedup.buildFingerprintBloom(
+              store, bloomExpectedItems(c), bloomFpp(c)))
+          out = graft.operators.Dedup.dropDuplicatesIncrementalBloom(
+            out, need("id_field"), need("text_field"), store, sketch)
+        } else
+          out = graft.operators.Dedup.dropDuplicatesIncremental(
+            out, need("id_field"), need("text_field"),
+            if (bucketed) graft.operators.Dedup.readBucketedFingerprints(
+              df.sparkSession, need("fingerprint_store"))
+            else graft.operators.Dedup.readFingerprints(
+              df.sparkSession, need("fingerprint_store")))
       case "incremental_near" =>
         // vs an existing (id, band-key) MinHash store; the exact-Jaccard
         // verify re-reads candidate corpus documents from `corpus_path`
@@ -371,18 +388,31 @@ object JobRunner {
   }
 
   /** `curation.store_format`: `parquet` (default — store keys are paths,
-    * appends are plain parquet) or `bucketed` (store keys name TABLES
+    * appends are plain parquet), `bucketed` (store keys name TABLES
     * bucketed on the join key, so the per-batch store join reads with
     * zero Exchange — the 100 TB shape; see
-    * [[graft.operators.Dedup.saveBucketedFingerprints]]).
+    * [[graft.operators.Dedup.saveBucketedFingerprints]]), or `bloom`
+    * (`dedupe: incremental` only — a `_bloom` sketch sidecar inside the
+    * parquet store answers "definitely new" map-side, so the store is
+    * only consulted for the bloom-positive sliver; sized by
+    * `bloom_expected_items` / `bloom_fpp`, maintained post-commit like
+    * the fingerprint append).
     */
-  private def curationStoreBucketed(c: Map[String, Any]): Boolean =
+  private def curationStoreFormat(c: Map[String, Any]): String =
     Yaml.str(c, "store_format").getOrElse("parquet") match {
-      case "parquet"  => false
-      case "bucketed" => true
+      case f @ ("parquet" | "bucketed" | "bloom") => f
       case other => throw new IllegalArgumentException(
-        s"unknown curation.store_format: $other (parquet|bucketed)")
+        s"unknown curation.store_format: $other (parquet|bucketed|bloom)")
     }
+
+  private def curationStoreBucketed(c: Map[String, Any]): Boolean =
+    curationStoreFormat(c) == "bucketed"
+
+  private def bloomExpectedItems(c: Map[String, Any]): Long =
+    Yaml.str(c, "bloom_expected_items").map(_.toLong).getOrElse(1000000L)
+
+  private def bloomFpp(c: Map[String, Any]): Double =
+    Yaml.str(c, "bloom_fpp").map(_.toDouble).getOrElse(0.01)
 
   /** Catalog persistence for oneshot CLI sessions. The default
     * in-memory catalog dies with its process, so bucketed store tables
@@ -626,6 +656,31 @@ object JobRunner {
             case Some("incremental") if bucketed =>
               graft.operators.Dedup.saveBucketedFingerprints(
                 curated, need("text_field"), need("fingerprint_store"))
+            case Some("incremental")
+                if curationStoreFormat(cur) == "bloom" =>
+              // fingerprint append PLUS the sketch sidecar: merge the
+              // batch's sketch into the existing sidecar, or (no sidecar
+              // yet) build from the just-appended full store — merging
+              // the batch again is harmless, bloom insertion is
+              // idempotent for the same items
+              val store = need("fingerprint_store")
+              graft.operators.Dedup.appendFingerprints(
+                curated, need("text_field"), store)
+              val sparkS = curated.sparkSession
+              val expected = bloomExpectedItems(cur)
+              val fpp = bloomFpp(cur)
+              val batchSketch = graft.operators.Dedup.buildFingerprintBloom(
+                curated.select(graft.operators.Dedup.fingerprint(
+                  col(need("text_field"))).as("fp")), expected, fpp)
+              val merged = graft.operators.Dedup
+                .readBloomSidecar(sparkS, store) match {
+                case Some(s) =>
+                  graft.operators.Dedup.mergeFingerprintBloom(s, batchSketch)
+                case None => graft.operators.Dedup.buildFingerprintBloom(
+                  graft.operators.Dedup.readFingerprints(sparkS, store),
+                  expected, fpp)
+              }
+              graft.operators.Dedup.writeBloomSidecar(sparkS, store, merged)
             case Some("incremental") =>
               graft.operators.Dedup.appendFingerprints(
                 curated, need("text_field"), need("fingerprint_store"))

@@ -268,6 +268,37 @@ object Dedup {
       new XxHash64(Seq(GraftExpressionBridge.expression(fp)))))
   }
 
+  /** Read the sketch sidecar of a fingerprint store (`_bloom` inside
+    * the store directory — underscore-prefixed like _SUCCESS, so
+    * parquet readers never see it; Hadoop FS so object-store paths
+    * work). None = no sidecar yet (bootstrap: build from the store).
+    */
+  def readBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(storePath, "_bloom")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        Some(out.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  /** Overwrite the store's sketch sidecar (post-commit maintenance —
+    * the sketch twin of [[appendFingerprints]]).
+    */
+  def writeBloomSidecar(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, sketch: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath, "_bloom")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(sketch) finally out.close()
+  }
+
   /** Bloom-prefiltered incremental exact dedup — result is EXACTLY
     * [[dropDuplicatesIncremental]] (the sketch is only a prefilter;
     * false positives are removed by an exact check), but the corpus

@@ -400,6 +400,79 @@ class JobRunnerSpec extends SparkSpec {
     graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
   }
 
+  test("curation store_format bloom: three-day cycle maintains the sketch sidecar") {
+    def jobYaml(dir: java.nio.file.Path, out: String, store: String): String =
+      write(dir, "job_bloomstore.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  store_format: bloom
+           |  bloom_expected_items: 1000
+           |  fingerprint_store: $store
+           |  update_store: true
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val store = dir1.resolve("bloomstore").toString
+    val r1 = JobRunner.run(spark,
+      jobYaml(dir1, dir1.resolve("out1").toString, store))
+    r1.exitCode shouldBe ExitCodes.Success
+    r1.validRecords shouldBe 2
+    // day 1 wrote the sidecar alongside the fingerprints
+    graft.operators.Dedup.readBloomSidecar(spark, store) should not be empty
+    // day 2: one corpus-known text (dropped through the sketch +
+    // exact-verify path), one new
+    val (dir2, _) = fixture(Seq("3,alice,7.0", "4,carol,6.0"), "strict")
+    val r2 = JobRunner.run(spark,
+      jobYaml(dir2, dir2.resolve("out2").toString, store))
+    r2.exitCode shouldBe ExitCodes.Success
+    r2.validRecords shouldBe 1
+    spark.read.parquet(r2.outputPath).select("id").collect()
+      .map(_.get(0).toString) shouldBe Array("4")
+    graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
+    // day 3: carol (day-2 commit) is now in the MERGED sidecar — a
+    // sketch stuck at day-1 would let her bloom-negative straight through
+    val (dir3, _) = fixture(Seq("5,carol,5.0", "6,dave,4.0"), "strict")
+    val r3 = JobRunner.run(spark,
+      jobYaml(dir3, dir3.resolve("out3").toString, store))
+    r3.exitCode shouldBe ExitCodes.Success
+    r3.validRecords shouldBe 1
+    spark.read.parquet(r3.outputPath).select("id").collect()
+      .map(_.get(0).toString) shouldBe Array("6")
+  }
+
+  test("curation store_format bloom rejects non-incremental dedupe") {
+    val (dir, _) = fixture(Seq("1,alice,9.5"), "strict")
+    val yaml = write(dir, "job_badbloom.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |curation:
+         |  id_field: id
+         |  text_field: name
+         |  dedupe: exact
+         |  store_format: bloom
+         |source:
+         |  files:
+         |    - {path: data.csv, object: people}
+         |target:
+         |  connection: {path: ${dir.resolve("out")}}
+         |""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy JobRunner.run(spark, yaml)
+  }
+
   test("curation store_format bucketed: two-day cycle, day-2 store join has no store-side Exchange") {
     import spark.implicits._
     val table = "jrspec_fp_bucketed"
