@@ -231,6 +231,43 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"))
 
+  /** Streaming twin of the batch interval join
+    * ([[graft.operators.RangeJoin.intervalJoin]] /
+    * `events_interval_join`): a STREAM-STREAM inner join where each
+    * left event matches right events in the window
+    * `[rightTs − windowBefore, rightTs]` on shared keys (attribution:
+    * clicks within the hour before a same-user purchase, both sides
+    * live streams).
+    *
+    * Both sides are watermarked and the join condition carries explicit
+    * event-time bounds, so Spark derives state-eviction watermarks for
+    * BOTH buffers: each side holds only rows newer than the watermark
+    * minus the window — bounded state, runnable forever. (The batch
+    * operator bucketizes to avoid a nested-loop join; a stream-stream
+    * join is hash-partitioned on the equi-keys with the range as a
+    * post-filter, so the same no-cartesian property holds.)
+    *
+    * `leftTs` and `rightTs` must be DISTINCT names (the joined row
+    * carries both); the right side's key columns are dropped from the
+    * output as duplicates.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      windowBefore: String, watermarkDelay: String): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must differ, both are '$leftTs'")
+    val l = left.withWatermark(leftTs, watermarkDelay).as("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _)
+    val timeCond =
+      col(s"l.$leftTs") >= col(s"r.$rightTs") - expr(s"INTERVAL $windowBefore") &&
+        col(s"l.$leftTs") <= col(s"r.$rightTs")
+    keys.foldLeft(l.join(r, keyCond && timeCond)) { (df, k) =>
+      df.drop(col(s"r.$k"))
+    }
+  }
+
   /** Per-user session state for [[sessionizeStream]] (micros;
     * 0-based session ids, matching the batch operator).
     */
