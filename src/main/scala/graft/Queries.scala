@@ -1007,6 +1007,16 @@ object Queries {
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
 
+  /** Unicode/control/whitespace normalization over documents with a
+    * deterministically-injected mess suffix (decomposed accent, C0
+    * control, CRLF, run of spaces) — the clean testdata text alone
+    * would make every step a no-op and the oracle vacuous.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      graft.operators.TextAnalysis.normalizeText(
+        concat(col("text"), lit("  é x\r\nend "))).as("norm"))
+
   /** Multimodal plumbing: text → binary payload → size + content hash
     * (decode stays stubbed; this exercises the real binary column path).
     */
@@ -1166,6 +1176,7 @@ object Queries {
     "pack_efficiency" -> packEfficiency _,
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "text_fingerprint" -> textFingerprint _,
+    "text_normalize" -> textNormalize _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
     "multimodal_dedup" -> multimodalDedup _,
@@ -2423,6 +2434,16 @@ object Queries {
       """SELECT doc_id,
         |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+    // same injected mess as the Spark query; nfc_normalize and
+    // java.text.Normalizer both implement UAX #15 NFC, and the regexes
+    // are in the Java∩RE2 subset, so the chain replays byte-for-byte
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || '  e' || chr(769) || ' ' || chr(1) ||
+        |    'x' || chr(13) || chr(10) || 'end '),
+        |  '\r\n?', chr(10), 'g'),
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |  '[ \t]+', ' ', 'g')) AS norm FROM documents""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,

@@ -107,6 +107,23 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
 
+  /** Canonical text cleanup before fingerprinting/shingling: Unicode
+    * NFC (native kernel — composed and decomposed forms of the same
+    * grapheme must fingerprint identically), CRLF/CR → LF, control
+    * characters stripped (C0 except tab/newline, plus DEL), horizontal
+    * whitespace collapsed, ends trimmed. Every step is codegen'd
+    * (kernel + regexp_replace) — map-side, shuffle-free, scan-speed at
+    * 100 TB — and each regex is in the Java∩RE2 subset so DuckDB
+    * replays the whole chain byte-for-byte (`nfc_normalize` and
+    * java.text.Normalizer both implement UAX #15).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalize(text),
+      "\\r\\n?", "\n"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 quality
     * filters; also used by C4/RefinedWeb-class pipelines): documents
     * dominated by a few repeated words/n-grams are boilerplate or spam.

@@ -118,4 +118,33 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.tokenLengthHistogram(df, "text", bucketWidth = 10)
       .as[(Long, Long)].collect().sorted shouldBe Array((0L, 1L), (10L, 2L))
   }
+
+  test("normalizeText: NFC composes, controls strip, CRLF and spaces collapse") {
+    val df = Seq(
+      (1L, "café  du\t monde\r\nline2 "), // decomposed é
+      (2L, "café du monde\nline2"),              // precomposed é
+      (3L, (null: String))
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "café du monde\nline2"
+    // both encodings of é normalize to the SAME bytes — the reason this
+    // runs before fingerprinting
+    out(2L) shouldBe out(1L)
+    out(3L) shouldBe null
+    // the dedup fingerprints now agree
+    val fps = df.filter($"text".isNotNull).select(
+      Dedup.fingerprint(TextAnalysis.normalizeText($"text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    fps.size shouldBe 1
+  }
+
+  test("normalizeText is a pure projection — no Exchange") {
+    val plan = Seq((1L, "x")).toDF("doc_id", "text")
+      .select(TextAnalysis.normalizeText(col("text")))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should include("nfcnormalize")
+  }
 }
