@@ -1017,6 +1017,56 @@ object Queries {
       graft.operators.TextAnalysis.normalizeText(
         concat(col("text"), lit("  é x\r\nend "))).as("norm"))
 
+  /** HTML → text extraction over deterministically-synthesized markup
+    * wrapping documents.text (the raw text contains no `<`, `&` or
+    * newlines — verified against the testdata — so the synthesis fully
+    * controls what the chain must handle: a multi-line comment, a
+    * script block with braces and a bare `>`, a style block, an
+    * entity-encoded title, block-tag boundaries, and an entity-heavy
+    * tail div on every third document).
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc &#39;"), col("doc_id").cast("string"),
+      lit("&#39; &amp; more</title>"),
+      lit("<style type=\"text/css\">p { color: #333; }</style>"),
+      lit("<script>var n = "), col("doc_id").cast("string"),
+      lit("; if (n > 0) { n--; }</script></head>"),
+      lit("<body><!-- synthesized\ncomment --><h1>Section "),
+      (col("doc_id") % 7).cast("string"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<div class=\"x\">tail &lt;kept&gt;&nbsp;&quot;quoted&quot;</div>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.operators.HtmlExtract.htmlTitle(html).as("title"),
+      graft.operators.HtmlExtract.htmlToText(html).as("body_text"))
+  }
+
+  /** C4 line-level cleanup over documents with deterministically-injected
+    * lines (the raw word-soup text has no punctuation, so every rule
+    * would be vacuously false on it alone): two good sentence lines, a
+    * too-short line, a `javascript` line, an unterminated line, and —
+    * keyed on doc_id mods — a third good line (survival), a curly brace
+    * (code-page kill), a "Lorem Ipsum" line (document kill).
+    */
+  def textC4Filter(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(col("text"),
+      lit("\nA good first sentence line here.\nshort.\n" +
+        "this line mentions javascript badly.\n" +
+        "Another full sentence line, with words!\nno terminal punct line\n"),
+      when(col("doc_id") % 11 === 0,
+        lit("Third proper sentence line for survival?")).otherwise(lit("tail")),
+      when(col("doc_id") % 13 === 0, lit(" {")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("\nLorem Ipsum dolor sit.")).otherwise(lit("")))
+    graft.operators.TextAnalysis.c4LineFilter(
+      t(spark, dir, "documents").select(col("doc_id"), messy.as("text")),
+      "doc_id", "text", minWords = 3, minLines = 3)
+  }
+
   /** Multimodal plumbing: text → binary payload → size + content hash
     * (decode stays stubbed; this exercises the real binary column path).
     */
@@ -1177,6 +1227,8 @@ object Queries {
     "dedup_minhash_clusters" -> dedupMinhashClusters _,
     "text_fingerprint" -> textFingerprint _,
     "text_normalize" -> textNormalize _,
+    "html_extract" -> htmlExtract _,
+    "text_c4_filter" -> textC4Filter _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
     "multimodal_dedup" -> multimodalDedup _,
@@ -2448,6 +2500,78 @@ object Queries {
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
         |CAST(length(text) AS BIGINT) AS char_count FROM documents""".stripMargin,
+    // same synthesized markup as the Spark query; every regex is in the
+    // Java∩RE2 subset ((?i)/(?s), non-greedy, \b) so the whole chain
+    // replays byte-for-byte. Entity decode order matters: &amp; LAST.
+    "html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc &#39;' || doc_id || '&#39; &amp; more</title>'
+        |  || '<style type="text/css">p { color: #333; }</style>'
+        |  || '<script>var n = ' || doc_id || '; if (n > 0) { n--; }</script></head>'
+        |  || '<body><!-- synthesized' || chr(10) || 'comment --><h1>Section '
+        |  || (doc_id % 7) || '</h1><p>' || text || '</p>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN
+        |       '<div class="x">tail &lt;kept&gt;&nbsp;&quot;quoted&quot;</div>'
+        |     ELSE '' END
+        |  || '</body></html>' AS html FROM documents),
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(html,
+        |    '(?s)<!--.*?-->', '', 'g'),
+        |    '(?is)<head\b.*?</head>', '', 'g'),
+        |    '(?is)<script\b.*?</script>', '', 'g'),
+        |    '(?is)<style\b.*?</style>', '', 'g'),
+        |    '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)\b[^>]*>',
+        |    chr(10), 'g'),
+        |    '<[^>]*>', '', 'g') AS x,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS rawtitle
+        |  FROM h),
+        |d AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(x,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(rawtitle,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS ti
+        |  FROM s)
+        |SELECT doc_id,
+        |  trim(regexp_replace(ti, '\s+', ' ', 'g')) AS title,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n\n+', chr(10), 'g'),
+        |    '^\n+|\n+$', '', 'g')) AS body_text
+        |FROM d""".stripMargin,
+    // same injected lines as the Spark query; trim/word-split/terminal
+    // rules are pinned to semantics both engines share (space-only trim,
+    // \s+ splitting), so the kept-line lists replay exactly
+    "text_c4_filter" ->
+      """WITH m AS (SELECT doc_id, text || chr(10) ||
+        |  'A good first sentence line here.' || chr(10) ||
+        |  'short.' || chr(10) ||
+        |  'this line mentions javascript badly.' || chr(10) ||
+        |  'Another full sentence line, with words!' || chr(10) ||
+        |  'no terminal punct line' || chr(10) ||
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN 'Third proper sentence line for survival?' ELSE 'tail' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END ||
+        |  CASE WHEN doc_id % 17 = 0
+        |    THEN chr(10) || 'Lorem Ipsum dolor sit.' ELSE '' END AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, text,
+        |  list_filter(
+        |    list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    x -> x <> '' AND regexp_matches(x, '[.!?"]$')
+        |      AND len(string_split_regex(x, '\s+')) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM m)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS kept_lines,
+        |  array_to_string(kept, chr(10)) AS text
+        |FROM k WHERE len(kept) >= 3
+        |  AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')""".stripMargin,
     "multimodal_dedup" ->
       """WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents
         |  UNION ALL SELECT doc_id + 10000, sha256(text) FROM documents

@@ -124,6 +124,35 @@ object TextAnalysis {
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
+  /** Kept lines of a document under the C4 line rules (Raffel et al.
+    * 2020 §2.2), joined by `\n` — native codegen'd kernel, one static
+    * call per row ([[graft.functions.C4KeepLines]]).
+    */
+  def c4KeepLines(text: Column, minWords: Int = 3): Column =
+    graft.functions.C4KeepLines(text, minWords)
+
+  /** Full C4 document cleanup: line-level filtering (terminal
+    * punctuation, `minWords`, no `javascript`) plus the document-level
+    * cuts — fewer than `minLines` surviving lines, "lorem ipsum"
+    * anywhere (case-insensitive), or a curly brace (code markers are
+    * judged on the ORIGINAL text, like C4, so a brace on a dropped line
+    * still kills the page). Survivors keep (id, kept_lines, cleaned
+    * text). Map-side filter + projection: NO shuffle at any scale —
+    * the whole pass runs at scan speed over 100 TB.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minLines: Int = 3): DataFrame = {
+    val cleaned = df.withColumn("__c4_clean", c4KeepLines(col(textCol), minWords))
+    cleaned
+      .filter(col("__c4_clean") =!= "" &&
+        size(split(col("__c4_clean"), "\n")) >= minLines &&
+        !contains(lower(col(textCol)), lit("lorem ipsum")) &&
+        !contains(col(textCol), lit("{")))
+      .select(col(idCol),
+        size(split(col("__c4_clean"), "\n")).cast("long").as("kept_lines"),
+        col("__c4_clean").as(textCol))
+  }
+
   /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 quality
     * filters; also used by C4/RefinedWeb-class pipelines): documents
     * dominated by a few repeated words/n-grams are boilerplate or spam.
