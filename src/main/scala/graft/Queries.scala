@@ -751,6 +751,21 @@ object Queries {
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
       defaultFraction = 0.05)
 
+  /** DSIR importance resampling: every 10th document plays the target
+    * domain; the full corpus is scored by hashed-unigram log-likelihood
+    * ratio (64 buckets, micro-nat integer scores) and the top quarter
+    * under Gumbel(id, seed=42) perturbation is kept. All output columns
+    * are exact integers, so the oracle replay is hash-exact.
+    */
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val k = math.ceil(0.25 * docs.count()).toInt
+    graft.operators.Sampling.importanceResample(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", k = k, buckets = 64, seed = 42L)
+  }
+
   /** Benchmark decontamination: every 20th doc plays the held-out eval
     * set; the rest of the corpus is scored by shared 3-gram count.
     */
@@ -1218,6 +1233,7 @@ object Queries {
     "sample_splits" -> sampleSplits _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
+    "sample_dsir" -> sampleDsir _,
     "text_decontaminate" -> textDecontaminate _,
     "text_pii_redact" -> textPiiRedact _,
     "text_gopher_filter" -> textGopherFilter _,
@@ -1919,6 +1935,35 @@ object Queries {
     "sample_splits" -> sampleSplitsOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,
+    // DSIR: per-bucket log ratios from exact integer counts, quantized
+    // to micro-nats (floor(x*1e6+0.5) — explicit half-up, round() and
+    // Math.round disagree on negative halves); doc scores are exact
+    // BIGINT sums, the Gumbel key a pure function of (doc_id, seed)
+    "sample_dsir" ->
+      """WITH rt AS (SELECT doc_id, x AS tok,
+        |  ('0x' || substring(md5(x), 1, 15))::BIGINT % 64 AS b FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |     AS x FROM documents) WHERE x <> ''),
+        |tt AS (SELECT tok, b FROM rt WHERE doc_id % 10 = 0),
+        |rb AS (SELECT b, count(*) AS cq FROM rt GROUP BY b),
+        |tb AS (SELECT b, count(*) AS ct FROM tt GROUP BY b),
+        |tot AS (SELECT (SELECT count(*) FROM rt) AS nq,
+        |               (SELECT count(*) FROM tt) AS nt),
+        |iw AS (SELECT rb.b,
+        |  CAST(floor((ln(COALESCE(tb.ct, 0) + 1) - ln(tot.nt + 64)
+        |    - ln(rb.cq + 1) + ln(tot.nq + 64)) * 1000000 + 0.5) AS BIGINT) AS w
+        |  FROM rb LEFT JOIN tb ON tb.b = rb.b CROSS JOIN tot),
+        |sc AS (SELECT rt.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(iw.w) AS BIGINT) AS score
+        |  FROM rt JOIN iw ON iw.b = rt.b GROUP BY rt.doc_id),
+        |g AS (SELECT doc_id, n_tokens, score, score + CAST(floor(
+        |  -ln(-ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'),
+        |    1, 15))::BIGINT
+        |    + 0.5) / 1152921504606846976.0)) * 1000000 + 0.5) AS BIGINT)
+        |  AS gscore FROM sc)
+        |SELECT doc_id, n_tokens, score, gscore FROM g
+        |QUALIFY row_number() OVER (ORDER BY gscore DESC, doc_id)
+        |  <= ceil(0.25 * (SELECT count(*) FROM documents))""".stripMargin,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_simhash_drop" -> dedupSimhashDropOracle,
     "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,

@@ -211,4 +211,100 @@ object Sampling {
       .repartitionByRange(partitions, col("__sk"))
       .sortWithinPartitions("__sk")
       .drop("__sk")
+
+  // ---------------------------------------------------------------------
+  // DSIR importance resampling (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score every raw document
+  // by how target-like its hashed-unigram distribution is, then draw a
+  // Gumbel top-k — the standard recipe for carving a domain-matched
+  // subset out of a web-scale corpus.
+  //
+  // Cross-engine determinism is the design driver: per-bucket log ratios
+  // are computed ONCE (driver-side, from exact integer counts), quantized
+  // to micro-nats (×1e6, half-up), and embedded as a literal array — so
+  // the per-document score is an exact INTEGER sum (order-independent,
+  // overflow-free: |micro-ratio| < ~2e7, docs are < 1e5 tokens) and the
+  // oracle replays it bit-for-bit. The Gumbel perturbation is a pure
+  // function of (id, seed) through the same md5 key as every sampler
+  // here, quantized the same way.
+  //
+  // Scale shape: two token passes (fit: two B-row aggregates collected
+  // driver-side — B longs, not data; score: one explode + one narrow
+  // (id, long) shuffle) and a bounded-heap top-k
+  // (TakeOrderedAndProject) — no global sort, nothing wide.
+  // ---------------------------------------------------------------------
+
+  /** Hashed-unigram feature bucket of a token ([0, buckets)). */
+  def dsirBucket(token: Column, buckets: Int): Column =
+    Dedup.md5Hash60(token) % buckets
+
+  /** Micro-nat quantization: floor(x·1e6 + 0.5) — explicit half-up in
+    * BOTH engines (Math.round and SQL round() disagree on negative
+    * halves).
+    */
+  def microNats(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  private def tokenized(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .withColumn("__b", dsirBucket(col("__tok"), buckets))
+
+  /** Per-document importance score: `score` = Σ over the document's
+    * tokens of the quantized log p_target/p_raw of the token's bucket
+    * (Laplace-smoothed), in micro-nats, plus the token count. Buckets
+    * never seen in `raw` get ratio 0 — they are unreachable from the
+    * scoring pass by construction (every scored token IS a raw token).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64): DataFrame = {
+    val rawToks = tokenized(raw, idCol, textCol, buckets)
+    val tgtToks = tokenized(target, idCol, textCol, buckets)
+    // B-row aggregates (bucket → exact count), collected driver-side;
+    // the ratio table rides back as a literal array, broadcast-free —
+    // the same idiom as the IVF literal centroids
+    def counts(t: DataFrame): Map[Long, Long] =
+      t.groupBy("__b").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cq = counts(rawToks)
+    val ct = counts(tgtToks)
+    val nq = cq.values.sum
+    val nt = ct.values.sum
+    val iw = (0 until buckets).map { b =>
+      val cqB = cq.getOrElse(b.toLong, 0L)
+      if (cqB == 0L) 0L
+      else {
+        val ctB = ct.getOrElse(b.toLong, 0L)
+        // evaluation order pinned to the oracle's left-assoc a-b-c+d
+        microNats(math.log(ctB + 1.0) - math.log(nt + buckets.toDouble) -
+          math.log(cqB + 1.0) + math.log(nq + buckets.toDouble))
+      }
+    }
+    val iwArr = array(iw.map(lit(_)): _*)
+    rawToks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(element_at(iwArr, (col("__b") + 1).cast("int"))).as("score"))
+  }
+
+  /** Gumbel top-k selection over the importance scores: keep the `k`
+    * documents with the highest `score + Gumbel(id, seed)` (quantized to
+    * micro-nats), ties broken by id. The Gumbel key makes the draw a
+    * weighted sample WITHOUT replacement under the softmax of the
+    * scores — re-running selects the identical set, a new seed an
+    * independent one. Plans as TakeOrderedAndProject: bounded per-task
+    * heaps, no global sort.
+    */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 64, seed: Long = 42L): DataFrame = {
+    val scored = importanceWeights(raw, target, idCol, textCol, buckets)
+    // u ∈ (0,1) exactly representable: (60-bit key + 0.5) / 2^60 — the
+    // +0.5 keeps u off 0, the power-of-two division is exact
+    val u = (shuffleKey(col(idCol), seed) + lit(0.5)) / lit(Space)
+    val gumbel = floor(-log(-log(u)) * lit(1e6) + lit(0.5))
+    scored
+      .withColumn("gscore", col("score") + gumbel)
+      .orderBy(col("gscore").desc, col(idCol))
+      .limit(k)
+  }
 }
