@@ -620,6 +620,20 @@ object Queries {
       .select("doc_id", "url")
   }
 
+  /** Per-domain quota over the same synthesized URLs (20 domains → 25
+    * docs each at sf0.001): cap at 10 docs/domain, kept set = first 10
+    * per domain in md5-key order.
+    */
+  def urlDomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("HTTPS://Src"), col("doc_id") % 20, lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), col("doc_id") % 50)
+    graft.operators.UrlOps.capPerDomain(
+      t(spark, dir, "documents").select("doc_id").withColumn("url", url),
+      "doc_id", "url", maxDocs = 10)
+  }
+
   /** Gopher-style repetition signals over the documents table. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.repetitionSignals(
@@ -1259,6 +1273,7 @@ object Queries {
     "layout_zorder" -> layoutZorder _,
     "corpus_shuffle" -> corpusShuffle _,
     "url_domain_filter" -> urlDomainFilter _,
+    "url_domain_quota" -> urlDomainQuota _,
     "text_quality_by_source" -> textQualityBySource _,
     "text_chunk_bpe" -> textChunkBpe _
   )
@@ -2503,6 +2518,21 @@ object Queries {
         |  dom = 'src3.example.com' OR dom LIKE '%.src3.example.com'
         |  OR dom = 'src7.example.com' OR dom LIKE '%.src7.example.com'
         |  OR dom = 'blocked.net' OR dom LIKE '%.blocked.net', FALSE)""".stripMargin,
+    // same URL synthesis + domain replay as url_domain_filter; the kept
+    // set per domain is the first 10 doc ids in md5-key order
+    "url_domain_quota" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  'HTTPS://Src' || (doc_id % 20) || '.Example.COM' ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+         |  '/Docs/' || (doc_id % 50) AS url
+         |  FROM documents),
+         |d AS (SELECT doc_id, url,
+         |  regexp_replace(regexp_extract(lower(url),
+         |    '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1), '^www\\.', '') AS domain
+         |  FROM u)
+         |SELECT doc_id, url, domain FROM d
+         |QUALIFY row_number() OVER (PARTITION BY domain
+         |  ORDER BY ${hash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) <= 10""".stripMargin,
     "corpus_shuffle" ->
       s"""SELECT doc_id,
          |${hash60Sql("CAST(doc_id AS VARCHAR) || ':7'")} AS shuffle_key

@@ -71,6 +71,22 @@ object UrlOps {
     df.filter(coalesce(!bad, lit(true)))
   }
 
+  /** Per-domain document quota — the anti-domination curation step: a
+    * handful of mega-domains otherwise contribute an outsized share of
+    * a crawl corpus, and mixture work (RefinedWeb, FineWeb) caps
+    * documents per registrable domain before any content pass. The kept
+    * set per domain is a deterministic uniform without-replacement draw
+    * (first `maxDocs` in md5-key order via
+    * [[Sampling.stratifiedSample]]), so reruns and engines agree on the
+    * exact survivors. Scale shape: per-partition bounded heaps pre-prune
+    * to ~partitions×maxDocs rows per domain, then ONE window shuffle on
+    * the domain key; adds a `domain` column to the output.
+    */
+  def capPerDomain(df: DataFrame, idCol: String, urlCol: String,
+      maxDocs: Int): DataFrame =
+    Sampling.stratifiedSample(
+      df.withColumn("domain", domain(col(urlCol))), "domain", idCol, maxDocs)
+
   /** Per-row normalized column plus the canonical-first verdict: the
     * minimum id per normalized URL is the keeper. One shuffle on the
     * (narrow) normalized-URL key.

@@ -85,6 +85,21 @@ class UrlOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe Array(3L, 4L)
   }
 
+  test("capPerDomain: at most maxDocs per domain, deterministic, domain column added") {
+    import spark.implicits._
+    val df = (1L to 30L).map { i =>
+      val host = if (i <= 20) "big.com" else if (i <= 27) "mid.org" else "tiny.io"
+      (i, s"https://$host/p/$i")
+    }.toDF("id", "url")
+    val out = UrlOps.capPerDomain(df, "id", "url", maxDocs = 5)
+    out.columns.toSeq shouldBe Seq("id", "url", "domain")
+    val byDomain = out.collect().groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    byDomain shouldBe Map("big.com" -> 5, "mid.org" -> 5, "tiny.io" -> 3)
+    // deterministic rerun → identical kept set
+    out.collect().map(_.getLong(0)).toSet shouldBe
+      UrlOps.capPerDomain(df, "id", "url", 5).collect().map(_.getLong(0)).toSet
+  }
+
   test("filterBlockedDomains keeps null-URL rows (not on the blocklist)") {
     import spark.implicits._
     // pre-fix, `bad` evaluated to null for a null URL and filter(!bad)
