@@ -281,9 +281,12 @@ object JobRunner {
     * {{{
     * curation:
     *   id_field: doc_id        # required by dedupe / quality_filter
-    *   text_field: text        # required by all three
+    *   text_field: text        # required by all steps
+    *   extract: html           # markup → prose IN PLACE, runs first
     *   dedupe: exact           # keep lowest-id row per normalized text
     *   quality_filter: gopher  # drop docs failing the Gopher rules
+    *                           # (or c4: line-level rules, text rewritten
+    *                           #  to kept lines; c4_min_words/c4_min_lines)
     *   redact_pii: true        # scrub emails/IPs/phones IN PLACE
     * }}}
     * Ops needing schema changes (chunking, packing, reports) stay
@@ -300,6 +303,15 @@ object JobRunner {
       throw new IllegalArgumentException(
         "store_format: bloom supports only dedupe: incremental")
     var out = df
+    // extraction first: downstream dedup/quality rules should judge the
+    // extracted prose, not the markup
+    Yaml.str(c, "extract").foreach {
+      case "html" =>
+        out = out.withColumn(need("text_field"),
+          graft.operators.HtmlExtract.htmlToText(col(need("text_field"))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation.extract: $other")
+    }
     if (Yaml.bool(c, "redact_pii"))
       out = out.withColumn(need("text_field"),
         graft.operators.PiiRedact.redact(col(need("text_field"))))
@@ -381,6 +393,15 @@ object JobRunner {
       case "gopher" =>
         out = graft.operators.TextAnalysis.gopherQualityFilter(
           out, need("id_field"), need("text_field"))
+      case "c4" =>
+        // line-level C4 rules with the text rewritten in place to the
+        // kept lines; failing pages dropped (schema preserved)
+        out = graft.operators.TextAnalysis.c4QualityFilterRows(
+          out, need("text_field"),
+          minWords = Yaml.str(c, "c4_min_words")
+            .map(_.toDouble.toInt).getOrElse(3),
+          minLines = Yaml.str(c, "c4_min_lines")
+            .map(_.toDouble.toInt).getOrElse(3))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
     }

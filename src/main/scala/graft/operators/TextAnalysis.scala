@@ -140,18 +140,32 @@ object TextAnalysis {
     * text). Map-side filter + projection: NO shuffle at any scale —
     * the whole pass runs at scan speed over 100 TB.
     */
+  private def c4DocKeep(cleanCol: Column, origCol: Column, minLines: Int): Column =
+    cleanCol =!= "" &&
+      size(split(cleanCol, "\n")) >= minLines &&
+      !contains(lower(origCol), lit("lorem ipsum")) &&
+      !contains(origCol, lit("{"))
+
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 3, minLines: Int = 3): DataFrame = {
-    val cleaned = df.withColumn("__c4_clean", c4KeepLines(col(textCol), minWords))
-    cleaned
-      .filter(col("__c4_clean") =!= "" &&
-        size(split(col("__c4_clean"), "\n")) >= minLines &&
-        !contains(lower(col(textCol)), lit("lorem ipsum")) &&
-        !contains(col(textCol), lit("{")))
+      minWords: Int = 3, minLines: Int = 3): DataFrame =
+    df.withColumn("__c4_clean", c4KeepLines(col(textCol), minWords))
+      .filter(c4DocKeep(col("__c4_clean"), col(textCol), minLines))
       .select(col(idCol),
         size(split(col("__c4_clean"), "\n")).cast("long").as("kept_lines"),
         col("__c4_clean").as(textCol))
-  }
+
+  /** Schema-preserving C4 cleanup for the in-job `curation:` block:
+    * same rules as [[c4LineFilter]], but failing documents are dropped
+    * and survivors keep EVERY original column with `textCol` rewritten
+    * to the kept lines — a sink row must still match the asset
+    * contract. Map-side filter + projection, shuffle-free.
+    */
+  def c4QualityFilterRows(df: DataFrame, textCol: String,
+      minWords: Int = 3, minLines: Int = 3): DataFrame =
+    df.withColumn("__c4_clean", c4KeepLines(col(textCol), minWords))
+      .filter(c4DocKeep(col("__c4_clean"), col(textCol), minLines))
+      .withColumn(textCol, col("__c4_clean"))
+      .drop("__c4_clean")
 
   /** Gopher-style REPETITION signals (Rae et al. 2021 §A1.1 quality
     * filters; also used by C4/RefinedWeb-class pipelines): documents

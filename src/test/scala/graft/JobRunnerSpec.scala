@@ -230,6 +230,50 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.applyCuration(df, Map.empty).collect().length shouldBe 3
   }
 
+  test("curation extract: html strips markup in place before downstream steps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html><head><title>T</title></head><body><p>Real prose one.</p>" +
+        "<script>var x=1;</script><p>Real prose two.</p></body></html>", "x"),
+      (2L, "no markup at all", "y")
+    ).toDF("doc_id", "text", "extra")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text", "extract" -> "html"))
+    val out = JobRunner.applyCuration(df, raw)
+    out.columns shouldBe df.columns
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byId(1L) shouldBe "Real prose one.\nReal prose two."
+    byId(2L) shouldBe "no markup at all"
+    intercept[IllegalArgumentException] {
+      JobRunner.applyCuration(df, Map("curation" -> Map(
+        "text_field" -> "text", "extract" -> "pdf")))
+    }
+  }
+
+  test("curation quality_filter: c4 rewrites text to kept lines, drops failing pages") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Good line number one here.\nnoise\nGood line number two here.\n" +
+        "Good line number three here.", "x"),
+      (2L, "Only one good line here.", "y"),              // < min_lines
+      (3L, "Good line number one here.\nGood line number two here.\n" +
+        "Good line number three here.\nvar x = { broken", "z") // brace page
+    ).toDF("doc_id", "text", "extra")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text", "quality_filter" -> "c4"))
+    val out = JobRunner.applyCuration(df, raw)
+    out.columns shouldBe df.columns
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.map(_._1) shouldBe Array(1L)
+    rows(0)._2 shouldBe "Good line number one here.\nGood line number two here.\n" +
+      "Good line number three here."
+    // knobs flow through: min_lines=1 keeps doc 2
+    JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "c4", "c4_min_lines" -> "1")))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+  }
+
   test("curation dedupe: incremental uses and survives a fingerprint store") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("fpstore-")
@@ -360,6 +404,38 @@ class JobRunnerSpec extends SparkSpec {
     spark.read.parquet(r.outputPath).count() shouldBe 2
     new graft.state.StateStore(state, spark)
       .cursorLastValue("people", "id") shouldBe Some("3")
+  }
+
+  test("lifecycle drive: extract html + c4 quality filter from the job YAML") {
+    val (dir, _) = fixture(Seq(
+      "1,<p>A good sentence here.</p>,9.5",   // markup stripped → passes c4
+      "2,nope,8.0"                            // no terminal punct → dropped
+    ), "strict")
+    val out = dir.resolve("out_c4").toString
+    val job = write(dir, "job_c4.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |curation:
+         |  id_field: id
+         |  text_field: name
+         |  extract: html
+         |  quality_filter: c4
+         |  c4_min_lines: 1
+         |source:
+         |  files:
+         |    - {path: data.csv, object: people}
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Success
+    r.validRecords shouldBe 1
+    val row = spark.read.parquet(r.outputPath).select("id", "name").collect()
+    row.map(x => (x.get(0), x.getString(1))).toSeq shouldBe
+      Seq((1, "A good sentence here."))
   }
 
   test("curation update_store: day-2 job dedups against day-1's store") {
