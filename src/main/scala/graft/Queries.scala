@@ -1339,9 +1339,28 @@ object Queries {
       t(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, planes = 4, tables = 8, maxBucketDf = 1000)
 
+  /** Frequent-items sketch roll-up: per-source token sketches merged to
+    * one corpus sketch, top-20 off the merged state. Bench-only —
+    * sketch bytes are library-specific (no DuckDB analog), so
+    * correctness is spec-level (merge identity; exactness while the
+    * tracked-item bound exceeds the vocabulary) and this entry prices
+    * the partition-and-merge path, the shape that replaces exact global
+    * token counts at 100 TB.
+    */
+  def sketchTopkRollup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents").select(col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    graft.operators.Sketches.topKEstimate(
+      graft.operators.Sketches.mergeTopKSketches(
+        graft.operators.Sketches.topKSketch(toks, "source", "tok")
+          .withColumn("all", lit("all")), "all"),
+      "all", k = 20)
+  }
+
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_prod" -> dedupSimhashProd _,
-    "dedup_minhash_forced" -> dedupMinhashForced _
+    "dedup_minhash_forced" -> dedupMinhashForced _,
+    "sketch_topk_rollup" -> sketchTopkRollup _
   )
 
   // ---------------------------------------------- generated oracle SQL

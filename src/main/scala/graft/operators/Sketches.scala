@@ -34,4 +34,38 @@ object Sketches {
   /** Read the distinct-count estimate off a sketch column. */
   def withEstimate(df: DataFrame): DataFrame =
     df.withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  // ---------------------------------------------------------------------
+  // Frequent-items (heavy-hitter) sketches — the same partition-and-merge
+  // algebra for "top tokens per segment": keep a bounded sketch per fine
+  // partition, MERGE for any roll-up, estimate top-k off the merged
+  // state. Spark 4's approx_top_k family (DataSketches ItemsSketch
+  // underneath) provides accumulate/combine/estimate as native
+  // aggregates; these wrappers pin the graft shape: one sketch column
+  // named `sketch`, group columns preserved, estimates exploded to
+  // (item, count) rows.
+  // ---------------------------------------------------------------------
+
+  /** One frequent-items sketch per group over `valueCol`.
+    * `maxItemsTracked` bounds sketch memory and the later estimate's k.
+    */
+  def topKSketch(df: DataFrame, groupCol: String, valueCol: String,
+      maxItemsTracked: Int = 1024): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)")
+        .as("sketch"))
+
+  /** Merge per-group top-k sketches up to one per coarser group. */
+  def mergeTopKSketches(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(expr("approx_top_k_combine(sketch)").as("sketch"))
+
+  /** Explode the k best estimates off a sketch column into
+    * (group, item, count) rows.
+    */
+  def topKEstimate(df: DataFrame, groupCol: String, k: Int): DataFrame =
+    df.select(col(groupCol),
+        explode(expr(s"approx_top_k_estimate(sketch, $k)")).as("e"))
+      .select(col(groupCol), col("e.item").as("item"),
+        col("e.count").as("count"))
 }

@@ -38,4 +38,37 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getLong(2)
     merged shouldBe whole
   }
+
+  private def tokens = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+
+  test("top-k sketch: per-source top tokens match exact counts (skewed domain)") {
+    // the word-soup vocabulary is small (~40 tokens) vs maxItemsTracked,
+    // so the sketch is exact here: counts must MATCH, not approximate
+    val est = Sketches.topKEstimate(
+        Sketches.topKSketch(tokens, "source", "tok", maxItemsTracked = 256),
+        "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = tokens.groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    est.nonEmpty shouldBe true
+    est.foreach { case (k, c) => exact(k) shouldBe c }
+  }
+
+  test("top-k roll-up: merged per-source sketches equal the whole-corpus sketch") {
+    val whole = Sketches.topKEstimate(
+        Sketches.topKSketch(tokens.withColumn("all", lit("all")), "all", "tok"),
+        "all", k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val merged = Sketches.topKEstimate(
+        Sketches.mergeTopKSketches(
+          Sketches.topKSketch(tokens, "source", "tok")
+            .withColumn("all", lit("all")),
+          "all"),
+        "all", k = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    merged shouldBe whole
+  }
 }
