@@ -258,12 +258,26 @@ object Sampling {
     * scoring pass by construction (every scored token IS a raw token).
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64): DataFrame =
+    importanceWeightsFromStore(raw,
+      importanceRatios(raw, target, idCol, textCol, buckets),
+      idCol, textCol, buckets)
+
+  /** The fitted ratio table behind [[importanceWeights]] as data:
+    * (bucket, micro-nat weight) for every bucket seen in `raw` —
+    * `buckets` rows at most. Persist it once
+    * ([[saveImportanceRatios]]) and score any future batch against the
+    * SAME fitted distributions without re-reading either corpus — the
+    * fit-once/score-forever split every incremental store here follows
+    * (a re-fit on each batch would let the reference distributions
+    * drift with the batch mix).
+    */
+  def importanceRatios(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 64): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
     val rawToks = tokenized(raw, idCol, textCol, buckets)
     val tgtToks = tokenized(target, idCol, textCol, buckets)
-    // B-row aggregates (bucket → exact count), collected driver-side;
-    // the ratio table rides back as a literal array, broadcast-free —
-    // the same idiom as the IVF literal centroids
     def counts(t: DataFrame): Map[Long, Long] =
       t.groupBy("__b").agg(count(lit(1)).as("c")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -271,18 +285,45 @@ object Sampling {
     val ct = counts(tgtToks)
     val nq = cq.values.sum
     val nt = ct.values.sum
-    val iw = (0 until buckets).map { b =>
-      val cqB = cq.getOrElse(b.toLong, 0L)
-      if (cqB == 0L) 0L
-      else {
-        val ctB = ct.getOrElse(b.toLong, 0L)
-        // evaluation order pinned to the oracle's left-assoc a-b-c+d
-        microNats(math.log(ctB + 1.0) - math.log(nt + buckets.toDouble) -
-          math.log(cqB + 1.0) + math.log(nq + buckets.toDouble))
-      }
+    cq.toSeq.sortBy(_._1).map { case (b, cqB) =>
+      // evaluation order pinned to the oracle's left-assoc a-b-c+d
+      b -> microNats(math.log(ct.getOrElse(b, 0L) + 1.0) -
+        math.log(nt + buckets.toDouble) -
+        math.log(cqB + 1.0) + math.log(nq + buckets.toDouble))
+    }.toDF("bucket", "weight")
+  }
+
+  /** Fit and persist the ratio table (overwrite: the table IS the fit,
+    * not an append log).
+    */
+  def saveImportanceRatios(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, storePath: String, buckets: Int = 64): Unit =
+    importanceRatios(raw, target, idCol, textCol, buckets)
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Read a persisted ratio table. Unlike the dedup stores, a MISSING
+    * store is an ERROR, not a bootstrap — scoring against an absent fit
+    * has no meaningful semantics.
+    */
+  def readImportanceRatios(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+
+  /** Score a batch against a persisted fit: the ratio table (≤ buckets
+    * rows) collects driver-side and rides as the same literal array the
+    * in-flight path builds — map-side scoring, one narrow (id, long)
+    * shuffle, the reference corpora never touched.
+    */
+  def importanceWeightsFromStore(batch: DataFrame, ratios: DataFrame,
+      idCol: String, textCol: String, buckets: Int = 64): DataFrame = {
+    val iw = {
+      val m = ratios.select(col("bucket"), col("weight")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until buckets).map(b => m.getOrElse(b.toLong, 0L))
     }
     val iwArr = array(iw.map(lit(_)): _*)
-    rawToks.groupBy(col(idCol))
+    tokenized(batch, idCol, textCol, buckets)
+      .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(element_at(iwArr, (col("__b") + 1).cast("int"))).as("score"))
   }

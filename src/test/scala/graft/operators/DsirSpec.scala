@@ -66,6 +66,26 @@ class DsirSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("ratio store: fit-once scores a NEW batch identically to an in-flight fit") {
+    val store = java.nio.file.Files.createTempDirectory("dsir-").resolve("ratios")
+    Sampling.saveImportanceRatios(raw, target, "doc_id", "text", store.toString)
+    val ratios = Sampling.readImportanceRatios(spark, store.toString)
+    // same-batch identity: store path ≡ in-flight path, bit-for-bit
+    val fromStore = Sampling.importanceWeightsFromStore(raw, ratios, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inFlight = Sampling.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    fromStore shouldBe inFlight
+    // a batch unseen at fit time scores against the FROZEN fit: its
+    // science docs still outscore its spam docs
+    val day2 = (flavored(5, sci, 9000) ++ flavored(5, spam, 9500))
+      .toDF("doc_id", "text")
+    val w2 = Sampling.importanceWeightsFromStore(day2, ratios, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 5).map(i => w2(9000L + i)).min should be >
+      (0 until 5).map(i => w2(9500L + i)).max
+  }
+
   test("empty-token documents contribute nothing; buckets unseen in raw are inert") {
     val rawE = Seq((1L, "atom cell"), (2L, "   ")).toDF("doc_id", "text")
     val out = Sampling.importanceWeights(rawE, Seq((9L, "atom")).toDF("doc_id", "text"),
