@@ -1096,6 +1096,24 @@ object Queries {
       "doc_id", "text", minWords = 3, minLines = 3)
   }
 
+  /** FineWeb-style line signals over documents with deterministically-
+    * injected structure (the raw text is a single line): an ellipsis
+    * stub and a bullet on every doc, a twice-repeated line on even
+    * docs, a second bullet on every fifth, a plain tail line.
+    */
+  def textLineSignals(spark: SparkSession, dir: String): DataFrame = {
+    val messy = concat(col("text"),
+      lit("\nContinued on the next page...\n- first bullet item\n"),
+      when(col("doc_id") % 2 === 0,
+        lit("This exact line repeats twice.\nThis exact line repeats twice.\n"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("* second bullet\n")).otherwise(lit("")),
+      lit("tail line without anything"))
+    graft.operators.TextAnalysis.lineSignals(
+      t(spark, dir, "documents").select(col("doc_id"), messy.as("text")),
+      "doc_id", "text")
+  }
+
   /** Multimodal plumbing: text → binary payload → size + content hash
     * (decode stays stubbed; this exercises the real binary column path).
     */
@@ -1259,6 +1277,7 @@ object Queries {
     "text_normalize" -> textNormalize _,
     "html_extract" -> htmlExtract _,
     "text_c4_filter" -> textC4Filter _,
+    "text_line_signals" -> textLineSignals _,
     "text_tokens" -> textTokens _,
     "multimodal_hash" -> multimodalHash _,
     "multimodal_dedup" -> multimodalDedup _,
@@ -2666,6 +2685,34 @@ object Queries {
         |FROM k WHERE len(kept) >= 3
         |  AND NOT contains(lower(text), 'lorem ipsum')
         |  AND NOT contains(text, '{')""".stripMargin,
+    // same injected structure as the Spark query; each fraction is ONE
+    // double division of exact integer sums (cross-engine IEEE exact)
+    "text_line_signals" ->
+      """WITH m AS (SELECT doc_id, text || chr(10) ||
+        |  'Continued on the next page...' || chr(10) ||
+        |  '- first bullet item' || chr(10) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'This exact line repeats twice.'
+        |    || chr(10) || 'This exact line repeats twice.' || chr(10)
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '* second bullet' || chr(10)
+        |    ELSE '' END ||
+        |  'tail line without anything' AS text FROM documents),
+        |l AS (SELECT doc_id, trim(x) AS line FROM
+        |  (SELECT doc_id, unnest(string_split(text, chr(10))) AS x FROM m)
+        |  WHERE trim(x) <> ''),
+        |pl AS (SELECT doc_id, line, count(*) AS cnt
+        |  FROM l GROUP BY doc_id, line)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN ends_with(line, '...') THEN cnt ELSE 0 END)
+        |    AS BIGINT) / CAST(sum(cnt) AS BIGINT) AS ellipsis_line_frac,
+        |  CAST(sum(CASE WHEN starts_with(line, '-') OR starts_with(line, '*')
+        |    THEN cnt ELSE 0 END) AS BIGINT) / CAST(sum(cnt) AS BIGINT)
+        |    AS bullet_line_frac,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN length(line) * cnt ELSE 0 END)
+        |    AS BIGINT) / CAST(sum(length(line) * cnt) AS BIGINT)
+        |    AS dup_line_char_frac
+        |FROM pl GROUP BY doc_id""".stripMargin,
     "multimodal_dedup" ->
       """WITH a AS (SELECT doc_id AS asset_id, sha256(text) AS h FROM documents
         |  UNION ALL SELECT doc_id + 10000, sha256(text) FROM documents

@@ -154,6 +154,44 @@ object TextAnalysis {
         size(split(col("__c4_clean"), "\n")).cast("long").as("kept_lines"),
         col("__c4_clean").as(textCol))
 
+  /** FineWeb-style line-structure signals (Penedo et al. 2024 §3.1 —
+    * the filters FineWeb adds on top of the C4/Gopher families judge
+    * LINE composition, not word composition): per document over its
+    * non-empty space-trimmed lines,
+    *  - `n_lines` — line count,
+    *  - `ellipsis_line_frac` — lines ending in `...` (truncated
+    *    previews / "read more" stubs),
+    *  - `bullet_line_frac` — lines starting with `-` or `*`
+    *    (list-dominated pages),
+    *  - `dup_line_char_frac` — fraction of line CHARACTER mass on
+    *    lines occurring more than once in the document (nav chrome,
+    *    repeated footers).
+    * Shape: one explode + two-level aggregation — (doc, line) then
+    * doc — so everything partial-aggregates; only (id, line-hash
+    * width) rows shuffle, and each fraction is ONE double division of
+    * exact integer sums (cross-engine deterministic, same as the
+    * packing-efficiency rollup). Docs with no non-empty lines have no
+    * row (nothing to judge).
+    */
+  def lineSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
+      .select(col(idCol), trim(col("__l")).as("__l"))
+      .filter(col("__l") =!= "")
+    val perLine = lines.groupBy(col(idCol), col("__l"))
+      .agg(count(lit(1)).as("__cnt"))
+    val chars = length(col("__l")) * col("__cnt")
+    perLine.groupBy(col(idCol)).agg(
+      sum(col("__cnt")).cast("long").as("n_lines"),
+      (sum(when(col("__l").endsWith("..."), col("__cnt")).otherwise(0L)) /
+        sum(col("__cnt"))).as("ellipsis_line_frac"),
+      (sum(when(col("__l").startsWith("-") || col("__l").startsWith("*"),
+        col("__cnt")).otherwise(0L)) /
+        sum(col("__cnt"))).as("bullet_line_frac"),
+      (sum(when(col("__cnt") >= 2, chars).otherwise(0L)) /
+        sum(chars)).as("dup_line_char_frac"))
+  }
+
   /** Schema-preserving C4 cleanup for the in-job `curation:` block:
     * same rules as [[c4LineFilter]], but failing documents are dropped
     * and survivors keep EVERY original column with `textCol` rewritten

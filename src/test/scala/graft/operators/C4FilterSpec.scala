@@ -66,4 +66,26 @@ class C4FilterSpec extends SparkSpec {
       Seq((1L, "a.")).toDF("doc_id", "text"), "doc_id", "text")
     df.queryExecution.executedPlan.toString should not include "Exchange"
   }
+
+  test("lineSignals: fractions over non-empty trimmed lines") {
+    val text = "A normal line\nContinued...\n- bullet one\n* bullet two\n" +
+      "dup line\ndup line\n   \n"
+    val r = TextAnalysis.lineSignals(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    r.getLong(1) shouldBe 6L                      // blank line excluded
+    r.getDouble(2) shouldBe (1.0 / 6) +- 1e-12    // one ellipsis line
+    r.getDouble(3) shouldBe (2.0 / 6) +- 1e-12    // two bullet lines
+    // dup chars: "dup line" (8) × 2 = 16 of 13+12+12+12+16 = 65
+    r.getDouble(4) shouldBe (16.0 / 65) +- 1e-12
+  }
+
+  test("lineSignals: doc with only blank lines yields no row; counts duplicate mass once per doc") {
+    val out = TextAnalysis.lineSignals(Seq(
+      (1L, "  \n \n"),
+      (2L, "same\nsame\nsame\nother")
+    ).toDF("doc_id", "text"), "doc_id", "text").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    out(0).getLong(1) shouldBe 4L
+    out(0).getDouble(4) shouldBe (12.0 / 17) +- 1e-12 // 3×4 dup chars of 17
+  }
 }
