@@ -353,6 +353,37 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingles, s => xxhash64(xxhash64(s), i))))
 
+  /** Candidate recall of a (bands, rowsPerBand) LSH plan at Jaccard j:
+    * 1 − (1 − j^r)^b.
+    */
+  def lshRecall(bands: Int, rowsPerBand: Int, j: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a signature budget and a target
+    * Jaccard threshold: among factorizations b×r ≤ `signatureLen`
+    * using the whole budget where possible, choose the plan whose
+    * s-curve midpoint (1/b)^(1/r) sits closest to `threshold` — the
+    * standard MMDS §3.4 tuning. Exact-verify keeps precision at 1.0
+    * whatever the choice, so this trades only candidate volume
+    * (bands too many → spurious candidates; rows too many → misses).
+    * Driver-side arithmetic; feed the result to
+    * [[minhashNearDupPairs]] / the band-key stores. Note a store is
+    * bound to the plan that wrote it — re-planning means re-keying.
+    */
+  def lshBandPlan(signatureLen: Int, threshold: Double): (Int, Int) = {
+    require(signatureLen >= 1, s"signatureLen must be >= 1: $signatureLen")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1): $threshold")
+    val plans = for {
+      r <- 1 to signatureLen
+      b = signatureLen / r
+      if b >= 1
+    } yield (b, r)
+    plans.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Stages: shingle → minhash(k = bands×rowsPerBand) → explode band keys

@@ -420,4 +420,20 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
   }
+
+  test("lshBandPlan: midpoint tracks the threshold, budget respected") {
+    // the shipped 16×4 default is what a 64-hash budget at ~0.55 picks
+    Dedup.lshBandPlan(64, 0.55) shouldBe ((16, 4))
+    // high thresholds want longer rows (steeper, later s-curve)...
+    val (bHi, rHi) = Dedup.lshBandPlan(64, 0.95)
+    rHi should be > 4
+    bHi * rHi should be <= 64
+    // ...low thresholds want more bands
+    val (bLo, rLo) = Dedup.lshBandPlan(64, 0.2)
+    bLo should be > 16
+    // well above the midpoint the s-curve has saturated
+    Dedup.lshRecall(bHi, rHi, 0.99) should be > 0.95
+    an[IllegalArgumentException] should be thrownBy Dedup.lshBandPlan(64, 0.0)
+    an[IllegalArgumentException] should be thrownBy Dedup.lshBandPlan(0, 0.5)
+  }
 }
