@@ -1203,6 +1203,37 @@ object Queries {
         size(col("s.kv")).cast(LongType).as("n_kv"))
   }
 
+  /** More-like-this BM25 retrieval: every 100th document (offset 7)
+    * plays a seed set; the corpus is scored by BM25 over the seed's
+    * distinct tokens (micro-nat integer per-term contributions, BIGINT
+    * sums) and the top 10 lexical neighbors per seed are kept. The
+    * oracle replays tf/len/df and the BM25 arithmetic token-for-token.
+    */
+  def searchBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.Search.bm25TopK(
+      docs, docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10)
+  }
+
+  /** BM25 through the PERSISTED postings store — the production index
+    * shape: postings partitioned by token-hash bucket with length and
+    * document frequency denormalized into the row, probed with the
+    * query terms' bucket union as a literal partition filter. Same
+    * scoring mechanics as search_bm25_topk, so the SAME oracle checks
+    * it — tf/len/df are longs and round-trip the store exactly.
+    */
+  def searchBm25StoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_store_").toString
+    graft.operators.Search.writePostingsStore(
+      docs, "doc_id", "text", store, buckets = 8)
+    ivfStoreDirs.add(store)
+    graft.operators.Search.bm25TopKFromStore(
+      spark, store, docs.filter(col("doc_id") % 100 === 7),
+      "doc_id", "text", k = 10)
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -1294,7 +1325,9 @@ object Queries {
     "url_domain_filter" -> urlDomainFilter _,
     "url_domain_quota" -> urlDomainQuota _,
     "text_quality_by_source" -> textQualityBySource _,
-    "text_chunk_bpe" -> textChunkBpe _
+    "text_chunk_bpe" -> textChunkBpe _,
+    "search_bm25_topk" -> searchBm25TopK _,
+    "search_bm25_store_topk" -> searchBm25StoreTopK _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -1974,7 +2007,42 @@ object Queries {
       |SELECT doc_id, text FROM k
       |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)""".stripMargin
 
+  // BM25: per-term contributions quantized to micro-nats (the DSIR
+  // half-up floor), summed as exact BIGINTs; every double op mirrors
+  // the Scala side's literal values and left-association, so the replay
+  // is bit-exact. One SQL serves both the in-flight and the stored
+  // variant — the store round trip must be value-exact.
+  private val searchBm25Oracle: String =
+    """WITH tk AS (SELECT doc_id, x AS tok FROM
+      |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |     AS x FROM documents) WHERE x <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+      |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |st AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+      |  WHERE doc_id % 100 = 7),
+      |sc AS (SELECT qt.query_id, tf.doc_id AS neighbor_id,
+      |  CAST(sum(CAST(floor(
+      |    ln((st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+      |    * ((tf.tf * (1.2 + 1.0)) /
+      |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.len / st.avgdl))))
+      |    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score
+      |  FROM tf JOIN qt ON qt.tok = tf.tok
+      |  JOIN dfc ON dfc.tok = tf.tok
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  WHERE qt.query_id <> tf.doc_id
+      |  GROUP BY qt.query_id, tf.doc_id),
+      |r AS (SELECT query_id, neighbor_id, score, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM sc)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+      |FROM r WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "search_bm25_topk" -> searchBm25Oracle,
+    "search_bm25_store_topk" -> searchBm25Oracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,

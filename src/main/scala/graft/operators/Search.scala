@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed full-text retrieval: an inverted index (postings with
+  * denormalized length/df) plus BM25 top-k scoring, in-flight or
+  * against a persisted, token-bucket-partitioned postings store.
+  *
+  * A training-data platform needs this for "more-like-this" retrieval
+  * (find corpus documents lexically close to a seed set), BM25-based
+  * decontamination sweeps, and quality-by-retrieval audits — the
+  * lexical complement to the embedding ANN family in
+  * [[graft.operators.Similarity]].
+  *
+  * Cross-engine determinism follows the DSIR idiom
+  * ([[graft.operators.Sampling.importanceWeights]]): every per-term
+  * contribution is quantized to micro-nats (floor(x·1e6 + 0.5)) so the
+  * per-(query, doc) score is an exact BIGINT sum — order-independent
+  * under Spark's unordered aggregation, replayable bit-for-bit by a SQL
+  * oracle, and tie-broken by doc id without float-formatting hazards.
+  *
+  * Scale shape (the 100 TB story):
+  *  - index build is two narrow shuffles over (doc, token) pairs —
+  *    fixed-width keys, never document text;
+  *  - the scoring path prunes postings to the query-term set FIRST
+  *    (broadcast semi-join — query terms are driver-small by
+  *    construction), so everything after the tf aggregate is
+  *    O(matched postings), not O(corpus);
+  *  - the persisted store partitions postings by a token-hash bucket
+  *    and denormalizes doc length and document frequency INTO the
+  *    posting row, so a probe reads only the query terms' bucket
+  *    partitions (partition pruning + token predicate pushdown) and
+  *    never joins a corpus-sized side table;
+  *  - top-k per query is a bounded row_number window over the few
+  *    surviving (query, doc) groups.
+  */
+object Search {
+
+  /** BM25 k1: term-frequency saturation. */
+  val DefaultK1: Double = 1.2
+
+  /** BM25 b: document-length normalization strength. */
+  val DefaultB: Double = 0.75
+
+  /** The shared whitespace tokenization (identical to the DSIR fit and
+    * the oracle's `string_split_regex(trim(lower(text)), '\s+')`).
+    */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** The inverted index as data: one row per (token, document) with the
+    * term frequency, the document's total token count, and the token's
+    * document frequency — length and df DENORMALIZED into the posting
+    * row so a probe needs no corpus-sized side joins. Two shuffles on
+    * fixed-width keys ((doc, tok) then tok); text never shuffles.
+    */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col("__doc").as("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id").join(df_, "tok")
+      .select("tok", "doc_id", "tf", "len", "df")
+  }
+
+  /** Per-term BM25 contribution in micro-nats. The arithmetic mirrors
+    * the oracle SQL token-for-token (same literals, same
+    * left-association) so IEEE doubles agree bit-for-bit: idf is the
+    * always-positive BM25+ form ln((N − df + 0.5)/(df + 0.5) + 1).
+    */
+  private def termScore(tf: Column, dfc: Column, len: Column,
+      nDocs: Long, avgdl: Double, k1: Double, b: Double): Column = {
+    val idf = log(((lit(nDocs) - dfc) + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+    val tfn = (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (len / lit(avgdl))))
+    floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long")
+  }
+
+  /** Corpus size and average document length, collected driver-side
+    * (one row — the documented-small collect idiom) so they ride the
+    * scoring expressions as literals exactly like the oracle's scalar
+    * subqueries.
+    */
+  private def corpusStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).cast("long"), sum("len").cast("long")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** More-like-this BM25 top-k: score every corpus document against
+    * each query document's distinct-token set and keep the `k` best per
+    * query (BIGINT micro-nat scores; ties break by neighbor id; the
+    * query document itself is excluded). Query terms broadcast — the
+    * query side is a seed set, small by construction — so candidate
+    * postings prune map-side before any wide work.
+    */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val postings = bm25Postings(corpus, idCol, textCol)
+    scoreTopK(postings, queryTerms(queries, idCol, textCol),
+      corpusStats(postings), k, k1, b)
+  }
+
+  /** (query_id, tok) distinct pairs of the query documents. */
+  private def queryTerms(queries: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    tokens(queries, idCol, textCol)
+      .select(col("__doc").as("query_id"), col("tok")).distinct()
+
+  private def scoreTopK(postings: DataFrame, qt: DataFrame,
+      stats: (Long, Long), k: Int, k1: Double, b: Double): DataFrame = {
+    val (nDocs, totalLen) = stats
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    postings
+      .join(broadcast(qt), "tok")
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("__w", termScore(col("tf"), col("df"), col("len"),
+        nDocs, avgdl, k1, b))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum("__w").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "score")
+  }
+
+  // ------------------------------------------------------- persisted store
+
+  /** Hash bucket a token for store partitioning ([0, buckets)). */
+  def tokenBucket(token: Column, buckets: Int): Column =
+    Dedup.md5Hash60(token) % buckets
+
+  /** Write the inverted index as a parquet store PARTITIONED BY token
+    * bucket, with a one-row `_meta` sidecar carrying the corpus stats
+    * the scoring formula needs. Probes then read only the buckets some
+    * query term hashes into — on a production index with thousands of
+    * buckets, a short query touches a handful of partition directories
+    * and never lists the rest.
+    */
+  def writePostingsStore(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64): Unit = {
+    val postings = bm25Postings(docs, idCol, textCol)
+    postings
+      .withColumn("bucket", tokenBucket(col("tok"), buckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$storePath/postings")
+    val (nDocs, totalLen) = corpusStats(postings)
+    docs.sparkSession
+      .range(1).select(lit(nDocs).as("n_docs"), lit(totalLen).as("total_len"),
+        lit(buckets).as("buckets"))
+      .write.mode("overwrite").parquet(s"$storePath/_meta")
+  }
+
+  /** BM25 top-k against a persisted postings store. Query terms collect
+    * driver-side (distinct tokens of a small seed set — same ceiling as
+    * the broadcast in [[bm25TopK]]); their bucket union is inlined as a
+    * literal partition filter and the term set as a pushed string
+    * predicate, so the scan is O(probed buckets). Scores are
+    * bit-identical to the in-flight path: tf/len/df are longs and the
+    * token strings round-trip parquet exactly.
+    */
+  def bm25TopKFromStore(spark: SparkSession, storePath: String,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
+    val (nDocs, totalLen, buckets) =
+      (meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"),
+        meta.getAs[Int]("buckets"))
+    val qt = queryTerms(queries, idCol, textCol)
+    val terms = qt.select("tok").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val probedBuckets = terms
+      .map(t => math.floorMod(MurmurFree.md5Long60(t), buckets.toLong))
+      .distinct.sorted
+    val postings = spark.read.parquet(s"$storePath/postings")
+      .filter(col("bucket").isInCollection(probedBuckets) &&
+        col("tok").isInCollection(terms))
+      .select("tok", "doc_id", "tf", "len", "df")
+    scoreTopK(postings, qt, (nDocs, totalLen), k, k1, b)
+  }
+}
+
+/** Driver-side twin of [[Dedup.md5Hash60]]: the same 60-bit md5 prefix
+  * computed in plain Scala, so store probes can bucket query terms
+  * without a Spark job.
+  */
+private[operators] object MurmurFree {
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "apple banana apple cherry"),
+    (1L, "apple banana"),
+    (2L, "zebra quokka xylophone"),
+    (3L, "banana banana banana banana"),
+    (4L, "apple zebra")
+  ).toDF("doc_id", "text")
+
+  test("bm25Postings: tf, doc length, and df are exact") {
+    val p = Search.bm25Postings(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    p(("apple", 0L)) shouldBe ((2L, 4L, 3L)) // tf=2, len=4, df=3
+    p(("banana", 3L)) shouldBe ((4L, 4L, 3L)) // in docs 0, 1, 3
+    p(("quokka", 2L)) shouldBe ((1L, 3L, 1L))
+    p.size shouldBe 11 // distinct (token, doc) pairs
+  }
+
+  test("bm25TopK: rare shared terms outrank common ones, self excluded") {
+    val out = Search.bm25TopK(corpus, corpus.filter($"doc_id" === 2), "doc_id",
+      "text", k = 3).collect().map(r => (r.getLong(1), r.getLong(2)))
+    // query doc 2 = {zebra, quokka, xylophone}: only doc 4 shares a term
+    out.map(_._1) shouldBe Array(4L)
+    out.head._2 shouldBe 1L
+    val all = Search.bm25TopK(corpus, corpus.filter($"doc_id" === 0), "doc_id",
+      "text", k = 5).collect().map(_.getLong(1))
+    all should not contain 0L // never returns the query doc itself
+    all should contain allOf (1L, 3L, 4L)
+  }
+
+  test("bm25TopK: score is the exact micro-nat integer the formula gives") {
+    // doc 2 vs doc 4 over shared term "zebra": tf=1, len=2, df=2, N=5,
+    // avgdl = 15/5 = 3 — replay the operator's arithmetic verbatim
+    val n = 5L; val avgdl = 15.0 / 5.0
+    val idf = math.log((n - 2L + 0.5) / (2L + 0.5) + 1.0)
+    val tfn = (1L * (1.2 + 1.0)) /
+      (1L + 1.2 * (1.0 - 0.75 + 0.75 * (2L / avgdl)))
+    val expected = math.floor(idf * tfn * 1e6 + 0.5).toLong
+    val got = Search.bm25TopK(corpus, corpus.filter($"doc_id" === 2), "doc_id",
+      "text", k = 1).collect().head.getLong(3)
+    got shouldBe expected
+  }
+
+  test("store round trip is bit-identical and the probe scan prunes") {
+    // wide vocab so the query's bucket union is a strict subset
+    val wide = (0L until 120L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 120}"))
+      .toDF("doc_id", "text")
+    val queries = wide.filter($"doc_id" < 2)
+    val direct = Search.bm25TopK(wide, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-store-").toString + "/idx"
+    Search.writePostingsStore(wide, "doc_id", "text", store, buckets = 16)
+    val stored = Search.bm25TopKFromStore(spark, store, queries,
+      "doc_id", "text", k = 5)
+    stored.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)) shouldBe direct
+    // the query terms' bucket union reaches the file index as a
+    // partition filter and the term set as a pushed string predicate
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "bucket#\\d+ IN \\("
+    plan should include("PushedFilters")
+    plan should include regex "In\\(tok"
+  }
+
+  test("driver-side bucket hash matches the Column-side kernel") {
+    val toks = Seq("apple", "zebra", "tok17", "common2")
+    val sparkSide = toks.toDF("t")
+      .select(Search.tokenBucket(col("t"), 16).as("b"))
+      .collect().map(_.getLong(0))
+    val driverSide = toks.map(t => math.floorMod(MurmurFree.md5Long60(t), 16L))
+    sparkSide.toSeq shouldBe driverSide
+  }
+}
