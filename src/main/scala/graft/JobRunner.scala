@@ -731,6 +731,18 @@ object JobRunner {
                 need("simhash_store"))
             case _ => ()
           }
+          // `curation.search_index: <path>` — the landed rows also
+          // append one immutable segment to the BM25 postings index, so
+          // tomorrow's retrieval/decontamination probes see them.
+          // Orthogonal to the dedupe mode (and correct BECAUSE of it:
+          // deduped batches keep segments disjoint, which the
+          // segmented probe's df/stats merge assumes).
+          Yaml.str(cur, "search_index").foreach { path =>
+            graft.operators.Search.writeIndexSegment(
+              curated, need("id_field"), need("text_field"), path,
+              buckets = Yaml.str(cur, "search_index_buckets")
+                .map(_.toInt).getOrElse(64))
+          }
         }
       } catch {
         case e: Exception =>

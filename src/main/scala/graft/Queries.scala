@@ -1234,6 +1234,26 @@ object Queries {
       "doc_id", "text", k = 10)
   }
 
+  /** BM25 through the SEGMENTED (appendable) index — three batches
+    * append three immutable segments, the probe prunes buckets across
+    * all of them, sums per-segment corpus stats, and recomputes df over
+    * the matched postings. Segments partition the corpus, so the result
+    * is identical to the monolithic index and the SAME oracle checks it.
+    */
+  def searchBm25Segmented(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_segs_").toString
+    (0 to 2).foreach(i =>
+      graft.operators.Search.writeIndexSegment(
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "text", store,
+        buckets = 8))
+    ivfStoreDirs.add(store)
+    graft.operators.Search.bm25TopKSegmented(
+      spark, store, docs.filter(col("doc_id") % 100 === 7),
+      "doc_id", "text", k = 10)
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -1327,7 +1347,8 @@ object Queries {
     "text_quality_by_source" -> textQualityBySource _,
     "text_chunk_bpe" -> textChunkBpe _,
     "search_bm25_topk" -> searchBm25TopK _,
-    "search_bm25_store_topk" -> searchBm25StoreTopK _
+    "search_bm25_store_topk" -> searchBm25StoreTopK _,
+    "search_bm25_segmented" -> searchBm25Segmented _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -2043,6 +2064,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,
+    "search_bm25_segmented" -> searchBm25Oracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,

@@ -184,6 +184,76 @@ object Search {
       .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, qt, (nDocs, totalLen), k, k1, b)
   }
+  // ----------------------------------------------- segmented (appendable)
+
+  /** Append one batch as a new immutable SEGMENT of a growing index —
+    * the Lucene shape, re-expressed as a single parquet tree
+    * partitioned by (segment, bucket) so an append never rewrites or
+    * even lists existing data. Document frequency is NOT stored: df is
+    * global, so a denormalized copy would go stale on every append;
+    * instead the probe recomputes it over the bucket-pruned,
+    * term-filtered postings — O(matched postings), not O(index).
+    * Corpus stats append as one `_meta` row per segment and sum at
+    * probe time. Segments must hold disjoint documents (what the
+    * incremental dedupe upstream guarantees); a re-ingested doc would
+    * double-count in df and length stats.
+    */
+  def writeIndexSegment(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64): Unit = {
+    val seg = java.util.UUID.randomUUID().toString
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col("__doc").as("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val postings = tf.join(dl, "doc_id").select("tok", "doc_id", "tf", "len")
+    postings
+      .withColumn("segment", lit(seg))
+      .withColumn("bucket", tokenBucket(col("tok"), buckets))
+      .write.mode("append").partitionBy("segment", "bucket")
+      .parquet(s"$storePath/postings")
+    val stats = dl.agg(count(lit(1)).cast("long"),
+      coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
+    docs.sparkSession.range(1)
+      .select(lit(seg).as("segment"), lit(stats.getLong(0)).as("n_docs"),
+        lit(stats.getLong(1)).as("total_len"), lit(buckets).as("buckets"))
+      .write.mode("append").parquet(s"$storePath/_meta")
+  }
+
+  /** BM25 top-k across ALL segments of an appendable index. The scan is
+    * still partition-pruned to the query terms' buckets (within every
+    * segment partition); corpus stats are the sum of the per-segment
+    * `_meta` rows; df comes from a probe-time aggregate over the pruned
+    * postings (≤ |terms| result rows, broadcast back). Results are
+    * identical to a monolithic index over the same documents.
+    */
+  def bm25TopKSegmented(spark: SparkSession, storePath: String,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val metas = spark.read.parquet(s"$storePath/_meta").collect()
+    require(metas.nonEmpty, s"empty search index at $storePath")
+    val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
+    require(bucketSizes.length == 1,
+      s"segments disagree on bucket count: ${bucketSizes.mkString(",")}")
+    val buckets = bucketSizes.head
+    val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
+    val totalLen = metas.map(_.getAs[Long]("total_len")).sum
+    val qt = queryTerms(queries, idCol, textCol)
+    val terms = qt.select("tok").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val probedBuckets = terms
+      .map(t => math.floorMod(MurmurFree.md5Long60(t), buckets.toLong))
+      .distinct.sorted
+    // pruned feeds both the df aggregate and the scoring join — persist
+    // so the store scan runs once (releasable via CacheScope)
+    val pruned = graft.core.CacheScope.persist(
+      spark.read.parquet(s"$storePath/postings")
+        .filter(col("bucket").isInCollection(probedBuckets) &&
+          col("tok").isInCollection(terms))
+        .select("tok", "doc_id", "tf", "len"))
+    val dfc = pruned.groupBy("tok").agg(count(lit(1)).as("df"))
+    scoreTopK(pruned.join(broadcast(dfc), "tok"), qt,
+      (nDocs, totalLen), k, k1, b)
+  }
 }
 
 /** Driver-side twin of [[Dedup.md5Hash60]]: the same 60-bit md5 prefix

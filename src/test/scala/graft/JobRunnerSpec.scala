@@ -476,6 +476,54 @@ class JobRunnerSpec extends SparkSpec {
     graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
   }
 
+  test("curation search_index: two-day cycle appends probeable segments") {
+    def jobYaml(dir: java.nio.file.Path, out: String, store: String,
+        idx: String): String =
+      write(dir, "job_idx.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  fingerprint_store: $store
+           |  search_index: $idx
+           |  search_index_buckets: 4
+           |  update_store: true
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val store = dir1.resolve("fpstore").toString
+    val idx = dir1.resolve("bm25idx").toString
+    JobRunner.run(spark, jobYaml(dir1, dir1.resolve("out1").toString,
+      store, idx)).exitCode shouldBe ExitCodes.Success
+    val (dir2, _) = fixture(Seq("3,alice,7.0", "4,carol,6.0"), "strict")
+    JobRunner.run(spark, jobYaml(dir2, dir2.resolve("out2").toString,
+      store, idx)).exitCode shouldBe ExitCodes.Success
+    // two segments (day-1 two docs; day-2's sole survivor, carol —
+    // alice deduped away, so she is not double-indexed)
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 2
+    spark.read.parquet(s"$idx/_meta")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+      .head.getLong(0) shouldBe 3
+    // the merged index is probeable and finds the day-1 doc for a
+    // day-2 query against it
+    import spark.implicits._
+    val hits = graft.operators.Search.bm25TopKSegmented(spark, idx,
+      Seq((100L, "alice")).toDF("doc_id", "text").selectExpr(
+        "cast(doc_id as string) as id", "text"), "id", "text", k = 5)
+      .collect().map(_.get(1).toString)
+    hits shouldBe Array("1")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("curation store_format bloom: three-day cycle maintains the sketch sidecar") {
     def jobYaml(dir: java.nio.file.Path, out: String, store: String): String =
       write(dir, "job_bloomstore.yaml",

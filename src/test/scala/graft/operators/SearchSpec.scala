@@ -74,6 +74,63 @@ class SearchSpec extends SparkSpec {
     plan should include regex "In\\(tok"
   }
 
+  test("segmented index: three appended segments score like one monolith") {
+    val wide = (0L until 90L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 90}"))
+      .toDF("doc_id", "text")
+    val queries = wide.filter($"doc_id" < 2)
+    val direct = Search.bm25TopK(wide, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-segs-").toString + "/idx"
+    (0 to 2).foreach(i => Search.writeIndexSegment(
+      wide.filter($"doc_id" % 3 === i), "doc_id", "text", store, buckets = 16))
+    val seg = Search.bm25TopKSegmented(spark, store, queries,
+      "doc_id", "text", k = 5)
+    seg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)) shouldBe direct
+    // bucket pruning still reaches the file index through the
+    // (segment, bucket) partition tree
+    val plan = seg.queryExecution.executedPlan.toString
+    plan should include regex "bucket#\\d+ IN \\("
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("segmented index: appending a segment changes df-sensitive scores") {
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-grow-").toString + "/idx"
+    val batch1 = Seq((0L, "alpha beta"), (1L, "alpha gamma")).toDF("doc_id", "text")
+    Search.writeIndexSegment(batch1, "doc_id", "text", store, buckets = 4)
+    val q = Seq((100L, "alpha")).toDF("doc_id", "text")
+    val before = Search.bm25TopKSegmented(spark, store, q, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    before.keySet shouldBe Set(0L, 1L)
+    // a new segment adds two more alpha docs: N and df(alpha) both grow
+    Search.writeIndexSegment(
+      Seq((2L, "alpha delta"), (3L, "alpha epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", store, buckets = 4)
+    val after = Search.bm25TopKSegmented(spark, store, q, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    after.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    // idf((N=4, df=4)) < idf((N=2, df=2)): ln((0.5/4.5)+1) vs ln((0.5/2.5)+1)
+    after(0L) should be < before(0L)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("segmented index: mismatched bucket counts refuse loudly") {
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-mismatch-").toString + "/idx"
+    val d = Seq((0L, "alpha")).toDF("doc_id", "text")
+    Search.writeIndexSegment(d, "doc_id", "text", store, buckets = 4)
+    Search.writeIndexSegment(d, "doc_id", "text", store, buckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Search.bm25TopKSegmented(spark, store,
+        Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", k = 1)
+    }
+    e.getMessage should include("bucket count")
+  }
+
   test("driver-side bucket hash matches the Column-side kernel") {
     val toks = Seq("apple", "zebra", "tok17", "common2")
     val sparkSide = toks.toDF("t")
