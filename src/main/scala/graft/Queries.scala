@@ -1254,6 +1254,53 @@ object Queries {
       "doc_id", "text", k = 10)
   }
 
+  /** Hybrid retrieval: the BM25 lexical arm and the embedding cosine
+    * arm (same query set — ids ≡ 7 mod 100, top 20 each) fused by
+    * reciprocal-rank fusion into one top-10. Both arms are themselves
+    * oracle-checked; the fusion is exact integer arithmetic over their
+    * ranks, so the oracle replays the whole hybrid end-to-end.
+    */
+  def searchHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val emb = t(spark, dir, "embeddings")
+    val lex = graft.operators.Search.bm25TopK(
+      docs, docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 20)
+    val sem = graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") % 100 === 7), "vec_id", "embedding", k = 20)
+    graft.operators.Search.rrfFuse(Seq(lex, sem), k = 10)
+  }
+
+  /** CCNet-style LM quality scoring: fit a Stupid-Backoff bigram model
+    * on the even-id half of the corpus, score the odd-id half under the
+    * frozen fit. Scores are exact micro-nat BIGINT sums (one double
+    * division at the end for the per-bigram average), so the oracle
+    * replays fit + backoff + scoring hash-exactly.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.LanguageModel.scoreAgainstCorpus(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+  }
+
+  /** The same LM scoring through the PERSISTED model store — fit once,
+    * write the count tables, reload, score. Counts are longs and tokens
+    * strings, so the store round-trips bit-for-bit and the SAME oracle
+    * checks it.
+    */
+  def textLmScoreStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_lm_store_").toString
+    graft.operators.LanguageModel.saveModel(
+      graft.operators.LanguageModel.fitBigramModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"), store)
+    ivfStoreDirs.add(store)
+    graft.operators.LanguageModel.scoreBigrams(
+      docs.filter(col("doc_id") % 2 === 1),
+      graft.operators.LanguageModel.loadModel(spark, store), "doc_id", "text")
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -1348,7 +1395,10 @@ object Queries {
     "text_chunk_bpe" -> textChunkBpe _,
     "search_bm25_topk" -> searchBm25TopK _,
     "search_bm25_store_topk" -> searchBm25StoreTopK _,
-    "search_bm25_segmented" -> searchBm25Segmented _
+    "search_bm25_segmented" -> searchBm25Segmented _,
+    "search_hybrid_rrf" -> searchHybridRrf _,
+    "text_lm_score" -> textLmScore _,
+    "text_lm_score_store" -> textLmScoreStore _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -2061,10 +2111,119 @@ object Queries {
       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
       |FROM r WHERE rank <= 10""".stripMargin
 
+  // Hybrid RRF: the BM25 CTE chain (rank ≤ 20) and the brute-cosine CTE
+  // chain (rank ≤ 20) fused by floor(1e9/(60+rank)) BIGINT
+  // contributions — both arms replay their own oracles' arithmetic
+  // verbatim, so the fused ranking is hash-exact end-to-end.
+  private val searchHybridRrfOracle: String =
+    """WITH tk AS (SELECT doc_id, x AS tok FROM
+      |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+      |     AS x FROM documents) WHERE x <> ''),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tf GROUP BY doc_id),
+      |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |st AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tk
+      |  WHERE doc_id % 100 = 7),
+      |bsc AS (SELECT qt.query_id, tf.doc_id AS neighbor_id,
+      |  CAST(sum(CAST(floor(
+      |    ln((st.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+      |    * ((tf.tf * (1.2 + 1.0)) /
+      |       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.len / st.avgdl))))
+      |    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score
+      |  FROM tf JOIN qt ON qt.tok = tf.tok
+      |  JOIN dfc ON dfc.tok = tf.tok
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+      |  WHERE qt.query_id <> tf.doc_id
+      |  GROUP BY qt.query_id, tf.doc_id),
+      |lex AS (SELECT query_id, neighbor_id, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM bsc),
+      |v AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 7),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |  list_reduce(list_transform(range(64),
+      |    i -> qe[i+1] * e[i+1]), (a, b) -> a + b) /
+      |  (sqrt(list_reduce(list_transform(range(64),
+      |    i -> qe[i+1] * qe[i+1]), (a, b) -> a + b)) *
+      |   sqrt(list_reduce(list_transform(range(64),
+      |    i -> e[i+1] * e[i+1]), (a, b) -> a + b))) AS sim
+      |  FROM q, v WHERE vec_id <> query_id),
+      |sem AS (SELECT query_id, neighbor_id, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM s),
+      |arms AS (
+      |  SELECT query_id, neighbor_id, CAST(floor(CAST(1000000000 AS DOUBLE)
+      |    / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      |  FROM lex WHERE rank <= 20
+      |  UNION ALL
+      |  SELECT query_id, neighbor_id, CAST(floor(CAST(1000000000 AS DOUBLE)
+      |    / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))) AS BIGINT) AS c
+      |  FROM sem WHERE rank <= 20),
+      |fused AS (SELECT query_id, neighbor_id, CAST(sum(c) AS BIGINT)
+      |    AS rrf_score, CAST(count(*) AS BIGINT) AS n_arms
+      |  FROM arms GROUP BY query_id, neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, rrf_score, n_arms, row_number()
+      |  OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id)
+      |  AS rank FROM fused)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+      |  rrf_score, n_arms
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  // Stupid-Backoff bigram LM: fit on even-id docs (exact integer count
+  // tables), score odd-id docs — seen bigrams ln(cb/c1), unseen
+  // ln(0.4·(cu+1)/(T+V)) — each quantized to micro-nats, summed as
+  // exact BIGINTs, one double division for the average. One SQL serves
+  // the in-flight and the stored variant (counts round-trip parquet
+  // exactly).
+  private val textLmScoreOracle: String =
+    """WITH tl AS (SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |fbg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM
+      |  (SELECT unnest(list_transform(range(1, len(l)),
+      |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p
+      |   FROM tl WHERE doc_id % 2 = 0)),
+      |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM fbg
+      |  GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM
+      |  (SELECT unnest(l) AS w FROM tl WHERE doc_id % 2 = 0) GROUP BY w),
+      |meta AS (SELECT CAST(sum(cu) AS BIGINT) AS tt,
+      |  CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
+      |  (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p
+      |   FROM tl WHERE doc_id % 2 = 1)),
+      |bgn AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg
+      |  GROUP BY doc_id, w1, w2),
+      |sc AS (SELECT bgn.doc_id, bgn.n,
+      |  CASE WHEN cb.cb IS NOT NULL THEN
+      |    CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT)
+      |  ELSE
+      |    CAST(floor(ln(0.4 * CAST(coalesce(uni.cu, 0) + 1 AS DOUBLE)
+      |      / CAST(meta.tt + meta.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  END AS lp
+      |  FROM bgn
+      |  LEFT JOIN cb ON cb.w1 = bgn.w1 AND cb.w2 = bgn.w2
+      |  LEFT JOIN c1 ON c1.w1 = bgn.w1
+      |  LEFT JOIN uni ON uni.w = bgn.w2
+      |  CROSS JOIN meta)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(n * lp) AS BIGINT) AS lognat_sum,
+      |  CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS avg_lognat
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,
     "search_bm25_segmented" -> searchBm25Oracle,
+    "search_hybrid_rrf" -> searchHybridRrfOracle,
+    "text_lm_score" -> textLmScoreOracle,
+    "text_lm_score_store" -> textLmScoreOracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,

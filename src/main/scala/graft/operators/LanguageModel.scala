@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring for corpus quality filtering — the
+  * CCNet recipe (Wenzek et al. 2020): score every document under a
+  * reference language model and filter/bucket by per-token log
+  * probability. Real CCNet uses a KenLM 5-gram; the distributed
+  * re-expression here is a Stupid-Backoff bigram model (Brants et al.
+  * 2007 — the backoff score was DESIGNED for distributed map-reduce
+  * fitting, which is exactly what a Spark groupBy is):
+  *
+  *   S(w2 | w1) = count(w1 w2) / count(w1 ·)          if seen
+  *              = 0.4 · (count(w2) + 1) / (T + V)     otherwise
+  *
+  * (the unseen branch adds add-one smoothing over the unigram table so
+  * out-of-vocabulary tokens score finitely; T = total fit tokens, V =
+  * fit vocabulary size).
+  *
+  * Determinism follows the DSIR/BM25 idiom: the model tables store
+  * exact integer COUNTS (never floats, so the persisted store
+  * round-trips bit-for-bit), each bigram's log score quantizes to
+  * micro-nats (floor(ln(·)·1e6 + 0.5)) with the double arithmetic
+  * association pinned to the SQL oracle's, and the per-document score
+  * is an order-independent BIGINT sum.
+  *
+  * Scale shape (the 100 TB story):
+  *  - FIT is two narrow shuffles over fixed-width token keys (bigram
+  *    counts, then context counts) — partial aggregation everywhere,
+  *    document text never shuffles; the only driver-side data is two
+  *    longs (T, V).
+  *  - the model is DATA, not a literal: vocabulary is unbounded, so
+  *    scoring joins the batch's distinct (doc, w1, w2) rows against the
+  *    count tables on token keys — a key-partitioned shuffle join whose
+  *    left side is bounded by the batch, with the unigram side only
+  *    consulted for bigram misses.
+  *  - SCORE of a batch is one explode + one (doc, w1, w2) aggregate +
+  *    the model joins + one narrow per-doc aggregate. Fit once, score
+  *    every future batch against the frozen fit (a per-batch re-fit
+  *    would let the reference LM drift with the batch mix — same
+  *    argument as the DSIR ratio store).
+  *
+  * Nearest reference analog: none (SURVEY.md §2.6 scale-extension
+  * surface) — this is the perplexity-quality leg a training-data
+  * pipeline runs between langid and dedup.
+  */
+object LanguageModel {
+
+  /** Stupid-Backoff discount α (Brants et al. 2007 use 0.4). */
+  val DefaultBackoff: Double = 0.4
+
+  /** A fitted bigram LM: exact count tables plus the two corpus
+    * scalars. `bigrams` is (w1, w2, cb, c1) with the context count
+    * denormalized in; `unigrams` is (w, cu).
+    */
+  final case class BigramModel(bigrams: DataFrame, unigrams: DataFrame,
+      totalTokens: Long, vocabSize: Long)
+
+  /** Shared whitespace tokenization (identical to DSIR / BM25 and the
+    * oracle's `list_filter(string_split_regex(trim(lower(text)),
+    * '\s+'), t -> t <> '')`), kept as an ARRAY so bigrams can pair
+    * adjacent positions without a positional self-join.
+    */
+  private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => t =!= lit("")).as("__l"))
+
+  /** One row per adjacent token pair: (id, w1, w2). Documents with
+    * fewer than two tokens contribute nothing (sequence is empty).
+    * Pure codegen — explode over a transform, no shuffle.
+    */
+  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenArrays(df, idCol, textCol)
+      .filter(size(col("__l")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__l) - 1), " +
+          "i -> struct(__l[i-1] AS w1, __l[i] AS w2))")).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+
+  /** Fit the model on a corpus: bigram counts, context counts
+    * (denormalized onto the bigram row), unigram counts, and the (T, V)
+    * scalars — the scalars are the only driver-side collect (one row,
+    * two longs).
+    */
+  def fitBigramModel(corpus: DataFrame, idCol: String, textCol: String): BigramModel = {
+    val cb = bigramRows(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val bigrams = cb.join(c1, "w1").select("w1", "w2", "cb", "c1")
+    val unigrams = tokenArrays(corpus, idCol, textCol)
+      .select(explode(col("__l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val r = unigrams
+      .agg(coalesce(sum("cu"), lit(0L)).cast("long"), count(lit(1)).cast("long"))
+      .collect()(0)
+    BigramModel(bigrams, unigrams, r.getLong(0), r.getLong(1))
+  }
+
+  /** Score a batch under a fitted model. Output: one row per document
+    * with at least one bigram — (id, n_bigrams, lognat_sum,
+    * avg_lognat), where `lognat_sum` is the exact BIGINT micro-nat sum
+    * of per-bigram log scores and `avg_lognat` is the ONE double
+    * division at the end (higher = more in-distribution; CCNet filters
+    * on exactly this per-token average).
+    */
+  def scoreBigrams(batch: DataFrame, model: BigramModel, idCol: String,
+      textCol: String, backoff: Double = DefaultBackoff): DataFrame = {
+    val denom = (model.totalTokens + model.vocabSize).toDouble
+    val bgn = bigramRows(batch, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    // association pinned to the oracle: ln(cb/c1); ln((α·(cu+1))/(T+V))
+    val lp = when(col("cb").isNotNull,
+        floor(log(col("cb").cast("double") / col("c1").cast("double"))
+          * lit(1e6) + lit(0.5)))
+      .otherwise(
+        floor(log(lit(backoff) * (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
+          / lit(denom)) * lit(1e6) + lit(0.5)))
+      .cast("long")
+    bgn
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .withColumn("__lp", lp)
+      .groupBy(col(idCol))
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        sum(col("n") * col("__lp")).cast("long").as("lognat_sum"))
+      .withColumn("avg_lognat",
+        col("lognat_sum").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** Fit + score in one call (the in-flight form — both paths go
+    * through [[scoreBigrams]], so store and in-flight are one code
+    * path).
+    */
+  def scoreAgainstCorpus(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, backoff: Double = DefaultBackoff): DataFrame =
+    scoreBigrams(batch, fitBigramModel(corpus, idCol, textCol),
+      idCol, textCol, backoff)
+
+  // ------------------------------------------------------- persisted model
+
+  /** Persist a fitted model (overwrite — the store IS the fit, not an
+    * append log; same contract as the DSIR ratio store). Counts are
+    * longs and tokens strings, so the round trip is value-exact.
+    */
+  def saveModel(model: BigramModel, storePath: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$storePath/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$storePath/unigrams")
+    model.bigrams.sparkSession.range(1)
+      .select(lit(model.totalTokens).as("total_tokens"),
+        lit(model.vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$storePath/_meta")
+  }
+
+  /** Load a persisted model. A MISSING store is an error, not a
+    * bootstrap — scoring against an absent fit has no semantics.
+    */
+  def loadModel(spark: SparkSession, storePath: String): BigramModel = {
+    val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
+    BigramModel(
+      spark.read.parquet(s"$storePath/bigrams"),
+      spark.read.parquet(s"$storePath/unigrams"),
+      meta.getAs[Long]("total_tokens"), meta.getAs[Long]("vocab_size"))
+  }
+}

@@ -184,6 +184,46 @@ object Search {
       .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, qt, (nDocs, totalLen), k, k1, b)
   }
+  // ------------------------------------------------- hybrid rank fusion
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of any
+    * number of ranked retrieval arms — the standard way to combine a
+    * lexical (BM25) and a semantic (embedding ANN) ranking without
+    * score calibration: each arm contributes 1/(k0 + rank) per
+    * (query, neighbor) and the fused ranking orders by the sum.
+    *
+    * Every arm is a `(query_id, neighbor_id, rank)` frame (extra
+    * columns ignored) — exactly what [[bm25TopK]] and
+    * [[Similarity.bruteForceTopK]] / the IVF probes emit, so fusion
+    * composes with any retrieval pair, in-flight or store-backed.
+    *
+    * Determinism: the contribution is quantized to
+    * floor(1e9 / (k0 + rank)) as an exact BIGINT (rank ≤ a few
+    * hundred, so the double division is > 1/rank away from the next
+    * integer except when it IS an integer — floor is exact either
+    * way), the fused score is an order-independent BIGINT sum, and
+    * ties break by neighbor id.
+    *
+    * Scale shape: each arm is already top-k-bounded per query (≤ arms
+    * × k rows per query reach the fusion), so the groupBy shuffles a
+    * few dozen fixed-width rows per query — negligible next to the
+    * arms themselves. No corpus-sized work happens here.
+    */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    val contribs = arms.map(_.select(col("query_id"), col("neighbor_id"),
+      floor(lit(1.0e9) / (lit(rrfK).cast("double") + col("rank").cast("double")))
+        .cast("long").as("__c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_score").desc, col("neighbor_id"))
+    contribs.reduce(_.unionByName(_))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__c").as("rrf_score"), count(lit(1)).cast("long").as("n_arms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "rrf_score", "n_arms")
+  }
+
   // ----------------------------------------------- segmented (appendable)
 
   /** Append one batch as a new immutable SEGMENT of a growing index —

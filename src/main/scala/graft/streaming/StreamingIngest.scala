@@ -211,6 +211,53 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming full-text INDEXER: each micro-batch appends one
+    * immutable segment to the appendable BM25 index
+    * ([[graft.operators.Search.writeIndexSegment]]) — the Lucene
+    * near-real-time shape (index the stream as it arrives, probe
+    * whenever with [[graft.operators.Search.bm25TopKSegmented]],
+    * results identical to a monolithic index over everything indexed
+    * so far).
+    *
+    * Segment appends are NOT transactional with the checkpoint, and a
+    * replayed batch would double-index its documents (inflating df and
+    * corpus stats — worse than the dedup twin, which merely re-prunes),
+    * so the same per-batch marker protocol guards the append:
+    * marker present → the segment landed, skip; absent → append, then
+    * marker. Markers from earlier batches prune on each commit, exactly
+    * as in [[nearDedupStreamIncremental]].
+    */
+  def indexStreamSegments(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      checkpoint: String,
+      buckets: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val markerDir = new org.apache.hadoop.fs.Path(s"$storePath/_markers")
+        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          graft.operators.Search.writeIndexSegment(
+            batch, idCol, textCol, storePath, buckets)
+          fs.mkdirs(markerDir)
+          fs.create(marker, false).close()
+          val stale = fs.listStatus(markerDir).filter { st =>
+            st.getPath.getName.stripPrefix("batch_").toLongOption
+              .exists(_ < batchId)
+          }
+          stale.foreach(st => fs.delete(st.getPath, false))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming twin of the batch hopping-window aggregation
     * ([[graft.Queries.eventsHoppingWindow]]): the SAME
     * `window(ts, windowDuration, slideDuration)` call, watermarked so

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fitCorpus = Seq(
+    (0L, "the cat sat"),
+    (2L, "the cat ran"),
+    (4L, "a dog ran")
+  ).toDF("doc_id", "text")
+
+  test("bigramRows pairs adjacent tokens; short docs contribute nothing") {
+    val bg = LanguageModel.bigramRows(
+      Seq((0L, "a b c"), (1L, "solo"), (2L, "  x   y  "), (3L, ""))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    bg.toSet shouldBe Set((0L, "a", "b"), (0L, "b", "c"), (2L, "x", "y"))
+  }
+
+  test("fit: exact bigram, context, unigram counts and (T, V)") {
+    val m = LanguageModel.fitBigramModel(fitCorpus, "doc_id", "text")
+    val cb = m.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    cb(("the", "cat")) shouldBe ((2L, 2L)) // cb=2, c1("the")=2
+    cb(("cat", "sat")) shouldBe ((1L, 2L)) // c1("cat")=2
+    cb(("dog", "ran")) shouldBe ((1L, 1L))
+    m.totalTokens shouldBe 9L
+    m.vocabSize shouldBe 6L // the cat sat ran a dog
+    m.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("ran") shouldBe 2L
+  }
+
+  test("score: seen bigrams use cb/c1, unseen back off, OOV floors") {
+    val m = LanguageModel.fitBigramModel(fitCorpus, "doc_id", "text")
+    val batch = Seq((1L, "the cat sat"), (3L, "the zebra")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreBigrams(batch, m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // doc 1: (the,cat) seen 2/2; (cat,sat) seen 1/2
+    val d1 = micro(math.log(2.0 / 2.0)) + micro(math.log(1.0 / 2.0))
+    out(1L)._1 shouldBe 2L
+    out(1L)._2 shouldBe d1
+    out(1L)._3 shouldBe d1.toDouble / 2.0
+    // doc 3: (the,zebra) unseen, zebra OOV: ln(0.4·(0+1)/(9+6))
+    val d3 = micro(math.log(0.4 * 1.0 / 15.0))
+    out(3L) shouldBe ((1L, d3, d3.toDouble))
+  }
+
+  test("backoff uses the unigram count of the SECOND token when unseen") {
+    val m = LanguageModel.fitBigramModel(fitCorpus, "doc_id", "text")
+    // (sat, ran): bigram unseen, but "ran" has cu=2 → ln(0.4·3/15)
+    val out = LanguageModel.scoreBigrams(
+      Seq((9L, "sat ran")).toDF("doc_id", "text"), m, "doc_id", "text")
+      .collect().head
+    out.getLong(2) shouldBe math.floor(math.log(0.4 * 3.0 / 15.0) * 1e6 + 0.5).toLong
+  }
+
+  test("persisted model store round-trips bit-identically") {
+    val m = LanguageModel.fitBigramModel(fitCorpus, "doc_id", "text")
+    val batch = Seq((1L, "the cat sat zebra quokka"), (5L, "a dog ran fast"))
+      .toDF("doc_id", "text")
+    val direct = LanguageModel.scoreBigrams(batch, m, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val store = java.nio.file.Files
+      .createTempDirectory("lm-store-").toString + "/lm"
+    LanguageModel.saveModel(m, store)
+    val loaded = LanguageModel.loadModel(spark, store)
+    loaded.totalTokens shouldBe m.totalTokens
+    loaded.vocabSize shouldBe m.vocabSize
+    LanguageModel.scoreBigrams(batch, loaded, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1) shouldBe direct
+  }
+
+  test("in-distribution text outscores shuffled text (the CCNet signal)") {
+    val wide = (0L until 40L)
+      .map(i => (i, "the cat sat on the mat and the dog ran"))
+      .toDF("doc_id", "text")
+    val m = LanguageModel.fitBigramModel(wide, "doc_id", "text")
+    val probe = Seq(
+      (100L, "the cat sat on the mat"), // fit-corpus word order
+      (101L, "mat the on sat cat the")  // same tokens, shuffled
+    ).toDF("doc_id", "text")
+    val s = LanguageModel.scoreBigrams(probe, m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    s(100L) should be > s(101L)
+  }
+}

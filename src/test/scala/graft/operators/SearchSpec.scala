@@ -131,6 +131,39 @@ class SearchSpec extends SparkSpec {
     e.getMessage should include("bucket count")
   }
 
+  test("rrfFuse: exact contributions, cross-arm boost, ties by id") {
+    def micro(rank: Long): Long = math.floor(1.0e9 / (60.0 + rank)).toLong
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Search.rrfFuse(Seq(lex, sem), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._2)
+    // doc 11 appears in both arms → top, score = c(2) + c(1), n_arms = 2
+    out.head shouldBe ((11L, 1L, micro(2L) + micro(1L), 2L))
+    out.map(_._1) shouldBe Array(11L, 10L, 13L, 12L)
+    out.map(t => t._3 -> t._1).toMap.apply(micro(1L)) shouldBe 10L
+  }
+
+  test("rrfFuse ranking for ids on both retrieval arms is sane") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val docs = (0L until 30L)
+      .map(i => (i, s"group${i % 4} shared tok$i")).toDF("doc_id", "text")
+    val lex = Search.bm25TopK(docs, docs.filter($"doc_id" === 0), "doc_id",
+      "text", k = 10)
+    val sem = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 10)
+    val fused = Search.rrfFuse(Seq(lex, sem), k = 5).collect()
+    fused.map(_.getLong(0)).distinct shouldBe Array(0L)
+    // every fused neighbor shares doc 0's group (both arms agree on the
+    // group-4 structure), and ranks are 1..5 without gaps
+    fused.map(_.getLong(2)).sorted shouldBe Array(1L, 2L, 3L, 4L, 5L)
+    fused.foreach(r => (r.getLong(1) % 4) shouldBe 0L)
+  }
+
   test("driver-side bucket hash matches the Column-side kernel") {
     val toks = Seq("apple", "zebra", "tok17", "common2")
     val sparkSide = toks.toDF("t")

@@ -229,6 +229,44 @@ class StreamingIngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("streaming BM25 indexer: segments match a batch-built monolith") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-idx-")
+    val ckpt = Files.createTempDirectory("stream-idx-ckpt-").toString
+    val store = Files.createTempDirectory("stream-idx-store-").toString + "/idx"
+    def docsCsv(rows: Seq[(Long, String)]): String =
+      "doc_id,text\n" + rows.map { case (i, t) => s"$i,$t" }.mkString("\n")
+    def run(): Unit = {
+      val raw = spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").csv(in.toString)
+      graft.streaming.StreamingIngest
+        .indexStreamSegments(raw, "doc_id", "text", store, ckpt, buckets = 8)
+        .awaitTermination(60000)
+    }
+    val batch1 = (0L until 30L).map(i => (i, s"tok$i common${i % 3} shared"))
+    Files.writeString(in.resolve("a.csv"), docsCsv(batch1))
+    run()
+    val batch2 = (30L until 60L).map(i => (i, s"tok$i common${i % 3} shared"))
+    Files.writeString(in.resolve("b.csv"), docsCsv(batch2))
+    run()
+    // restart with no new data: markers + checkpoint → no third segment
+    run()
+    val segs = spark.read.parquet(s"$store/_meta").collect()
+    segs.length shouldBe 2
+    segs.map(_.getAs[Long]("n_docs")).sum shouldBe 60L
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val queries = all.filter($"doc_id" === 5)
+    val direct = graft.operators.Search
+      .bm25TopK(all, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3)
+    graft.operators.Search
+      .bm25TopKSegmented(spark, store, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3) shouldBe direct
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
