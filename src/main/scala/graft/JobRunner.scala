@@ -287,6 +287,8 @@ object JobRunner {
     *   quality_filter: gopher  # drop docs failing the Gopher rules
     *                           # (or c4: line-level rules, text rewritten
     *                           #  to kept lines; c4_min_words/c4_min_lines)
+    *                           # (or lm: CCNet perplexity gate vs the
+    *                           #  bigram LM at lm_store; lm_min_avg_lognat)
     *   redact_pii: true        # scrub emails/IPs/phones IN PLACE
     * }}}
     * Ops needing schema changes (chunking, packing, reports) stay
@@ -402,6 +404,18 @@ object JobRunner {
             .map(_.toDouble.toInt).getOrElse(3),
           minLines = Yaml.str(c, "c4_min_lines")
             .map(_.toDouble.toInt).getOrElse(3))
+      case "lm" =>
+        // CCNet-style perplexity gate against a PERSISTED bigram LM fit
+        // (`lm_store` — written offline via LanguageModel.saveModel;
+        // missing store = error, scoring an absent fit has no
+        // semantics). Docs whose per-bigram average log score falls
+        // below `lm_min_avg_lognat` (nats, default -12.0) drop, as do
+        // docs too short to score.
+        out = graft.operators.LanguageModel.filterByScore(
+          out, graft.operators.LanguageModel.loadModel(
+            df.sparkSession, need("lm_store")),
+          need("id_field"), need("text_field"),
+          Yaml.str(c, "lm_min_avg_lognat").map(_.toDouble).getOrElse(-12.0))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
     }

@@ -139,6 +139,24 @@ object LanguageModel {
     scoreBigrams(batch, fitBigramModel(corpus, idCol, textCol),
       idCol, textCol, backoff)
 
+  /** Schema-preserving CCNet-style filter: keep rows whose per-bigram
+    * average log score under `model` is at least `minAvgLognat`,
+    * given in NATS per bigram (e.g. -12.0 ≈ perplexity e^12; the
+    * comparison scales it to the micro-nat average internally).
+    * Documents too short to score (< 2
+    * tokens) drop: an LM filter that passes unscorable text waves
+    * through exactly the fragments the quality gate exists to catch.
+    * One semi-join on the id — the input row survives untouched.
+    */
+  def filterByScore(df: DataFrame, model: BigramModel, idCol: String,
+      textCol: String, minAvgLognat: Double,
+      backoff: Double = DefaultBackoff): DataFrame = {
+    val keep = scoreBigrams(df, model, idCol, textCol, backoff)
+      .filter(col("avg_lognat") >= minAvgLognat * 1e6)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------- persisted model
 
   /** Persist a fitted model (overwrite — the store IS the fit, not an

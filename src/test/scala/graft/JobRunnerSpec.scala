@@ -274,6 +274,39 @@ class JobRunnerSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
   }
 
+  test("curation quality_filter: lm gates on a persisted bigram LM store") {
+    import spark.implicits._
+    val fit = (0L until 20L)
+      .map(i => (i, "the cat sat on the mat and the dog ran"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("lmstore-")
+      .toString + "/lm"
+    graft.operators.LanguageModel.saveModel(
+      graft.operators.LanguageModel.fitBigramModel(fit, "doc_id", "text"), store)
+    val df = Seq(
+      (1L, "the cat sat on the mat", "x"),  // in-distribution
+      (2L, "mat the on sat cat the", "y"),  // shuffled → all-backoff
+      (3L, "solo", "z")                     // unscorable (< 2 tokens)
+    ).toDF("doc_id", "text", "extra")
+    val base = Map("id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "lm", "lm_store" -> store)
+    // threshold between the two scores (≈ -0.44 vs ≈ -2.79 nats) keeps
+    // only the fluent doc
+    val out = JobRunner.applyCuration(df,
+      Map("curation" -> (base + ("lm_min_avg_lognat" -> "-2.0"))))
+    out.columns shouldBe df.columns
+    out.collect().map(_.getLong(0)) shouldBe Array(1L)
+    // a permissive threshold keeps both scorable docs, never doc 3
+    JobRunner.applyCuration(df,
+      Map("curation" -> (base + ("lm_min_avg_lognat" -> "-20.0"))))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    // a missing store is an error, not a silent pass-through
+    intercept[Exception] {
+      JobRunner.applyCuration(df, Map("curation" ->
+        (base + ("lm_store" -> (store + "_missing"))))).collect()
+    }
+  }
+
   test("curation dedupe: incremental uses and survives a fingerprint store") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("fpstore-")
@@ -436,6 +469,43 @@ class JobRunnerSpec extends SparkSpec {
     val row = spark.read.parquet(r.outputPath).select("id", "name").collect()
     row.map(x => (x.get(0), x.getString(1))).toSeq shouldBe
       Seq((1, "A good sentence here."))
+  }
+
+  test("lifecycle drive: lm quality gate from the job YAML") {
+    import spark.implicits._
+    val (dir, _) = fixture(Seq(
+      "1,the cat sat on the mat,9.5",  // fluent under the fit
+      "2,mat the on sat cat the,8.0"   // shuffled → below threshold
+    ), "strict")
+    val store = dir.resolve("lmstore").toString
+    graft.operators.LanguageModel.saveModel(
+      graft.operators.LanguageModel.fitBigramModel(
+        (0L until 20L).map(i => (i, "the cat sat on the mat and the dog ran"))
+          .toDF("doc_id", "text"), "doc_id", "text"), store)
+    val out = dir.resolve("out_lm").toString
+    val job = write(dir, "job_lm.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_csv.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |curation:
+         |  id_field: id
+         |  text_field: name
+         |  quality_filter: lm
+         |  lm_store: $store
+         |  lm_min_avg_lognat: -2.0
+         |source:
+         |  files:
+         |    - {path: data.csv, object: people}
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Success
+    r.validRecords shouldBe 1
+    spark.read.parquet(r.outputPath).select("id").collect()
+      .map(_.get(0)) shouldBe Array(1)
   }
 
   test("curation update_store: day-2 job dedups against day-1's store") {
