@@ -480,6 +480,16 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", "text", "lang",
       shingleN = 3, threshold = 0.9)
 
+  /** Directed shingle containment (quote/boilerplate inclusion): pairs
+    * where ≥ 80% of the contained doc's shingles also appear in the
+    * container, blocked by language. The oracle replays the all-pairs
+    * intersect with the asymmetric denominator.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+      t(spark, dir, "documents"), "doc_id", "text", "lang",
+      shingleN = 3, threshold = 0.8)
+
   /** Near-dup REMOVAL: LSH pairs → transitive connected components →
     * keep each cluster's min-id survivor. Oracle replays the clustering
     * with a recursive CTE over the exact all-pairs graph.
@@ -1341,6 +1351,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_minhash_drop" -> dedupMinhashDrop _,
     "dedup_ngram_block" -> dedupNgramBlock _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_drop" -> dedupSimhashDrop _,
@@ -2484,6 +2495,21 @@ object Queries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |  len(list_distinct(list_concat(a.s, b.s))) >= 0.9""".stripMargin,
+    // directed containment: same shingle CTEs, asymmetric denominator
+    // (the contained side's distinct-shingle count), both directions
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
+        |  CAST(len(a.s) AS BIGINT) AS n_contained,
+        |  len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id AND a.lang = b.lang
+        |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8""".stripMargin,
     "text_repetition" ->
       """WITH words0 AS (
         |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w

@@ -1438,4 +1438,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** DIRECTED shingle containment C(A→B) = |S_A ∩ S_B| / |S_A| — the
+    * asymmetric cousin of [[ngramJaccardPairs]]. Jaccard misses
+    * inclusion: a page quoted wholesale inside a much larger page has
+    * tiny Jaccard (union is dominated by the container) but containment
+    * ≈ 1, which is exactly the quote/boilerplate-inclusion signal a
+    * training-data dedupe wants (Broder 1997 introduced containment
+    * alongside resemblance for this reason).
+    *
+    * Same postings-join shape as the Jaccard path: explode distinct
+    * shingles, join on the 8-byte shingle hash within a block, count
+    * shared shingles per DIRECTED pair, divide by the contained side's
+    * shingle count. The size prune uses the asymmetric bound
+    * (shared ≤ |S_B|, so C ≥ t forces |S_B| ≥ t·|S_A|) — unlike
+    * Jaccard, a tiny doc CAN be contained in a huge one, so only the
+    * container side is bounded from below. Stop-shingle df cap and its
+    * recall trade are exactly [[ngramJaccardPairs]]'.
+    *
+    * Returns (contained_id, container_id, shared, n_contained,
+    * containment) with containment ≥ `threshold`, both directions
+    * emitted when both clear it.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDf: Int = 10000
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+    val raw = sh.select(col("blk"), col("id"), col("n"),
+      explode(col("sh")).as("sstr"))
+      .select(col("blk"), col("id"), col("n"), xxhash64(col("sstr")).as("s"))
+    val capped =
+      if (maxShingleDf <= 0) raw
+      else {
+        val hot = raw.groupBy("blk", "s")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select("blk", "s")
+        raw.join(broadcast(hot), Seq("blk", "s"), "left_anti")
+      }
+    val posts = CacheScope.persist(capped)
+    posts.as("x")
+      .join(posts.as("y"),
+        col("x.s") === col("y.s") && col("x.blk") === col("y.blk") &&
+          col("x.id") =!= col("y.id") &&
+          // one-count slack keeps the prune strictly conservative: an
+          // ulp of drift in n·t must never drop a pair the exact final
+          // filter would keep
+          col("y.n").cast("double") >= col("x.n") * threshold - lit(1.0))
+      .groupBy(col("x.id").as("contained_id"), col("y.id").as("container_id"),
+        col("x.n").as("__n"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("__n").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        col("shared").cast("long").as("shared"),
+        col("__n").cast("long").as("n_contained"), col("containment"))
+  }
 }

@@ -412,6 +412,36 @@ class DedupSpec extends SparkSpec {
     uncapped shouldBe Set((100L, 101L)) // boilerplate overlap is 1 shingle « j=0.5
   }
 
+  test("containmentPairs: inclusion found where Jaccard misses it") {
+    // doc 1 (5 words) is quoted verbatim inside doc 2 (15 words):
+    // containment(1→2) = 1.0 but Jaccard ≈ 3/13 — far below any
+    // near-dup threshold
+    val contained = "alpha beta gamma delta epsilon"
+    val container = s"intro words here $contained plus seven trailing filler words after that"
+    val df = Seq((1L, contained), (2L, container), (3L, "unrelated stuff entirely here"))
+      .toDF("id", "text").withColumn("blk", lit("x"))
+    Dedup.ngramJaccardPairs(df, "id", "text", "blk", shingleN = 3,
+      threshold = 0.8).collect() shouldBe empty
+    val pairs = Dedup.containmentPairs(df, "id", "text", "blk",
+      shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    pairs.length shouldBe 1
+    // 3 shingles of doc 1, all present in doc 2, none the other way
+    pairs.head shouldBe ((1L, 2L, 3L, 3L, 1.0))
+  }
+
+  test("containmentPairs: mutual containment emits both directions") {
+    val df = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five")
+    ).toDF("id", "text").withColumn("blk", lit("x"))
+    Dedup.containmentPairs(df, "id", "text", "blk", shingleN = 3,
+      threshold = 0.8)
+      .select("contained_id", "container_id").as[(Long, Long)]
+      .collect().toSet shouldBe Set((1L, 2L), (2L, 1L))
+  }
+
   test("ngramJaccardPairs respects blocking") {
     val blocked = docs.withColumn("blk",
       when(col("id") <= 3, "a").otherwise("b"))
