@@ -164,6 +164,34 @@ class PlanAuditSpec extends SparkSpec {
     plan("dedup_simhash_incremental") should not include "v59"
   }
 
+  test("hybrid RRF keeps both arms' broadcast pins and bounded fusion") {
+    // the BM25 arm broadcasts its query-term set and the ANN arm its
+    // query vectors (explicit hints, visible in the INITIAL plan); the
+    // fusion itself adds only narrow (query, neighbor, long) traffic
+    val p = plan("search_hybrid_rrf")
+    "BroadcastHashJoin".r.findAllIn(p).length should be >= 2
+    p should not include "CartesianProduct"
+  }
+
+  test("LM fit counts partial-aggregate; scoring joins on token keys") {
+    // every groupBy in fit (bigram, context, unigram) and score (per-doc
+    // sum) must map-side combine — at 100 TB the (w1, w2) count table is
+    // built from partial aggregates, never raw token rows at one reducer
+    val p = plan("text_lm_score")
+    p should include("HashAggregate")
+    p should not include "SortAggregate"
+    p should not include "CartesianProduct"
+  }
+
+  test("containment shuffles 8-byte shingle hashes, never text") {
+    val p = plan("dedup_containment")
+    p should include("xxhash64")
+    // the postings join carries (blk, id, n, s) only — no text column
+    // survives past the projection feeding the self-join
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    exchanges.foreach(l => l should not include "text#")
+  }
+
   test("mdkv parse/render runs as native kernels, no encoder round-trip") {
     // the typed-Dataset formulation paid DeserializeToObject /
     // SerializeFromObject stage breaks per parse (the engine's last
