@@ -1311,6 +1311,22 @@ object Queries {
       graft.operators.LanguageModel.loadModel(spark, store), "doc_id", "text")
   }
 
+  /** CCNet head/middle/tail perplexity buckets: the LM scores of the
+    * odd-id half (same fit as text_lm_score) are rank-terciled within
+    * each language. All-BIGINT output — the double score only orders
+    * (hash-exact cross-engine), rank arithmetic assigns the bucket.
+    */
+  def textLmPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = graft.operators.LanguageModel.scoreAgainstCorpus(
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+      "doc_id", "text")
+    graft.operators.LanguageModel.rankBuckets(
+      scored.join(docs.select("doc_id", "lang"), "doc_id"),
+      "lang", "doc_id", k = 3)
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -1409,7 +1425,8 @@ object Queries {
     "search_bm25_segmented" -> searchBm25Segmented _,
     "search_hybrid_rrf" -> searchHybridRrf _,
     "text_lm_score" -> textLmScore _,
-    "text_lm_score_store" -> textLmScoreStore _
+    "text_lm_score_store" -> textLmScoreStore _,
+    "text_lm_ppl_buckets" -> textLmPplBuckets _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -2228,7 +2245,58 @@ object Queries {
       |  CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS avg_lognat
       |FROM sc GROUP BY doc_id""".stripMargin
 
+  // CCNet ppl buckets: the LM scoring CTE chain (identical to
+  // textLmScoreOracle), then per-language rank terciles — the double
+  // score only orders (hash-exact), the bucket is rank arithmetic.
+  private val textLmPplBucketsOracle: String =
+    """WITH tl AS (SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l
+      |  FROM documents),
+      |fbg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM
+      |  (SELECT unnest(list_transform(range(1, len(l)),
+      |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p
+      |   FROM tl WHERE doc_id % 2 = 0)),
+      |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM fbg
+      |  GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM
+      |  (SELECT unnest(l) AS w FROM tl WHERE doc_id % 2 = 0) GROUP BY w),
+      |meta AS (SELECT CAST(sum(cu) AS BIGINT) AS tt,
+      |  CAST(count(*) AS BIGINT) AS v FROM uni),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
+      |  (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |     i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS p
+      |   FROM tl WHERE doc_id % 2 = 1)),
+      |bgn AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n FROM bg
+      |  GROUP BY doc_id, w1, w2),
+      |sc AS (SELECT bgn.doc_id, bgn.n,
+      |  CASE WHEN cb.cb IS NOT NULL THEN
+      |    CAST(floor(ln(CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT)
+      |  ELSE
+      |    CAST(floor(ln(0.4 * CAST(coalesce(uni.cu, 0) + 1 AS DOUBLE)
+      |      / CAST(meta.tt + meta.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  END AS lp
+      |  FROM bgn
+      |  LEFT JOIN cb ON cb.w1 = bgn.w1 AND cb.w2 = bgn.w2
+      |  LEFT JOIN c1 ON c1.w1 = bgn.w1
+      |  LEFT JOIN uni ON uni.w = bgn.w2
+      |  CROSS JOIN meta),
+      |scored AS (SELECT doc_id,
+      |  CAST(sum(n * lp) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS avg_lognat
+      |  FROM sc GROUP BY doc_id),
+      |j AS (SELECT s.doc_id, d.lang, s.avg_lognat
+      |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+      |r AS (SELECT doc_id, lang, row_number() OVER
+      |  (PARTITION BY lang ORDER BY avg_lognat DESC, doc_id) AS rank,
+      |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+      |SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank,
+      |  CAST(floor(CAST((rank - 1) * 3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS BIGINT) AS bucket
+      |FROM r""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_lm_ppl_buckets" -> textLmPplBucketsOracle,
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,
     "search_bm25_segmented" -> searchBm25Oracle,

@@ -157,6 +157,37 @@ object LanguageModel {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** CCNet's final step: split each stratum (CCNet uses language) into
+    * `k` equal RANK buckets of the LM score — bucket 0 = head (most
+    * in-distribution), k−1 = tail. Rank buckets, not value thresholds:
+    * CCNet's head/middle/tail are corpus terciles by construction, and
+    * rank arithmetic keeps the bucket assignment integer-exact
+    * cross-engine (the score only ever ORDERS, never divides).
+    *
+    * Input is a scored frame ([[scoreBigrams]] output joined with the
+    * stratum column); output (id, stratum, rank, bucket) — all BIGINTs.
+    * One narrow window shuffle on the stratum key: at corpus scale the
+    * shuffle carries (id, stratum, score) rows, never text. A stratum
+    * is a language — tens of partitions, each potentially huge; for a
+    * skew-free formulation at 100 TB the rank window is the same shape
+    * as the stratified sampler's (bounded state per key, no global
+    * sort).
+    */
+  def rankBuckets(scored: DataFrame, stratumCol: String, idCol: String,
+      k: Int = 3, scoreCol: String = "avg_lognat"): DataFrame = {
+    require(k > 0, s"bucket count must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col(scoreCol).desc, col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("bucket",
+        floor(((col("rank") - 1) * k).cast("double") / col("__n").cast("double"))
+          .cast("long"))
+      .select(col(idCol), col(stratumCol), col("rank"), col("bucket"))
+  }
+
   // ------------------------------------------------------- persisted model
 
   /** Persist a fitted model (overwrite — the store IS the fit, not an

@@ -77,6 +77,28 @@ class LanguageModelSpec extends SparkSpec {
       .sortBy(_._1) shouldBe direct
   }
 
+  test("rankBuckets: equal rank terciles per stratum, head = best score") {
+    val scored = Seq(
+      // lang a: 6 docs, scores descending with id — buckets 0,0,1,1,2,2
+      (1L, "a", -1.0), (2L, "a", -2.0), (3L, "a", -3.0),
+      (4L, "a", -4.0), (5L, "a", -5.0), (6L, "a", -6.0),
+      // lang b: 4 docs — floor((r-1)*3/4) = 0,0,1,2
+      (7L, "b", -1.0), (8L, "b", -2.0), (9L, "b", -3.0), (10L, "b", -4.0)
+    ).toDF("doc_id", "lang", "avg_lognat")
+    val out = LanguageModel.rankBuckets(scored, "lang", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    out(1L) shouldBe ((1L, 0L)); out(2L) shouldBe ((2L, 0L))
+    out(3L) shouldBe ((3L, 1L)); out(6L) shouldBe ((6L, 2L))
+    out(7L) shouldBe ((1L, 0L)); out(9L) shouldBe ((3L, 1L))
+    out(10L) shouldBe ((4L, 2L))
+    // ties break by id: equal scores get deterministic ranks
+    val tied = Seq((1L, "a", -1.0), (2L, "a", -1.0), (3L, "a", -1.0))
+      .toDF("doc_id", "lang", "avg_lognat")
+    LanguageModel.rankBuckets(tied, "lang", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+  }
+
   test("in-distribution text outscores shuffled text (the CCNet signal)") {
     val wide = (0L until 40L)
       .map(i => (i, "the cat sat on the mat and the dog ran"))
