@@ -205,12 +205,81 @@ object LanguageModel {
 
   /** Load a persisted model. A MISSING store is an error, not a
     * bootstrap — scoring against an absent fit has no semantics.
+    *
+    * If the store has pending count DELTAS ([[appendModelCounts]]),
+    * they merge at load: counts are exactly additive, so base + deltas
+    * re-aggregated is bit-identical to a joint fit over all the
+    * corpora. The merged path pays one extra (w1, w2) aggregate per
+    * load — run [[compactModel]] to fold deltas into the base and
+    * restore the zero-merge fast path.
     */
   def loadModel(spark: SparkSession, storePath: String): BigramModel = {
     val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
-    BigramModel(
+    val base = BigramModel(
       spark.read.parquet(s"$storePath/bigrams"),
       spark.read.parquet(s"$storePath/unigrams"),
       meta.getAs[Long]("total_tokens"), meta.getAs[Long]("vocab_size"))
+    if (!deltasExist(spark, storePath)) base
+    else {
+      val cb = base.bigrams.select("w1", "w2", "cb")
+        .unionByName(spark.read.parquet(s"$storePath/deltas/bigrams"))
+        .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+      val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
+      val unigrams = base.unigrams
+        .unionByName(spark.read.parquet(s"$storePath/deltas/unigrams"))
+        .groupBy("w").agg(sum("cu").as("cu"))
+      val r = unigrams
+        .agg(coalesce(sum("cu"), lit(0L)).cast("long"), count(lit(1)).cast("long"))
+        .collect()(0)
+      BigramModel(cb.join(c1, "w1").select("w1", "w2", "cb", "c1"),
+        unigrams, r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** Append one corpus batch's RAW counts as a delta — no read, list,
+    * or rewrite of existing store data (the append-only shape a
+    * long-running ingester needs; the dedup stores' contract). The
+    * denormalized context count c1 and the (T, V) scalars are NOT
+    * stored in deltas — they are global aggregates that would go stale
+    * on the next append, so [[loadModel]] recomputes them over the
+    * merged counts. Keep the reference fit FROZEN (the DSIR-store
+    * argument) unless the model is meant to track the ingested corpus
+    * itself — appending batch text to a reference LM drifts the very
+    * distribution the quality gate filters against.
+    */
+  def appendModelCounts(corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String): Unit = {
+    bigramRows(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .write.mode("append").parquet(s"$storePath/deltas/bigrams")
+    tokenArrays(corpus, idCol, textCol)
+      .select(explode(col("__l")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .write.mode("append").parquet(s"$storePath/deltas/unigrams")
+  }
+
+  /** Fold pending deltas into the base tables and remove them, via a
+    * temp-dir swap (the base cannot be overwritten while the merged
+    * plan still reads it). After compaction [[loadModel]] is back on
+    * the zero-merge path; scores are unchanged (counts are counts).
+    */
+  def compactModel(spark: SparkSession, storePath: String): Unit = {
+    if (!deltasExist(spark, storePath)) return
+    val merged = loadModel(spark, storePath)
+    val tmp = s"$storePath/_compact_tmp"
+    saveModel(merged, tmp) // materializes FROM the old files into tmp
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (d <- Seq("bigrams", "unigrams", "_meta", "deltas"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/$d"), true)
+    for (d <- Seq("bigrams", "unigrams", "_meta"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"),
+        new org.apache.hadoop.fs.Path(s"$storePath/$d"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def deltasExist(spark: SparkSession, storePath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/deltas/bigrams")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 }

@@ -266,6 +266,44 @@ object Search {
     * postings (≤ |terms| result rows, broadcast back). Results are
     * identical to a monolithic index over the same documents.
     */
+  /** Merge ALL segments into one — the Lucene segment-merge. Every
+    * micro-batch append adds a `segment=` partition directory, and a
+    * probe pays per-segment listing plus per-segment `_meta` rows; a
+    * long-running streaming indexer compacts periodically to keep the
+    * file tree flat. Postings rewrite once into a single new segment
+    * via a temp-dir swap (the rewrite plan reads the old files);
+    * per-segment stats collapse into one `_meta` row with the same
+    * sums, so probes before and after are identical. Streaming-marker
+    * state (`_markers`) is untouched.
+    */
+  def compactIndexSegments(spark: SparkSession, storePath: String): Unit = {
+    val metas = spark.read.parquet(s"$storePath/_meta").collect()
+    if (metas.length <= 1) return
+    val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
+    require(bucketSizes.length == 1,
+      s"segments disagree on bucket count: ${bucketSizes.mkString(",")}")
+    val seg = java.util.UUID.randomUUID().toString
+    val tmp = s"$storePath/_compact_tmp"
+    spark.read.parquet(s"$storePath/postings")
+      .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
+      .withColumn("segment", lit(seg))
+      .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
+    spark.range(1)
+      .select(lit(seg).as("segment"),
+        lit(metas.map(_.getAs[Long]("n_docs")).sum).as("n_docs"),
+        lit(metas.map(_.getAs[Long]("total_len")).sum).as("total_len"),
+        lit(bucketSizes.head).as("buckets"))
+      .write.parquet(s"$tmp/_meta")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (d <- Seq("postings", "_meta"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/$d"), true)
+    for (d <- Seq("postings", "_meta"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"),
+        new org.apache.hadoop.fs.Path(s"$storePath/$d"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   def bm25TopKSegmented(spark: SparkSession, storePath: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {

@@ -77,6 +77,34 @@ class LanguageModelSpec extends SparkSpec {
       .sortBy(_._1) shouldBe direct
   }
 
+  test("append + load equals a joint fit; compaction preserves scores") {
+    val a = fitCorpus
+    val b = Seq((6L, "the dog sat"), (8L, "a cat ran far")).toDF("doc_id", "text")
+    val probe = Seq((1L, "the cat sat far"), (3L, "dog ran quokka"))
+      .toDF("doc_id", "text")
+    def scores(m: LanguageModel.BigramModel) =
+      LanguageModel.scoreBigrams(probe, m, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1)
+    val joint = scores(LanguageModel.fitBigramModel(a.unionByName(b), "doc_id", "text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("lm-inc-").toString + "/lm"
+    LanguageModel.saveModel(
+      LanguageModel.fitBigramModel(a, "doc_id", "text"), store)
+    LanguageModel.appendModelCounts(b, "doc_id", "text", store)
+    val merged = LanguageModel.loadModel(spark, store)
+    merged.totalTokens shouldBe 9L + 7L
+    merged.vocabSize shouldBe 7L // fit vocab + {far}; every other B token shared
+    scores(merged) shouldBe joint
+    LanguageModel.compactModel(spark, store)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, "deltas")) shouldBe false
+    scores(LanguageModel.loadModel(spark, store)) shouldBe joint
+    // compacted load is the fast path: c1 rides the stored row again
+    LanguageModel.loadModel(spark, store).bigrams.columns should
+      contain allOf ("w1", "w2", "cb", "c1")
+  }
+
   test("rankBuckets: equal rank terciles per stratum, head = best score") {
     val scored = Seq(
       // lang a: 6 docs, scores descending with id — buckets 0,0,1,1,2,2

@@ -118,6 +118,34 @@ class SearchSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("segment compaction: one segment left, probes unchanged") {
+    val wide = (0L until 60L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 60}"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-compact-").toString + "/idx"
+    (0 to 3).foreach(i => Search.writeIndexSegment(
+      wide.filter($"doc_id" % 4 === i), "doc_id", "text", store, buckets = 8))
+    val queries = wide.filter($"doc_id" < 2)
+    def probe() = Search.bm25TopKSegmented(spark, store, queries,
+      "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val before = probe()
+    graft.core.CacheScope.releaseAll()
+    Search.compactIndexSegments(spark, store)
+    spark.read.parquet(s"$store/_meta").count() shouldBe 1
+    new java.io.File(s"$store/postings").listFiles()
+      .count(_.getName.startsWith("segment=")) shouldBe 1
+    probe() shouldBe before
+    // appending AFTER compaction keeps working
+    Search.writeIndexSegment(
+      Seq((100L, "tok0 common0 tok1")).toDF("doc_id", "text"),
+      "doc_id", "text", store, buckets = 8)
+    spark.read.parquet(s"$store/_meta").count() shouldBe 2
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("segmented index: mismatched bucket counts refuse loudly") {
     val store = java.nio.file.Files
       .createTempDirectory("bm25-mismatch-").toString + "/idx"
