@@ -1311,6 +1311,21 @@ object Queries {
       graft.operators.LanguageModel.loadModel(spark, store), "doc_id", "text")
   }
 
+  /** Exact phrase search: the first five tokens of document 7 as a
+    * verbatim phrase, matched as a consecutive token run across the
+    * corpus with overlapping-occurrence counts. The phrase collect is
+    * one row (documented-small); the oracle derives the same phrase in
+    * SQL and replays the run-match by list-slice equality.
+    */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val phrase = docs.filter(col("doc_id") === 7)
+      .select(slice(filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit("")), 1, 5))
+      .collect()(0).getSeq[String](0)
+    graft.operators.Search.phraseMatches(docs, "doc_id", "text", phrase)
+  }
+
   /** CCNet head/middle/tail perplexity buckets: the LM scores of the
     * odd-id half (same fit as text_lm_score) are rank-terciled within
     * each language. All-BIGINT output — the double score only orders
@@ -1426,7 +1441,8 @@ object Queries {
     "search_hybrid_rrf" -> searchHybridRrf _,
     "text_lm_score" -> textLmScore _,
     "text_lm_score_store" -> textLmScoreStore _,
-    "text_lm_ppl_buckets" -> textLmPplBuckets _
+    "text_lm_ppl_buckets" -> textLmPplBuckets _,
+    "search_phrase" -> searchPhrase _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -2296,6 +2312,15 @@ object Queries {
       |FROM r""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "search_phrase" ->
+      """WITH tl AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |ph AS (SELECT l[1:5] AS p FROM tl WHERE doc_id = 7),
+        |m AS (SELECT t.doc_id, CAST(len(list_filter(range(1, len(t.l) - 3),
+        |    i -> t.l[i:i+4] = ph.p)) AS BIGINT) AS n_matches
+        |  FROM tl t CROSS JOIN ph WHERE len(t.l) >= 5)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
     "text_lm_ppl_buckets" -> textLmPplBucketsOracle,
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,

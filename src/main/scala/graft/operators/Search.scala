@@ -184,6 +184,41 @@ object Search {
       .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, qt, (nDocs, totalLen), k, k1, b)
   }
+  // ------------------------------------------------- exact phrase match
+
+  /** Exact token-phrase occurrence counts: documents containing
+    * `phrase` as a CONSECUTIVE token run, with the number of (possibly
+    * overlapping) occurrences. This is the token-level exact-substring
+    * primitive — verbatim benchmark-question decontamination and
+    * quoted-passage tracing need exact runs, where BM25 sees only a
+    * bag of words.
+    *
+    * Distributed shape (the anchor trick): the phrase ships broadcast
+    * as (offset, token) rows; positional postings join it on the token
+    * (pruning to phrase-term postings map-side), each hit votes for
+    * anchor = pos − offset, and an anchor with all `phrase.length`
+    * offsets present is a full occurrence. Shuffle is O(phrase-term
+    * postings), never O(corpus), and carries (id, anchor) longs.
+    */
+  def phraseMatches(corpus: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pt = phrase.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("__i", "tok")
+    corpus
+      .select(col(idCol).as("doc_id"), posexplode(
+        filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= lit("")))
+        .as(Seq("pos", "tok")))
+      .join(broadcast(pt), "tok")
+      .groupBy(col("doc_id"), (col("pos") - col("__i")).as("__anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === phrase.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+
   // ------------------------------------------------- hybrid rank fusion
 
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of any

@@ -159,6 +159,24 @@ class SearchSpec extends SparkSpec {
     e.getMessage should include("bucket count")
   }
 
+  test("phraseMatches: consecutive runs only, overlaps counted") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),     // one run
+      (2L, "beta alpha gamma"),           // all tokens, wrong order
+      (3L, "x alpha beta gamma y alpha beta gamma z"), // two runs
+      (4L, "alpha beta"),                 // incomplete
+      (5L, "ab ab ab ab")                 // overlapping repeats
+    ).toDF("doc_id", "text")
+    val out = Search.phraseMatches(df, "doc_id", "text",
+      Seq("alpha", "beta", "gamma"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 3L -> 2L)
+    // a self-overlapping phrase counts every start position
+    Search.phraseMatches(df, "doc_id", "text", Seq("ab", "ab"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(5L -> 3L)
+  }
+
   test("rrfFuse: exact contributions, cross-arm boost, ties by id") {
     def micro(rank: Long): Long = math.floor(1.0e9 / (60.0 + rank)).toLong
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
