@@ -1326,6 +1326,20 @@ object Queries {
     graft.operators.Search.phraseMatches(docs, "doc_id", "text", phrase)
   }
 
+  /** Verbatim decontamination: every 150th document (offset 11) plays
+    * a benchmark set; corpus documents containing any benchmark's
+    * leading 8-token run verbatim are dropped (the exact-run complement
+    * of the n-gram/embedding sweeps). Output: surviving doc ids.
+    */
+  def decontaminateVerbatim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.Search.verbatimDecontaminate(
+      docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 150 === 11), "doc_id", "text",
+      phraseLen = 8)
+      .select("doc_id")
+  }
+
   /** CCNet head/middle/tail perplexity buckets: the LM scores of the
     * odd-id half (same fit as text_lm_score) are rank-terciled within
     * each language. All-BIGINT output — the double score only orders
@@ -1442,7 +1456,8 @@ object Queries {
     "text_lm_score" -> textLmScore _,
     "text_lm_score_store" -> textLmScoreStore _,
     "text_lm_ppl_buckets" -> textLmPplBuckets _,
-    "search_phrase" -> searchPhrase _
+    "search_phrase" -> searchPhrase _,
+    "decontaminate_verbatim" -> decontaminateVerbatim _
   )
 
   /** Benchmarked but not oracle-registered: variants whose hash function
@@ -2312,6 +2327,17 @@ object Queries {
       |FROM r""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "decontaminate_verbatim" ->
+      """WITH tl AS (SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |bp AS (SELECT l[1:8] AS p, least(len(l), 8) AS m FROM tl
+        |  WHERE doc_id % 150 = 11 AND len(l) >= 1),
+        |hit AS (SELECT DISTINCT t.doc_id FROM tl t JOIN bp
+        |  ON len(t.l) >= bp.m AND len(list_filter(
+        |    range(1, len(t.l) - bp.m + 2), i -> t.l[i:i+bp.m-1] = bp.p)) > 0)
+        |SELECT doc_id FROM tl
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
     "search_phrase" ->
       """WITH tl AS (SELECT doc_id, list_filter(
         |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l

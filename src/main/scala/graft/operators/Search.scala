@@ -219,6 +219,49 @@ object Search {
       .agg(count(lit(1)).cast("long").as("n_matches"))
   }
 
+  /** Verbatim benchmark decontamination: drop corpus documents that
+    * contain the leading `phraseLen`-token run of ANY benchmark
+    * document verbatim. The n-gram and embedding decontamination
+    * sweeps ([[Decontaminate]]) catch paraphrase-level leakage; this
+    * is the exact-run complement (a benchmark question quoted verbatim
+    * is contamination even when the rest of the page drags the
+    * similarity scores down).
+    *
+    * Same anchor-vote shape as [[phraseMatches]] generalized to many
+    * phrases at once: the benchmark side is small by construction, so
+    * its (phrase, offset, token) rows broadcast; postings prune to
+    * phrase tokens map-side; an anchor with all of a phrase's offsets
+    * present marks the document contaminated. One distinct + one
+    * broadcast anti-join back to the corpus.
+    */
+  def verbatimDecontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      phraseLen: Int = 8): DataFrame = {
+    require(phraseLen > 0, s"phraseLen must be positive: $phraseLen")
+    val toks = (c: Column) =>
+      filter(split(lower(trim(c)), "\\s+"), t => t =!= lit(""))
+    val pt = bench
+      .select(col(benchIdCol).as("__bid"),
+        slice(toks(col(benchTextCol)), 1, phraseLen).as("__p"))
+      .filter(size(col("__p")) >= 1)
+      .withColumn("__plen", size(col("__p")))
+      .select(col("__bid"), col("__plen"),
+        posexplode(col("__p")).as(Seq("__i", "tok")))
+    val hits = corpus
+      .select(col(idCol).as("__doc"),
+        posexplode(toks(col(textCol))).as(Seq("__pos", "tok")))
+      .join(broadcast(pt), "tok")
+      .groupBy(col("__doc"), col("__bid"), col("__plen"),
+        (col("__pos") - col("__i")).as("__anchor"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === col("__plen"))
+      .select("__doc").distinct()
+    // no broadcast pin: the hit set is usually tiny but is NOT bounded
+    // by construction (a boilerplate phrase could contaminate the whole
+    // corpus) — AQE broadcasts it when it is actually small
+    corpus.join(hits, corpus(idCol) === hits("__doc"), "left_anti")
+  }
+
   // ------------------------------------------------- hybrid rank fusion
 
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of any

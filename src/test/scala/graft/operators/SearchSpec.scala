@@ -177,6 +177,20 @@ class SearchSpec extends SparkSpec {
       Map(5L -> 3L)
   }
 
+  test("verbatimDecontaminate drops exact-run carriers only") {
+    val bench = Seq((100L, "what is the capital of france"))
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      (1L, "quiz page asking what is the capital of france today"), // verbatim
+      (2L, "what is the france capital of"),   // same bag, no run
+      (3L, "totally unrelated content here"),
+      (4L, "WHAT  IS   THE CAPITAL OF FRANCE") // case/whitespace normalized
+    ).toDF("doc_id", "text")
+    Search.verbatimDecontaminate(corp, "doc_id", "text",
+      bench, "doc_id", "text", phraseLen = 8)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+  }
+
   test("rrfFuse: exact contributions, cross-arm boost, ties by id") {
     def micro(rank: Long): Long = math.floor(1.0e9 / (60.0 + rank)).toLong
     val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
