@@ -289,6 +289,10 @@ object JobRunner {
     *                           #  to kept lines; c4_min_words/c4_min_lines)
     *                           # (or lm: CCNet perplexity gate vs the
     *                           #  bigram LM at lm_store; lm_min_avg_lognat)
+    *   decontaminate: ngram    # drop docs sharing n-grams with the eval
+    *                           # set at benchmark_path (or verbatim:
+    *                           # exact leading-run matches;
+    *                           # decontaminate_shingle_n / _phrase_len)
     *   redact_pii: true        # scrub emails/IPs/phones IN PLACE
     * }}}
     * Ops needing schema changes (chunking, packing, reports) stay
@@ -390,6 +394,32 @@ object JobRunner {
               df.sparkSession, need("simhash_store")))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
+    }
+    // decontamination after dedupe, before the quality gate: judged on
+    // extracted, deduped prose. The benchmark parquet must carry the
+    // SAME id/text field names as the contract (it is an eval set
+    // prepared for this pipeline, not arbitrary data). Semantic
+    // (embedding) decontamination stays library-level — the validated
+    // frame carries text, not vectors.
+    Yaml.str(c, "decontaminate").foreach { mode =>
+      val bench = df.sparkSession.read.parquet(need("benchmark_path"))
+        .select(col(need("id_field")), col(need("text_field")))
+      mode match {
+        case "ngram" =>
+          out = graft.operators.Decontaminate.dropContaminated(
+            out, bench, need("id_field"), need("text_field"),
+            shingleN = Yaml.str(c, "decontaminate_shingle_n")
+              .map(_.toDouble.toInt).getOrElse(3))
+        case "verbatim" =>
+          out = graft.operators.Search.verbatimDecontaminate(
+            out, need("id_field"), need("text_field"),
+            bench, need("id_field"), need("text_field"),
+            phraseLen = Yaml.str(c, "decontaminate_phrase_len")
+              .map(_.toDouble.toInt).getOrElse(8))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown curation.decontaminate: $other")
+      }
     }
     Yaml.str(c, "quality_filter").foreach {
       case "gopher" =>

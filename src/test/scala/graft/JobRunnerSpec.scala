@@ -307,6 +307,36 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("curation decontaminate: ngram and verbatim drop leaky docs") {
+    import spark.implicits._
+    val benchPath = java.nio.file.Files
+      .createTempDirectory("bench-").toString + "/bench"
+    Seq((100L, "what is the capital of france"))
+      .toDF("doc_id", "text").write.parquet(benchPath)
+    val df = Seq(
+      (1L, "quiz asks what is the capital of france verbatim"),
+      (2L, "france capital the what of is"),        // bag overlap, no run
+      (3L, "clean document with original prose")
+    ).toDF("doc_id", "text")
+    val base = Map("id_field" -> "doc_id", "text_field" -> "text",
+      "benchmark_path" -> benchPath)
+    // verbatim: only the exact-run carrier drops
+    JobRunner.applyCuration(df, Map("curation" ->
+      (base + ("decontaminate" -> "verbatim",
+        "decontaminate_phrase_len" -> "6"))))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // ngram (3-shingles): doc 1 shares shingles, doc 2 shares none
+    JobRunner.applyCuration(df, Map("curation" ->
+      (base + ("decontaminate" -> "ngram"))))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // missing benchmark_path refuses loudly
+    intercept[IllegalArgumentException] {
+      JobRunner.applyCuration(df, Map("curation" -> Map(
+        "id_field" -> "doc_id", "text_field" -> "text",
+        "decontaminate" -> "ngram")))
+    }.getMessage should include("benchmark_path")
+  }
+
   test("curation dedupe: incremental uses and survives a fingerprint store") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("fpstore-")
