@@ -24,7 +24,7 @@ object CheckDiscover {
       return graft.plugins.PluginLoader.loadReader(cls).checkConnection(src.raw)
     }
     src.connectorType match {
-      case "csv" | "parquet" | "markdown_kv" =>
+      case "csv" | "parquet" | "jsonl" | "markdown_kv" =>
         val paths = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
         if (paths.isEmpty)
           ConnectionTestResult(success = false, "no files configured")
@@ -71,6 +71,11 @@ object CheckDiscover {
         val df = spark.read.parquet(paths.head)
         DiscoveryResult(df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").toSeq,
           Map("source" -> paths.head))
+      case "jsonl" if paths.nonEmpty =>
+        // Bounded inference probe: discovery is interactive, so inferring
+        // from ONE file is acceptable here (the job-run scan never infers).
+        val df = spark.read.option("multiLine", "false").json(paths.head)
+        DiscoveryResult(df.columns.toSeq, Map("source" -> paths.head))
       case other => DiscoveryResult(Seq.empty, Map("unsupported" -> other))
     }
   }

@@ -3,7 +3,7 @@ package graft
 import graft.config._
 import graft.core._
 import graft.sinks.ParquetSink
-import graft.sources.{CsvOptions, CsvSource, JdbcSource, SqlDialect, IncrementalSpec}
+import graft.sources.{CsvOptions, CsvSource, JdbcSource, JsonlSource, SqlDialect, IncrementalSpec}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Paths
@@ -127,6 +127,14 @@ object JobRunner {
         val (paths, inc2) = filterFiles(all)
         if (paths.isEmpty) (emptyRaw, inc2)
         else (spark.read.parquet(paths: _*), inc2)
+      case "jsonl" =>
+        // Beyond-reference: JSONL corpus ingest (see JsonlSource). Corrupt
+        // lines ride along in _corrupt_record for the T2/T4 error pipeline.
+        val all = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
+        require(all.nonEmpty, "jsonl source requires files[].path")
+        val (paths, inc2) = filterFiles(all)
+        if (paths.isEmpty) (emptyRaw, inc2)
+        else (JsonlSource.readClean(spark, paths, contract), inc2)
       case t @ ("postgres" | "mysql") =>
         val conn = Yaml.map(src.raw, "connection")
         val url = Yaml.str(conn, "jdbc_url").getOrElse(
@@ -376,6 +384,14 @@ object JobRunner {
         // within-batch MinHash-LSH clustering, min-id survivor per cluster
         out = graft.operators.Dedup.dropNearDuplicates(
           out, need("id_field"), need("text_field"))
+      case "tfidf_near" =>
+        // model-free cosine near-dup over hashed TF-IDF vectors — same
+        // cluster/survivor semantics as `near`, for corpora where
+        // shingle MinHash is too coarse and no embedding column exists
+        out = graft.operators.Tfidf.dropNearDuplicates(
+          out, need("id_field"), need("text_field"),
+          maxTokenDf = Yaml.str(c, "tfidf_max_token_df")
+            .map(_.toDouble.toInt).getOrElse(50))
       case "incremental_simhash" =>
         // vs an existing (id, simhash) store (missing store = first run);
         // append surviving rows' hashes post-commit via

@@ -2,7 +2,7 @@ package graft
 
 import graft.core._
 import graft.sinks.ParquetSink
-import graft.sources.{CsvOptions, CsvSource}
+import graft.sources.{CsvOptions, CsvSource, JsonlSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,6 +42,32 @@ object Queries {
     staged.write.mode("overwrite").option("header", "true").csv(tmp)
     val raw = CsvSource.read(spark, Seq(tmp), contract, CsvOptions())
     Validation.coerceToContract(raw, contract)
+  }
+
+  /** JSONL spine (beyond-reference): documents → temp JSONL (typed JSON
+    * null for doc_id%7 langs — JSONL has real nulls, no 'None' marker) →
+    * all-string JsonlSource scan → coerce to contract. Exercises the
+    * corpus-interchange ingest path end-to-end; corrupt-record capture is
+    * spec-tested (JsonlSourceSpec) since to_json can't emit a bad line.
+    */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val contract = DataContract(name = "docs_jsonl", fields = Seq(
+      ContractField("doc_id", "integer", required = true),
+      ContractField("lang", "string"),
+      ContractField("source", "string"),
+      ContractField("n_chars", "integer")))
+    val staged = t(spark, dir, "documents").select(
+      to_json(struct(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"),
+        col("n_chars"))).as("value"))
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_jsonl_roundtrip_${dir.hashCode}").toString
+    staged.write.mode("overwrite").text(tmp)
+    Validation.coerceToContract(
+      JsonlSource.readClean(spark, Seq(tmp), contract), contract)
   }
 
   // -------------------------------------------------------------------- T1
@@ -554,6 +580,34 @@ object Queries {
     graft.operators.TextAnalysis.vocabTopK(
       t(spark, dir, "documents"), "doc_id", "text", k = 50)
 
+  /** Hashed TF-IDF sparse vectors (64 buckets, milli-nat idf): the
+    * model-free in-engine embedding — every column exact-integer, so the
+    * whole vector table is hash-checked against the replayed fit.
+    */
+  def textTfidfVectors(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Tfidf.hashedVectors(
+      t(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", buckets = 64)
+      .withColumnRenamed("id", "doc_id")
+
+  /** Cosine ≥ 0.8 near-dup pairs over the hashed TF-IDF vectors:
+    * rare-token postings candidates (2 ≤ df ≤ 50), exact-integer
+    * den²·dot² ≥ num²·n2a·n2b verification — model-free semantic dedup
+    * when no embedding column exists.
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Tfidf.cosinePairs(
+      t(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text", buckets = 64, maxTokenDf = 50, tauNum = 4, tauDen = 5)
+
+  /** Cross-source shingle-overlap matrix: distinct 3-gram shingles of
+    * source A also present in source B, plus A's shingle count — the
+    * cross-corpus contamination/redundancy dashboard.
+    */
+  def corpusOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.sourceShingleOverlap(
+      t(spark, dir, "documents"), "doc_id", "text", "source", shingleN = 3)
+
   /** Token-count histogram (width-10 buckets) of the documents table. */
   def statsLengthHist(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.tokenLengthHistogram(
@@ -775,6 +829,17 @@ object Queries {
       fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
       defaultFraction = 0.05)
 
+  /** Fractional epoch upsampling: every document 2.3× — two guaranteed
+    * copies plus a seeded 30% draw for the third, 0-based copy index.
+    * Shuffle-free literal-bounded explode; the oracle replays the draw
+    * and the generate_series, so the exact multiset of copies is
+    * checked.
+    */
+  def sampleUpsample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.upsample(
+      t(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", rate = 2.3, seed = 11L)
+
   /** DSIR importance resampling: every 10th document plays the target
     * domain; the full corpus is scored by hashed-unigram log-likelihood
     * ratio (64 buckets, micro-nat integer scores) and the top quarter
@@ -878,6 +943,19 @@ object Queries {
       queries = emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
       codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
+  /** Cluster-balanced sample: 10 vectors per coarse IVF cluster (16
+    * literal centroids, ties to the lower list) in seeded-hash order —
+    * diversity-aware subsampling over semantic space.
+    */
+  def sampleClusterBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    graft.operators.Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", cents, n = 10)
+      .select(col("vec_id"), col("list").cast("long").as("list"))
   }
 
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1359,6 +1437,7 @@ object Queries {
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
+    "jsonl_roundtrip" -> jsonlRoundtrip _,
     "coerce_integer" -> coerceInteger _,
     "coerce_boolean" -> coerceBoolean _,
     "coerce_timestamp" -> coerceTimestamp _,
@@ -1419,6 +1498,8 @@ object Queries {
     "sample_splits" -> sampleSplits _,
     "sample_stratified" -> sampleStratified _,
     "sample_mixture" -> sampleMixture _,
+    "sample_upsample" -> sampleUpsample _,
+    "sample_cluster_balanced" -> sampleClusterBalanced _,
     "sample_dsir" -> sampleDsir _,
     "text_decontaminate" -> textDecontaminate _,
     "text_pii_redact" -> textPiiRedact _,
@@ -1441,6 +1522,9 @@ object Queries {
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
     "text_vocab_topk" -> textVocabTopK _,
+    "text_tfidf_vectors" -> textTfidfVectors _,
+    "tfidf_cosine_pairs" -> tfidfCosinePairs _,
+    "corpus_overlap" -> corpusOverlap _,
     "stats_length_hist" -> statsLengthHist _,
     "stats_quantiles" -> statsQuantiles _,
     "layout_zorder" -> layoutZorder _,
@@ -1934,6 +2018,22 @@ object Queries {
   private def hash60Sql(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 15))::BIGINT"
 
+  /** Shared hashed-TF-IDF fit replay (64 buckets, milli-nat idf;
+    * ln(N+1) − ln(df+1) left-assoc like the Scala fit) — reused by the
+    * vector and cosine-pair oracles.
+    */
+  private def tfidfCtesSql: String =
+    s"""tb AS (SELECT doc_id, ${hash60Sql("x")} % 64 AS b FROM
+       |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |     AS x FROM documents) WHERE x <> ''),
+       |dfb AS (SELECT b, count(DISTINCT doc_id) AS df FROM tb GROUP BY b),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT b, CAST(floor((ln(nn.n + 1) - ln(df + 1)) * 1000 + 0.5)
+       |  AS BIGINT) AS idf FROM dfb CROSS JOIN nn),
+       |tfc AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
+       |v AS (SELECT tfc.doc_id, tfc.b, tfc.tf, tfc.tf * idf.idf AS w
+       |  FROM tfc JOIN idf ON idf.b = tfc.b)""".stripMargin
+
   private val sampleBernoulliOracle: String =
     s"""SELECT doc_id, lang, source FROM documents
        |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} <
@@ -2367,6 +2467,76 @@ object Queries {
     "sample_splits" -> sampleSplitsOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_mixture" -> sampleMixtureOracle,
+    // cluster-balanced: replay the IVF literal-centroid assignment
+    // (argmax cosine, ties to the lower list — the annIvfTopK CTEs) then
+    // the stratified window per list
+    "sample_cluster_balanced" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+         |a0 AS (SELECT v.vec_id, c.l,
+         |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+         |  FROM v CROSS JOIN c),
+         |a AS (SELECT vec_id, l FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+         |  WHERE rn = 1)
+         |SELECT vec_id, CAST(l AS BIGINT) AS list FROM (
+         |  SELECT vec_id, l, row_number() OVER (PARTITION BY l
+         |    ORDER BY ${hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |  FROM a)
+         |WHERE rn <= 10""".stripMargin,
+    // fractional upsampling: 2 guaranteed copies + a seeded 30% third;
+    // the threshold literal is computed by the SAME Scala expression the
+    // operator uses (2.3 − 2.0 is not 0.3 in binary floating point)
+    "sample_upsample" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |  2 + CASE WHEN ${hash60Sql("CAST(doc_id AS VARCHAR) || ':11'")} <
+         |    ${graft.operators.Sampling.thresholdFor(2.3 - math.floor(2.3))}
+         |    THEN 1 ELSE 0 END AS n
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx
+         |FROM c""".stripMargin,
+    "text_tfidf_vectors" ->
+      s"""WITH $tfidfCtesSql
+         |SELECT doc_id, b AS bucket, tf, w FROM v""".stripMargin,
+    // rare-token postings candidates + exact-integer cosine test:
+    // den²·dot² ≥ num²·n2a·n2b over HUGEINTs (dot² needs 28 digits)
+    "tfidf_cosine_pairs" ->
+      s"""WITH $tfidfCtesSql,
+         |tk AS (SELECT DISTINCT doc_id, x AS tok FROM
+         |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
+         |     AS x FROM documents) WHERE x <> ''),
+         |dfc AS (SELECT tok FROM tk GROUP BY tok
+         |  HAVING count(*) BETWEEN 2 AND 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM tk a JOIN dfc ON dfc.tok = a.tok
+         |  JOIN tk b ON b.tok = a.tok AND a.doc_id < b.doc_id),
+         |n2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
+         |  FROM v GROUP BY doc_id),
+         |d AS (SELECT c.id_a, c.id_b, CAST(sum(va.w * vb.w) AS BIGINT) AS dot
+         |  FROM cand c JOIN v va ON va.doc_id = c.id_a
+         |  JOIN v vb ON vb.doc_id = c.id_b AND vb.b = va.b
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b
+         |FROM d JOIN n2 na ON na.doc_id = d.id_a
+         |JOIN n2 nb ON nb.doc_id = d.id_b
+         |WHERE d.dot > 0 AND 25 * CAST(d.dot AS HUGEINT) * d.dot >=
+         |  16 * CAST(na.n2 AS HUGEINT) * nb.n2""".stripMargin,
+    "corpus_overlap" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh0 AS (SELECT source, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sh AS (SELECT DISTINCT source, unnest(s) AS g FROM sh0),
+        |sizes AS (SELECT source, count(*) AS n_a FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source <> b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b, p.n_shared, s.n_a
+        |FROM p JOIN sizes s ON s.source = p.source_a""".stripMargin,
     // DSIR: per-bucket log ratios from exact integer counts, quantized
     // to micro-nats (floor(x*1e6+0.5) — explicit half-up, round() and
     // Math.round disagree on negative halves); doc scores are exact
@@ -2406,6 +2576,9 @@ object Queries {
     "ann_decontaminate" -> annDecontaminateOracle,
     "ann_neardup_incremental" -> annNearDupIncrementalOracle,
     "csv_roundtrip" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |source, n_chars FROM documents""".stripMargin,
+    "jsonl_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |source, n_chars FROM documents""".stripMargin,
     "coerce_integer" ->

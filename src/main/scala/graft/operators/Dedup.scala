@@ -754,7 +754,7 @@ object Dedup {
     * but the min-id member of each transitive cluster) out of `df`.
     * Shared tail of every near-dup REMOVAL flavor (minhash, simhash).
     */
-  private def dropClusterLosers(df: DataFrame, idCol: String,
+  private[operators] def dropClusterLosers(df: DataFrame, idCol: String,
       pairs: DataFrame, losersBroadcastMax: Long): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))

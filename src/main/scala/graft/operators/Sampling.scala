@@ -72,6 +72,34 @@ object Sampling {
     df.filter(sampleKey(col(idCol)) < threshold)
   }
 
+  /** Deterministic fractional UPSAMPLING: emit each row
+    * floor(rate) + Bernoulli(frac(rate)) times, with a 0-based
+    * `copy_idx` — the data-mixing primitive [[mixtureSample]] cannot
+    * express (mixture weights > 1, e.g. "repeat wiki 2.3 epochs" from
+    * the Llama/GPT-3 mixture recipes). The fractional epoch is the same
+    * seeded md5 draw as every sampler here, so reruns and engines agree
+    * on WHICH rows get the extra copy.
+    *
+    * Scale shape: a literal-bounded `sequence` explode — pure codegen,
+    * NO shuffle, output rows ≈ rate × input written at scan speed. The
+    * copy index matters downstream: a later [[deterministicShuffle]]
+    * keyed on (id, copy_idx) scatters the copies across the epoch
+    * instead of training on them back-to-back.
+    */
+  def upsample(df: DataFrame, idCol: String, rate: Double,
+      seed: Long): DataFrame = {
+    require(rate >= 0.0, s"rate must be >= 0: $rate")
+    val whole = math.floor(rate).toLong
+    val frac = rate - whole
+    val copies = lit(whole) +
+      when(shuffleKey(col(idCol), seed) < lit(thresholdFor(frac)), 1L)
+        .otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic train/val/test split assignment: label every row
     * with the first split whose CUMULATIVE hash threshold its sample
     * key falls under — the standard leakage-safe dataset partition: a

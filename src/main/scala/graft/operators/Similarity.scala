@@ -309,6 +309,28 @@ object Similarity {
       struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
     }
 
+  /** Best-centroid list id as a plain map-side Column (ties to the lower
+    * list) — the coarse-quantizer assignment shared by the IVF build,
+    * SemDeDup blocking, and cluster-balanced sampling.
+    */
+  def listAssignment(vec: Column, centroids: Seq[Array[Double]]): Column =
+    least(scoredListStructs(vec, centroids): _*).getField("l")
+
+  /** Cluster-balanced (diversity-aware) sampling: the first `n` rows of
+    * each coarse cluster in seeded-hash order — the DataComp-style
+    * "spread the sample across semantic space" draw (uniform sampling
+    * over a corpus dominated by one modality keeps that dominance;
+    * per-cluster caps don't). Assignment is the map-side literal-centroid
+    * projection (no pass of its own); the draw is
+    * [[Sampling.stratifiedSample]]'s bounded-heap prune + one window —
+    * nothing here shuffles the vectors themselves.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], n: Int): DataFrame =
+    Sampling.stratifiedSample(
+      df.withColumn("list", listAssignment(col(vecCol), centroids)),
+      "list", idCol, n)
+
   /** SemDeDup-style cluster-blocked near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to its best-cosine centroid
     * MAP-SIDE (literal centroids, the same coarse quantizer the IVF

@@ -372,4 +372,35 @@ object TextAnalysis {
       .groupBy(col("bucket_lo"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Cross-source shingle-overlap matrix: for each ordered source pair
+    * (a, b) the number of distinct word-`n`-gram shingles of `a` that
+    * also occur in `b`, plus `a`'s distinct-shingle count — so
+    * containment C(a→b) = n_shared / n_a is one division away. The
+    * corpus-level twin of [[Dedup.containmentPairs]]: where that asks
+    * "which DOCUMENTS include each other", this asks "how much of source
+    * A's n-gram mass is already in source B" — the cross-corpus
+    * contamination / redundancy dashboard read before mixing corpora.
+    *
+    * Scale shape: shingles collapse to distinct (source, 8-byte hash)
+    * rows — ONE shuffle keyed by the hash; the self-join's per-key
+    * fan-out is bounded by the number of SOURCES (each hash appears once
+    * per source after the distinct), so the pair stream is ≤ |sources|²
+    * per shingle no matter how hot the shingle is in documents. Pairs
+    * with zero overlap are absent (sparse matrix).
+    */
+  def sourceShingleOverlap(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(sourceCol).as("source"),
+        explode(Dedup.wordShingles(col(textCol), shingleN)).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_a"))
+    sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_a"))),
+        Seq("source_a"))
+  }
 }

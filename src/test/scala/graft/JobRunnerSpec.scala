@@ -418,6 +418,19 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("curation dedupe: tfidf_near collapses cosine clusters, min-id survives") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words entirely here")
+    ).toDF("doc_id", "text")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text", "dedupe" -> "tfidf_near"))
+    JobRunner.applyCuration(df, raw)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
+
   test("curation dedupe: spans cuts repeated passages in place") {
     import spark.implicits._
     val df = Seq(

@@ -52,6 +52,14 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "v59"
   }
 
+  test("tfidf postings prune hot tokens via pinned broadcast; vectors never re-shuffle wide") {
+    val p = plan("tfidf_cosine_pairs")
+    // the kept-token semi-join must be broadcast in the INITIAL plan —
+    // at 100 TB the postings join is the only wide exchange we accept
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("candidate-verify joins are pinned broadcast (not AQE-dependent)") {
     // the executedPlan printed before execution is the INITIAL plan — a
     // BroadcastHashJoin here proves the explicit broadcast() hint, not a

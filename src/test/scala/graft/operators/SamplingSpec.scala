@@ -103,6 +103,41 @@ class SamplingSpec extends SparkSpec {
       Array("all")
   }
 
+  test("upsample: whole epochs exact, fractional epoch a seeded subset, shuffle-free") {
+    val n = docs.count()
+    // rate 2.0: exactly two copies of every row, copy_idx 0 and 1
+    val two = Sampling.upsample(docs, "doc_id", rate = 2.0, seed = 11)
+    two.count() shouldBe 2 * n
+    two.groupBy("doc_id").count().filter(col("count") =!= 2).count() shouldBe 0
+    two.select("copy_idx").distinct().collect()
+      .map(_.getLong(0)).sorted shouldBe Array(0L, 1L)
+    // rate 2.3: between 2n and 3n rows; every doc has 2 or 3 copies;
+    // rerun is identical (deterministic draw)
+    val up = Sampling.upsample(docs, "doc_id", rate = 2.3, seed = 11)
+    val cnt = up.count()
+    cnt should be > (2 * n)
+    cnt should be < (3 * n)
+    up.groupBy("doc_id").count()
+      .filter(col("count") < 2 || col("count") > 3).count() shouldBe 0
+    Sampling.upsample(docs, "doc_id", rate = 2.3, seed = 11)
+      .count() shouldBe cnt
+    // a different seed picks a different third-copy subset
+    val other = Sampling.upsample(docs, "doc_id", rate = 2.3, seed = 12)
+      .filter(col("copy_idx") === 2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val mine = up.filter(col("copy_idx") === 2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    other should not be mine
+    // rate < 1 degenerates to a Bernoulli sample with copy_idx 0
+    val frac = Sampling.upsample(docs, "doc_id", rate = 0.5, seed = 11)
+    frac.select("copy_idx").distinct().collect()
+      .map(_.getLong(0)) shouldBe Array(0L)
+    frac.count() should be < n
+    // pure codegen: no Exchange anywhere in the plan
+    Sampling.upsample(docs, "doc_id", rate = 2.3, seed = 11)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("deterministicShuffle: reproducible order, seed-independent, layout-stable") {
     def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
       Sampling.deterministicShuffle(df, "doc_id", seed, partitions = 4)

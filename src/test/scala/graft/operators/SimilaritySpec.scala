@@ -168,6 +168,31 @@ class SimilaritySpec extends SparkSpec {
   }
 
   // 8 vectors in 2 subspaces of 2 dims; ids 0..3 double as codebook seeds
+  test("clusterBalancedSample: per-cluster cap, deterministic, assignment map-side") {
+    // two tight direction clusters around x and y; 3 members each + 1 stray
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f)), (12L, Array(0.1f, 0.9f, 0.0f)),
+      (13L, Array(0.05f, 0.95f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Similarity.clusterBalancedSample(
+      df, "vec_id", "embedding", cents, n = 2)
+    // exactly 2 per cluster, x-cluster rows assigned list 0, y-cluster 1
+    val byList = out.select("list", "vec_id").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byList.keySet shouldBe Set(0, 1)
+    byList(0).size shouldBe 2
+    byList(1).size shouldBe 2
+    byList(0).subsetOf(Set(1L, 2L, 3L)) shouldBe true
+    byList(1).subsetOf(Set(11L, 12L, 13L)) shouldBe true
+    // deterministic rerun
+    Similarity.clusterBalancedSample(df, "vec_id", "embedding", cents, n = 2)
+      .select("vec_id").as[Long].collect().toSet shouldBe
+      out.select("vec_id").as[Long].collect().toSet
+  }
+
   private def pqVecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.0f, 1.0f, 0.0f, 1.0f)),

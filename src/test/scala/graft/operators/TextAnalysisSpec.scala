@@ -147,4 +147,27 @@ class TextAnalysisSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should include("nfcnormalize")
   }
+
+  test("sourceShingleOverlap: directed shared-shingle counts per source pair") {
+    // A: two docs whose distinct 3-shingles are {a b c, b c d} ∪ {x y z}
+    // B: one doc covering {a b c, b c d}; C: disjoint
+    val df = Seq(
+      (1L, "a b c d", "A"),
+      (2L, "x y z", "A"),
+      (3L, "a b c d", "B"),
+      (4L, "p q r s", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceShingleOverlap(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // A has 3 distinct shingles, B has 2, C has 2; A∩B = 2, others empty
+    out shouldBe Set(("A", "B", 2L, 3L), ("B", "A", 2L, 2L))
+  }
+
+  test("sourceShingleOverlap: the sizes join is pinned broadcast") {
+    val df = Seq((1L, "a b c", "A"), (2L, "a b c", "B"))
+      .toDF("doc_id", "text", "source")
+    TextAnalysis.sourceShingleOverlap(df, "doc_id", "text", "source")
+      .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
 }

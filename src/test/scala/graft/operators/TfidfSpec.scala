@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma delta"), // exact dup of 1
+    (3L, "epsilon zeta eta theta"),
+    (4L, "alpha epsilon")
+  ).toDF("doc_id", "text")
+
+  test("vectors: one row per (doc, bucket), w = tf * idf, idf from doc frequency") {
+    val v = Tfidf.hashedVectors(docs, "doc_id", "text", buckets = 64)
+    v.groupBy("id", "bucket").count().filter($"count" > 1).count() shouldBe 0
+    // duplicate docs get identical vectors
+    val v1 = v.filter($"id" === 1L).select("bucket", "tf", "w").collect().toSet
+    val v2 = v.filter($"id" === 2L).select("bucket", "tf", "w").collect().toSet
+    v1 shouldBe v2
+    // a token in 3 of 4 docs has smaller idf than one in a single doc:
+    // w/tf for alpha's bucket < w/tf for zeta's bucket
+    val idf = Tfidf.idfMilli(docs, "doc_id", "text", 64)
+    idf.values.min should be < idf.values.max
+    // every w is tf * some idf entry
+    v.collect().foreach { r =>
+      val tf = r.getAs[Long]("tf"); val w = r.getAs[Long]("w")
+      val b = r.getAs[Long]("bucket")
+      w shouldBe tf * idf(b)
+    }
+  }
+
+  test("cosine pairs: exact duplicates found with cos = 1, disjoint docs absent") {
+    val p = Tfidf.cosinePairs(docs, "doc_id", "text",
+      buckets = 64, maxTokenDf = 10, tauNum = 4, tauDen = 5)
+    val rows = p.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dot"), r.getAs[Long]("n2_a"), r.getAs[Long]("n2_b")))
+    val dup = rows.find(t => t._1 == 1L && t._2 == 2L)
+    dup.isDefined shouldBe true
+    // identical vectors: dot = n2a = n2b (cos exactly 1)
+    val (_, _, dot, n2a, n2b) = dup.get
+    dot shouldBe n2a
+    dot shouldBe n2b
+    // docs 1 and 3 share no token: never even a candidate
+    rows.exists(t => t._1 == 1L && t._2 == 3L) shouldBe false
+  }
+
+  test("cosine threshold is exact-integer: a sub-threshold overlap pair is dropped") {
+    // docs sharing one of four tokens have cos well under 0.8
+    val p = Tfidf.cosinePairs(docs, "doc_id", "text",
+      buckets = 64, maxTokenDf = 10, tauNum = 4, tauDen = 5)
+    p.filter($"id_a" === 1L && $"id_b" === 4L).count() shouldBe 0
+    // but at a low threshold (cos >= 0.1) the same pair appears
+    val loose = Tfidf.cosinePairs(docs, "doc_id", "text",
+      buckets = 64, maxTokenDf = 10, tauNum = 1, tauDen = 10)
+    loose.filter($"id_a" === 1L && $"id_b" === 4L).count() shouldBe 1
+  }
+
+  test("stop-token cap drops candidates that share only hot tokens") {
+    // 'common' appears in every doc (df=5 > cap=3): pairs sharing only it
+    // are never candidates
+    val d = Seq(
+      (1L, "common unique1"), (2L, "common unique2"), (3L, "common unique3"),
+      (4L, "common unique4"), (5L, "common unique5")
+    ).toDF("doc_id", "text")
+    Tfidf.cosinePairs(d, "doc_id", "text", buckets = 64,
+      maxTokenDf = 3, tauNum = 1, tauDen = 100).count() shouldBe 0
+  }
+}
