@@ -302,7 +302,13 @@ object JobRunner {
     *                           # exact leading-run matches;
     *                           # decontaminate_shingle_n / _phrase_len)
     *   redact_pii: true        # scrub emails/IPs/phones IN PLACE
+    *   sample: bernoulli       # deterministic md5 draw AFTER curation
+    *                           # (sample_fraction; or upsample:
+    *                           #  fractional epochs via sample_rate /
+    *                           #  sample_seed, copy_idx dropped)
     * }}}
+    * `dedupe: near` honors `dedupe_keep: best` + `score_field` to keep
+    * each cluster's best-scoring row instead of the min id.
     * Ops needing schema changes (chunking, packing, reports) stay
     * library-level — a sink row must still match the asset contract.
     */
@@ -381,9 +387,16 @@ object JobRunner {
           out, need("id_field"), need("text_field"),
           Yaml.str(c, "span_window").map(_.toDouble.toInt).getOrElse(20))
       case "near" =>
-        // within-batch MinHash-LSH clustering, min-id survivor per cluster
-        out = graft.operators.Dedup.dropNearDuplicates(
-          out, need("id_field"), need("text_field"))
+        // within-batch MinHash-LSH clustering; survivor per cluster is
+        // the min id, or with `dedupe_keep: best` the best `score_field`
+        // row (the curation-grade rule: keep the longest/highest-quality
+        // copy, not the smallest key)
+        out =
+          if (Yaml.str(c, "dedupe_keep").contains("best"))
+            graft.operators.Dedup.dropNearDuplicatesKeepBest(
+              out, need("id_field"), need("text_field"), need("score_field"))
+          else graft.operators.Dedup.dropNearDuplicates(
+            out, need("id_field"), need("text_field"))
       case "tfidf_near" =>
         // model-free cosine near-dup over hashed TF-IDF vectors — same
         // cluster/survivor semantics as `near`, for corpora where
@@ -464,6 +477,23 @@ object JobRunner {
           Yaml.str(c, "lm_min_avg_lognat").map(_.toDouble).getOrElse(-12.0))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
+    }
+    // sampling LAST: rates are chosen against the curated (deduped,
+    // quality-gated) distribution, not the raw batch
+    Yaml.str(c, "sample").foreach {
+      case "bernoulli" =>
+        // deterministic md5 draw — reproducible and layout-independent
+        out = graft.operators.Sampling.bernoulliSample(
+          out, need("id_field"), need("sample_fraction").toDouble)
+      case "upsample" =>
+        // fractional epochs (rate > 1); copy_idx dropped to preserve the
+        // contract schema — the sink writes the repeats as plain rows
+        out = graft.operators.Sampling.upsample(
+          out, need("id_field"), need("sample_rate").toDouble,
+          Yaml.str(c, "sample_seed").map(_.toLong).getOrElse(0L))
+          .drop("copy_idx")
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation.sample: $other")
     }
     out
   }

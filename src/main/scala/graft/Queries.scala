@@ -526,6 +526,18 @@ object Queries {
       shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
       .select("doc_id")
 
+  /** Quality-aware near-dup REMOVAL: same clusters as
+    * [[dedupMinhashDrop]], but each cluster keeps its LONGEST member
+    * (n_chars descending, ties to the lower id) — the survivor rule a
+    * real curation pass wants.
+    */
+  def dedupMinhashKeepBest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dropNearDuplicatesKeepBest(
+      t(spark, dir, "documents").select("doc_id", "text", "n_chars"),
+      "doc_id", "text", "n_chars",
+      shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
+      .select("doc_id", "n_chars")
+
   /** SimHash near-dup pairs with the oracle-replicable 60-bit md5-prefix
     * token hash — the DuckDB oracle replays the full simhash (votes →
     * bits → hamming) and checks the pair set exactly. The chunked
@@ -589,6 +601,20 @@ object Queries {
       t(spark, dir, "documents").select("doc_id", "text"),
       "doc_id", "text", buckets = 64)
       .withColumnRenamed("id", "doc_id")
+
+  /** TF-IDF through the PERSISTED fit: save the ≤64-row idf table, load
+    * it back, vectorize against the frozen fit — bit-identical to the
+    * in-flight path (longs round-trip parquet exactly), same oracle.
+    */
+  def textTfidfVectorsStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_tfidf_store_${dir.hashCode}").toString
+    graft.operators.Tfidf.saveIdf(docs, "doc_id", "text", store, buckets = 64)
+    graft.operators.Tfidf.hashedVectorsWithIdf(docs, "doc_id", "text",
+      graft.operators.Tfidf.loadIdf(spark, store), buckets = 64)
+      .withColumnRenamed("id", "doc_id")
+  }
 
   /** Cosine ≥ 0.8 near-dup pairs over the hashed TF-IDF vectors:
     * rare-token postings candidates (2 ≤ df ≤ 50), exact-integer
@@ -1474,6 +1500,7 @@ object Queries {
     "dedup_exact_keep" -> dedupExactKeep _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_minhash_drop" -> dedupMinhashDrop _,
+    "dedup_minhash_keep_best" -> dedupMinhashKeepBest _,
     "dedup_ngram_block" -> dedupNgramBlock _,
     "dedup_containment" -> dedupContainment _,
     "dedup_paragraph" -> dedupParagraph _,
@@ -1523,6 +1550,7 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_vocab_topk" -> textVocabTopK _,
     "text_tfidf_vectors" -> textTfidfVectors _,
+    "text_tfidf_vectors_store" -> textTfidfVectorsStore _,
     "tfidf_cosine_pairs" -> tfidfCosinePairs _,
     "corpus_overlap" -> corpusOverlap _,
     "stats_length_hist" -> statsLengthHist _,
@@ -2500,6 +2528,9 @@ object Queries {
     "text_tfidf_vectors" ->
       s"""WITH $tfidfCtesSql
          |SELECT doc_id, b AS bucket, tf, w FROM v""".stripMargin,
+    "text_tfidf_vectors_store" ->
+      s"""WITH $tfidfCtesSql
+         |SELECT doc_id, b AS bucket, tf, w FROM v""".stripMargin,
     // rare-token postings candidates + exact-integer cosine test:
     // den²·dot² ≥ num²·n2a·n2b over HUGEINTs (dot² needs 28 digits)
     "tfidf_cosine_pairs" ->
@@ -2774,6 +2805,33 @@ object Queries {
         |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    // same clusters, quality-aware survivor: per component keep the
+    // longest member (n_chars DESC, ties to the lower id)
+    "dedup_minhash_keep_best" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |    len(list_distinct(list_concat(a.s, b.s))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |win AS (SELECT id FROM (SELECT c.id, row_number() OVER
+        |  (PARTITION BY c.component ORDER BY d.n_chars DESC, c.id) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp)
+        |   OR doc_id IN (SELECT id FROM win)""".stripMargin,
     "dedup_ngram_block" ->
       """WITH tok AS (SELECT doc_id, lang,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -775,6 +775,59 @@ object Dedup {
     df.join(pinned, Seq(idCol), "left_anti")
   }
 
+  /** Cluster removal keeping the BEST-scoring member (score descending,
+    * ties to the lower id) instead of the min id — what a curation
+    * pipeline usually wants: among near-duplicate pages keep the
+    * longest / highest-quality copy, not the accident of the smallest
+    * key. Same size-adaptive CC; the only addition is one narrow
+    * (id, score) join against the pair-bounded component table and a
+    * per-component window over component-sized groups.
+    */
+  private[operators] def dropClusterLosersKeepBest(df: DataFrame,
+      idCol: String, scoreCol: String, pairs: DataFrame,
+      losersBroadcastMax: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = CacheScope.persist(connectedComponents(pairs))
+    val nComp = guardCount(comps)
+    // scores ride in via a join pruned to clustered ids only — broadcast
+    // the component table under the guard so the corpus is never shuffled
+    val compPinned =
+      if (nComp <= losersBroadcastMax) broadcast(comps) else comps
+    val scored = df
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(compPinned, "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc, col("id"))
+    val losers = CacheScope.persist(
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") =!= 1).select(col("id").as(idCol)))
+    val pinned =
+      if (guardCount(losers) <= losersBroadcastMax) broadcast(losers)
+      else losers
+    df.join(pinned, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash near-dup REMOVAL keeping each cluster's best-`scoreCol` row
+    * (ties to the lower id) — the quality-aware twin of
+    * [[dropNearDuplicates]].
+    */
+  def dropNearDuplicatesKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.9,
+      losersBroadcastMax: Long = broadcastMaxPairs,
+      maxBandDf: Int = 0
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, threshold, maxBandDf)
+    dropClusterLosersKeepBest(df, idCol, scoreCol, pairs, losersBroadcastMax)
+  }
+
   /** SimHash near-dup REMOVAL: [[simhashNearDupPairs]] → transitive
     * clusters → min-id survivor per cluster (the simhash twin of
     * [[dropNearDuplicates]], same size-adaptive CC + loser anti-join).

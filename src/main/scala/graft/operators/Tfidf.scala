@@ -82,13 +82,38 @@ object Tfidf {
     * the idf is a literal CASE, map-side.
     */
   def hashedVectors(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 64): DataFrame = {
-    val idf = idfMilli(docs, idCol, textCol, buckets)
+      buckets: Int = 64): DataFrame =
+    hashedVectorsWithIdf(docs, idCol, textCol,
+      idfMilli(docs, idCol, textCol, buckets), buckets)
+
+  /** Vectorize against a FIXED fit — the fit-once/score-forever split
+    * every store here follows (re-fitting per batch lets idf drift with
+    * the batch mix, making vectors from different days incomparable).
+    */
+  def hashedVectorsWithIdf(docs: DataFrame, idCol: String, textCol: String,
+      idf: Map[Long, Long], buckets: Int): DataFrame =
     tokens(docs, idCol, textCol)
       .select(col("id"), bucketOf(col("tok"), buckets).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
       .withColumn("w", col("tf") * idfLiteral(idf, col("bucket")))
+
+  /** Persist the fit (overwrite: the table IS the fit, ≤ `buckets`
+    * rows). Longs round-trip parquet exactly, so stored ≡ in-flight
+    * bit-for-bit.
+    */
+  def saveIdf(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    idfMilli(docs, idCol, textCol, buckets).toSeq.sortBy(_._1)
+      .toDF("bucket", "idf").coalesce(1)
+      .write.mode("overwrite").parquet(storePath)
   }
+
+  def loadIdf(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Map[Long, Long] =
+    spark.read.parquet(storePath).select("bucket", "idf").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   /** Squared L2 norms of the vectors: (id, n2). */
   def squaredNorms(vectors: DataFrame): DataFrame =

@@ -54,22 +54,31 @@ object JsonlSource {
     * ones). JSON `null` is a real null — JSONL has typed nulls, so the
     * CSV null-marker list does not apply.
     */
-  def read(
-      spark: SparkSession,
-      paths: Seq[String],
-      contract: DataContract,
-      opts: JsonlOptions = JsonlOptions()
-  ): DataFrame = {
+  /** The line→row parse as a pure Column transform over a `value`
+    * column — ONE code path shared by the batch scan and the streaming
+    * twin ([[graft.streaming.StreamingIngest.readJsonlStream]]), so the
+    * two can never drift.
+    */
+  def parseLines(lines: DataFrame, contract: DataContract,
+      opts: JsonlOptions = JsonlOptions()): DataFrame = {
     val schema = StructType(
       contract.fields.map(f => StructField(f.name, StringType, nullable = true)) :+
         StructField(opts.corruptCol, StringType, nullable = true))
-    spark.read.text(paths: _*)
+    lines
       .filter(trim(col("value")) =!= "")
       .select(from_json(col("value"), schema, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> opts.corruptCol)).as("__j"))
       .select(col("__j.*"))
   }
+
+  def read(
+      spark: SparkSession,
+      paths: Seq[String],
+      contract: DataContract,
+      opts: JsonlOptions = JsonlOptions()
+  ): DataFrame =
+    parseLines(spark.read.text(paths: _*), contract, opts)
 
   /** The clean rows only, corrupt column dropped — the shape T1 coercion
     * takes when the job's error policy already consumed the corrupt rows.

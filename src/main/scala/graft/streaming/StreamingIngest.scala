@@ -32,6 +32,19 @@ object StreamingIngest {
       graft.core.Coercion.nullifyMarkers(col(c)).as(c)): _*)
   }
 
+  /** Streaming JSONL scan — the continuous twin of
+    * [[graft.sources.JsonlSource]]: same line-splittable text source,
+    * same shared `parseLines` transform (corrupt lines captured, not
+    * dropped), so stream and batch can never disagree on a row.
+    */
+  def readJsonlStream(spark: SparkSession, dir: String, contract: DataContract,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
+    graft.sources.JsonlSource.parseLines(r.text(dir), contract)
+      .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
   /** Validated streaming sink: the same T1–T3 transform, written as
     * partitioned parquet with exactly-once file tracking. Returns the
     * started query; AvailableNow by default (oneshot parity).

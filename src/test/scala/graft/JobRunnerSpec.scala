@@ -418,6 +418,38 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("curation dedupe: near with dedupe_keep best keeps the score_field winner") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river", 5L),
+      (2L, "the quick brown fox jumps over the lazy dog by the river", 9L),
+      (3L, "some altogether different sentence about compilers and parsers", 1L)
+    ).toDF("doc_id", "text", "quality")
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "near", "dedupe_keep" -> "best", "score_field" -> "quality"))
+    JobRunner.applyCuration(df, raw)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(2L, 3L)
+  }
+
+  test("curation sample: bernoulli after curation, upsample preserves schema") {
+    import spark.implicits._
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val kept = JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "sample" -> "bernoulli", "sample_fraction" -> "0.2")))
+    kept.columns.toSeq shouldBe df.columns.toSeq
+    val n = df.count()
+    kept.count() should (be > (n / 10) and be < (n / 2))
+    val up = JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "sample" -> "upsample", "sample_rate" -> "2.0")))
+    up.columns.toSeq shouldBe df.columns.toSeq
+    up.count() shouldBe 2 * n
+  }
+
   test("curation dedupe: tfidf_near collapses cosine clusters, min-id survives") {
     import spark.implicits._
     val df = Seq(

@@ -466,4 +466,18 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Dedup.lshBandPlan(64, 0.0)
     an[IllegalArgumentException] should be thrownBy Dedup.lshBandPlan(0, 0.5)
   }
+
+  test("dropNearDuplicatesKeepBest keeps the best-scoring member, ties to lower id") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the wide river", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog near the wide river", 50L),
+      (3L, "the quick brown fox jumps over the lazy dog near the wide river", 50L),
+      (4L, "entirely different content about compilers and type systems here", 5L)
+    ).toDF("doc_id", "text", "score")
+    Dedup.dropNearDuplicatesKeepBest(df, "doc_id", "text", "score")
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+    // min-id rule differs: dropNearDuplicates would keep 1
+    Dedup.dropNearDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
 }

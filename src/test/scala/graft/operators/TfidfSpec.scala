@@ -58,6 +58,17 @@ class TfidfSpec extends SparkSpec {
     loose.filter($"id_a" === 1L && $"id_b" === 4L).count() shouldBe 1
   }
 
+  test("idf store round-trips bit-for-bit; stored fit ≡ in-flight vectors") {
+    val store = java.nio.file.Files.createTempDirectory("tfidf-idf-")
+      .resolve("idf").toString
+    Tfidf.saveIdf(docs, "doc_id", "text", store)
+    val loaded = Tfidf.loadIdf(spark, store)
+    loaded shouldBe Tfidf.idfMilli(docs, "doc_id", "text", 64)
+    val inFlight = Tfidf.hashedVectors(docs, "doc_id", "text").collect().toSet
+    Tfidf.hashedVectorsWithIdf(docs, "doc_id", "text", loaded, 64)
+      .collect().toSet shouldBe inFlight
+  }
+
   test("stop-token cap drops candidates that share only hot tokens") {
     // 'common' appears in every doc (df=5 > cap=3): pairs sharing only it
     // are never candidates

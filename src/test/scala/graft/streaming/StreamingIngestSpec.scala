@@ -35,6 +35,37 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 3 // 2 + 1, a.csv not re-ingested
   }
 
+  test("JSONL stream: shared parse with batch source, corrupt lines dropped, checkpointed") {
+    val in = Files.createTempDirectory("stream-jsonl-in-")
+    val out = Files.createTempDirectory("stream-jsonl-out-").toString + "/data"
+    val ckpt = Files.createTempDirectory("stream-jsonl-ckpt-").toString
+    Files.writeString(in.resolve("a.jsonl"),
+      """{"id": 1, "name": "alice"}
+        |{broken line
+        |{"id": 2, "name": "bob"}
+        |""".stripMargin)
+
+    val raw = StreamingIngest.readJsonlStream(spark, in.toString, contract)
+    raw.isStreaming shouldBe true
+    val q = StreamingIngest.ingest(raw, contract, ValidationMode.Strict, out, ckpt)
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 2 // corrupt line dropped before validation
+    // stream result rows ≡ batch source rows for the same file
+    back.select("id").collect().map(_.getLong(0)).sorted shouldBe
+      graft.sources.JsonlSource
+        .readClean(spark, Seq(in.toString), contract)
+        .select("id").collect().map(_.getString(0).toLong).sorted
+
+    // new file only on the second run (checkpoint skip)
+    Files.writeString(in.resolve("b.jsonl"), """{"id": 3, "name": "carol"}""" + "\n")
+    val q2 = StreamingIngest.ingest(
+      StreamingIngest.readJsonlStream(spark, in.toString, contract),
+      contract, ValidationMode.Strict, out, ckpt)
+    q2.awaitTermination(60000)
+    spark.read.parquet(out).count() shouldBe 3
+  }
+
   test("streaming dedup keeps first arrival per fingerprint across batches") {
     val in = Files.createTempDirectory("stream-dd-")
     val ckpt = Files.createTempDirectory("stream-dd-ckpt-").toString
