@@ -397,6 +397,16 @@ object JobRunner {
               out, need("id_field"), need("text_field"), need("score_field"))
           else graft.operators.Dedup.dropNearDuplicates(
             out, need("id_field"), need("text_field"))
+      case "incremental_tfidf" =>
+        // vs an existing TF-IDF store (frozen fit + vectors + postings,
+        // written offline via Tfidf.saveStore; missing store = error —
+        // scoring without a fit has no semantics, same contract as
+        // quality_filter: lm). Store maintenance post-commit via
+        // Tfidf.appendToStore under `update_store: true`.
+        out = graft.operators.Tfidf.dropNearCorpusTfidf(
+          out, need("id_field"), need("text_field"), need("tfidf_store"),
+          maxTokenDf = Yaml.str(c, "tfidf_max_token_df")
+            .map(_.toDouble.toInt).getOrElse(50))
       case "tfidf_near" =>
         // model-free cosine near-dup over hashed TF-IDF vectors — same
         // cluster/survivor semantics as `near`, for corpora where
@@ -819,6 +829,15 @@ object JobRunner {
               graft.operators.Dedup.appendSimhashes(
                 curated, need("id_field"), need("text_field"),
                 need("simhash_store"))
+            case Some("incremental_tfidf") =>
+              // vectors + postings append under the store's frozen fit
+              // (idf untouched; see Tfidf.appendToStore for the
+              // cap-drift/compaction contract)
+              graft.operators.Tfidf.appendToStore(
+                curated, need("id_field"), need("text_field"),
+                need("tfidf_store"),
+                maxTokenDf = Yaml.str(cur, "tfidf_max_token_df")
+                  .map(_.toDouble.toInt).getOrElse(50))
             case _ => ()
           }
           // `curation.search_index: <path>` — the landed rows also

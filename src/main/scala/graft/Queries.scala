@@ -616,6 +616,31 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Incremental TF-IDF near-dup dedup: docs < 250 are the corpus,
+    * persisted as a TF-IDF store (frozen idf fit + vectors + df-capped
+    * postings); the batch is docs ≥ 250 plus planted copies of corpus
+    * texts (dropped via the store join) and copies of batch texts
+    * (collapsed by within-batch clustering). Same batch construction as
+    * `dedup_minhash_incremental`; the oracle replays fit, candidates,
+    * the exact-integer cosine test, and the recursive CC.
+    */
+  def dedupTfidfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") < 250)
+    val store = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_tfidf_inc_${dir.hashCode}").toString
+    graft.operators.Tfidf.saveStore(corpus, "doc_id", "text", store,
+      buckets = 64, maxTokenDf = 50)
+    val batch = d.filter(col("doc_id") >= 250)
+      .union(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .union(d.filter(col("doc_id").between(250, 274))
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.operators.Tfidf.dropNearCorpusTfidf(
+      batch, "doc_id", "text", store, buckets = 64, maxTokenDf = 50)
+      .select("doc_id")
+  }
+
   /** Cosine ≥ 0.8 near-dup pairs over the hashed TF-IDF vectors:
     * rare-token postings candidates (2 ≤ df ≤ 50), exact-integer
     * den²·dot² ≥ num²·n2a·n2b verification — model-free semantic dedup
@@ -1552,6 +1577,7 @@ object Queries {
     "text_tfidf_vectors" -> textTfidfVectors _,
     "text_tfidf_vectors_store" -> textTfidfVectorsStore _,
     "tfidf_cosine_pairs" -> tfidfCosinePairs _,
+    "dedup_tfidf_incremental" -> dedupTfidfIncremental _,
     "corpus_overlap" -> corpusOverlap _,
     "stats_length_hist" -> statsLengthHist _,
     "stats_quantiles" -> statsQuantiles _,
@@ -2554,6 +2580,89 @@ object Queries {
          |JOIN n2 nb ON nb.doc_id = d.id_b
          |WHERE d.dot > 0 AND 25 * CAST(d.dot AS HUGEINT) * d.dot >=
          |  16 * CAST(na.n2 AS HUGEINT) * nb.n2""".stripMargin,
+    // incremental TF-IDF: corpus fit replayed (idf frozen over corpus
+    // only; batch-only buckets take the unseen default ln(N+1), the
+    // Tfidf.UnseenKey sentinel), store-join
+    // candidates via the ≤50-df corpus postings, exact-integer cosine
+    // for both the corpus hits and the within-batch recursive CC
+    "dedup_tfidf_incremental" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |    WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents
+        |    WHERE doc_id BETWEEN 250 AND 274),
+        |ctb AS (SELECT doc_id,
+        |  ('0x' || substring(md5(x), 1, 15))::BIGINT % 64 AS b FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS x FROM corpus) WHERE x <> ''),
+        |cdfb AS (SELECT b, count(DISTINCT doc_id) AS df FROM ctb GROUP BY b),
+        |nn AS (SELECT count(*) AS n FROM corpus),
+        |idf AS (SELECT b, CAST(floor((ln(nn.n + 1) - ln(df + 1)) * 1000
+        |  + 0.5) AS BIGINT) AS idf FROM cdfb CROSS JOIN nn),
+        |dflt AS (SELECT CAST(floor(ln(n + 1) * 1000 + 0.5) AS BIGINT) AS d
+        |  FROM nn),
+        |ctf AS (SELECT doc_id, b, count(*) AS tf FROM ctb GROUP BY doc_id, b),
+        |cv AS (SELECT ctf.doc_id, ctf.b, ctf.tf * idf.idf AS w
+        |  FROM ctf JOIN idf ON idf.b = ctf.b),
+        |cn2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
+        |  FROM cv GROUP BY doc_id),
+        |btb AS (SELECT doc_id,
+        |  ('0x' || substring(md5(x), 1, 15))::BIGINT % 64 AS b FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS x FROM batch) WHERE x <> ''),
+        |btf AS (SELECT doc_id, b, count(*) AS tf FROM btb GROUP BY doc_id, b),
+        |bv AS (SELECT btf.doc_id, btf.b,
+        |  btf.tf * COALESCE(idf.idf, dflt.d) AS w
+        |  FROM btf LEFT JOIN idf ON idf.b = btf.b CROSS JOIN dflt),
+        |bn2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
+        |  FROM bv GROUP BY doc_id),
+        |ctk AS (SELECT DISTINCT doc_id, x AS tok FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS x FROM corpus) WHERE x <> ''),
+        |cpost AS (SELECT tok FROM ctk GROUP BY tok HAVING count(*) <= 50),
+        |btk AS (SELECT DISTINCT doc_id, x AS tok FROM
+        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS x FROM batch) WHERE x <> ''),
+        |cand AS (SELECT DISTINCT bt.doc_id AS id_b, ct.doc_id AS id_c
+        |  FROM btk bt JOIN cpost cp ON cp.tok = bt.tok
+        |  JOIN ctk ct ON ct.tok = bt.tok),
+        |xd AS (SELECT cand.id_b, cand.id_c,
+        |  CAST(sum(bv.w * cv.w) AS BIGINT) AS dot
+        |  FROM cand JOIN bv ON bv.doc_id = cand.id_b
+        |  JOIN cv ON cv.doc_id = cand.id_c AND cv.b = bv.b
+        |  GROUP BY cand.id_b, cand.id_c),
+        |hits AS (SELECT DISTINCT xd.id_b AS id FROM xd
+        |  JOIN bn2 ON bn2.doc_id = xd.id_b
+        |  JOIN cn2 ON cn2.doc_id = xd.id_c
+        |  WHERE xd.dot > 0 AND 25 * CAST(xd.dot AS HUGEINT) * xd.dot >=
+        |    16 * CAST(bn2.n2 AS HUGEINT) * cn2.n2),
+        |bdf AS (SELECT tok FROM btk GROUP BY tok
+        |  HAVING count(*) BETWEEN 2 AND 50),
+        |bp0 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM btk a JOIN bdf ON bdf.tok = a.tok
+        |  JOIN btk b2 ON b2.tok = a.tok AND a.doc_id < b2.doc_id),
+        |bd AS (SELECT bp0.id_a, bp0.id_b,
+        |  CAST(sum(va.w * vb.w) AS BIGINT) AS dot
+        |  FROM bp0 JOIN bv va ON va.doc_id = bp0.id_a
+        |  JOIN bv vb ON vb.doc_id = bp0.id_b AND vb.b = va.b
+        |  GROUP BY bp0.id_a, bp0.id_b),
+        |bp AS (SELECT bd.id_a, bd.id_b FROM bd
+        |  JOIN bn2 na ON na.doc_id = bd.id_a
+        |  JOIN bn2 nb ON nb.doc_id = bd.id_b
+        |  WHERE bd.dot > 0 AND 25 * CAST(bd.dot AS HUGEINT) * bd.dot >=
+        |    16 * CAST(na.n2 AS HUGEINT) * nb.n2),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM bp
+        |  UNION SELECT id_b, id_a FROM bp),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |  AND doc_id NOT IN (SELECT id FROM hits)""".stripMargin,
     "corpus_overlap" ->
       """WITH tok AS (SELECT doc_id, source,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -52,15 +52,28 @@ object Tfidf {
     */
   def milliNats(x: Double): Long = math.floor(x * 1e3 + 0.5).toLong
 
+  /** Sentinel key carrying the UNSEEN-bucket default idf (bucket hashes
+    * are ∈ [0, buckets), so −1 never collides). A bucket absent from the
+    * fit corpus scores as maximally informative — ln(N+1) − ln(0+1) —
+    * instead of zero; without this, a document whose tokens all hash to
+    * unfit buckets has a ZERO vector under a frozen fit and can never
+    * match anything (two identical out-of-fit documents would score
+    * cosine 0, not 1). In-flight fits never hit the default (every
+    * scored bucket is in its own fit), so in-flight results are
+    * unchanged.
+    */
+  val UnseenKey: Long = -1L
+
   /** Fitted idf table: bucket → milli-nat idf = ln(N+1) − ln(df_b+1),
-    * df_b = #docs with ≥1 token in bucket b. At most `buckets` entries,
-    * computed from two partial-aggregated passes and collected — the fit
-    * IS this array, like [[Sampling.importanceRatios]].
+    * df_b = #docs with ≥1 token in bucket b, plus the [[UnseenKey]]
+    * default. At most `buckets`+1 entries, computed from two
+    * partial-aggregated passes and collected — the fit IS this map, like
+    * [[Sampling.importanceRatios]].
     */
   def idfMilli(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): Map[Long, Long] = {
     val n = docs.count()
-    tokens(docs, idCol, textCol)
+    val fitted = tokens(docs, idCol, textCol)
       .select(col("id"), bucketOf(col("tok"), buckets).as("b"))
       .distinct()
       .groupBy("b").agg(count(lit(1)).as("df"))
@@ -70,12 +83,14 @@ object Tfidf {
         // left-assoc a − b, matching the oracle's ln(N+1) − ln(df+1)
         b -> milliNats(math.log(n + 1.0) - math.log(r.getLong(1) + 1.0))
       }.toMap
+    fitted + (UnseenKey -> milliNats(math.log(n + 1.0)))
   }
 
   private def idfLiteral(idf: Map[Long, Long], b: Column): Column =
-    idf.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (bk, w)) =>
-      when(b === lit(bk), lit(w)).otherwise(acc)
-    }
+    idf.toSeq.filter(_._1 >= 0).sortBy(_._1)
+      .foldLeft(lit(idf.getOrElse(UnseenKey, 0L))) { case (acc, (bk, w)) =>
+        when(b === lit(bk), lit(w)).otherwise(acc)
+      }
 
   /** Sparse hashed TF-IDF vectors: (id, bucket, tf, w) with
     * w = tf · idf_milli(bucket). One explode + one (id, bucket) shuffle;
@@ -131,7 +146,17 @@ object Tfidf {
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int = 64, maxTokenDf: Int = 20,
-      tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+      tauNum: Int = 4, tauDen: Int = 5): DataFrame =
+    cosinePairsWithIdf(docs, idCol, textCol,
+      idfMilli(docs, idCol, textCol, buckets), buckets, maxTokenDf,
+      tauNum, tauDen)
+
+  /** [[cosinePairs]] against a FIXED fit — the form the incremental path
+    * uses so batch and corpus vectors live in the same space.
+    */
+  def cosinePairsWithIdf(docs: DataFrame, idCol: String, textCol: String,
+      idf: Map[Long, Long], buckets: Int, maxTokenDf: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
     val toks = tokens(docs, idCol, textCol).distinct()
       .select(col("id"), xxhash64(col("tok")).as("t"))
     val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
@@ -146,20 +171,138 @@ object Tfidf {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val vecs = hashedVectors(docs, idCol, textCol, buckets)
+    val vecs = hashedVectorsWithIdf(docs, idCol, textCol, idf, buckets)
     val n2 = squaredNorms(vecs)
     val dots = cands
       .join(vecs.select(col("id").as("id_a"), col("bucket"), col("w").as("w_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("bucket"), col("w").as("w_b")), Seq("id_b", "bucket"))
       .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
-    val dec = DecimalType(38, 0)
     dots
       .join(n2.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
       .join(n2.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
-      .filter(col("dot") > 0 &&
-        lit(tauDen.toLong * tauDen) * col("dot").cast(dec) * col("dot").cast(dec) >=
-          lit(tauNum.toLong * tauNum) * col("n2_a").cast(dec) * col("n2_b").cast(dec))
+      .filter(cosineAtLeast(col("dot"), col("n2_a"), col("n2_b"), tauNum, tauDen))
       .select("id_a", "id_b", "dot", "n2_a", "n2_b")
+  }
+
+  /** cos ≥ num/den as the exact-integer predicate
+    * den²·dot² ≥ num²·n2a·n2b (dot > 0), in 38-digit decimals — no
+    * sqrt, no floats, engine-identical.
+    */
+  private def cosineAtLeast(dot: Column, n2a: Column, n2b: Column,
+      tauNum: Int, tauDen: Int): Column = {
+    val dec = DecimalType(38, 0)
+    dot > 0 &&
+      lit(tauDen.toLong * tauDen) * dot.cast(dec) * dot.cast(dec) >=
+        lit(tauNum.toLong * tauNum) * n2a.cast(dec) * n2b.cast(dec)
+  }
+
+  // ------------------------------------------------------------ incremental
+
+  /** Persist the corpus as a TF-IDF dedup store: the frozen idf fit
+    * (`/idf`), the corpus vectors with denormalized norms (`/vectors`:
+    * id, bucket, w, n2 — 32-byte rows), and the df-capped rare-token
+    * postings (`/postings`: t, id — the candidate index; tokens with
+    * corpus df > `maxTokenDf` are excluded AT WRITE, so a boilerplate
+    * token can never fan a future batch join out). Completes the
+    * incremental-store matrix alongside the fingerprint / band-key /
+    * simhash / embedding-bucket stores.
+    */
+  def saveStore(corpus: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64, maxTokenDf: Int = 50): Unit = {
+    saveIdf(corpus, idCol, textCol, s"$storePath/idf", buckets)
+    val idf = loadIdf(corpus.sparkSession, s"$storePath/idf")
+    val vec = hashedVectorsWithIdf(corpus, idCol, textCol, idf, buckets)
+    vec.join(squaredNorms(vec), "id")
+      .write.mode("overwrite").parquet(s"$storePath/vectors")
+    val toks = tokens(corpus, idCol, textCol).distinct()
+      .select(col("id"), xxhash64(col("tok")).as("t"))
+    val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTokenDf).select("t")
+    toks.join(broadcast(keep), Seq("t")).select("t", "id")
+      .write.mode("overwrite").parquet(s"$storePath/postings")
+  }
+
+  /** Append landed rows to an existing store under its FROZEN fit — the
+    * maintenance half of the incremental loop (vectors + postings;
+    * the idf table is untouched: the fit is frozen, not drifting with
+    * appends). The postings df-cap is applied batch-locally on append —
+    * a token under the cap in every append can exceed it in the union,
+    * growing candidate fan-out until a compaction (re-[[saveStore]] over
+    * the full corpus) restores the invariant, the same recompute-on-
+    * compaction contract as the segmented BM25 index's df.
+    */
+  def appendToStore(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64, maxTokenDf: Int = 50): Unit = {
+    val idf = loadIdf(batch.sparkSession, s"$storePath/idf")
+    val vec = hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets)
+    vec.join(squaredNorms(vec), "id")
+      .write.mode("append").parquet(s"$storePath/vectors")
+    val toks = tokens(batch, idCol, textCol).distinct()
+      .select(col("id"), xxhash64(col("tok")).as("t"))
+    val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTokenDf).select("t")
+    toks.join(broadcast(keep), Seq("t")).select("t", "id")
+      .write.mode("append").parquet(s"$storePath/postings")
+  }
+
+  /** Incremental TF-IDF near-dup dedup: drop batch docs whose cosine
+    * (under the STORE's frozen fit) reaches `tauNum/tauDen` against any
+    * corpus vector, and collapse within-batch clusters to their min-id
+    * survivor — the model-free twin of
+    * [[Dedup.dropNearDuplicatesIncremental]] /
+    * [[Similarity.dropNearCorpusEmbeddings]].
+    *
+    * Scale shape: the corpus participates ONLY through its store —
+    * postings join keyed by the 8-byte token hash (corpus side df-capped
+    * at write; `maxBatchTokenDf` > 0 additionally caps the batch side
+    * for two-sided hot-key safety), vector join candidate-bounded; the
+    * corpus text is never re-read.
+    */
+  def dropNearCorpusTfidf(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, buckets: Int = 64, maxTokenDf: Int = 50,
+      tauNum: Int = 4, tauDen: Int = 5,
+      maxBatchTokenDf: Int = 0): DataFrame = {
+    val spark = batch.sparkSession
+    val idf = loadIdf(spark, s"$storePath/idf")
+    val cVec = spark.read.parquet(s"$storePath/vectors")
+    val postings = spark.read.parquet(s"$storePath/postings")
+
+    val bToks = graft.core.CacheScope.persist(
+      tokens(batch, idCol, textCol).distinct()
+        .select(col("id").as("id_b"), xxhash64(col("tok")).as("t")))
+    val bTokCapped =
+      if (maxBatchTokenDf <= 0) bToks
+      else {
+        val hot = bToks.groupBy("t").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxBatchTokenDf).select("t")
+        bToks.join(broadcast(hot), Seq("t"), "left_anti")
+      }
+    val cands = bTokCapped
+      .join(postings.withColumnRenamed("id", "id_c"), Seq("t"))
+      .select("id_b", "id_c").distinct()
+
+    val bVec = graft.core.CacheScope.persist(
+      hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets))
+    val bN2 = squaredNorms(bVec)
+    val dots = cands
+      .join(bVec.select(col("id").as("id_b"), col("bucket"), col("w").as("w_b")), Seq("id_b"))
+      .join(cVec.select(col("id").as("id_c"), col("bucket"), col("w").as("w_c")),
+        Seq("id_c", "bucket"))
+      .groupBy("id_b", "id_c").agg(sum(col("w_b") * col("w_c")).as("dot"))
+    val hits = graft.core.CacheScope.persist(dots
+      .join(bN2.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .join(cVec.select(col("id").as("id_c"), col("n2").as("n2_c")).distinct(),
+        Seq("id_c"))
+      .filter(cosineAtLeast(col("dot"), col("n2_b"), col("n2_c"), tauNum, tauDen))
+      .select(col("id_b").as(idCol)).distinct())
+
+    val withinSurvivors = Dedup.dropClusterLosers(batch, idCol,
+      cosinePairsWithIdf(batch, idCol, textCol, idf, buckets, maxTokenDf,
+        tauNum, tauDen).select("id_a", "id_b"),
+      Dedup.broadcastMaxPairs)
+    val pinned =
+      if (hits.count() <= Dedup.broadcastMaxPairs) broadcast(hits) else hits
+    withinSurvivors.join(pinned, Seq(idCol), "left_anti")
   }
 
   /** Near-duplicate REMOVAL over the TF-IDF cosine pairs: transitive

@@ -355,6 +355,31 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation dedupe: incremental_tfidf scores against the frozen store and appends") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("tfstore-")
+      .toString + "/tfidf"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    graft.operators.Tfidf.saveStore(corpus, "doc_id", "text", store)
+    val raw = Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "incremental_tfidf", "tfidf_store" -> store))
+    val day1 = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // corpus hit → dropped
+      (11L, "completely fresh sentence today")).toDF("doc_id", "text")
+    val out1 = JobRunner.applyCuration(day1, raw)
+    out1.select("doc_id").collect().map(_.getLong(0)) shouldBe Array(11L)
+    // maintenance append: tomorrow's batch dedups against today's rows
+    graft.operators.Tfidf.appendToStore(out1, "doc_id", "text", store)
+    val day2 = Seq(
+      (20L, "completely fresh sentence today"), // now a corpus hit
+      (21L, "another unrelated new document")).toDF("doc_id", "text")
+    JobRunner.applyCuration(day2, raw)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(21L)
+  }
+
   test("curation dedupe: incremental_simhash uses and survives a simhash store") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("shstore-")

@@ -69,6 +69,25 @@ class TfidfSpec extends SparkSpec {
       .collect().toSet shouldBe inFlight
   }
 
+  test("incremental: corpus hits drop, within-batch clusters collapse, fresh rows survive") {
+    val store = java.nio.file.Files.createTempDirectory("tfidf-inc-")
+      .resolve("store").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    Tfidf.saveStore(corpus, "doc_id", "text", store, maxTokenDf = 10)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // = corpus 1 → hit
+      (11L, "fresh content nobody has ever written"),
+      (12L, "fresh content nobody has ever written"), // batch dup of 11
+      (13L, "utterly unrelated standalone sentence")
+    ).toDF("doc_id", "text")
+    Tfidf.dropNearCorpusTfidf(batch, "doc_id", "text", store,
+      maxTokenDf = 10)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+  }
+
   test("stop-token cap drops candidates that share only hot tokens") {
     // 'common' appears in every doc (df=5 > cap=3): pairs sharing only it
     // are never candidates
