@@ -485,6 +485,12 @@ object JobRunner {
             df.sparkSession, need("lm_store")),
           need("id_field"), need("text_field"),
           Yaml.str(c, "lm_min_avg_lognat").map(_.toDouble).getOrElse(-12.0))
+      case "compression" =>
+        // drop templated boilerplate by DEFLATE ratio (Gopher-family
+        // heuristic); threshold via `compression_max_ratio`
+        out = graft.operators.TextAnalysis.compressionFilter(
+          out, need("text_field"),
+          Yaml.str(c, "compression_max_ratio").map(_.toDouble).getOrElse(8.0))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
     }

@@ -592,6 +592,14 @@ object Queries {
     graft.operators.TextAnalysis.vocabTopK(
       t(spark, dir, "documents"), "doc_id", "text", k = 50)
 
+  /** Compression-ratio quality signals (DEFLATE kernel) — heuristic
+    * boilerplate detector; NO oracle (DuckDB has no zlib), so the driver
+    * records the weaker rows-only check, like the sketch family.
+    */
+  def textCompressionRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.compressionSignals(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Hashed TF-IDF sparse vectors (64 buckets, milli-nat idf): the
     * model-free in-engine embedding — every column exact-integer, so the
     * whole vector table is hash-checked against the replayed fit.
@@ -1574,6 +1582,7 @@ object Queries {
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
     "text_vocab_topk" -> textVocabTopK _,
+    "text_compression_ratio" -> textCompressionRatio _,
     "text_tfidf_vectors" -> textTfidfVectors _,
     "text_tfidf_vectors_store" -> textTfidfVectorsStore _,
     "tfidf_cosine_pairs" -> tfidfCosinePairs _,

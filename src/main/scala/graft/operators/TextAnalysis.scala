@@ -373,6 +373,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Compression-ratio quality signals: raw UTF-8 bytes, DEFLATE bytes
+    * ([[graft.functions.DeflateLen]] native kernel), and their ratio —
+    * high ratios flag repetitive templated boilerplate that token-level
+    * repetition rules miss. Pure map-side projection; no DuckDB replay
+    * exists (no zlib), so this is spec-tested + rows-only checked, like
+    * the sketch family.
+    */
+  def compressionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("raw_bytes"),
+        graft.functions.DeflateLen(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio",
+        col("raw_bytes").cast("double") / col("deflate_bytes"))
+
+  /** Drop rows whose compression ratio exceeds `maxRatio` (schema
+    * preserved) — the curation-block form of the signal.
+    */
+  def compressionFilter(df: DataFrame, textCol: String,
+      maxRatio: Double): DataFrame =
+    df.filter(
+      octet_length(col(textCol)).cast("double") /
+        graft.functions.DeflateLen(col(textCol)) <= maxRatio)
+
   /** Cross-source shingle-overlap matrix: for each ordered source pair
     * (a, b) the number of distinct word-`n`-gram shingles of `a` that
     * also occur in `b`, plus `a`'s distinct-shingle count — so

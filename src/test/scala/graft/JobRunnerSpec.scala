@@ -355,6 +355,17 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation quality_filter: compression drops templated boilerplate") {
+    import spark.implicits._
+    val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val df = Seq((1L, varied), (2L, "spam spam spam " * 40))
+      .toDF("doc_id", "text")
+    JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "compression", "compression_max_ratio" -> "4.0")))
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   test("curation dedupe: incremental_tfidf scores against the frozen store and appends") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("tfstore-")

@@ -60,6 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("incremental tfidf: store joins stay candidate-bounded, hits anti-join broadcast") {
+    val p = plan("dedup_tfidf_incremental")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // within-batch + corpus-hit removals end as anti-joins, never a
+    // distinct-over-union rewrite that would shuffle the batch wide
+    p should include("LeftAnti")
+  }
+
   test("candidate-verify joins are pinned broadcast (not AQE-dependent)") {
     // the executedPlan printed before execution is the INITIAL plan — a
     // BroadcastHashJoin here proves the explicit broadcast() hint, not a

@@ -148,6 +148,33 @@ class TextAnalysisSpec extends SparkSpec {
     plan should include("nfcnormalize")
   }
 
+  test("compressionSignals: repetitive text deflates far more than varied text") {
+    val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
+    val spam = "buy now click here " * 30
+    val df = Seq((1L, varied), (2L, spam), (3L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(3L) shouldBe None // null text → null signal, never a crash
+    out(2L).get should be > (2.5 * out(1L).get) // spam ≫ varied
+    // deterministic rerun
+    TextAnalysis.compressionSignals(df, "doc_id", "text").collect()
+      .map(_.toString).sorted shouldBe
+      TextAnalysis.compressionSignals(df, "doc_id", "text").collect()
+        .map(_.toString).sorted
+    // pure map-side kernel projection (parquet-backed frame — a local
+    // Seq constant-folds the projection into the LocalTableScan)
+    val plan = TextAnalysis.compressionSignals(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan.toLowerCase should include("deflatelen")
+    // the filter keeps varied prose and drops the spam
+    TextAnalysis.compressionFilter(df, "text", maxRatio = 4.0)
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   test("sourceShingleOverlap: directed shared-shingle counts per source pair") {
     // A: two docs whose distinct 3-shingles are {a b c, b c d} ∪ {x y z}
     // B: one doc covering {a b c, b c d}; C: disjoint
