@@ -332,6 +332,15 @@ object JobRunner {
       case other =>
         throw new IllegalArgumentException(s"unknown curation.extract: $other")
     }
+    // normalization after extraction, before any fingerprint/shingle
+    // consumer: composed vs decomposed Unicode must not defeat dedup
+    Yaml.str(c, "normalize").foreach {
+      case "nfc" =>
+        out = out.withColumn(need("text_field"),
+          graft.operators.TextAnalysis.normalizeText(col(need("text_field"))))
+      case other =>
+        throw new IllegalArgumentException(s"unknown curation.normalize: $other")
+    }
     if (Yaml.bool(c, "redact_pii"))
       out = out.withColumn(need("text_field"),
         graft.operators.PiiRedact.redact(col(need("text_field"))))

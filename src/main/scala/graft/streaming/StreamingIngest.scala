@@ -224,6 +224,58 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming incremental TF-IDF near-dup dedup — the model-free twin
+    * of [[nearDedupStreamIncremental]] for streams with no embedding
+    * column and no shingle budget: each micro-batch dedups against the
+    * persisted TF-IDF store under its FROZEN fit
+    * ([[graft.operators.Tfidf.dropNearCorpusTfidf]]), appends survivors
+    * to the output and to the store
+    * ([[graft.operators.Tfidf.appendToStore]]: vectors + postings; the
+    * fit never drifts mid-stream). The same per-batch marker protocol
+    * guards replays (a replayed batch would re-append vectors/postings,
+    * inflating candidate fan-out), with stale markers pruned per
+    * commit.
+    */
+  def tfidfDedupStreamIncremental(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tfidfStorePath: String,
+      outPath: String,
+      checkpoint: String,
+      buckets: Int = 64,
+      maxTokenDf: Int = 50,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
+        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          graft.core.CacheScope.scoped {
+            val survivors = graft.core.CacheScope.persist(
+              graft.operators.Tfidf.dropNearCorpusTfidf(
+                batch, idCol, textCol, tfidfStorePath,
+                buckets = buckets, maxTokenDf = maxTokenDf))
+            survivors.write.mode("append").parquet(outPath)
+            graft.operators.Tfidf.appendToStore(survivors, idCol, textCol,
+              tfidfStorePath, buckets = buckets, maxTokenDf = maxTokenDf)
+          }
+          fs.mkdirs(markerDir)
+          fs.create(marker, false).close()
+          val stale = fs.listStatus(markerDir).filter { st =>
+            st.getPath.getName.stripPrefix("batch_").toLongOption
+              .exists(_ < batchId)
+          }
+          stale.foreach(st => fs.delete(st.getPath, false))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming full-text INDEXER: each micro-batch appends one
     * immutable segment to the appendable BM25 index
     * ([[graft.operators.Search.writeIndexSegment]]) — the Lucene

@@ -355,6 +355,20 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(4L)
   }
 
+  test("curation normalize: nfc runs before dedupe so decomposed forms collapse") {
+    import spark.implicits._
+    val df = Seq((1L, "café au lait"), (2L, "café au lait"))
+      .toDF("doc_id", "text")
+    val out = JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "normalize" -> "nfc", "dedupe" -> "exact")))
+    out.select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+    // without normalization the two byte sequences are distinct
+    JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "exact"))).count() shouldBe 2
+  }
+
   test("curation quality_filter: compression drops templated boilerplate") {
     import spark.implicits._
     val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")

@@ -228,6 +228,45 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(store).count() shouldBe 3 * 16
   }
 
+  test("streaming tfidf dedup matches the batch path across restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-tf-")
+    val ckpt = Files.createTempDirectory("stream-tf-ckpt-").toString
+    val base = Files.createTempDirectory("stream-tf-store-").toString
+    val (store, out) = (s"$base/tfidf", s"$base/out")
+    // the fit is frozen BEFORE the stream starts (missing store = error)
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    graft.operators.Tfidf.saveStore(seed, "doc_id", "text", store,
+      maxTokenDf = 10)
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("doc_id long, text string")
+        .option("header", "true").csv(in.toString)
+      StreamingIngest.tfidfDedupStreamIncremental(raw, "doc_id", "text",
+        store, out, ckpt, maxTokenDf = 10).awaitTermination(120000)
+    }
+    // micro-batch 1: doc 10 hits the seeded corpus; 11/12 are an
+    // in-batch cluster; 13 is fresh
+    Files.writeString(in.resolve("a.csv"),
+      "doc_id,text\n" +
+        "10,alpha beta gamma delta epsilon zeta\n" +
+        "11,completely fresh sentence written today\n" +
+        "12,completely fresh sentence written today\n" +
+        "13,utterly unrelated standalone paragraph\n")
+    run()
+    // micro-batch 2 after restart: doc 20 duplicates SURVIVOR 11 —
+    // caught only via the appended store vectors
+    Files.writeString(in.resolve("b.csv"),
+      "doc_id,text\n" +
+        "20,completely fresh sentence written today\n" +
+        "21,another brand new unique document\n")
+    run()
+    spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted shouldBe Array(11L, 13L, 21L)
+  }
+
   test("streaming near-dup dedup with a bucketed band-key table") {
     import spark.implicits._
     val table = "sispec_nd_bucketed"
