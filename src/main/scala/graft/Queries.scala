@@ -1689,8 +1689,19 @@ object Queries {
   val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash_prod" -> dedupSimhashProd _,
     "dedup_minhash_forced" -> dedupMinhashForced _,
+    "dedup_tfidf_forced" -> dedupTfidfForced _,
     "sketch_topk_rollup" -> sketchTopkRollup _
   )
+
+  /** BENCH-ONLY: `dedup_tfidf_incremental` down the forced 100 TB
+    * fallback plans (distributed CC, unhinted pins, shuffle anti-joins)
+    * — prices the TF-IDF family's scale tail every round;
+    * ScaleFallbackSpec pins bit-identity to the fast path.
+    */
+  def dedupTfidfForced(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.withGuardThresholds(0L, 0L) {
+      dedupTfidfIncremental(spark, dir)
+    }
 
   // ---------------------------------------------- generated oracle SQL
   // The LSH planes are driver-side ±1 literals (Similarity.planeSigns),

@@ -267,9 +267,16 @@ object Tfidf {
     val cVec = spark.read.parquet(s"$storePath/vectors")
     val postings = spark.read.parquet(s"$storePath/postings")
 
+    // ONE tokenize pass and ONE vectorize pass, shared by the store join
+    // AND the within-batch pair search (a per-phase recompute measured
+    // ~4× the batch-side work at sf0.1)
     val bToks = graft.core.CacheScope.persist(
       tokens(batch, idCol, textCol).distinct()
-        .select(col("id").as("id_b"), xxhash64(col("tok")).as("t")))
+        .select(col("id"), xxhash64(col("tok")).as("t")))
+    val bVec = graft.core.CacheScope.persist(
+      hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets))
+    val bN2 = graft.core.CacheScope.persist(squaredNorms(bVec))
+
     val bTokCapped =
       if (maxBatchTokenDf <= 0) bToks
       else {
@@ -277,13 +284,9 @@ object Tfidf {
           .filter(col("__df") > maxBatchTokenDf).select("t")
         bToks.join(broadcast(hot), Seq("t"), "left_anti")
       }
-    val cands = bTokCapped
+    val cands = bTokCapped.withColumnRenamed("id", "id_b")
       .join(postings.withColumnRenamed("id", "id_c"), Seq("t"))
       .select("id_b", "id_c").distinct()
-
-    val bVec = graft.core.CacheScope.persist(
-      hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets))
-    val bN2 = squaredNorms(bVec)
     val dots = cands
       .join(bVec.select(col("id").as("id_b"), col("bucket"), col("w").as("w_b")), Seq("id_b"))
       .join(cVec.select(col("id").as("id_c"), col("bucket"), col("w").as("w_c")),
@@ -296,9 +299,24 @@ object Tfidf {
       .filter(cosineAtLeast(col("dot"), col("n2_b"), col("n2_c"), tauNum, tauDen))
       .select(col("id_b").as(idCol)).distinct())
 
-    val withinSurvivors = Dedup.dropClusterLosers(batch, idCol,
-      cosinePairsWithIdf(batch, idCol, textCol, idf, buckets, maxTokenDf,
-        tauNum, tauDen).select("id_a", "id_b"),
+    // within-batch pairs over the SAME persisted toks/vecs/norms
+    val wKeep = bToks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxTokenDf)).select("t")
+    val wPosted = bToks.join(broadcast(wKeep), Seq("t"))
+    val wCands = wPosted.select(col("t"), col("id").as("id_a"))
+      .join(wPosted.select(col("t"), col("id").as("id_b")), Seq("t"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val wPairs = wCands
+      .join(bVec.select(col("id").as("id_a"), col("bucket"), col("w").as("w_a")), Seq("id_a"))
+      .join(bVec.select(col("id").as("id_b"), col("bucket"), col("w").as("w_b")), Seq("id_b", "bucket"))
+      .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("dot"))
+      .join(bN2.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(bN2.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .filter(cosineAtLeast(col("dot"), col("n2_a"), col("n2_b"), tauNum, tauDen))
+      .select("id_a", "id_b")
+
+    val withinSurvivors = Dedup.dropClusterLosers(batch, idCol, wPairs,
       Dedup.broadcastMaxPairs)
     val pinned =
       if (hits.count() <= Dedup.broadcastMaxPairs) broadcast(hits) else hits

@@ -71,4 +71,27 @@ class ScaleFallbackSpec extends SparkSpec {
     val forced = withForcedFallbacks(run())
     forced shouldBe fast
   }
+
+  test("forced fallback incremental tfidf matches the fast path") {
+    val store = java.nio.file.Files
+      .createTempDirectory("fallback-tfidf-").toString + "/tfidf"
+    Tfidf.saveStore(docs.filter($"doc_id" < 100), "doc_id", "text", store)
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 300)
+    def run(): Array[Long] = Tfidf.dropNearCorpusTfidf(
+      batch, "doc_id", "text", store)
+      .select("doc_id").as[Long].collect().sorted
+    val fast = run()
+    val forced = withForcedFallbacks(run())
+    forced shouldBe fast
+  }
+
+  test("forced fallback keep-best removal matches the fast path") {
+    def run(): Array[Long] = Dedup.dropNearDuplicatesKeepBest(
+      docs.withColumn("len", org.apache.spark.sql.functions.length($"text")),
+      "doc_id", "text", "len")
+      .select("doc_id").as[Long].collect().sorted
+    val fast = run()
+    val forced = withForcedFallbacks(run())
+    forced shouldBe fast
+  }
 }
