@@ -592,6 +592,13 @@ object Queries {
     graft.operators.TextAnalysis.vocabTopK(
       t(spark, dir, "documents"), "doc_id", "text", k = 50)
 
+  /** Token-entropy signals: exact-integer micro-nat entropy numerators
+    * per document — lexical-diversity gate input; hash-exact oracle.
+    */
+  def textTokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tokenEntropySignals(
+      t(spark, dir, "documents"), "doc_id", "text")
+
   /** Compression-ratio quality signals (DEFLATE kernel) — heuristic
     * boilerplate detector; NO oracle (DuckDB has no zlib), so the driver
     * records the weaker rows-only check, like the sketch family.
@@ -1583,6 +1590,7 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "text_vocab_topk" -> textVocabTopK _,
     "text_compression_ratio" -> textCompressionRatio _,
+    "text_token_entropy" -> textTokenEntropy _,
     "text_tfidf_vectors" -> textTfidfVectors _,
     "text_tfidf_vectors_store" -> textTfidfVectorsStore _,
     "tfidf_cosine_pairs" -> tfidfCosinePairs _,
@@ -2683,6 +2691,22 @@ object Queries {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT id FROM losers)
         |  AND doc_id NOT IN (SELECT id FROM hits)""".stripMargin,
+    // token entropy: per-term c·ln c quantized to micro-nats BEFORE the
+    // sum (order-independent BIGINT), n·ln n term quantized identically
+    "text_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, x AS tok, count(*) AS c FROM
+        |  (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS x FROM documents)
+        |  WHERE x <> '' GROUP BY doc_id, x),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS s
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(floor(n_tokens * ln(n_tokens) * 1000000.0 + 0.5) AS BIGINT)
+        |    - s AS ent_micro
+        |FROM a""".stripMargin,
     "corpus_overlap" ->
       """WITH tok AS (SELECT doc_id, source,
         |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),

@@ -373,6 +373,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Token-entropy quality signals (the Dolma-family lexical-diversity
+    * measure): per document, token count, distinct-token count, and
+    * `ent_micro` = n·ln n·1e6 − Σ_tokens c·ln c·1e6 with each term
+    * half-up quantized to micro-nats BEFORE summing — so the sum is an
+    * order-independent exact BIGINT and the whole row hash-checks
+    * across engines (unquantized double sums are order-dependent).
+    * `ent_micro / (n_tokens · 1e6)` is the per-token Shannon entropy in
+    * nats; low values flag keyword-stuffed or degenerate pages. Two
+    * narrow count shuffles, both partial-aggregated.
+    */
+  def tokenEntropySignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tc = df.select(col(idCol).as(idCol),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("c") * log(col("c")) * 1e6 + 0.5).cast("long"))
+          .as("__s"))
+      .withColumn("ent_micro",
+        floor(col("n_tokens") * log(col("n_tokens")) * 1e6 + 0.5)
+          .cast("long") - col("__s"))
+      .drop("__s")
+  }
+
   /** Compression-ratio quality signals: raw UTF-8 bytes, DEFLATE bytes
     * ([[graft.functions.DeflateLen]] native kernel), and their ratio —
     * high ratios flag repetitive templated boilerplate that token-level

@@ -148,6 +148,22 @@ class TextAnalysisSpec extends SparkSpec {
     plan should include("nfcnormalize")
   }
 
+  test("tokenEntropySignals: hand-computed micro-nat entropy, degenerate text scores low") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "spam spam spam spam"),          // zero entropy
+      (3L, "u v w x")                       // maximal for 4 tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropySignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: n=3, s = floor(2·ln2·1e6+.5) = 1386294; n·ln n term 3295837
+    out(1L) shouldBe ((3L, 2L, 3295837L - 1386294L))
+    out(2L)._3 shouldBe 0L                  // all same token
+    // uniform doc: ent_micro ≈ n·ln(n)·1e6 (every c = 1)
+    out(3L)._3 shouldBe math.floor(4 * math.log(4) * 1e6 + 0.5).toLong
+  }
+
   test("compressionSignals: repetitive text deflates far more than varied text") {
     val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
     val spam = "buy now click here " * 30
