@@ -494,6 +494,12 @@ object JobRunner {
             df.sparkSession, need("lm_store")),
           need("id_field"), need("text_field"),
           Yaml.str(c, "lm_min_avg_lognat").map(_.toDouble).getOrElse(-12.0))
+      case "entropy" =>
+        // lexical-diversity floor: drop keyword-stuffed/degenerate pages
+        // below `entropy_min_nats` per-token Shannon entropy
+        out = graft.operators.TextAnalysis.entropyFilter(
+          out, need("id_field"), need("text_field"),
+          Yaml.str(c, "entropy_min_nats").map(_.toDouble).getOrElse(1.0))
       case "compression" =>
         // drop templated boilerplate by DEFLATE ratio (Gopher-family
         // heuristic); threshold via `compression_max_ratio`

@@ -400,6 +400,19 @@ object TextAnalysis {
       .drop("__s")
   }
 
+  /** Drop rows whose per-token entropy (nats) falls below `minNats`
+    * (schema preserved; docs with no tokens drop — entropy of nothing
+    * has no semantics). Semi-join on the id like the LM gate.
+    */
+  def entropyFilter(df: DataFrame, idCol: String, textCol: String,
+      minNats: Double): DataFrame = {
+    val keep = tokenEntropySignals(df, idCol, textCol)
+      .filter(col("ent_micro").cast("double") /
+        (col("n_tokens").cast("double") * 1e6) >= minNats)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Compression-ratio quality signals: raw UTF-8 bytes, DEFLATE bytes
     * ([[graft.functions.DeflateLen]] native kernel), and their ratio —
     * high ratios flag repetitive templated boilerplate that token-level

@@ -369,6 +369,18 @@ class JobRunnerSpec extends SparkSpec {
       "dedupe" -> "exact"))).count() shouldBe 2
   }
 
+  test("curation quality_filter: entropy drops keyword-stuffed pages") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a reasonably varied sentence with many different words here"),
+      (2L, "buy buy buy buy buy buy buy buy")
+    ).toDF("doc_id", "text")
+    JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "entropy", "entropy_min_nats" -> "1.0")))
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   test("curation quality_filter: compression drops templated boilerplate") {
     import spark.implicits._
     val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
