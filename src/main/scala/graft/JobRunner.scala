@@ -129,12 +129,16 @@ object JobRunner {
         else (spark.read.parquet(paths: _*), inc2)
       case "jsonl" =>
         // Beyond-reference: JSONL corpus ingest (see JsonlSource). Corrupt
-        // lines ride along in _corrupt_record for the T2/T4 error pipeline.
+        // lines ride along in _corrupt_record so the T2/T4 validation
+        // pipeline COUNTS them (corrupt_record metric, exit code) —
+        // readClean here would let a file full of malformed lines ingest
+        // with zero errors and no gate trip. The corrupt column itself is
+        // dropped by Validation.applyMode after accounting.
         val all = src.files.flatMap(f => Yaml.str(f, "path")).map(resolve(jobDir, _))
         require(all.nonEmpty, "jsonl source requires files[].path")
         val (paths, inc2) = filterFiles(all)
         if (paths.isEmpty) (emptyRaw, inc2)
-        else (JsonlSource.readClean(spark, paths, contract), inc2)
+        else (JsonlSource.read(spark, paths, contract), inc2)
       case t @ ("postgres" | "mysql") =>
         val conn = Yaml.map(src.raw, "connection")
         val url = Yaml.str(conn, "jdbc_url").getOrElse(
@@ -655,8 +659,15 @@ object JobRunner {
       (applyMarkdownKvStorage(planned, tgt), inc)
     }
     val obs = Observation(s"validation_${System.nanoTime}")
+    // jsonl is the one source with a corrupt-record column: unparseable
+    // lines must count as errors (corrupt_record metric + exit code),
+    // then the column is dropped from the output after accounting
+    val corruptCol =
+      if (src.connectorType == "jsonl")
+        Some(graft.sources.JsonlOptions().corruptCol)
+      else None
     val result = tracer.span("phase.validate") {
-      Validation.validate(raw, contract, vmode, obs)
+      Validation.validate(raw, contract, vmode, obs, corruptCol)
     }
 
     val base = outputBase(tgt, contract, job.tenantId)

@@ -2113,7 +2113,8 @@ object Queries {
        |idf AS (SELECT b, CAST(floor((ln(nn.n + 1) - ln(df + 1)) * 1000 + 0.5)
        |  AS BIGINT) AS idf FROM dfb CROSS JOIN nn),
        |tfc AS (SELECT doc_id, b, count(*) AS tf FROM tb GROUP BY doc_id, b),
-       |v AS (SELECT tfc.doc_id, tfc.b, tfc.tf, tfc.tf * idf.idf AS w
+       |v AS (SELECT tfc.doc_id, tfc.b, tfc.tf,
+       |  LEAST(tfc.tf * idf.idf, ${graft.operators.Tfidf.wCap(64)}) AS w
        |  FROM tfc JOIN idf ON idf.b = tfc.b)""".stripMargin
 
   private val sampleBernoulliOracle: String =
@@ -2614,7 +2615,7 @@ object Queries {
     // candidates via the ≤50-df corpus postings, exact-integer cosine
     // for both the corpus hits and the within-batch recursive CC
     "dedup_tfidf_incremental" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
         |  UNION ALL SELECT doc_id + 10000, text FROM documents
@@ -2624,7 +2625,7 @@ object Queries {
         |ctb AS (SELECT doc_id,
         |  ('0x' || substring(md5(x), 1, 15))::BIGINT % 64 AS b FROM
         |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
-        |    '\s+')) AS x FROM corpus) WHERE x <> ''),
+        |    '\\s+')) AS x FROM corpus) WHERE x <> ''),
         |cdfb AS (SELECT b, count(DISTINCT doc_id) AS df FROM ctb GROUP BY b),
         |nn AS (SELECT count(*) AS n FROM corpus),
         |idf AS (SELECT b, CAST(floor((ln(nn.n + 1) - ln(df + 1)) * 1000
@@ -2632,27 +2633,29 @@ object Queries {
         |dflt AS (SELECT CAST(floor(ln(n + 1) * 1000 + 0.5) AS BIGINT) AS d
         |  FROM nn),
         |ctf AS (SELECT doc_id, b, count(*) AS tf FROM ctb GROUP BY doc_id, b),
-        |cv AS (SELECT ctf.doc_id, ctf.b, ctf.tf * idf.idf AS w
+        |cv AS (SELECT ctf.doc_id, ctf.b,
+        |  LEAST(ctf.tf * idf.idf, ${graft.operators.Tfidf.wCap(64)}) AS w
         |  FROM ctf JOIN idf ON idf.b = ctf.b),
         |cn2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
         |  FROM cv GROUP BY doc_id),
         |btb AS (SELECT doc_id,
         |  ('0x' || substring(md5(x), 1, 15))::BIGINT % 64 AS b FROM
         |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
-        |    '\s+')) AS x FROM batch) WHERE x <> ''),
+        |    '\\s+')) AS x FROM batch) WHERE x <> ''),
         |btf AS (SELECT doc_id, b, count(*) AS tf FROM btb GROUP BY doc_id, b),
         |bv AS (SELECT btf.doc_id, btf.b,
-        |  btf.tf * COALESCE(idf.idf, dflt.d) AS w
+        |  LEAST(btf.tf * COALESCE(idf.idf, dflt.d),
+        |    ${graft.operators.Tfidf.wCap(64)}) AS w
         |  FROM btf LEFT JOIN idf ON idf.b = btf.b CROSS JOIN dflt),
         |bn2 AS (SELECT doc_id, CAST(sum(w*w) AS BIGINT) AS n2
         |  FROM bv GROUP BY doc_id),
         |ctk AS (SELECT DISTINCT doc_id, x AS tok FROM
         |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
-        |    '\s+')) AS x FROM corpus) WHERE x <> ''),
+        |    '\\s+')) AS x FROM corpus) WHERE x <> ''),
         |cpost AS (SELECT tok FROM ctk GROUP BY tok HAVING count(*) <= 50),
         |btk AS (SELECT DISTINCT doc_id, x AS tok FROM
         |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
-        |    '\s+')) AS x FROM batch) WHERE x <> ''),
+        |    '\\s+')) AS x FROM batch) WHERE x <> ''),
         |cand AS (SELECT DISTINCT bt.doc_id AS id_b, ct.doc_id AS id_c
         |  FROM btk bt JOIN cpost cp ON cp.tok = bt.tok
         |  JOIN ctk ct ON ct.tok = bt.tok),

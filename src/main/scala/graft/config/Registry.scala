@@ -128,6 +128,14 @@ object Registry {
       |    allowed_in_cloud: true
       |    supports_incremental: true
       |    incremental_strategy_default: file_modified_time
+      |  jsonl:
+      |    roles: [source, target]
+      |    category: files
+      |    default_engine: native
+      |    engines_supported: [native]
+      |    allowed_in_cloud: true
+      |    supports_incremental: true
+      |    incremental_strategy_default: file_modified_time
       |  postgres:
       |    roles: [source, target]
       |    category: database

@@ -76,14 +76,21 @@ object Validation {
 
   /** Predicate: the record has NO validation error — all required fields
     * non-null and no declared field fails coercion (the reference's
-    * `is_valid`, schema_validator.py:134-137).
+    * `is_valid`, schema_validator.py:134-137). When `corruptCol` is set
+    * (a source-level corrupt-record column, e.g. JSONL's
+    * `_corrupt_record`), a non-null value there is an error in itself:
+    * an unparseable line must NEVER count as a valid record, even under
+    * a contract with no required fields (where its all-null shape would
+    * otherwise sail through).
     */
-  def validPredicate(contract: DataContract, raw: DataFrame): Column = {
+  def validPredicate(contract: DataContract, raw: DataFrame,
+      corruptCol: Option[String] = None): Column = {
     val src = fieldSrcType(raw)
     val noMismatch = contract.fields.flatMap { f =>
       src.get(f.name).map(dt => !Coercion.coercionError(col(f.name), f.odcsType, dt))
     }
-    (requiredPredicate(contract, raw) +: noMismatch).reduce(_ && _)
+    val notCorrupt = corruptCol.filter(raw.columns.contains).map(col(_).isNull)
+    (requiredPredicate(contract, raw) +: (noMismatch ++ notCorrupt)).reduce(_ && _)
   }
 
   /** Strict-mode projection: only declared schema fields, declared order
@@ -105,9 +112,13 @@ object Validation {
   }
 
   /** Error-summary aggregate expressions (T4): one count per
-    * (error_type, field), computed in the same job via observe().
+    * (error_type, field), computed in the same job via observe(). A
+    * configured `corruptCol` adds a `corrupt_record:` counter so
+    * source-level parse failures are first-class errors (they also trip
+    * the exit code via [[exitCode]]'s any-nonzero-metric rule).
     */
-  def errorMetrics(raw: DataFrame, contract: DataContract): Seq[Column] = {
+  def errorMetrics(raw: DataFrame, contract: DataContract,
+      corruptCol: Option[String] = None): Seq[Column] = {
     val src = fieldSrcType(raw)
     val missing = contract.requiredFields.map { f =>
       val cond =
@@ -122,7 +133,10 @@ object Validation {
             .otherwise(0L)).as(s"type_mismatch:${f.name}"))
       }
     }
-    count(lit(1)).as("records") +: (missing ++ mismatch)
+    val corrupt = corruptCol.filter(raw.columns.contains).map { c =>
+      sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"corrupt_record:$c")
+    }
+    count(lit(1)).as("records") +: (missing ++ mismatch ++ corrupt)
   }
 
   /** Per-record error details (T4's retained-error surface,
@@ -131,9 +145,18 @@ object Validation {
     * order + limit — e.g. `.orderBy("record_id", "field").limit(100)` for
     * the reference's first-100 semantics under a deterministic order.
     */
-  def errorDetails(raw: DataFrame, contract: DataContract, idCol: String): DataFrame = {
+  def errorDetails(raw: DataFrame, contract: DataContract, idCol: String,
+      corruptCol: Option[String] = None): DataFrame = {
     val src = fieldSrcType(raw)
-    val errs: Seq[Column] =
+    val corruptErrs: Seq[Column] =
+      corruptCol.filter(raw.columns.contains).toSeq.map { c =>
+        when(col(c).isNotNull, struct(
+          lit(c).as("field"),
+          lit("corrupt_record").as("error_type"),
+          lit("Source line failed to parse").as("message")))
+          .otherwise(lit(null))
+      }
+    val errs: Seq[Column] = corruptErrs ++
       contract.requiredFields.map { f =>
         val cond =
           if (src.contains(f.name)) col(f.name).isNull else lit(true)
@@ -167,17 +190,27 @@ object Validation {
     * twin when a plan must be re-executed freely (e.g. the sink's sizing
     * sample) without consuming an Observation.
     */
-  def transform(raw: DataFrame, contract: DataContract, mode: ValidationMode): DataFrame =
-    applyMode(raw, raw, contract, mode)
+  def transform(raw: DataFrame, contract: DataContract, mode: ValidationMode,
+      corruptCol: Option[String] = None): DataFrame =
+    applyMode(raw, raw, contract, mode, corruptCol)
 
   private def applyMode(frame: DataFrame, raw: DataFrame, contract: DataContract,
-      mode: ValidationMode): DataFrame = mode match {
+      mode: ValidationMode, corruptCol: Option[String] = None): DataFrame =
+    mode match {
     case ValidationMode.Strict =>
       frame
-        .filter(validPredicate(contract, raw))
+        .filter(validPredicate(contract, raw, corruptCol))
         .select(coercedCols(raw, contract): _*)
     case ValidationMode.Warn =>
-      val extras = raw.columns.filterNot(contract.fieldNames.contains).sorted
+      // the corrupt column is accounting machinery, not data: it is
+      // dropped AFTER its metric/predicate accounting, never appended
+      // as a warn-mode extra (the raw line already failed to parse; warn
+      // mode keeps the all-null record itself, matching keep-everything
+      // semantics, but not the internal column)
+      val extras = raw.columns
+        .filterNot(contract.fieldNames.contains)
+        .filterNot(c => corruptCol.contains(c))
+        .sorted
       frame.select(
         coercedCols(raw, contract) ++
           extras.map(c => col(c).cast(StringType).as(c)): _*)
@@ -191,12 +224,13 @@ object Validation {
       raw: DataFrame,
       contract: DataContract,
       mode: ValidationMode,
-      observationName: String = "validation"
+      observationName: String = "validation",
+      corruptCol: Option[String] = None
   ): ValidationResult = {
-    val metrics = errorMetrics(raw, contract)
+    val metrics = errorMetrics(raw, contract, corruptCol)
     val observed = raw.observe(observationName, metrics.head, metrics.tail: _*)
-    ValidationResult(applyMode(observed, raw, contract, mode), observationName,
-      contract.requiredFields.map(_.name))
+    ValidationResult(applyMode(observed, raw, contract, mode, corruptCol),
+      observationName, contract.requiredFields.map(_.name))
   }
 
   /** Observation-object variant of [[validate]] — metrics retrievable via
@@ -206,13 +240,22 @@ object Validation {
       raw: DataFrame,
       contract: DataContract,
       mode: ValidationMode,
-      obs: org.apache.spark.sql.Observation
+      obs: org.apache.spark.sql.Observation,
+      corruptCol: Option[String]
   ): ValidationResult = {
-    val metrics = errorMetrics(raw, contract)
+    val metrics = errorMetrics(raw, contract, corruptCol)
     val observed = raw.observe(obs, metrics.head, metrics.tail: _*)
-    ValidationResult(applyMode(observed, raw, contract, mode), obs.name,
-      contract.requiredFields.map(_.name))
+    ValidationResult(applyMode(observed, raw, contract, mode, corruptCol),
+      obs.name, contract.requiredFields.map(_.name))
   }
+
+  /** Back-compat overload (no corrupt column). */
+  def validate(
+      raw: DataFrame,
+      contract: DataContract,
+      mode: ValidationMode,
+      obs: org.apache.spark.sql.Observation
+  ): ValidationResult = validate(raw, contract, mode, obs, None)
 
   /** Map observed metrics → exit code per the reference contract
     * (cli.py:960-983, :1123-1129). Branch order matters: warn-with-errors

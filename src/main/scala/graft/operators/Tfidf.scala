@@ -52,6 +52,24 @@ object Tfidf {
     */
   def milliNats(x: Double): Long = math.floor(x * 1e3 + 0.5).toLong
 
+  /** Per-bucket weight ceiling that makes every BIGINT sum in this file
+    * provably wrap-free, for ANY document and ANY bucket count:
+    * w ≤ wCap(B) = ⌊√(Long.Max / B)⌋, so a document's squared norm
+    * Σw² ≤ B·wCap² ≤ Long.Max (at most B buckets per doc), and every
+    * dot product Σ w_a·w_b ≤ √(n2_a·n2_b) ≤ Long.Max (Cauchy–Schwarz
+    * over non-negative terms — partial/prefix sums are bounded by the
+    * total, so map-side partial aggregation can't wrap either). Without
+    * the clamp a multi-million-token document (per-bucket tf ~1e5,
+    * w ~1e9) pushes Σw² past Long.MaxValue and Spark's non-ANSI sum
+    * wraps SILENTLY into negative norms and wrong dedup decisions.
+    * Typical weights (tf ≤ 1e3, idf ≤ 3e4 milli-nats) sit ~4 orders of
+    * magnitude below the cap, so the clamp only engages on pathological
+    * rows — and it engages IDENTICALLY in the DuckDB oracle (the
+    * literal is shared, see Queries.tfidfCtesSql).
+    */
+  def wCap(buckets: Int): Long =
+    math.sqrt(Long.MaxValue.toDouble / buckets).toLong
+
   /** Sentinel key carrying the UNSEEN-bucket default idf (bucket hashes
     * are ∈ [0, buckets), so −1 never collides). A bucket absent from the
     * fit corpus scores as maximally informative — ln(N+1) − ln(0+1) —
@@ -110,7 +128,8 @@ object Tfidf {
     tokens(docs, idCol, textCol)
       .select(col("id"), bucketOf(col("tok"), buckets).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
-      .withColumn("w", col("tf") * idfLiteral(idf, col("bucket")))
+      .withColumn("w",
+        least(col("tf") * idfLiteral(idf, col("bucket")), lit(wCap(buckets))))
 
   /** Persist the fit (overwrite: the table IS the fit, ≤ `buckets`
     * rows). Longs round-trip parquet exactly, so stored ≡ in-flight
@@ -145,7 +164,7 @@ object Tfidf {
     * corpus for fixed cap.
     */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 64, maxTokenDf: Int = 20,
+      buckets: Int = 64, maxTokenDf: Int = 50,
       tauNum: Int = 4, tauDen: Int = 5): DataFrame =
     cosinePairsWithIdf(docs, idCol, textCol,
       idfMilli(docs, idCol, textCol, buckets), buckets, maxTokenDf,
@@ -159,13 +178,19 @@ object Tfidf {
       tauNum: Int, tauDen: Int): DataFrame = {
     val toks = tokens(docs, idCol, textCol).distinct()
       .select(col("id"), xxhash64(col("tok")).as("t"))
-    val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxTokenDf))
+    // Hot tokens (df > cap) are removed via broadcast ANTI-join — the hot
+    // set is small BY DEFINITION (each member needs > maxTokenDf docs),
+    // so the broadcast is bounded at any corpus size. The inverse —
+    // broadcasting the KEPT set — is df-capped per key but NOT in
+    // cardinality: at 100 TB the kept set is most of the vocabulary,
+    // far past any broadcast ceiling (same reasoning as
+    // [[Dedup.ngramJaccardPairs]]' stop-shingle cap). df = 1 tokens stay
+    // in the postings and are harmless: a singleton token joins only
+    // with itself and id_a < id_b yields no pair.
+    val hot = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTokenDf)
       .select("t")
-    // hot tokens are dropped via broadcast semi-join (the kept-token set
-    // is df-capped small per key; broadcast keeps the postings join the
-    // only wide exchange)
-    val posted = toks.join(broadcast(keep), Seq("t"))
+    val posted = toks.join(broadcast(hot), Seq("t"), "left_anti")
     val cands = posted.select(col("t"), col("id").as("id_a"))
       .join(posted.select(col("t"), col("id").as("id_b")), Seq("t"))
       .filter(col("id_a") < col("id_b"))
@@ -216,9 +241,12 @@ object Tfidf {
       .write.mode("overwrite").parquet(s"$storePath/vectors")
     val toks = tokens(corpus, idCol, textCol).distinct()
       .select(col("id"), xxhash64(col("tok")).as("t"))
-    val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxTokenDf).select("t")
-    toks.join(broadcast(keep), Seq("t")).select("t", "id")
+    // df cap applied by ANTI-joining the (small-by-definition) hot set —
+    // never by broadcasting the vocabulary-scale kept set (see
+    // cosinePairsWithIdf)
+    val hot = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTokenDf).select("t")
+    toks.join(broadcast(hot), Seq("t"), "left_anti").select("t", "id")
       .write.mode("overwrite").parquet(s"$storePath/postings")
   }
 
@@ -239,9 +267,9 @@ object Tfidf {
       .write.mode("append").parquet(s"$storePath/vectors")
     val toks = tokens(batch, idCol, textCol).distinct()
       .select(col("id"), xxhash64(col("tok")).as("t"))
-    val keep = toks.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxTokenDf).select("t")
-    toks.join(broadcast(keep), Seq("t")).select("t", "id")
+    val hot = toks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTokenDf).select("t")
+    toks.join(broadcast(hot), Seq("t"), "left_anti").select("t", "id")
       .write.mode("append").parquet(s"$storePath/postings")
   }
 
@@ -299,10 +327,12 @@ object Tfidf {
       .filter(cosineAtLeast(col("dot"), col("n2_b"), col("n2_c"), tauNum, tauDen))
       .select(col("id_b").as(idCol)).distinct())
 
-    // within-batch pairs over the SAME persisted toks/vecs/norms
-    val wKeep = bToks.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxTokenDf)).select("t")
-    val wPosted = bToks.join(broadcast(wKeep), Seq("t"))
+    // within-batch pairs over the SAME persisted toks/vecs/norms; hot
+    // tokens anti-joined out (kept-set broadcast would be vocabulary-
+    // scale — see cosinePairsWithIdf; df=1 tokens pair with nothing)
+    val wHot = bToks.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxTokenDf).select("t")
+    val wPosted = bToks.join(broadcast(wHot), Seq("t"), "left_anti")
     val wCands = wPosted.select(col("t"), col("id").as("id_a"))
       .join(wPosted.select(col("t"), col("id").as("id_b")), Seq("t"))
       .filter(col("id_a") < col("id_b"))

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * reuse [[ParquetSink.preparePartitions]] (Hive-style layout, value
   * normalization, ingest_date synthesis) so JSONL exports land in the
   * same directory scheme as the parquet tables. Optional codec
-  * (gzip/zstd) — per-file compression keeps the files line-splittable
-  * per file, which is the granularity downstream loaders shard at
-  * anyway.
+  * (gzip/zstd) — note compressed JSONL is WHOLE-FILE, not
+  * line-splittable: gzip/zstd text streams have no sync points, so a
+  * downstream Spark/Hadoop reader processes each compressed file as a
+  * single task. That is fine when the written files are already
+  * shard-sized (this sink inherits upstream partitioning — write
+  * enough output partitions that each file is a sane task), but for a
+  * corpus that must re-split inside single huge files, write
+  * uncompressed JSONL (or parquet) instead.
   */
 object JsonlSink {
 

@@ -34,15 +34,21 @@ object StreamingIngest {
 
   /** Streaming JSONL scan — the continuous twin of
     * [[graft.sources.JsonlSource]]: same line-splittable text source,
-    * same shared `parseLines` transform (corrupt lines captured, not
-    * dropped), so stream and batch can never disagree on a row.
+    * same shared `parseLines` transform, so stream and batch can never
+    * disagree on a row. Corrupt lines are RETURNED in
+    * `opts.corruptCol` (null for clean rows, the raw line otherwise) —
+    * the caller routes them through validation accounting (pass
+    * `corruptCol` to [[ingest]]) or its own dead-letter sink; silently
+    * dropping them here would let a malformed stream ingest with zero
+    * errors, the failure the batch path refuses too (JobRunner's jsonl
+    * branch).
     */
   def readJsonlStream(spark: SparkSession, dir: String, contract: DataContract,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      opts: graft.sources.JsonlOptions = graft.sources.JsonlOptions()): DataFrame = {
     var r = spark.readStream
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
-    graft.sources.JsonlSource.parseLines(r.text(dir), contract)
-      .filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    graft.sources.JsonlSource.parseLines(r.text(dir), contract, opts)
   }
 
   /** Validated streaming sink: the same T1–T3 transform, written as
@@ -52,8 +58,9 @@ object StreamingIngest {
   def ingest(raw: DataFrame, contract: DataContract, mode: ValidationMode,
       outPath: String, checkpoint: String,
       partitionCols: Seq[String] = Seq("ingest_date"),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val validated = Validation.transform(raw, contract, mode)
+      trigger: Trigger = Trigger.AvailableNow(),
+      corruptCol: Option[String] = None): StreamingQuery = {
+    val validated = Validation.transform(raw, contract, mode, corruptCol)
     val prepared = graft.sinks.ParquetSink.preparePartitions(validated, partitionCols)
     var w = prepared.writeStream
       .format("parquet")

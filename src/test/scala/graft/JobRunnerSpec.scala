@@ -116,6 +116,70 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.run(spark, job).exitCode shouldBe ExitCodes.Failure
   }
 
+  private def jsonlFixture(lines: Seq[String], mode: String): (Path, String) = {
+    val dir = Files.createTempDirectory("graft-jsonl-job-")
+    write(dir, "data.jsonl", lines.mkString("\n") + "\n")
+    write(dir, "recipe_jsonl.yaml",
+      "name: jsonl\ntype: jsonl\nroles: [source]\ndefault_engine: {type: native}\n")
+    write(dir, "recipe_parquet.yaml",
+      "name: parquet\ntype: parquet\nroles: [source, target]\n" +
+        "default_engine: {type: native}\n")
+    write(dir, "asset.yaml",
+      """asset:
+        |  name: docs
+        |  version: "1.0"
+        |  domain: hr
+        |  data_product: core
+        |  schema:
+        |    - {name: id, type: integer, required: false}
+        |    - {name: name, type: string, required: false}
+        |""".stripMargin)
+    val out = dir.resolve("out").toString
+    val job = write(dir, "job.yaml",
+      s"""tenant_id: t1
+         |source_connector_path: recipe_jsonl.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: $mode
+         |source:
+         |  files:
+         |    - {path: data.jsonl}
+         |target:
+         |  connection: {path: $out}
+         |""".stripMargin)
+    (dir, job)
+  }
+
+  test("jsonl corrupt lines are COUNTED errors and trip the gate (never silent)") {
+    // contract has NO required fields — the all-null shape of a corrupt
+    // row would sail through required/type checks, so this pins the
+    // corrupt_record metric itself as the gate
+    val (_, job) = jsonlFixture(Seq(
+      """{"id": 1, "name": "alice"}""",
+      """{broken""",
+      """also not json""",
+      """{"id": 2, "name": "bob"}"""), "strict")
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Failure // strict + errors
+    r.records shouldBe 4
+    r.errors.getOrElse("corrupt_record:_corrupt_record", 0L) shouldBe 2L
+    val back = spark.read.parquet(r.outputPath)
+    back.count() shouldBe 2 // corrupt rows dropped by strict validation
+    back.columns should not contain "_corrupt_record"
+  }
+
+  test("jsonl corrupt lines in warn mode: rows kept all-null, exit 1, column dropped") {
+    val (_, job) = jsonlFixture(Seq(
+      """{"id": 1, "name": "alice"}""",
+      """{broken"""), "warn")
+    val r = JobRunner.run(spark, job)
+    r.exitCode shouldBe ExitCodes.Partial
+    r.errors.getOrElse("corrupt_record:_corrupt_record", 0L) shouldBe 1L
+    val back = spark.read.parquet(r.outputPath)
+    back.count() shouldBe 2 // warn keeps every record
+    back.columns should not contain "_corrupt_record"
+  }
+
   test("registry: unknown connector type rejected") {
     val (dir, job) = fixture(Seq("1,a,2.0"), "strict")
     val bad = write(dir, "recipe_bad.yaml",

@@ -54,10 +54,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("tfidf postings prune hot tokens via pinned broadcast; vectors never re-shuffle wide") {
     val p = plan("tfidf_cosine_pairs")
-    // the kept-token semi-join must be broadcast in the INITIAL plan —
+    // the hot-token removal must be broadcast in the INITIAL plan —
     // at 100 TB the postings join is the only wide exchange we accept
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
+    // EVERY broadcast HINT in the tfidf plan must hang off a LeftAnti
+    // of the hot/loser sets (small by definition: a hot token needs
+    // > cap docs). A hinted non-anti broadcast would mean the plan
+    // pins a kept-side (df ≤ cap) aggregate for broadcast — df-capped
+    // per key but vocabulary-scale in cardinality, an OOM at 100 TB
+    // (the r13 scale-defect this guards against regressing).
+    // Stats-estimated broadcasts are exempt: the estimator reverts to
+    // shuffle joins on real corpus sizes, a hint does not.
+    assertHintedBroadcastsAreAnti("tfidf_cosine_pairs")
   }
 
   test("incremental tfidf: store joins stay candidate-bounded, hits anti-join broadcast") {
@@ -67,6 +76,29 @@ class PlanAuditSpec extends SparkSpec {
     // within-batch + corpus-hit removals end as anti-joins, never a
     // distinct-over-union rewrite that would shuffle the batch wide
     p should include("LeftAnti")
+    // no kept-set (uncapped-cardinality) relation is ever PINNED for
+    // broadcast — same guard as the pair plan
+    assertHintedBroadcastsAreAnti("dedup_tfidf_incremental")
+  }
+
+  /** Every EXPLICIT broadcast() hint in the query's optimized logical
+    * plan must sit on a LeftAnti join — the only relations these plans
+    * may pin for broadcast are hot-token / loser / hit sets, all small
+    * by construction. A non-anti hint means some aggregate-derived
+    * kept set (unbounded cardinality at scale) got broadcast: correct
+    * at sf0.001, an OOM at 100 TB. Planner-estimated broadcasts (no
+    * hint) are fine — the estimator self-corrects with real stats.
+    */
+  private def assertHintedBroadcastsAreAnti(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = Queries.all(name)(spark, dir)
+      .queryExecution.optimizedPlan.collect { case j: Join => j }
+    for (j <- joins
+         if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined))
+      withClue(s"$name hinted non-anti join: ${j.joinType} ${j.hint}\n") {
+        j.joinType.sql shouldBe "LEFT ANTI"
+      }
   }
 
   test("candidate-verify joins are pinned broadcast (not AQE-dependent)") {

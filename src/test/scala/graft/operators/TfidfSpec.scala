@@ -98,4 +98,25 @@ class TfidfSpec extends SparkSpec {
     Tfidf.cosinePairs(d, "doc_id", "text", buckets = 64,
       maxTokenDf = 3, tauNum = 1, tauDen = 100).count() shouldBe 0
   }
+
+  test("weight cap: w clamps at wCap(B) so norms/dots can never wrap BIGINT") {
+    // an adversarial fit whose idf dwarfs the cap (a real fit can reach
+    // w ~1e9 only via multi-million-token documents — too slow for a
+    // unit test; the clamp point is identical)
+    val hugeIdf = Map(Tfidf.UnseenKey -> Long.MaxValue / 4)
+    val v = Tfidf.hashedVectorsWithIdf(docs, "doc_id", "text", hugeIdf, 64)
+    val cap = Tfidf.wCap(64)
+    v.select("w").collect().foreach(_.getLong(0) shouldBe cap)
+    // Σw² stays positive and ≤ Long.Max — the silent-wrap failure mode
+    // (negative norms → wrong dedup decisions) is impossible
+    Tfidf.squaredNorms(v).collect().foreach { r =>
+      r.getAs[Long]("n2") should be > 0L
+    }
+    // cap math: B·wCap² ≤ Long.Max (squared norm) and the Cauchy–Schwarz
+    // bound keeps every dot ≤ Long.Max
+    BigInt(64) * BigInt(cap) * BigInt(cap) should be <= BigInt(Long.MaxValue)
+    // ordinary weights are far below the cap and pass through unclamped
+    val normal = Tfidf.hashedVectors(docs, "doc_id", "text", buckets = 64)
+    normal.select("w").collect().foreach(_.getLong(0) should be < cap)
+  }
 }

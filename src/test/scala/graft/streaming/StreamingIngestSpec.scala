@@ -35,7 +35,7 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 3 // 2 + 1, a.csv not re-ingested
   }
 
-  test("JSONL stream: shared parse with batch source, corrupt lines dropped, checkpointed") {
+  test("JSONL stream: shared parse with batch source, corrupt lines surfaced, checkpointed") {
     val in = Files.createTempDirectory("stream-jsonl-in-")
     val out = Files.createTempDirectory("stream-jsonl-out-").toString + "/data"
     val ckpt = Files.createTempDirectory("stream-jsonl-ckpt-").toString
@@ -47,10 +47,15 @@ class StreamingIngestSpec extends SparkSpec {
 
     val raw = StreamingIngest.readJsonlStream(spark, in.toString, contract)
     raw.isStreaming shouldBe true
-    val q = StreamingIngest.ingest(raw, contract, ValidationMode.Strict, out, ckpt)
+    // the corrupt column is RETURNED to the caller, never silently
+    // dropped inside the reader
+    raw.columns should contain("_corrupt_record")
+    val q = StreamingIngest.ingest(raw, contract, ValidationMode.Strict, out,
+      ckpt, corruptCol = Some("_corrupt_record"))
     q.awaitTermination(60000)
     val back = spark.read.parquet(out)
-    back.count() shouldBe 2 // corrupt line dropped before validation
+    back.count() shouldBe 2 // corrupt line dropped by STRICT VALIDATION
+    back.columns should not contain "_corrupt_record"
     // stream result rows ≡ batch source rows for the same file
     back.select("id").collect().map(_.getLong(0)).sorted shouldBe
       graft.sources.JsonlSource
@@ -61,7 +66,8 @@ class StreamingIngestSpec extends SparkSpec {
     Files.writeString(in.resolve("b.jsonl"), """{"id": 3, "name": "carol"}""" + "\n")
     val q2 = StreamingIngest.ingest(
       StreamingIngest.readJsonlStream(spark, in.toString, contract),
-      contract, ValidationMode.Strict, out, ckpt)
+      contract, ValidationMode.Strict, out, ckpt,
+      corruptCol = Some("_corrupt_record"))
     q2.awaitTermination(60000)
     spark.read.parquet(out).count() shouldBe 3
   }
