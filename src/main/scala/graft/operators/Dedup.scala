@@ -92,10 +92,23 @@ object Dedup {
     * actually landed, and tomorrow's batch dedups against them without
     * ever rereading today's text.
     */
+  /** The fingerprint normalization convention id, recorded in every
+    * fingerprint store's params sidecar: a store written under a
+    * DIFFERENT normalization (e.g. case-preserving) would join cleanly
+    * and match nothing — the sidecar makes that a loud refusal instead.
+    * Bump the id if [[fingerprint]]'s normalization ever changes.
+    */
+  val FingerprintNorm = "lower:ws-collapse:trim:md5"
+
+  private def fingerprintMeta: Map[String, Any] = Map("norm" -> FingerprintNorm)
+
   def appendFingerprints(df: DataFrame, textCol: String,
-      storePath: String): Unit =
+      storePath: String): Unit = {
+    graft.core.StoreMeta.writeOrRequire(df.sparkSession, storePath,
+      "fingerprint", fingerprintMeta)
     df.select(fingerprint(col(textCol)).as("fp"))
       .write.mode("append").parquet(storePath)
+  }
 
   /** Read a fingerprint store; a MISSING store is an empty set (first run
     * bootstraps). Only path-not-found is treated as bootstrap — a
@@ -105,8 +118,11 @@ object Dedup {
     */
   def readFingerprints(spark: org.apache.spark.sql.SparkSession,
       storePath: String): DataFrame =
-    try spark.read.parquet(storePath)
-    catch {
+    try {
+      graft.core.StoreMeta.requireIfPresent(spark, storePath,
+        "fingerprint", fingerprintMeta)
+      spark.read.parquet(storePath)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" ||
             Option(e.getMessage).exists(_.contains("Path does not exist")) =>
@@ -127,7 +143,14 @@ object Dedup {
     * bootstrap: a present-but-unreadable table fails the job).
     */
   def readBucketedFingerprints(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame =
+      table: String): DataFrame = {
+    graft.core.StoreMeta.requireIfPresentTable(spark, table,
+      "fingerprint", fingerprintMeta)
+    readBucketedFingerprints0(spark, table)
+  }
+
+  private def readBucketedFingerprints0(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
     else { bucketedBootstrapGuard(spark, table); emptyFingerprints(spark) }
 
@@ -186,10 +209,15 @@ object Dedup {
     * exchange elimination is automatic (BucketedStoreSpec pins it).
     */
   def saveBucketedFingerprints(df: DataFrame, textCol: String,
-      table: String, buckets: Int = 256): Unit =
+      table: String, buckets: Int = 256): Unit = {
+    graft.core.StoreMeta.requireIfPresentTable(df.sparkSession, table,
+      "fingerprint", fingerprintMeta)
     df.select(fingerprint(col(textCol)).as("fp"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "fp").sortBy("fp").saveAsTable(table)
+    graft.core.StoreMeta.writeOrRequireTable(df.sparkSession, table,
+      "fingerprint", fingerprintMeta)
+  }
 
   /** Bucketed (id, band-key) store for [[dropNearDuplicatesIncremental]]
     * — same reasoning as [[saveBucketedFingerprints]]: the LSH join
@@ -198,10 +226,15 @@ object Dedup {
     */
   def saveBucketedBandKeys(df: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 256, shingleN: Int = 3,
-      bands: Int = 16, rowsPerBand: Int = 4): Unit =
+      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    graft.core.StoreMeta.requireIfPresentTable(df.sparkSession, table,
+      "minhash_band_keys", bandKeyMeta(shingleN, bands, rowsPerBand))
     minhashBandKeys(df, idCol, textCol, shingleN, bands, rowsPerBand)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "bk").sortBy("bk").saveAsTable(table)
+    graft.core.StoreMeta.writeOrRequireTable(df.sparkSession, table,
+      "minhash_band_keys", bandKeyMeta(shingleN, bands, rowsPerBand))
+  }
 
   // ----------------------------------------------------------- Bloom sketch
 
@@ -941,11 +974,17 @@ object Dedup {
     * landed; tomorrow's batch Hamming-checks against them without
     * re-reading today's text.
     */
+  private def simhashMeta(bits: Int, hasher: SimhashHasher): Map[String, Any] =
+    Map("bits" -> bits, "hasher" -> hasher.toString)
+
   def appendSimhashes(df: DataFrame, idCol: String, textCol: String,
       storePath: String, bits: Int = 64,
-      hasher: SimhashHasher = SimhashHasher.Xx): Unit =
+      hasher: SimhashHasher = SimhashHasher.Xx): Unit = {
+    graft.core.StoreMeta.writeOrRequire(df.sparkSession, storePath,
+      "simhash", simhashMeta(bits, hasher))
     simhashTable(df, idCol, textCol, bits, hasher)
       .write.mode("append").parquet(storePath)
+  }
 
   /** BUCKETED simhash-chunk store — the 100 TB shape of the simhash
     * store (same reasoning as [[saveBucketedFingerprints]]): rows are
@@ -958,19 +997,29 @@ object Dedup {
     */
   def saveBucketedSimhashChunks(df: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int = 256, bits: Int = 64,
-      hasher: SimhashHasher = SimhashHasher.Xx): Unit =
+      hasher: SimhashHasher = SimhashHasher.Xx): Unit = {
+    graft.core.StoreMeta.requireIfPresentTable(df.sparkSession, table,
+      "simhash_chunks", simhashMeta(bits, hasher))
     simhashTable(df, idCol, textCol, bits, hasher)
       .select(col("sh"), explode(simhashChunkKeys(col("sh"), bits)).as("ck"))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "ck").sortBy("ck").saveAsTable(table)
+    graft.core.StoreMeta.writeOrRequireTable(df.sparkSession, table,
+      "simhash_chunks", simhashMeta(bits, hasher))
+  }
 
   /** Read a bucketed simhash-chunk table; missing table = empty set,
-    * same bootstrap contract as [[readSimhashes]].
+    * same bootstrap contract as [[readSimhashes]]; present table
+    * params must match the probe's (sidecar TBLPROPERTIES).
     */
   def readBucketedSimhashChunks(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame =
-    if (spark.catalog.tableExists(table)) spark.table(table)
-    else {
+      table: String, bits: Int = 64,
+      hasher: SimhashHasher = SimhashHasher.Xx): DataFrame =
+    if (spark.catalog.tableExists(table)) {
+      graft.core.StoreMeta.requireIfPresentTable(spark, table,
+        "simhash_chunks", simhashMeta(bits, hasher))
+      spark.table(table)
+    } else {
       bucketedBootstrapGuard(spark, table)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -986,9 +1035,13 @@ object Dedup {
     * [[readFingerprints]].
     */
   def readSimhashes(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame =
-    try spark.read.parquet(storePath)
-    catch {
+      storePath: String, bits: Int = 64,
+      hasher: SimhashHasher = SimhashHasher.Xx): DataFrame =
+    try {
+      graft.core.StoreMeta.requireIfPresent(spark, storePath,
+        "simhash", simhashMeta(bits, hasher))
+      spark.read.parquet(storePath)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" ||
             Option(e.getMessage).exists(_.contains("Path does not exist")) =>
@@ -1077,20 +1130,34 @@ object Dedup {
     * landed, and tomorrow's batch LSH-joins against them without
     * re-shingling today's documents.
     */
+  private def bandKeyMeta(shingleN: Int, bands: Int,
+      rowsPerBand: Int): Map[String, Any] =
+    Map("shingleN" -> shingleN, "bands" -> bands, "rowsPerBand" -> rowsPerBand)
+
   def appendBandKeys(df: DataFrame, idCol: String, textCol: String,
       storePath: String, shingleN: Int = 3, bands: Int = 16,
-      rowsPerBand: Int = 4): Unit =
+      rowsPerBand: Int = 4): Unit = {
+    graft.core.StoreMeta.writeOrRequire(df.sparkSession, storePath,
+      "minhash_band_keys", bandKeyMeta(shingleN, bands, rowsPerBand))
     minhashBandKeys(df, idCol, textCol, shingleN, bands, rowsPerBand)
       .write.mode("append").parquet(storePath)
+  }
 
   /** Read a band-key store; a MISSING store is an empty set (first run
     * bootstraps) — any other failure propagates, same contract as
-    * [[readFingerprints]].
+    * [[readFingerprints]]. The probe's LSH params must match the
+    * store's recorded sidecar: a `bands = 8` batch joined against a
+    * `bands = 16` store silently under-matches every band key, which
+    * is exactly the wrongness the sidecar refuses.
     */
   def readBandKeys(spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame =
-    try spark.read.parquet(storePath)
-    catch {
+      storePath: String, shingleN: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    try {
+      graft.core.StoreMeta.requireIfPresent(spark, storePath,
+        "minhash_band_keys", bandKeyMeta(shingleN, bands, rowsPerBand))
+      spark.read.parquet(storePath)
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" ||
             Option(e.getMessage).exists(_.contains("Path does not exist")) =>
@@ -1113,9 +1180,13 @@ object Dedup {
     * [[readBucketedFingerprints]]).
     */
   def readBucketedBandKeys(spark: org.apache.spark.sql.SparkSession,
-      table: String): DataFrame =
-    if (spark.catalog.tableExists(table)) spark.table(table)
-    else { bucketedBootstrapGuard(spark, table); emptyBandKeys(spark) }
+      table: String, shingleN: Int = 3, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame =
+    if (spark.catalog.tableExists(table)) {
+      graft.core.StoreMeta.requireIfPresentTable(spark, table,
+        "minhash_band_keys", bandKeyMeta(shingleN, bands, rowsPerBand))
+      spark.table(table)
+    } else { bucketedBootstrapGuard(spark, table); emptyBandKeys(spark) }
 
   /** Exact substring-SPAN dedup — repeated-passage detection at the
     * granularity pre-training curation actually wants (Lee et al. 2022,

@@ -223,6 +223,9 @@ object Tfidf {
 
   // ------------------------------------------------------------ incremental
 
+  private def metaParams(buckets: Int, maxTokenDf: Int): Map[String, Any] =
+    Map("buckets" -> buckets, "maxTokenDf" -> maxTokenDf)
+
   /** Persist the corpus as a TF-IDF dedup store: the frozen idf fit
     * (`/idf`), the corpus vectors with denormalized norms (`/vectors`:
     * id, bucket, w, n2 — 32-byte rows), and the df-capped rare-token
@@ -234,6 +237,10 @@ object Tfidf {
     */
   def saveStore(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String, buckets: Int = 64, maxTokenDf: Int = 50): Unit = {
+    // a (re)save IS the new fit: the sidecar is overwritten with this
+    // call's params; appends and probes then must match them
+    graft.core.StoreMeta.overwrite(corpus.sparkSession, storePath,
+      "tfidf", metaParams(buckets, maxTokenDf))
     saveIdf(corpus, idCol, textCol, s"$storePath/idf", buckets)
     val idf = loadIdf(corpus.sparkSession, s"$storePath/idf")
     val vec = hashedVectorsWithIdf(corpus, idCol, textCol, idf, buckets)
@@ -261,6 +268,8 @@ object Tfidf {
     */
   def appendToStore(batch: DataFrame, idCol: String, textCol: String,
       storePath: String, buckets: Int = 64, maxTokenDf: Int = 50): Unit = {
+    graft.core.StoreMeta.writeOrRequire(batch.sparkSession, storePath,
+      "tfidf", metaParams(buckets, maxTokenDf))
     val idf = loadIdf(batch.sparkSession, s"$storePath/idf")
     val vec = hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets)
     vec.join(squaredNorms(vec), "id")
@@ -291,6 +300,12 @@ object Tfidf {
       tauNum: Int = 4, tauDen: Int = 5,
       maxBatchTokenDf: Int = 0): DataFrame = {
     val spark = batch.sparkSession
+    // scoring under the wrong fit params silently mis-scores every pair
+    // (a 128-bucket probe of a 64-bucket store still joins, the hashes
+    // just disagree) — the sidecar refuses it loudly. Pass the STORE's
+    // params; the within-batch phase shares them by design.
+    graft.core.StoreMeta.requireIfPresent(spark, storePath,
+      "tfidf", metaParams(buckets, maxTokenDf))
     val idf = loadIdf(spark, s"$storePath/idf")
     val cVec = spark.read.parquet(s"$storePath/vectors")
     val postings = spark.read.parquet(s"$storePath/postings")

@@ -176,7 +176,9 @@ class DedupSpec extends SparkSpec {
       .toString + "/bands"
     Dedup.appendBandKeys(corpus, "id", "text", storePath,
       shingleN = 2, bands = 16, rowsPerBand = 2)
-    val store = Dedup.readBandKeys(spark, storePath)
+    // the probe must state the store's LSH params (sidecar-checked)
+    val store = Dedup.readBandKeys(spark, storePath,
+      shingleN = 2, bands = 16, rowsPerBand = 2)
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta kappa"), // ≈ corpus 1
       (11L, "fresh new totally original content appears in this batch"),

@@ -349,7 +349,8 @@ class SimilaritySpec extends SparkSpec {
       .toString + "/buckets"
     Similarity.appendEmbeddingBuckets(corpus, "vec_id", "v", storePath,
       planes = 4, tables = 4, dim = 3)
-    val store = spark.read.parquet(storePath)
+    val store = Similarity.readEmbeddingBuckets(spark, storePath,
+      planes = 4, tables = 4, dim = 3)
     val batch = Seq(
       (10L, Array(0.99f, 0.01f, 0.0f)),   // ≈ corpus 1 → dropped via store
       (11L, Array(0.0f, 0.0f, 1.0f)),     // orthogonal to all → kept
