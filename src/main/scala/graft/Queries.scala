@@ -600,8 +600,9 @@ object Queries {
       t(spark, dir, "documents"), "doc_id", "text")
 
   /** Compression-ratio quality signals (DEFLATE kernel) — heuristic
-    * boilerplate detector; NO oracle (DuckDB has no zlib), so the driver
-    * records the weaker rows-only check, like the sketch family.
+    * boilerplate detector. Oracle-checked via the checker-registered
+    * `zlib_deflate_len` Python UDF (DuckDB itself has no zlib): Python
+    * zlib.compress(level 6) replays the engine's Deflater(6) config.
     */
   def textCompressionRatio(spark: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.compressionSignals(
@@ -2696,6 +2697,15 @@ object Queries {
         |  AND doc_id NOT IN (SELECT id FROM hits)""".stripMargin,
     // token entropy: per-term c·ln c quantized to micro-nats BEFORE the
     // sum (order-independent BIGINT), n·ln n term quantized identically
+    // DEFLATE replay: zlib_deflate_len is a checker-registered Python
+    // UDF (tools/check_correctness.py — DuckDB itself has no zlib) with
+    // the same deflate config as functions.DeflateLen (level 6, zlib
+    // wrapping); the ratio division replays the identical IEEE double op
+    "text_compression_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
+        |  zlib_deflate_len(text) AS deflate_bytes,
+        |  CAST(strlen(text) AS DOUBLE) / zlib_deflate_len(text) AS ratio
+        |FROM documents""".stripMargin,
     "text_token_entropy" ->
       """WITH tc AS (SELECT doc_id, x AS tok, count(*) AS c FROM
         |  (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),

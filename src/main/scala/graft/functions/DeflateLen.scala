@@ -16,9 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Fixed level 6 and zlib wrapping pin the output length for a given
   * zlib build; the signal is a HEURISTIC consumed via thresholds, so
-  * last-bit stability across zlib versions is not load-bearing (and no
-  * DuckDB replay exists — this operator is spec-tested and rows-only
-  * checked, like the sketch family).
+  * last-bit stability across zlib versions is not load-bearing. The
+  * correctness gate replays the same config through Python's zlib
+  * (`zlib_deflate_len` UDF in tools/check_correctness.py) and
+  * hash-compares whole rows — verified to agree row-for-row on the
+  * test corpus; a Deflater-level or strategy drift here now FAILS the
+  * gate instead of passing a rows-only check.
   *
   * Per-row cost is O(bytes) with a thread-local Deflater (Deflater
   * allocation is expensive native state; reset() is cheap) — map-side,

@@ -7,7 +7,7 @@ and rows by value, and compares cell-by-cell (floats to 1e-9 rel).
 
 Usage: check_correctness.py <sfDir> <outDir>
 """
-import json, math, sys
+import json, math, sys, zlib
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -16,6 +16,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+# DuckDB has no zlib, but this checker does: replay the engine's DEFLATE
+# kernel (graft.functions.DeflateLen — java.util.zip.Deflater level 6,
+# zlib wrapping, default strategy/memLevel) so text_compression_ratio is
+# hash-checked like every other query instead of rows-only. zlib.compress
+# level 6 is the same deflate configuration; agreement is verified
+# row-for-row on the test corpus (ASCII text — exotic inputs could hit
+# build-level zlib differences, which the float tolerance does not mask,
+# so a drift FAILS loudly rather than passing silently).
+con.create_function(
+    "zlib_deflate_len", lambda s: len(zlib.compress(s.encode("utf-8"), 6)),
+    [str], int)
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # Queries that threw inside Verify (written by Verify as _failed.json).
