@@ -296,7 +296,9 @@ object JobRunner {
     *   text_field: text        # required by all steps
     *   extract: html           # markup → prose IN PLACE, runs first
     *   dedupe: exact           # keep lowest-id row per normalized text
-    *   quality_filter: gopher  # drop docs failing the Gopher rules
+    *   quality_filter: gopher  # one gate, or a list applied in order:
+    *                           # quality_filter: [gopher, entropy]
+    *                           # drop docs failing the Gopher rules
     *                           # (or c4: line-level rules, text rewritten
     *                           #  to kept lines; c4_min_words/c4_min_lines)
     *                           # (or lm: CCNet perplexity gate vs the
@@ -473,7 +475,29 @@ object JobRunner {
             s"unknown curation.decontaminate: $other")
       }
     }
-    Yaml.str(c, "quality_filter").foreach {
+    // one gate or a LIST of gates applied in order (a real pipeline
+    // stacks them: `quality_filter: [gopher, entropy]`)
+    val qualityFiltersRaw: Seq[String] = c.get("quality_filter") match {
+      case Some(s: Seq[Any] @unchecked) => s.map(_.toString)
+      case Some(v) if v != null         => Seq(v.toString)
+      case _                            => Seq.empty
+    }
+    // ADJACENT gopher+entropy fuse into one shared token pass (both are
+    // per-doc predicates over the same token counts, so the conjunction
+    // is bit-identical while saving a full tokenize/explode/aggregate
+    // sweep — TextAnalysis.gopherEntropyFilter). Only adjacent pairs
+    // fuse: a rewriting gate (c4) between them changes what the later
+    // gate judges, so reordering across it would not be safe.
+    val qualityFilters = qualityFiltersRaw.foldLeft(Vector.empty[String]) {
+      case (acc :+ "gopher", "entropy") => acc :+ "gopher+entropy"
+      case (acc :+ "entropy", "gopher") => acc :+ "gopher+entropy"
+      case (acc, g)                     => acc :+ g
+    }
+    qualityFilters.foreach {
+      case "gopher+entropy" =>
+        out = graft.operators.TextAnalysis.gopherEntropyFilter(
+          out, need("id_field"), need("text_field"),
+          Yaml.str(c, "entropy_min_nats").map(_.toDouble).getOrElse(1.0))
       case "gopher" =>
         out = graft.operators.TextAnalysis.gopherQualityFilter(
           out, need("id_field"), need("text_field"))

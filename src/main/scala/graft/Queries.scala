@@ -1699,8 +1699,72 @@ object Queries {
     "dedup_simhash_prod" -> dedupSimhashProd _,
     "dedup_minhash_forced" -> dedupMinhashForced _,
     "dedup_tfidf_forced" -> dedupTfidfForced _,
-    "sketch_topk_rollup" -> sketchTopkRollup _
+    "sketch_topk_rollup" -> sketchTopkRollup _,
+    "curation_pipeline" -> curationPipeline _
   )
+
+  /** BENCH-ONLY: the COMPOSED curation pipeline a pretraining ingest
+    * actually runs as one job, driven end-to-end through the JobRunner
+    * lifecycle (validate → curate → commit): html extract → NFC
+    * normalize → gopher + entropy quality gates (stacked via the list
+    * form of `quality_filter`) → within-batch MinHash near-dedupe →
+    * Bernoulli sample → parquet commit, then packed into fixed-length
+    * sequences from the committed output. Priced every round because
+    * per-operator benches hide cross-stage costs: each curation stage
+    * re-tokenizes `text` independently (gopher and entropy each
+    * tokenize; the shingle pass tokenizes again), and this entry is the
+    * artifact that measures whether that stacking is worth fusing.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fix = java.nio.file.Files.createTempDirectory("graft-curation-bench-")
+    def w(name: String, content: String): Unit = {
+      java.nio.file.Files.writeString(fix.resolve(name), content); ()
+    }
+    w("recipe_parquet.yaml",
+      "name: parquet\ntype: parquet\nroles: [source, target]\n" +
+        "default_engine: {type: native}\n")
+    w("asset.yaml",
+      """asset:
+        |  name: docs
+        |  version: "1.0"
+        |  domain: bench
+        |  data_product: curation
+        |  schema:
+        |    - {name: doc_id, type: integer, required: true}
+        |    - {name: text, type: string, required: true}
+        |    - {name: lang, type: string, required: false}
+        |    - {name: source, type: string, required: false}
+        |    - {name: n_chars, type: integer, required: false}
+        |""".stripMargin)
+    val out = fix.resolve("out").toString
+    w("job.yaml",
+      s"""tenant_id: bench
+         |source_connector_path: recipe_parquet.yaml
+         |target_connector_path: recipe_parquet.yaml
+         |asset_path: asset.yaml
+         |schema_validation_mode: strict
+         |source:
+         |  files:
+         |    - {path: $dir/documents.parquet}
+         |target:
+         |  connection: {path: $out}
+         |curation:
+         |  id_field: doc_id
+         |  text_field: text
+         |  extract: html
+         |  normalize: nfc
+         |  quality_filter: [gopher, entropy]
+         |  dedupe: near
+         |  sample: bernoulli
+         |  sample_fraction: "0.8"
+         |""".stripMargin)
+    val r = JobRunner.run(spark, fix.resolve("job.yaml").toString,
+      log = _ => ())
+    require(r.exitCode == 0, s"curation_pipeline job exited ${r.exitCode}")
+    graft.operators.Chunking.packSequences(
+      spark.read.parquet(r.outputPath).select("doc_id", "text", "source"),
+      "doc_id", "text", "source", seqLen = 64)
+  }
 
   /** BENCH-ONLY: `dedup_tfidf_incremental` down the forced 100 TB
     * fallback plans (distributed CC, unhinted pins, shuffle anti-joins)

@@ -34,10 +34,16 @@ object TextAnalysis {
       size(split(lt, "\\s+")).cast("double")
   }
 
-  /** Ratio of punctuation characters (ASCII punct class). */
-  def punctRatio(text: Column): Column =
+  /** Ratio of punctuation characters (ASCII punct class). NULL for empty
+    * text: a 0/0 here is an ANSI DIVIDE_BY_ZERO that would kill a whole
+    * job on one empty document (real corpora have them); consumers
+    * treat the null as "rule does not apply" via coalesce.
+    */
+  def punctRatio(text: Column): Column = {
+    val len = length(text).cast("double")
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
-      .cast("double") / length(text).cast("double")
+      .cast("double") / when(len > 0, len)
+  }
 
   /** Per-language stopword lists (tiny, classic top-10 function words). */
   val Stopwords: Seq[(String, Seq[String])] = Seq(
@@ -60,7 +66,9 @@ object TextAnalysis {
     */
   def stopwordRatio(text: Column): Column = {
     val all = Stopwords.flatMap(_._2).distinct
-    stopwordCount(text, all).cast("double") / tokenCount(text).cast("double")
+    val tc = tokenCount(text).cast("double")
+    // null (not ANSI 0/0) on tokenless text, same contract as punctRatio
+    stopwordCount(text, all).cast("double") / when(tc > 0, tc)
   }
 
   /** Winner-takes-all over (lang, score) columns; ties broken by the
@@ -261,7 +269,8 @@ object TextAnalysis {
     val failWordCount = !col("token_count").between(t.minWords, t.maxWords)
     val failMeanLen = !col("mean_token_len")
       .between(t.minMeanTokenLen, t.maxMeanTokenLen)
-    val failPunct = col("punct_ratio") > t.maxPunctRatio
+    val failPunct =
+      coalesce(col("punct_ratio") > t.maxPunctRatio, lit(false))
     val failDupWord =
       coalesce(col("dup_word_frac") > t.maxDupWordFrac, lit(false))
     val failTopWord =
@@ -293,7 +302,19 @@ object TextAnalysis {
         .filter(col("keep")).select(col(idCol)),
       Seq(idCol), "left_semi")
 
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionSignalsWithEntropy(df, idCol, textCol).drop("__ent_micro")
+
+  /** [[repetitionSignals]] plus a hidden exact-integer entropy column
+    * (`__ent_micro`, the [[tokenEntropySignals]] micro-nat sum) computed
+    * from the SAME (id, word)-count aggregation — the shared token pass
+    * behind [[gopherEntropyFilter]]. The per-(id, word) counts here and
+    * in tokenEntropySignals are the same multiset (same tokenizer, same
+    * empty-token filter), and the floor/log expression is byte-identical,
+    * so the fused entropy is bit-equal to the standalone one.
+    */
+  private def repetitionSignalsWithEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = df
       .select(col(idCol).as("id"),
@@ -308,7 +329,9 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(sum(col("wc")).as("n_words"),
         count(lit(1)).as("n_distinct"),
-        max(col("wc")).as("max_wc"))
+        max(col("wc")).as("max_wc"),
+        sum(floor(col("wc") * log(col("wc")) * 1e6 + 0.5).cast("long"))
+          .as("__ent_s"))
     val bigramAgg = withBigram.filter(col("bg").isNotNull)
       .groupBy(col("id"), col("bg"))
       .agg(count(lit(1)).as("bc"))
@@ -322,7 +345,55 @@ object TextAnalysis {
         (col("max_wc").cast("double") / col("n_words").cast("double"))
           .as("top_word_frac"),
         (col("max_bc").cast("double") / col("n_bigrams").cast("double"))
-          .as("top_bigram_frac"))
+          .as("top_bigram_frac"),
+        (floor(col("n_words") * log(col("n_words")) * 1e6 + 0.5)
+          .cast("long") - col("__ent_s")).as("__ent_micro"))
+  }
+
+  /** FUSED gopher + entropy gate: both are per-document predicates over
+    * token statistics, so stacking them as separate stages pays two full
+    * tokenize/explode/aggregate passes over the corpus for one
+    * conjunction. This computes the Gopher report AND the token-entropy
+    * floor from ONE shared (id, word)-count pass ([[
+    * repetitionSignalsWithEntropy]]) and semi-joins once. Results are
+    * bit-identical to `entropyFilter(gopherQualityFilter(df))` — the
+    * predicates commute (each reads only the untouched text column) and
+    * the entropy arithmetic is expression-identical; the curation block
+    * applies this automatically when `quality_filter: [gopher, entropy]`
+    * are adjacent (GopherEntropyFusionSpec pins equality and the saved
+    * exchanges).
+    */
+  def gopherEntropyFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      entropyMinNats: Double,
+      t: GopherThresholds = GopherThresholds()): DataFrame = {
+    val base = withQualitySignals(df.select(col(idCol), col(textCol)), textCol)
+    val rep = repetitionSignalsWithEntropy(df, idCol, textCol)
+      .select(col(idCol), col("dup_word_frac"), col("top_word_frac"),
+        col("top_bigram_frac"), col("n_words"), col("__ent_micro"))
+    val failWordCount = !col("token_count").between(t.minWords, t.maxWords)
+    val failMeanLen = !col("mean_token_len")
+      .between(t.minMeanTokenLen, t.maxMeanTokenLen)
+    val failPunct =
+      coalesce(col("punct_ratio") > t.maxPunctRatio, lit(false))
+    val failDupWord =
+      coalesce(col("dup_word_frac") > t.maxDupWordFrac, lit(false))
+    val failTopWord =
+      coalesce(col("top_word_frac") > t.maxTopWordFrac, lit(false))
+    val failTopBigram =
+      coalesce(col("top_bigram_frac") > t.maxTopBigramFrac, lit(false))
+    // entropyFilter's keep, verbatim: tokenless docs (null rep row) drop
+    val entropyKeep = coalesce(
+      col("__ent_micro").cast("double") /
+        (col("n_words").cast("double") * 1e6) >= entropyMinNats,
+      lit(false))
+    val keep = base.join(rep, Seq(idCol), "left")
+      .filter(!(failWordCount || failMeanLen || failPunct || failDupWord ||
+        failTopWord || failTopBigram) && entropyKeep)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   // ------------------------------------------------------ corpus analytics

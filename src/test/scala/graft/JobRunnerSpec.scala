@@ -445,6 +445,27 @@ class JobRunnerSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
   }
 
+  test("curation quality_filter: a LIST stacks gates, each one active") {
+    import spark.implicits._
+    val longVaried = (1 to 120).map(i => s"w${i * 7919 % 997}").mkString(" ") + "."
+    val df = Seq(
+      (1L, longVaried),  // varied + long: passes gopher and entropy@1.0
+      (2L, "too short")  // gopher-dropped
+    ).toDF("doc_id", "text")
+    def run(gates: Seq[String], entropyMin: String) =
+      JobRunner.applyCuration(df, Map("curation" -> Map(
+        "id_field" -> "doc_id", "text_field" -> "text",
+        "quality_filter" -> gates, "entropy_min_nats" -> entropyMin)))
+        .select("doc_id").collect().map(_.getLong(0))
+    run(Seq("gopher", "entropy"), "1.0") shouldBe Array(1L)
+    // the SECOND gate genuinely executes: tightening only its threshold
+    // changes the result (an impossible 10-nat floor kills everything)
+    run(Seq("gopher", "entropy"), "10.0") shouldBe Array.empty[Long]
+    // and an unknown name anywhere in the list refuses
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq("gopher", "bogus"), "1.0")
+  }
+
   test("curation quality_filter: compression drops templated boilerplate") {
     import spark.implicits._
     val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")
