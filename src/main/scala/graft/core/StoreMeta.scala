@@ -2,9 +2,9 @@ package graft.core
 
 import org.apache.spark.sql.SparkSession
 
-/** Self-describing incremental stores: a `_meta` parameter sidecar per
-  * store, written at first append and REQUIRED to match on every later
-  * append and probe.
+/** Self-describing incremental stores: a `_meta_params` parameter
+  * sidecar per store, written at first append and REQUIRED to match on
+  * every later append and probe.
   *
   * Why: the similarity/dedup stores are only meaningful under the exact
   * fit parameters they were written with — probing a 64-bucket TF-IDF
@@ -17,12 +17,16 @@ import org.apache.spark.sql.SparkSession
   * fingerprint / band-key / simhash / embedding-bucket / TF-IDF store
   * families.
   *
-  * Layout: `storePath/_meta_params` — a tiny parquet of
-  * (family, param, value) string rows. Underscore-prefixed paths are
-  * hidden from Hadoop input listings, so stores whose data files live
-  * directly at `storePath` (fingerprints, band keys, simhashes,
-  * embedding buckets) can host the sidecar inside the same directory
-  * without polluting `spark.read.parquet(storePath)`.
+  * Layout: `storePath/_meta_params` — ONE java-properties FILE written
+  * through the store's own Hadoop FileSystem (works on file:// and
+  * s3a:// alike). Deliberately NOT a parquet dataset: the sidecar is a
+  * dozen bytes of driver-side metadata, and writing it as parquet
+  * would cost a full Spark job on every append — measured at ~0.2 s of
+  * pure overhead per store operation at bench scale. Underscore-
+  * prefixed paths are hidden from Hadoop input listings, so stores
+  * whose data files live directly at `storePath` (fingerprints, band
+  * keys, simhashes, embedding buckets) host the sidecar in the same
+  * directory without polluting `spark.read.parquet(storePath)`.
   *
   * Compatibility: a store WITHOUT a sidecar (bootstrap, or written
   * before this existed) reads as unknown — probes proceed (the
@@ -32,32 +36,53 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreMeta {
 
-  private def metaPath(storePath: String) = s"$storePath/_meta_params"
+  private def metaPath(storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath, "_meta_params")
 
-  private def fs(spark: SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** The recorded params of a store, or None if it has no sidecar. */
   def read(spark: SparkSession, storePath: String): Option[Map[String, String]] = {
     val mp = metaPath(storePath)
-    if (!fs(spark, mp).exists(new org.apache.hadoop.fs.Path(mp))) None
-    else Some(
-      spark.read.parquet(mp).collect()
+    val f = fs(spark, mp)
+    if (!f.exists(mp)) None
+    else if (f.getFileStatus(mp).isDirectory)
+      // legacy sidecar written as a parquet dataset (early r14 form)
+      Some(spark.read.parquet(mp.toString).collect()
         .map(r => r.getAs[String]("param") -> r.getAs[String]("value")).toMap)
+    else {
+      val in = f.open(mp)
+      try {
+        val props = new java.util.Properties()
+        props.load(new java.io.InputStreamReader(in,
+          java.nio.charset.StandardCharsets.UTF_8))
+        import scala.jdk.CollectionConverters._
+        Some(props.asScala.toMap)
+      } finally in.close()
+    }
+  }
+
+  private def write(spark: SparkSession, storePath: String, family: String,
+      params: Map[String, Any]): Unit = {
+    val mp = metaPath(storePath)
+    val f = fs(spark, mp)
+    // replace a legacy parquet-directory sidecar with the file form
+    if (f.exists(mp) && f.getFileStatus(mp).isDirectory) f.delete(mp, true)
+    val props = new java.util.Properties()
+    normalize(family, params).foreach { case (k, v) => props.setProperty(k, v) }
+    val out = f.create(mp, true)
+    try props.store(new java.io.OutputStreamWriter(out,
+      java.nio.charset.StandardCharsets.UTF_8), "graft store params")
+    finally out.close()
   }
 
   /** Overwrite-side: a full (re)save replaces the store, so its params
     * sidecar is replaced unconditionally too.
     */
   def overwrite(spark: SparkSession, storePath: String, family: String,
-      params: Map[String, Any]): Unit = {
-    import spark.implicits._
-    normalize(family, params).toSeq.sortBy(_._1)
-      .map { case (k, v) => (family, k, v) }
-      .toDF("family", "param", "value")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(storePath))
-  }
+      params: Map[String, Any]): Unit =
+    write(spark, storePath, family, params)
 
   /** Append-side gate: first writer records (family + params); every
     * later writer must present the SAME params or the append refuses —
@@ -68,11 +93,7 @@ object StoreMeta {
     val want = normalize(family, params)
     read(spark, storePath) match {
       case Some(have) => requireSame(storePath, have, want)
-      case None =>
-        import spark.implicits._
-        want.toSeq.sortBy(_._1).map { case (k, v) => (family, k, v) }
-          .toDF("family", "param", "value")
-          .coalesce(1).write.mode("overwrite").parquet(metaPath(storePath))
+      case None       => write(spark, storePath, family, params)
     }
   }
 
