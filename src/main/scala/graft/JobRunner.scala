@@ -350,6 +350,26 @@ object JobRunner {
     if (Yaml.bool(c, "redact_pii"))
       out = out.withColumn(need("text_field"),
         graft.operators.PiiRedact.redact(col(need("text_field"))))
+    // MATERIALIZE rewritten text once when any rewrite stage ran and a
+    // consumer follows. Without this barrier, alias substitution
+    // (predicate pushdown / project collapse) inlines the whole
+    // extract→normalize→redact regex chain into EVERY downstream signal
+    // and predicate — measured ~7 copies in one generated method for the
+    // gopher gate, which busts the JVM's 64 KB method limit, silently
+    // demoting the hottest scan stage to interpreted execution; it also
+    // recomputes the extraction once per consuming stage. The cache
+    // boundary (scoped — JobRunner releases it at job end) is the
+    // classic inter-stage materialization of a multi-pass curation
+    // pipeline: at 100 TB the disk-backed cached slice is strictly
+    // cheaper than re-running the regex chain per stage, and each stage
+    // already rescans its input anyway.
+    val textRewritten = Yaml.str(c, "extract").nonEmpty ||
+      Yaml.str(c, "normalize").nonEmpty || Yaml.bool(c, "redact_pii")
+    val consumersFollow = Yaml.str(c, "dedupe").nonEmpty ||
+      Yaml.str(c, "decontaminate").nonEmpty ||
+      c.contains("quality_filter") || Yaml.str(c, "sample").nonEmpty
+    if (textRewritten && consumersFollow)
+      out = graft.core.CacheScope.persist(out)
     Yaml.str(c, "dedupe").foreach {
       case "exact" =>
         out = graft.operators.Dedup.dropExactDuplicates(

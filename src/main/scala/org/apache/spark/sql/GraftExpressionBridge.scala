@@ -26,4 +26,34 @@ object GraftExpressionBridge {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Compile every WholeStageCodegen span of a plan EAGERLY, returning
+    * the per-span (methodName, generated-source length, error) — the
+    * probe behind the codegen-compilability pin: Spark demotes a span
+    * whose generated code fails Janino (e.g. a method past the JVM's
+    * 64 KB limit) to INTERPRETED execution with only a log line, which
+    * is a silent multi-× slowdown on a 100 TB scan. Returns one entry
+    * per span; `error` is None when it compiled.
+    */
+  def compileSpans(df: DataFrame): Seq[(String, Int, Option[String])] = {
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val plan = df.queryExecution.executedPlan
+    // AdaptiveSparkPlanExec is a leaf node — recurse into its current
+    // physical plan or the spans would be invisible under AQE
+    def spans(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collect {
+      case w: WholeStageCodegenExec => Seq(w)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        spans(a.executedPlan)
+    }.flatten
+    spans(plan).map { w =>
+      val (_, source) = w.doCodeGen()
+      val err =
+        try { CodeGenerator.compile(source); None }
+        catch { case e: Throwable =>
+          Some(e.getMessage.linesIterator.toSeq.lastOption.getOrElse(e.toString))
+        }
+      (w.child.nodeName, source.body.length, err)
+    }
+  }
 }
