@@ -417,13 +417,35 @@ object Similarity {
     * the lists some query actually probes — partition pruning makes the
     * scan cost O(probed lists), not O(corpus).
     */
+  /** Deterministic fingerprint of a centroid set / codebook (MD5 over
+    * the doubles' bit patterns) — recorded in the index sidecar so a
+    * probe with DIFFERENT centroids than the assignments were built
+    * with refuses instead of silently pruning to the wrong lists (the
+    * probe's nearest-centroid choice and the store's partition layout
+    * must agree or every scan is quietly wrong).
+    */
+  private[operators] def vectorSetFingerprint(cs: Seq[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    cs.foreach(_.foreach { d =>
+      bb.clear(); bb.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(bb.array())
+    })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def writeIvfAssignments(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], storePath: String): Unit =
+      centroids: Seq[Array[Double]], storePath: String): Unit = {
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cn", norm(col("v")))
       .withColumn("list",
         least(scoredListStructs(col("v"), centroids): _*).getField("l"))
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
+    // AFTER the data write: overwrite mode wipes the store root first
+    graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivf", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids)))
+  }
 
   /** Probe a stored IVF index: same scoring/tie/top-k mechanics as
     * [[ivfTopK]] (results are bit-identical for the same centroids —
@@ -445,6 +467,9 @@ object Similarity {
       nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivf", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids)))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
@@ -637,7 +662,7 @@ object Similarity {
   def writeIvfPqAssignments(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], codebook: Array[Double],
       storePath: String, m: Int = 4, numCodes: Int = 8,
-      dsub: Int = 16): Unit =
+      dsub: Int = 16): Unit = {
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list",
         least(scoredListStructs(col("v"), centroids): _*).getField("l"))
@@ -646,6 +671,13 @@ object Similarity {
           .as("codes"),
         col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
+    // AFTER the data write: overwrite mode wipes the store root first
+    graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivfpq", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids),
+      "codebook_md5" -> vectorSetFingerprint(Seq(codebook)),
+      "m" -> m, "numCodes" -> numCodes, "dsub" -> dsub))
+  }
 
   /** Probe a stored IVFPQ index: same LUT/ADC scoring, tie and top-k
     * mechanics as [[ivfPqTopK]] (bit-identical results for the same
@@ -670,6 +702,11 @@ object Similarity {
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivfpq", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids),
+      "codebook_md5" -> vectorSetFingerprint(Seq(codebook)),
+      "m" -> m, "numCodes" -> numCodes, "dsub" -> dsub))
     val probes = queries.select(col(idCol).as("query_id"),
         graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
           .as("lut"),

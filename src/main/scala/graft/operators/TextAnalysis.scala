@@ -100,7 +100,19 @@ object TextAnalysis {
       .drop("__sw")
   }
 
-  /** Quality-signal bundle, one column each. */
+  /** Quality-signal bundle, one column each.
+    *
+    * NOTE for pipeline authors: each signal references `textCol`
+    * independently, so if the column is an EXPENSIVE derived expression
+    * (an html-extract/normalize regex chain), Catalyst's alias
+    * substitution can inline that chain once per signal — recomputing
+    * it ~6× per row and, past ~10 KB of generated code per copy,
+    * busting the JVM's 64 KB method limit (Spark then silently runs
+    * the stage interpreted). Materialize the derived text first
+    * (persist / write) before stacking signal consumers — the curation
+    * block does this automatically (JobRunner.applyCuration's rewrite
+    * barrier, pinned by CodegenCompileSpec).
+    */
   def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("token_count", tokenCount(c))

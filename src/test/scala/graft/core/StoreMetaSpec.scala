@@ -98,6 +98,36 @@ class StoreMetaSpec extends SparkSpec {
     e.getMessage should include("norm")
   }
 
+  test("ivf / ivfpq index stores: probing with different centroids or codebook refuses") {
+    val vecs64 = (1L to 20L).map { i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j) % 7).toFloat))
+    }.toDF("vec_id", "v")
+    val cents = Similarity.seedCentroids(vecs64, "vec_id", "v", numLists = 4)
+    val otherCents = cents.map(_.map(_ + 1.0)) // a different fit
+    val p = tmp("meta-ivf-")
+    Similarity.writeIvfAssignments(vecs64, "vec_id", "v", cents, p)
+    Similarity.ivfTopKFromStore(spark, p, vecs64.limit(2), "vec_id", "v",
+      k = 3, cents, nprobe = 2).count() should be > 0L
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.ivfTopKFromStore(spark, p, vecs64.limit(2), "vec_id", "v",
+        k = 3, otherCents, nprobe = 2)
+    e.getMessage should include("centroids_md5")
+
+    val cb = Similarity.seedPqCodebooks(vecs64, "vec_id", "v",
+      m = 4, k = 4, dsub = 16)
+    val p2 = tmp("meta-ivfpq-")
+    Similarity.writeIvfPqAssignments(vecs64, "vec_id", "v", cents, cb, p2,
+      m = 4, numCodes = 4, dsub = 16)
+    Similarity.ivfPqTopKFromStore(spark, p2, vecs64.limit(2), "vec_id", "v",
+      k = 3, cents, nprobe = 2, cb, m = 4, numCodes = 4, dsub = 16)
+      .count() should be > 0L
+    val cb2 = cb.map(_ + 0.5)
+    val e2 = the[IllegalArgumentException] thrownBy
+      Similarity.ivfPqTopKFromStore(spark, p2, vecs64.limit(2), "vec_id", "v",
+        k = 3, cents, nprobe = 2, cb2, m = 4, numCodes = 4, dsub = 16)
+    e2.getMessage should include("codebook_md5")
+  }
+
   test("bootstrap: missing stores still read as empty, sidecar-less stores tolerated") {
     val missing = tmp("meta-miss-")
     Dedup.readBandKeys(spark, missing).count() shouldBe 0L
