@@ -548,6 +548,11 @@ object JobRunner {
         out = graft.operators.TextAnalysis.entropyFilter(
           out, need("id_field"), need("text_field"),
           Yaml.str(c, "entropy_min_nats").map(_.toDouble).getOrElse(1.0))
+      case "gopher_ngrams" =>
+        // the n-gram half of Gopher's repetition rules (top-2/3/4-gram
+        // and dup-5..10-gram char fractions at the published thresholds)
+        out = graft.operators.TextAnalysis.gopherNgramFilter(
+          out, need("id_field"), need("text_field"))
       case "compression" =>
         // drop templated boilerplate by DEFLATE ratio (Gopher-family
         // heuristic); threshold via `compression_max_ratio`

@@ -770,6 +770,14 @@ object Queries {
     graft.operators.TextAnalysis.repetitionSignals(
       t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
 
+  /** The n-gram half of Gopher's repetition rules: top-2/3/4-gram and
+    * duplicate-5..10-gram character fractions per document — one token
+    * pass, one windowed gram build, one tall (id, n, gram) aggregation.
+    */
+  def textRepetitionNgrams(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionNgramSignals(
+      t(spark, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+
   /** Paragraph-level dedup (corpus-wide keep-first + reassembly). The
     * synthetic documents have no blank-line paragraphs, so the registered
     * query splits on single spaces — every token a "paragraph" — which
@@ -1589,6 +1597,7 @@ object Queries {
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
     "text_repetition" -> textRepetition _,
+    "text_repetition_ngrams" -> textRepetitionNgrams _,
     "text_vocab_topk" -> textVocabTopK _,
     "text_compression_ratio" -> textCompressionRatio _,
     "text_token_entropy" -> textTokenEntropy _,
@@ -2169,6 +2178,62 @@ object Queries {
     * ln(N+1) − ln(df+1) left-assoc like the Scala fit) — reused by the
     * vector and cosine-pair oracles.
     */
+  /** DuckDB replay of [[graft.operators.TextAnalysis.repetitionNgramSignals]]:
+    * per gram size a lead()-window concat (NULL when the window runs off
+    * the doc), one tall union, counts → coverage → per-n rollup → wide
+    * conditional-max pivot, zero-filled per present doc, NULL for
+    * tokenless docs via the final left join.
+    */
+  private def textRepetitionNgramsOracle: String = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val branches = (topNs ++ dupNs).map { n =>
+      val parts = "w" +: (1 until n).map(k => s"l$k")
+      s"""SELECT doc_id, total, $n AS n,
+         |  CASE WHEN ${parts.last} IS NOT NULL
+         |    THEN concat_ws(' ', ${parts.mkString(", ")}) END AS g
+         |FROM ww""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val topCols = topNs.map(n =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN top_cov * 1.0 / total END), 0.0)
+         |    AS top${n}gram_char_frac""".stripMargin)
+    val dupCols = dupNs.map(n =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN dup_cov * 1.0 / total END), 0.0)
+         |    AS dup${n}gram_char_frac""".stripMargin)
+    val outCols = (topNs.map(n => s"w.top${n}gram_char_frac") ++
+      dupNs.map(n => s"w.dup${n}gram_char_frac")).mkString(", ")
+    s"""WITH words0 AS (
+       |  SELECT doc_id,
+       |    length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS total,
+       |    unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w
+       |  FROM (SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents)
+       |), ww AS (
+       |  SELECT doc_id, total, pos, w,
+       |    ${(1 to 9).map(k =>
+           s"lead(w, $k) OVER (PARTITION BY doc_id ORDER BY pos) AS l$k")
+          .mkString(",\n    ")}
+       |  FROM words0 WHERE w <> ''
+       |), tall AS (
+       |$branches
+       |), counts AS (
+       |  SELECT doc_id, total, n, g, count(*) AS c,
+       |    count(*) * length(g) AS cov
+       |  FROM tall WHERE g IS NOT NULL GROUP BY doc_id, total, n, g
+       |), pern AS (
+       |  SELECT doc_id, total, n, MAX(cov) AS top_cov,
+       |    SUM(CASE WHEN c >= 2 THEN cov ELSE 0 END) AS dup_cov
+       |  FROM counts GROUP BY doc_id, total, n
+       |), wide AS (
+       |  SELECT doc_id,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")}
+       |  FROM pern GROUP BY doc_id, total
+       |)
+       |SELECT d.doc_id, $outCols
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN wide w ON w.doc_id = d.doc_id""".stripMargin
+  }
+
   private def tfidfCtesSql: String =
     s"""tb AS (SELECT doc_id, ${hash60Sql("x")} % 64 AS b FROM
        |  (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+'))
@@ -3090,6 +3155,12 @@ object Queries {
         |  len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) AS containment
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id AND a.lang = b.lang
         |WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8""".stripMargin,
+    // n-gram repetition: gram strings via lead() windows (same shape as
+    // the Scala one-window build), counts → coverage → per-n rollup →
+    // wide pivot; single integer division per cell keeps the doubles
+    // cross-engine exact. Docs with no tokens restore as NULL via the
+    // final left join; sizes a doc is too short for are 0.0.
+    "text_repetition_ngrams" -> textRepetitionNgramsOracle,
     "text_repetition" ->
       """WITH words0 AS (
         |  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w

@@ -408,6 +408,115 @@ object TextAnalysis {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The n-gram half of Gopher's repetition rules (Rae et al. 2021,
+    * Table A1) — the word-level signals above cover duplicate/top WORD
+    * fractions; these cover the n-gram CHARACTER fractions:
+    *
+    *  - `top{n}gram_char_frac`, n ∈ {2,3,4}: characters covered by the
+    *    most frequent word n-gram — count(g*)·charlen(g*) / total —
+    *    where charlen is the length of the space-joined n-gram and
+    *    total is the length of the whitespace-normalized lowercase
+    *    text (= the 1-gram sequence's char length).
+    *  - `dup{n}gram_char_frac`, n ∈ {5..10}: characters covered by ALL
+    *    n-grams occurring ≥ 2 times — Σ_{count(g)≥2} count(g)·charlen(g)
+    *    / total.
+    *
+    * Overlapping occurrences each contribute their full char length
+    * (the simple exact-counting definition, deterministic and
+    * SQL-replayable), so values CAN exceed 1.0 on degenerate repetition
+    * — thresholds still order documents correctly. Docs with no tokens
+    * yield NULL (rule does not apply), same contract as punctRatio.
+    *
+    * Scale shape: one token posexplode, ONE window over (id, pos) builds
+    * all nine gram sizes via lead(), one tall (id, n, gram) partial-
+    * aggregated count shuffle, one per-doc rollup — corpus text is
+    * scanned once, and every shuffled row is a gram hash-count, not
+    * text... (the gram string itself rides only into the first
+    * aggregation, like every postings family here).
+    */
+  def repetitionNgramSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val words = df
+      .select(col(idCol).as("id"),
+        length(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+          .cast("long").as("total"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wByDoc = Window.partitionBy("id").orderBy("pos")
+    // one windowed pass materializes w, lead1..lead9 (a window expression
+    // cannot live inside the explode's Generate, so the leads get their
+    // own projection); each gram size is a concat over a prefix of those
+    // — null when the window runs off the document end
+    val withLeads = words.select(
+      col("id") +: col("total") +: col("w") +:
+        (1 to 9).map(k => lead(col("w"), k).over(wByDoc).as(s"l$k")): _*)
+    val gramCols = (topNs ++ dupNs).map { n =>
+      val parts = col("w") +: (1 until n).map(k => col(s"l$k"))
+      struct(lit(n).as("n"),
+        when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("g"))
+    }
+    val tall = withLeads
+      .select(col("id"), col("total"), explode(array(gramCols: _*)).as("x"))
+      .select(col("id"), col("total"), col("x.n").as("n"), col("x.g").as("g"))
+      .filter(col("g").isNotNull)
+    val counts = tall.groupBy("id", "total", "n", "g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cov", col("c") * length(col("g")).cast("long"))
+    val perN = counts.groupBy("id", "total", "n").agg(
+      max(col("cov")).as("top_cov"),
+      sum(when(col("c") >= 2, col("cov")).otherwise(0L)).as("dup_cov"))
+    def frac(cov: Column): Column =
+      cov.cast("double") / when(col("total") > 0, col("total").cast("double"))
+    val aggCols =
+      topNs.map(n => max(when(col("n") === n, frac(col("top_cov"))))
+        .as(s"top${n}gram_char_frac")) ++
+        dupNs.map(n => max(when(col("n") === n, frac(col("dup_cov"))))
+          .as(s"dup${n}gram_char_frac"))
+    val wide = perN.groupBy(col("id"), col("total"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // docs whose longest gram size has no gram (fewer than n tokens)
+    // have no (id, n) row — their fraction is 0.0, not NULL (the rule
+    // applies and finds nothing); tokenless docs never reach `words`
+    // and are restored with NULL via the left join
+    val zeroed = wide.select(
+      col("id").as(idCol) +:
+        (topNs.map(n => coalesce(col(s"top${n}gram_char_frac"), lit(0.0))
+            .as(s"top${n}gram_char_frac")) ++
+          dupNs.map(n => coalesce(col(s"dup${n}gram_char_frac"), lit(0.0))
+            .as(s"dup${n}gram_char_frac"))): _*)
+    df.select(col(idCol)).distinct()
+      .join(zeroed, Seq(idCol), "left")
+  }
+
+  /** Gopher's published n-gram repetition thresholds (Rae et al. 2021,
+    * Table A1): documents whose top-n-gram char fraction exceeds
+    * 0.20/0.18/0.16 (n = 2/3/4) or whose duplicate-n-gram char fraction
+    * exceeds 0.15/0.14/0.13/0.12/0.11/0.10 (n = 5..10) are dropped.
+    */
+  final case class NgramRepetitionThresholds(
+      top: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dup: Map[Int, Double] = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13,
+        8 -> 0.12, 9 -> 0.11, 10 -> 0.10))
+
+  /** Drop documents failing any n-gram repetition rule (schema
+    * preserved, semi-join like the other gates). NULL signals
+    * (tokenless docs) pass the n-gram rules — they fail word-count
+    * rules elsewhere.
+    */
+  def gopherNgramFilter(df: DataFrame, idCol: String, textCol: String,
+      t: NgramRepetitionThresholds = NgramRepetitionThresholds()): DataFrame = {
+    val sig = repetitionNgramSignals(df, idCol, textCol)
+    val fails = (t.top.toSeq.map { case (n, thr) =>
+      coalesce(col(s"top${n}gram_char_frac") > thr, lit(false))
+    } ++ t.dup.toSeq.map { case (n, thr) =>
+      coalesce(col(s"dup${n}gram_char_frac") > thr, lit(false))
+    }).reduce(_ || _)
+    df.join(sig.filter(!fails).select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------ corpus analytics
 
   /** Corpus vocabulary: term frequency + document frequency per token —

@@ -466,6 +466,19 @@ class JobRunnerSpec extends SparkSpec {
       run(Seq("gopher", "bogus"), "1.0")
   }
 
+  test("curation quality_filter: gopher_ngrams drops n-gram-repetitive boilerplate") {
+    import spark.implicits._
+    val varied = (1 to 80).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val df = Seq(
+      (1L, varied),
+      (2L, ("click here to buy now " * 20).trim)
+    ).toDF("doc_id", "text")
+    JobRunner.applyCuration(df, Map("curation" -> Map(
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "gopher_ngrams")))
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
+
   test("curation quality_filter: compression drops templated boilerplate") {
     import spark.implicits._
     val varied = (1 to 60).map(i => s"w${i * 7919 % 1000}x$i").mkString(" ")

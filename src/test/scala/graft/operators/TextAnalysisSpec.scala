@@ -213,4 +213,36 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.sourceShingleOverlap(df, "doc_id", "text", "source")
       .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
   }
+
+  test("repetitionNgramSignals: hand-computed n-gram char fractions") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b"×3,
+    // charlen 3, total chars = 11 → top2 = 9/11. dup 5-grams: both
+    // 5-grams occur once → 0.0. 10-grams: none (6 tokens) → 0.0.
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all distinct words here today friend"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionNgramSignals(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    r(1L).getAs[Double]("top2gram_char_frac") shouldBe (9.0 / 11.0)
+    r(1L).getAs[Double]("dup5gram_char_frac") shouldBe 0.0
+    r(1L).getAs[Double]("dup10gram_char_frac") shouldBe 0.0
+    // doc 1 dup 2..4-gram? top3 = "a b a"×2 or "b a b"×2 → 2*5/11
+    r(1L).getAs[Double]("top3gram_char_frac") shouldBe (10.0 / 11.0)
+    // all-distinct doc: every gram unique → top fracs = single gram
+    // coverage, dup fracs 0
+    r(2L).getAs[Double]("dup5gram_char_frac") shouldBe 0.0
+    r(2L).getAs[Double]("top2gram_char_frac") should be > 0.0
+    // tokenless doc: NULL across the board (rule does not apply)
+    (0 until r(3L).length).drop(1).foreach(i => r(3L).isNullAt(i) shouldBe true)
+  }
+
+  test("gopherNgramFilter: boilerplate-repetitive doc drops, varied doc survives") {
+    val varied = (1 to 80).map(i => s"w${i * 7919 % 997}").mkString(" ")
+    val spam = (("click here to buy now " * 20).trim)
+    val df = Seq((1L, varied), (2L, spam)).toDF("doc_id", "text")
+    TextAnalysis.gopherNgramFilter(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)) shouldBe Array(1L)
+  }
 }
