@@ -933,6 +933,43 @@ object JobRunner {
               buckets = Yaml.str(cur, "search_index_buckets")
                 .map(_.toInt).getOrElse(64))
           }
+          // `curation.compact_store_every: N` — every Nth append-count
+          // compacts the flat path store's small files in the same
+          // maintenance window (post-commit, single-writer). The count
+          // is the store's current file count, so "every 32" means
+          // "compact once ~32 small files accumulate" without any extra
+          // state. Bucketed tables and the tfidf store are excluded
+          // (bucketed layouts are append-aligned; tfidf compacts by
+          // re-running saveStore, see Tfidf.appendToStore).
+          Yaml.str(cur, "compact_store_every").map(_.toDouble.toInt)
+            .filter(_ > 0).foreach { every =>
+              val flatStore = Yaml.str(cur, "dedupe") match {
+                case Some("incremental") if !bucketed &&
+                    curationStoreFormat(cur) != "bloom" =>
+                  Some(need("fingerprint_store"))
+                case Some("incremental_near") if !bucketed =>
+                  Some(need("band_key_store"))
+                case Some("incremental_simhash") if !bucketed =>
+                  Some(need("simhash_store"))
+                case _ => None
+              }
+              flatStore.foreach { sp =>
+                val root = new org.apache.hadoop.fs.Path(sp)
+                val fs = root.getFileSystem(
+                  curated.sparkSession.sessionState.newHadoopConf())
+                val nFiles =
+                  if (fs.exists(root))
+                    fs.listStatus(root).count(st => st.isFile &&
+                      !st.getPath.getName.startsWith("_") &&
+                      !st.getPath.getName.startsWith("."))
+                  else 0
+                if (nFiles >= every) {
+                  val (b, a) = graft.core.StoreCompaction
+                    .compactFlatStore(curated.sparkSession, sp)
+                  log(s"compacted store $sp: $b -> $a files")
+                }
+              }
+            }
         }
       } catch {
         case e: Exception =>

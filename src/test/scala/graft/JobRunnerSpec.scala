@@ -781,6 +781,50 @@ class JobRunnerSpec extends SparkSpec {
     graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 3
   }
 
+  test("curation compact_store_every: maintenance window compacts the flat store") {
+    def jobYaml(dir: java.nio.file.Path, out: String, store: String): String =
+      write(dir, "job_compact.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  fingerprint_store: $store
+           |  update_store: true
+           |  compact_store_every: 2
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    def storeFiles(store: String): Int = {
+      val d = new java.io.File(store)
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val store = dir1.resolve("fpstore").toString
+    JobRunner.run(spark, jobYaml(dir1, dir1.resolve("o1").toString, store))
+      .exitCode shouldBe ExitCodes.Success
+    val afterDay1 = storeFiles(store)
+    val (dir2, _) = fixture(Seq("3,carol,7.0", "4,dave,6.0"), "strict")
+    JobRunner.run(spark, jobYaml(dir2, dir2.resolve("o2").toString, store))
+      .exitCode shouldBe ExitCodes.Success
+    // day 2's append pushed the file count to >= 2 → the window
+    // compacted it back down to one target-sized file
+    storeFiles(store) shouldBe 1
+    storeFiles(store) should be < (afterDay1 + 1)
+    // and the compacted store still carries all four fingerprints + meta
+    graft.operators.Dedup.readFingerprints(spark, store).count() shouldBe 4
+    graft.core.StoreMeta.read(spark, store) should not be empty
+  }
+
   test("curation search_index: two-day cycle appends probeable segments") {
     def jobYaml(dir: java.nio.file.Path, out: String, store: String,
         idx: String): String =
