@@ -271,6 +271,58 @@ object Similarity {
     cents.toSeq
   }
 
+  /** DISTRIBUTED Lloyd refinement — the full-corpus twin of
+    * [[refineCentroids]] for when the sample-on-the-driver shape isn't
+    * enough. Per iteration: assignment is the same map-side
+    * literal-centroid argmax every IVF path uses (spherical k-means —
+    * cosine argmax, tie → lower list id), and the update aggregates
+    * per-dimension SUMS (like the driver twin: cosine is
+    * scale-invariant, so the unnormalized sum is the mean direction)
+    * with ONE partial-aggregated shuffle of ≤ numLists rows × (dim+1)
+    * columns — the corpus never moves, the driver holds only the
+    * centroid table. Empty lists keep their previous centroid, same
+    * contract as the driver twin.
+    *
+    * Floating-point caveat: distributed partial sums add in partition
+    * order, so centroids can differ from the sequential driver twin in
+    * final ulps (assignments on separated clusters agree; Recall/spec
+    * pin behavioral equivalence, not bit equality). Use the driver twin
+    * when bit-replay against the oracle matters.
+    */
+  def refineCentroidsDistributed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Array[Double]],
+      iterations: Int = 2): Seq[Array[Double]] = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    val dim = seeds.head.length
+    var cents = seeds
+    var it = 0
+    while (it < iterations) {
+      val assigned = df
+        .select(col(vecCol).as("v"))
+        .withColumn("list",
+          least(scoredListStructs(col("v"), cents): _*).getField("l"))
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = assigned.groupBy("list").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byList = rows.map(r => r.getInt(0) -> r).toMap
+      cents = cents.indices.map { j =>
+        byList.get(j) match {
+          case Some(r) if r.getLong(dim + 1) > 0 =>
+            Array.tabulate(dim)(i => r.getDouble(i + 1))
+          case _ => cents(j)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Cosine score against one literal centroid (|v| dropped — constant
     * per row, so the argmax is unchanged). The centroid's norm is folded
     * on the driver with the same sequential-double accumulation VecDot

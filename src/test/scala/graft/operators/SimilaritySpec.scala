@@ -145,6 +145,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("refineCentroidsDistributed ≡ driver twin on planted clusters") {
+    // two tight clusters in 3-d; seeds = one member of each
+    val pts = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f)), (2L, Array(0.98f, 0.0f, 0.01f)),
+      (3L, Array(1.01f, 0.01f, 0.02f)),
+      (10L, Array(0.0f, 1.0f, 0.03f)), (11L, Array(0.02f, 0.97f, 0.0f)),
+      (12L, Array(0.0f, 1.02f, 0.01f))
+    ).toDF("vec_id", "v")
+    val seeds = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val driver = Similarity.refineCentroids(pts, "vec_id", "v", seeds, 2)
+    val dist = Similarity.refineCentroidsDistributed(pts, "vec_id", "v", seeds, 2)
+    // same cluster structure; centroids agree to float tolerance (the
+    // distributed sums add in partition order — behavioral, not bit,
+    // equality is the contract)
+    driver.zip(dist).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => math.abs(x - y) should be < 1e-9 }
+    }
+    // empty-list contract matches the driver twin: a seed no point
+    // chooses survives refinement untouched
+    val seeds3 = seeds :+ Array(0.0, 0.0, -1.0)
+    val dist3 = Similarity.refineCentroidsDistributed(pts, "vec_id", "v", seeds3, 1)
+    dist3(2) shouldBe Array(0.0, 0.0, -1.0)
+  }
+
   test("refineCentroids: empty lists keep their previous centroid") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.0f, 0.05f))
