@@ -48,6 +48,45 @@ case class TextShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL word n-grams of lowercased text WITH multiplicity, in document
+  * order — the repetition-counting twin of [[TextShingles]] (whose
+  * first-occurrence distinct is right for Jaccard/minhash set
+  * semantics but destroys exactly the duplicate counts Gopher's
+  * n-gram rules measure). Same tokenizer, same null/short-doc → empty
+  * contract; one static call per row in whole-stage codegen, no token
+  * explode, no window sort.
+  */
+case class TextShinglesAll(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    TextShingles.allShingles(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = TextShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $cls.allShingles(${childGen.isNull} ? null : ${childGen.value}, $n);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextShinglesAll =
+    copy(child = newChild)
+}
+
+object TextShinglesAll {
+  /** Column-API entry point. */
+  def apply(text: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      TextShinglesAll(GraftExpressionBridge.expression(text), n))
+}
+
 object TextShingles {
 
   /** Column-API entry point. */
@@ -57,31 +96,54 @@ object TextShingles {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
+  private def tokensOf(text: UTF8String): Array[String] =
+    // UTF8String.trim/toLowerCase are exactly what Spark's trim()/lower()
+    // expressions call, so tokens match the Column formulation bit-for-bit
+    text.trim().toLowerCase.toString.split("\\s+")
+
+  private def gram(toks: Array[String], i: Int, n: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** Row kernel — called once per row from generated code. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return Empty
-    // UTF8String.trim/toLowerCase are exactly what Spark's trim()/lower()
-    // expressions call, so tokens match the Column formulation bit-for-bit
-    val toks = text.trim().toLowerCase.toString.split("\\s+")
+    val toks = tokensOf(text)
     if (toks.length < n) return Empty
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= toks.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+      seen.add(gram(toks, i, n, sb))
       i += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[TextShinglesAll]] row kernel: every n-gram, duplicates kept. */
+  def allShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return Empty
+    val toks = tokensOf(text)
+    if (toks.length < n) return Empty
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      out(i) = UTF8String.fromString(gram(toks, i, n, sb))
+      i += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -427,44 +427,38 @@ object TextAnalysis {
     * — thresholds still order documents correctly. Docs with no tokens
     * yield NULL (rule does not apply), same contract as punctRatio.
     *
-    * Scale shape: one token posexplode, ONE window over (id, pos) builds
-    * all nine gram sizes via lead(), one tall (id, n, gram) partial-
-    * aggregated count shuffle, one per-doc rollup — corpus text is
-    * scanned once, and every shuffled row is a gram hash-count, not
-    * text... (the gram string itself rides only into the first
-    * aggregation, like every postings family here).
+    * Scale shape: gram building is fully MAP-SIDE — one
+    * [[graft.functions.TextShinglesAll]] kernel call per (row, n)
+    * produces every n-gram with multiplicity straight from the text
+    * (no token explode, no window sort), a nested posexplode stacks the
+    * nine sizes, and grams hash to 8 bytes before the one tall
+    * (id, n, gram-hash) count shuffle (the postings-family rule: the
+    * shuffle never carries gram strings). One per-doc rollup after.
+    * 64-bit collision odds ~|grams per doc|²/2⁶⁴ — the same accepted
+    * gamble as every postings join here (the DuckDB oracle groups the
+    * strings themselves; a collision surfaces as a hash mismatch, not
+    * a silent pass).
     */
   def repetitionNgramSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val words = df
+    val allNs = topNs ++ dupNs
+    val tall = df
       .select(col(idCol).as("id"),
         length(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
           .cast("long").as("total"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val wByDoc = Window.partitionBy("id").orderBy("pos")
-    // one windowed pass materializes w, lead1..lead9 (a window expression
-    // cannot live inside the explode's Generate, so the leads get their
-    // own projection); each gram size is a concat over a prefix of those
-    // — null when the window runs off the document end
-    val withLeads = words.select(
-      col("id") +: col("total") +: col("w") +:
-        (1 to 9).map(k => lead(col("w"), k).over(wByDoc).as(s"l$k")): _*)
-    val gramCols = (topNs ++ dupNs).map { n =>
-      val parts = col("w") +: (1 until n).map(k => col(s"l$k"))
-      struct(lit(n).as("n"),
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)).as("g"))
-    }
-    val tall = withLeads
-      .select(col("id"), col("total"), explode(array(gramCols: _*)).as("x"))
-      .select(col("id"), col("total"), col("x.n").as("n"), col("x.g").as("g"))
-      .filter(col("g").isNotNull)
-    val counts = tall.groupBy("id", "total", "n", "g")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("cov", col("c") * length(col("g")).cast("long"))
+        posexplode(array(allNs.map(n =>
+          graft.functions.TextShinglesAll(col(textCol), n)): _*))
+          .as(Seq("ni", "grams")))
+      .select(col("id"), col("total"),
+        (col("ni") + lit(allNs.head)).as("n"), explode(col("grams")).as("g"))
+      .select(col("id"), col("total"), col("n"),
+        xxhash64(col("g")).as("h"),
+        length(col("g")).cast("long").as("len"))
+    val counts = tall.groupBy("id", "total", "n", "h")
+      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
+      .withColumn("cov", col("c") * col("len"))
     val perN = counts.groupBy("id", "total", "n").agg(
       max(col("cov")).as("top_cov"),
       sum(when(col("c") >= 2, col("cov")).otherwise(0L)).as("dup_cov"))

@@ -16,10 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   *
   *  - idf is quantized to MILLI-nats (×1e3, half-up) and embedded as a
   *    B-entry literal CASE — the fit is B longs, never a join. Milli (not
-  *    the micro used for scalar scores) keeps downstream products in
-  *    range: w ≤ tf·idf_milli ~ 1e6, so n2 = Σw² ≤ B·1e12 and dot ≤ same
-  *    stay comfortably inside BIGINT, and only dot² (the threshold test)
-  *    needs 38-digit decimals.
+  *    the micro used for scalar scores) keeps typical products small, and
+  *    the [[wCap]] clamp makes the bound UNCONDITIONAL: w ≤ √(Long.Max/B),
+  *    so n2 = Σw² and every dot provably fit BIGINT for any document
+  *    (see wCap); only dot² (the threshold test) needs 38-digit decimals.
   *  - cosine(a,b) ≥ num/den is tested as den²·dot² ≥ num²·n2a·n2b over
   *    exact integers — no sqrt, no float, engine-identical.
   *
