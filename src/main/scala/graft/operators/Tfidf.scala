@@ -67,8 +67,16 @@ object Tfidf {
     * rows — and it engages IDENTICALLY in the DuckDB oracle (the
     * literal is shared, see Queries.tfidfCtesSql).
     */
-  def wCap(buckets: Int): Long =
-    math.sqrt(Long.MaxValue.toDouble / buckets).toLong
+  def wCap(buckets: Int): Long = {
+    // Long.MaxValue.toDouble rounds UP to 2^63, so the double sqrt can
+    // land one past the true bound (B = 2 gives exactly 2^31, whose
+    // squared sum is 2^63 = Long.Max + 1); verify in exact integers and
+    // step down if needed
+    var c = math.sqrt(Long.MaxValue.toDouble / buckets).toLong
+    while (BigInt(buckets) * BigInt(c) * BigInt(c) > BigInt(Long.MaxValue))
+      c -= 1
+    c
+  }
 
   /** Sentinel key carrying the UNSEEN-bucket default idf (bucket hashes
     * are ∈ [0, buckets), so −1 never collides). A bucket absent from the
@@ -128,8 +136,15 @@ object Tfidf {
     tokens(docs, idCol, textCol)
       .select(col("id"), bucketOf(col("tok"), buckets).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+      // idf clamps BEFORE the multiply so the product itself can't wrap
+      // (ANSI overflow) even under an adversarial injected fit:
+      // tf ≤ 2^31 (a string column's char bound) and idf ≤ wCap keep
+      // tf·idf ≤ 2^31·wCap(1) < Long.Max for every bucket count. Fits
+      // from idfMilli sit orders of magnitude below the cap, so the
+      // oracle's plain LEAST(tf·idf, cap) replays identical values.
       .withColumn("w",
-        least(col("tf") * idfLiteral(idf, col("bucket")), lit(wCap(buckets))))
+        least(col("tf") * least(idfLiteral(idf, col("bucket")),
+          lit(wCap(buckets))), lit(wCap(buckets))))
 
   /** Persist the fit (overwrite: the table IS the fit, ≤ `buckets`
     * rows). Longs round-trip parquet exactly, so stored ≡ in-flight

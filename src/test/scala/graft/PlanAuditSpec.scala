@@ -114,6 +114,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("n-gram repetition: map-side kernel gram build — no window sort, no gram strings shuffled") {
+    val p = plan("text_repetition_ngrams")
+    // grams come from the TextShinglesAll kernel inside projection
+    // chains, never from a posexplode + lead() window (a per-document
+    // sort the operator doesn't need)
+    p should include("textshinglesall")
+    p should not include "Window"
+    // the count shuffle carries the 8-byte gram hash, not the string
+    p should include("xxhash64")
+    p should include("HashAggregate")
+    p should not include "CartesianProduct"
+  }
+
   test("repetition signals keep partial (map-side) aggregation") {
     val p = plan("text_repetition")
     p should include("HashAggregate")
