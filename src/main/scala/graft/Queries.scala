@@ -941,6 +941,19 @@ object Queries {
       "doc_id", "text", shingleN = 3)
   }
 
+  /** Benchmark-side leakage report: per held-out example, how many
+    * corpus docs share a 3-gram with it and how many of its shingles
+    * leak — the eval-integrity dashboard (same split as
+    * text_decontaminate).
+    */
+  def textLeakageReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.Decontaminate.benchmarkLeakageReport(
+      corpus = docs.filter(col("doc_id") % 20 =!= 0),
+      bench = docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", shingleN = 3)
+  }
+
   /** PII scrub: the corpus text carries no PII (verified — no digits or
     * '@' in testdata), so deterministic email/IP/phone spans are salted
     * in from doc_id (present or absent by mod, so counts vary), then
@@ -1578,6 +1591,7 @@ object Queries {
     "sample_cluster_balanced" -> sampleClusterBalanced _,
     "sample_dsir" -> sampleDsir _,
     "text_decontaminate" -> textDecontaminate _,
+    "text_leakage_report" -> textLeakageReport _,
     "text_pii_redact" -> textPiiRedact _,
     "text_gopher_filter" -> textGopherFilter _,
     "text_chunk" -> textChunk _,
@@ -3216,6 +3230,28 @@ object Queries {
         |  h.doc_id IS NOT NULL AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // benchmark-side leakage: DISTINCT corpus docs / shingles per bench
+    // doc (string grouping here; the engine hashes map-side — the
+    // documented 2^-64 gamble)
+    "text_leakage_report" ->
+      """WITH tok AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+        |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |bsh AS (SELECT doc_id AS bid, unnest(s) AS g FROM sh
+        |  WHERE doc_id % 20 = 0),
+        |csh AS (SELECT doc_id AS cid, unnest(s) AS g FROM sh
+        |  WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT bid,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS n_corpus_docs,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_shingles
+        |  FROM csh JOIN bsh USING (g) GROUP BY bid)
+        |SELECT b.doc_id, COALESCE(h.n_corpus_docs, 0) AS n_corpus_docs,
+        |  COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+        |  h.bid IS NOT NULL AS leaked
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) b
+        |LEFT JOIN hits h ON h.bid = b.doc_id""".stripMargin,
     "text_pii_redact" -> {
       import graft.operators.PiiRedact.{EmailRe, Ipv4Re, PhoneRe}
       s"""WITH salted AS (SELECT doc_id, text ||

@@ -53,6 +53,51 @@ object Decontaminate {
         col("n_hits").isNotNull.as("contaminated"))
   }
 
+  /** BENCHMARK-side leakage report — the eval-integrity view the
+    * corpus-side [[contaminationReport]] can't answer: for each
+    * held-out example, HOW compromised is it? Returns
+    * `(id, n_corpus_docs, n_shared_shingles, leaked)` per benchmark
+    * document: the number of corpus documents sharing ≥ 1 word
+    * n-gram with it, and how many of its distinct shingles appear
+    * anywhere in the corpus. An eval set owner reads this before
+    * trusting a benchmark score: an example with thousands of corpus
+    * matches measures memorization, not ability, even after the
+    * corpus-side drop (which may be run with a hit tolerance).
+    *
+    * Scale shape: same as the drop path — benchmark shingles broadcast,
+    * one map-side probe pass over the corpus shingles, and the single
+    * shuffle carries only MATCHING (bench_id, corpus_id, shingle-hash)
+    * rows (bounded by the contamination volume, never the corpus; the
+    * shingle is hashed to 8 bytes map-side before the shuffle, the
+    * postings-family rule — the DuckDB oracle counts the strings, the
+    * usual 2⁻⁶⁴ collision gamble).
+    */
+  def benchmarkLeakageReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(col(idCol).as("__bid"),
+        explode(Dedup.wordShingles(col(textCol), shingleN)).as("g"))
+      .select(col("__bid"), xxhash64(col("g")).as("gh"))
+    val corpusSh = corpus
+      .select(col(idCol).as("__cid"),
+        explode(Dedup.wordShingles(col(textCol), shingleN)).as("g"))
+      .select(col("__cid"), xxhash64(col("g")).as("gh"))
+    val agg = corpusSh.join(broadcast(benchSh), "gh")
+      .groupBy("__bid").agg(
+        countDistinct(col("__cid")).as("n_corpus_docs"),
+        countDistinct(col("gh")).as("n_shared_shingles"))
+    bench.select(col(idCol))
+      .join(agg.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        col("n_corpus_docs").isNotNull.as("leaked"))
+  }
+
   /** The train-mix cut: corpus rows with fewer than `maxHits` shared
     * shingles (default: none at all). Same plan as the report plus one
     * map-side filter.

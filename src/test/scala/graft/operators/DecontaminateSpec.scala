@@ -34,6 +34,23 @@ class DecontaminateSpec extends SparkSpec {
       4L -> ((0L, false)))
   }
 
+  test("benchmarkLeakageReport: per-example corpus-doc and shingle counts") {
+    val out = Decontaminate.benchmarkLeakageReport(corpus, bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // bench 100: corpus docs 1 and 2 share with it (2 docs); its leaked
+    // shingles are {"a b c", "b c d"} (2). bench 101: too short → clean.
+    out shouldBe Map(
+      100L -> ((2L, 2L, true)),
+      101L -> ((0L, 0L, false)))
+    // plan: benchmark side broadcast, corpus never shuffled pre-join
+    val p = Decontaminate.benchmarkLeakageReport(corpus, bench, "doc_id", "text")
+      .queryExecution.sparkPlan.toString
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("dropContaminated keeps only clean docs; maxHits loosens the cut") {
     Decontaminate.dropContaminated(corpus, bench, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(3L, 4L)
