@@ -1522,6 +1522,22 @@ object Queries {
       "lang", "doc_id", k = 3)
   }
 
+  /** The full CCNet MIX: per-language perplexity terciles
+    * ([[textLmPplBuckets]]) composed with the per-stratum deterministic
+    * draw ([[graft.operators.Sampling.mixtureSample]]) — keep all of
+    * the head, half the middle, a tenth of the tail. Bucket assignment
+    * is integer rank arithmetic and the draw is the shared md5
+    * threshold, so the whole mix is hash-exact end to end.
+    */
+  def samplePplStratified(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = textLmPplBuckets(spark, dir)
+      .withColumn("bucket_s", col("bucket").cast("string"))
+    graft.operators.Sampling.mixtureSample(
+      buckets, "bucket_s", "doc_id",
+      Map("0" -> 1.0, "1" -> 0.5, "2" -> 0.1))
+      .select("doc_id", "lang", "bucket")
+  }
+
   // ----------------------------------------------------------------- maps
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip" -> csvRoundtrip _,
@@ -1635,6 +1651,7 @@ object Queries {
     "text_lm_score" -> textLmScore _,
     "text_lm_score_store" -> textLmScoreStore _,
     "text_lm_ppl_buckets" -> textLmPplBuckets _,
+    "sample_ppl_stratified" -> samplePplStratified _,
     "search_phrase" -> searchPhrase _,
     "decontaminate_verbatim" -> decontaminateVerbatim _
   )
@@ -2675,6 +2692,19 @@ object Queries {
         |  FROM tl t CROSS JOIN ph WHERE len(t.l) >= 5)
         |SELECT doc_id, n_matches FROM m WHERE n_matches > 0""".stripMargin,
     "text_lm_ppl_buckets" -> textLmPplBucketsOracle,
+    // CCNet mix: the buckets oracle as a subquery + the shared md5
+    // threshold draw per bucket (thresholdFor literals shared with the
+    // Spark CASE, like the mixture oracle)
+    "sample_ppl_stratified" -> {
+      import graft.operators.Sampling.thresholdFor
+      s"""SELECT doc_id, lang, bucket FROM ($textLmPplBucketsOracle) q
+         |WHERE ${hash60Sql("CAST(doc_id AS VARCHAR)")} <
+         |  CASE CAST(bucket AS VARCHAR)
+         |    WHEN '0' THEN ${thresholdFor(1.0)}
+         |    WHEN '1' THEN ${thresholdFor(0.5)}
+         |    WHEN '2' THEN ${thresholdFor(0.1)}
+         |    ELSE ${thresholdFor(0.0)} END""".stripMargin
+    },
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,
     "search_bm25_segmented" -> searchBm25Oracle,
