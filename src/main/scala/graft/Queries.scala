@@ -2249,12 +2249,17 @@ object Queries {
        |$branches
        |), counts AS (
        |  SELECT doc_id, total, n, g, count(*) AS c,
-       |    count(*) * length(g) AS cov
+       |    length(g) AS len, count(*) * length(g) AS cov
        |  FROM tall WHERE g IS NOT NULL GROUP BY doc_id, total, n, g
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id, n
+       |    ORDER BY c DESC, len DESC) AS rn
+       |  FROM counts
        |), pern AS (
-       |  SELECT doc_id, total, n, MAX(cov) AS top_cov,
+       |  SELECT doc_id, total, n,
+       |    MAX(CASE WHEN rn = 1 THEN cov END) AS top_cov,
        |    SUM(CASE WHEN c >= 2 THEN cov ELSE 0 END) AS dup_cov
-       |  FROM counts GROUP BY doc_id, total, n
+       |  FROM ranked GROUP BY doc_id, total, n
        |), wide AS (
        |  SELECT doc_id,
        |  ${(topCols ++ dupCols).mkString(",\n  ")}

@@ -52,14 +52,21 @@ object StoreCompaction {
     spark.read.parquet(storePath)
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: delete old data files, move new ones in, leave sidecars
-    before.foreach(st => fs.delete(st.getPath, false))
+    // swap ORDER matters for crash safety: rename the compacted files
+    // IN first (part-file names carry a fresh job UUID, so they can
+    // never collide with the old set), delete the old files after. A
+    // driver crash mid-swap then leaves the root with old + some new
+    // files — harmless duplication under the documented membership
+    // semantics, recovered by the next compaction — instead of a
+    // window where the store has NO data files (all data stranded in
+    // the tmp dir and the next read failing on schema inference).
     val moved = fs.listStatus(tmp).toSeq.filter { st =>
       st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".")
     }
     moved.foreach(st =>
       fs.rename(st.getPath, new Path(root, st.getPath.getName)))
+    before.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
     (before.size, moved.size)
   }

@@ -132,16 +132,30 @@ object TextShingles {
     new GenericArrayData(out)
   }
 
-  /** [[TextShinglesAll]] row kernel: every n-gram, duplicates kept. */
+  /** [[TextShinglesAll]] row kernel: every n-gram, duplicates kept.
+    *
+    * `split("\\s+")` yields a leading EMPTY token when the text starts
+    * with non-space whitespace (tab/newline — `UTF8String.trim` strips
+    * only 0x20); that token is skipped here so grams like `" word"`
+    * never enter the repetition counts (the DuckDB oracle's
+    * `WHERE w <> ''` and the word-level repetition tokenizer both
+    * already exclude it — this keeps engine and oracle agreeing on
+    * leading-whitespace documents). [[shingles]] above deliberately
+    * keeps its historical token stream untouched: its dedup oracles
+    * replay that exact convention on both sides, so the contract is
+    * consistent there and changing it would churn every minhash store.
+    */
   def allShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return Empty
     val toks = tokensOf(text)
-    if (toks.length < n) return Empty
-    val out = new Array[Any](toks.length - n + 1)
+    val off = if (toks.length > 0 && toks(0).isEmpty) 1 else 0
+    val m = toks.length - off
+    if (m < n) return Empty
+    val out = new Array[Any](m - n + 1)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i <= toks.length - n) {
-      out(i) = UTF8String.fromString(gram(toks, i, n, sb))
+    while (i <= m - n) {
+      out(i) = UTF8String.fromString(gram(toks, off + i, n, sb))
       i += 1
     }
     new GenericArrayData(out)

@@ -413,10 +413,16 @@ object TextAnalysis {
     * fractions; these cover the n-gram CHARACTER fractions:
     *
     *  - `top{n}gram_char_frac`, n ∈ {2,3,4}: characters covered by the
-    *    most frequent word n-gram — count(g*)·charlen(g*) / total —
-    *    where charlen is the length of the space-joined n-gram and
-    *    total is the length of the whitespace-normalized lowercase
-    *    text (= the 1-gram sequence's char length).
+    *    MOST FREQUENT word n-gram — g* = argmax count(g), tie-broken by
+    *    the longer gram (then the coverages coincide) — giving
+    *    count(g*)·charlen(g*) / total, where charlen is the length of
+    *    the space-joined n-gram and total is the length of the
+    *    whitespace-normalized lowercase text (= the 1-gram sequence's
+    *    char length). Selection is COUNT-based (Rae et al. 2021's
+    *    "most frequent n-gram", cf. DataTrove's `most_common(1)`), not
+    *    max coverage: a longer-but-rarer gram never wins, so the
+    *    published 0.20/0.18/0.16 thresholds apply to the published
+    *    signal.
     *  - `dup{n}gram_char_frac`, n ∈ {5..10}: characters covered by ALL
     *    n-grams occurring ≥ 2 times — Σ_{count(g)≥2} count(g)·charlen(g)
     *    / total.
@@ -459,9 +465,14 @@ object TextAnalysis {
     val counts = tall.groupBy("id", "total", "n", "h")
       .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
       .withColumn("cov", col("c") * col("len"))
+    // top gram = argmax (c, len): lexicographic struct max picks the
+    // highest COUNT first (the published most-frequent-gram rule), the
+    // longer gram only between equal counts (ties there share c·len, so
+    // the coverage is deterministic either way)
     val perN = counts.groupBy("id", "total", "n").agg(
-      max(col("cov")).as("top_cov"),
+      max(struct(col("c"), col("len"))).as("m"),
       sum(when(col("c") >= 2, col("cov")).otherwise(0L)).as("dup_cov"))
+      .withColumn("top_cov", col("m.c") * col("m.len")).drop("m")
     def frac(cov: Column): Column =
       cov.cast("double") / when(col("total") > 0, col("total").cast("double"))
     val aggCols =

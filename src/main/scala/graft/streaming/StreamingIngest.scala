@@ -54,13 +54,22 @@ object StreamingIngest {
   /** Validated streaming sink: the same T1–T3 transform, written as
     * partitioned parquet with exactly-once file tracking. Returns the
     * started query; AvailableNow by default (oneshot parity).
+    *
+    * When the input carries the default JSONL corrupt column (it came
+    * from [[readJsonlStream]]) and the caller passed no `corruptCol`,
+    * that column is picked up AUTOMATICALLY — a corrupt line must never
+    * silently land as an all-null uncounted row just because a caller
+    * forgot to thread the column name through.
     */
   def ingest(raw: DataFrame, contract: DataContract, mode: ValidationMode,
       outPath: String, checkpoint: String,
       partitionCols: Seq[String] = Seq("ingest_date"),
       trigger: Trigger = Trigger.AvailableNow(),
       corruptCol: Option[String] = None): StreamingQuery = {
-    val validated = Validation.transform(raw, contract, mode, corruptCol)
+    val cc = corruptCol.orElse(
+      Some(graft.sources.JsonlOptions().corruptCol)
+        .filter(raw.columns.contains))
+    val validated = Validation.transform(raw, contract, mode, cc)
     val prepared = graft.sinks.ParquetSink.preparePartitions(validated, partitionCols)
     var w = prepared.writeStream
       .format("parquet")

@@ -52,4 +52,21 @@ class TextShinglesSpec extends SparkSpec {
       .collect().head.getSeq[String](0)
     out shouldBe Seq("p q", "q r", "r s")
   }
+
+  test("TextShinglesAll: leading tab/newline yields no phantom empty token") {
+    // trim() strips only 0x20, so split("\\s+") on "\tfoo bar" produces
+    // a leading "" token; the all-grams kernel must skip it — a gram
+    // like " foo" would enter the repetition counts while the oracle's
+    // WHERE w <> '' excludes it
+    val df = Seq("\tfoo bar foo", "\nfoo bar foo", "foo bar foo", " foo bar foo")
+      .toDF("text")
+    val rows = df.select(TextShinglesAll(col("text"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    rows.foreach(_ shouldBe Seq("foo bar", "bar foo"))
+    // a doc with exactly n-1 real tokens behind leading whitespace has
+    // NO n-gram (the phantom token must not complete one)
+    Seq("\ncc dd").toDF("text")
+      .select(TextShinglesAll(col("text"), 3).as("g"))
+      .collect().head.getSeq[String](0) shouldBe empty
+  }
 }

@@ -238,6 +238,34 @@ class TextAnalysisSpec extends SparkSpec {
     (0 until r(3L).length).drop(1).foreach(i => r(3L).isNullAt(i) shouldBe true)
   }
 
+  test("repetitionNgramSignals: top gram is the MOST FREQUENT, not max coverage") {
+    // 2-grams of doc: "aa bb"×2 (cov 2·5=10), "bb aa", "bb cc",
+    // "cc dddddddddd", "dddddddddd eeeeeeeeee" (cov 21) — the published
+    // rule (Rae et al. 2021; DataTrove most_common(1)) selects by COUNT,
+    // so top2 = 10/36, not the longer-but-rarer gram's 21/36
+    val df = Seq((1L, "aa bb aa bb cc dddddddddd eeeeeeeeee"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionNgramSignals(df, "doc_id", "text")
+      .collect().head
+    r.getAs[Double]("top2gram_char_frac") shouldBe (10.0 / 36.0)
+  }
+
+  test("repetitionNgramSignals: leading tab/newline doc has no phantom grams") {
+    // "\ncc dd" has 2 real tokens; the split's leading "" token must not
+    // fabricate a 3-gram " cc dd" (pre-fix that gave top3 = 1.0 and the
+    // 0.18 threshold dropped an innocent two-word doc). total counts the
+    // normalized text " cc dd" (6 chars, the \n collapsed to one space).
+    val df = Seq((1L, "\ncc dd"), (2L, "\tfoo bar foo bar"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionNgramSignals(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    r(1L).getAs[Double]("top3gram_char_frac") shouldBe 0.0
+    r(1L).getAs[Double]("top2gram_char_frac") shouldBe (5.0 / 6.0)
+    // "\tfoo bar foo bar" → tokens foo,bar,foo,bar; top2 "foo bar"×2,
+    // cov 14; total " foo bar foo bar" = 16
+    r(2L).getAs[Double]("top2gram_char_frac") shouldBe (14.0 / 16.0)
+  }
+
   test("gopherNgramFilter: boilerplate-repetitive doc drops, varied doc survives") {
     val varied = (1 to 80).map(i => s"w${i * 7919 % 997}").mkString(" ")
     val spam = (("click here to buy now " * 20).trim)

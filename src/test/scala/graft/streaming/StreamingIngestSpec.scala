@@ -72,6 +72,31 @@ class StreamingIngestSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 3
   }
 
+  test("JSONL stream: corrupt column is picked up by DEFAULT when present") {
+    // Contract with NO required fields — the case where a forgotten
+    // corruptCol used to land a corrupt line as a silent all-null row
+    // (nothing else invalidated it). ingest must default to the JSONL
+    // corrupt column whenever the input carries it.
+    val lax = DataContract(name = "lax", fields = Seq(
+      ContractField("id", "integer"), ContractField("name", "string")))
+    val in = Files.createTempDirectory("stream-jsonl-cc-")
+    val out = Files.createTempDirectory("stream-jsonl-cc-out-").toString + "/data"
+    val ckpt = Files.createTempDirectory("stream-jsonl-cc-ckpt-").toString
+    Files.writeString(in.resolve("a.jsonl"),
+      """{"id": 1, "name": "alice"}
+        |{utterly broken
+        |{"id": 2, "name": "bob"}
+        |""".stripMargin)
+    val q = StreamingIngest.ingest(
+      StreamingIngest.readJsonlStream(spark, in.toString, lax),
+      lax, ValidationMode.Strict, out, ckpt) // corruptCol NOT passed
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 2 // corrupt line counted as an error, not landed
+    back.columns should not contain "_corrupt_record"
+    back.filter(back("id").isNull).count() shouldBe 0
+  }
+
   test("streaming dedup keeps first arrival per fingerprint across batches") {
     val in = Files.createTempDirectory("stream-dd-")
     val ckpt = Files.createTempDirectory("stream-dd-ckpt-").toString
