@@ -823,6 +823,20 @@ object Queries {
       k = 5, planes = 4, dim = 64)
   }
 
+  /** Multi-probe LSH top-5 (Lv et al. 2007): same 4-plane bucketing as
+    * ann_lsh_topk, but each query also probes the 2 buckets reached by
+    * flipping its smallest-margin sign bits — 3× the candidate budget
+    * with no extra tables. The oracle replays the margin sort (|dot|
+    * ASC, plane ASC), the pow(2,j) bit flips, and the bucket-local rank
+    * bit-exactly from the same literal sign vectors.
+    */
+  def annLshMultiprobeTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.operators.Similarity.lshTopKMultiProbe(
+      e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planes = 4, dim = 64, probes = 3)
+  }
+
   /** Embedding-cosine near-dup pairs. The oracle replays all 8 tables'
     * bucketings from the same literal sign vectors (all-pairs with an
     * OR-of-bucket-equalities filter — identical candidate set to the
@@ -1026,6 +1040,31 @@ object Queries {
       emb, "vec_id", "embedding", numLists = 16)
     val cb = graft.operators.Similarity.seedPqCodebooks(
       emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    graft.operators.Similarity.ivfPqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
+  /** IVFPQ with a TRAINED codebook: the seed codebook refined by 2
+    * iterations of per-subspace Lloyd over the vec_id < 256 sample —
+    * the training half of Jégou et al. 2011 that the sampled-data
+    * quantizer skips, and the knob the RECALL harness showed mattered
+    * (8 sampled codes quantize near noise). The oracle replays the
+    * refinement bit-for-bit: assignment = the same strict-< L2 argmin
+    * CTEs the encode uses, update = per-dim sequential sums in vec_id
+    * order divided by the member count.
+    */
+  def annIvfPqRefinedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val seed = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    val cb = graft.operators.Similarity.refinePqCodebooks(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding", seed,
+      m = 4, numCodes = 8, dsub = 16, iterations = 2)
     graft.operators.Similarity.ivfPqTopK(
       corpus = emb,
       queries = emb.filter(col("vec_id") < 10),
@@ -1587,6 +1626,7 @@ object Queries {
     "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
+    "ann_lsh_multiprobe_topk" -> annLshMultiprobeTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_cosine_neardup_capped" -> annCosineNearDupCapped _,
     "ann_semdedup" -> annSemDedup _,
@@ -1598,6 +1638,7 @@ object Queries {
     "ann_ivfpq_topk" -> annIvfPqTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
+    "ann_ivfpq_refined_topk" -> annIvfPqRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
     "sample_bernoulli" -> sampleBernoulli _,
     "sample_splits" -> sampleSplits _,
@@ -2875,15 +2916,6 @@ object Queries {
         |  AND doc_id NOT IN (SELECT id FROM hits)""".stripMargin,
     // token entropy: per-term c·ln c quantized to micro-nats BEFORE the
     // sum (order-independent BIGINT), n·ln n term quantized identically
-    // DEFLATE replay: zlib_deflate_len is a checker-registered Python
-    // UDF (tools/check_correctness.py — DuckDB itself has no zlib) with
-    // the same deflate config as functions.DeflateLen (level 6, zlib
-    // wrapping); the ratio division replays the identical IEEE double op
-    "text_compression_ratio" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
-        |  zlib_deflate_len(text) AS deflate_bytes,
-        |  CAST(strlen(text) AS DOUBLE) / zlib_deflate_len(text) AS ratio
-        |FROM documents""".stripMargin,
     "text_token_entropy" ->
       """WITH tc AS (SELECT doc_id, x AS tok, count(*) AS c FROM
         |  (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
@@ -3779,5 +3811,25 @@ object Queries {
         |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS detected_lang
         |FROM s""".stripMargin
+  )
+
+  /** Oracles the DRIVER's checker cannot run, kept for the repo-local
+    * gate only. The driver's DuckDB compare is a fixed external script:
+    * it registers no UDFs, and DuckDB 1.x core has no zlib, so
+    * `text_compression_ratio`'s DEFLATE column is not expressible
+    * there — shipping this SQL in `oracleSql` made the r14 driver gate
+    * record a CatalogException traceback instead of the intended check.
+    * The honest driver-side record is rows-only (query registered, no
+    * oracle); the FULL hash check still runs every round through
+    * `tools/check_correctness.py`, which registers `zlib_deflate_len`
+    * (Python zlib level 6 == `functions.DeflateLen`'s Deflater config)
+    * and merges this map from `oracle_sql_local.json`.
+    */
+  val localOracles: Map[String, String] = Map(
+    "text_compression_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
+        |  zlib_deflate_len(text) AS deflate_bytes,
+        |  CAST(strlen(text) AS DOUBLE) / zlib_deflate_len(text) AS ratio
+        |FROM documents""".stripMargin
   )
 }

@@ -55,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // oracles only the repo-local checker can run (needs its Python
+    // zlib UDF — see Queries.localOracles); kept OUT of oracle_sql.json
+    // so the driver's fixed DuckDB compare records rows-only instead of
+    // erroring on a function it doesn't have
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_local.json"),
+      Queries.localOracles
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     println(s"[verify] registered=${SparkEntry.queries.size} " +
       s"written=${SparkEntry.queries.size - failed.size} failed=${failed.size}")
     spark.stop()

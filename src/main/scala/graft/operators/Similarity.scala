@@ -980,4 +980,220 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** MULTI-PROBE LSH top-k (Lv et al. 2007, "Multi-Probe LSH"): each
+    * query probes its own bucket PLUS the `probes − 1` buckets obtained
+    * by flipping the sign bits whose hyperplane margin |q·plane_j| is
+    * smallest — the planes the query sits closest to, i.e. the flips
+    * most likely to hold near neighbors lost to quantization. This
+    * multiplies the candidate budget by ~`probes` WITHOUT adding hash
+    * tables (no extra index storage, no extra corpus passes) — the
+    * standard fix for the single-table recall cliff the RECALL harness
+    * measures at 8 planes (each bucket holds < k candidates, capping
+    * recall structurally).
+    *
+    * Scale shape: identical to [[lshTopK]] — the corpus is bucketed
+    * map-side and shuffled once on the bucket key; only the QUERY side
+    * fans out ×probes (queries are the broadcast-small side). A corpus
+    * vector lives in exactly one bucket and probe buckets are pairwise
+    * distinct, so no candidate dedup pass is needed.
+    *
+    * Determinism contract: margins are the same sequential [[VecDot]]
+    * folds against the literal sign vectors the bucketing uses; the
+    * flip order is (|margin| ASC, plane ASC) — both replayable in SQL.
+    * A degenerate query vector (null / shorter than `dim` / null
+    * element) has null margins; those are filtered, so it probes only
+    * its kernel bucket (0), mirroring the single-probe contract.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      dim: Int = 64,
+      probes: Int = 2
+  ): DataFrame = {
+    require(probes >= 1 && probes <= planes,
+      s"probes must be in [1, planes=$planes]: $probes")
+    val c = withLshBucket(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn")),
+      "cv", planes, dim)
+    val margins = array((0 until planes).map { j =>
+      struct(abs(dotDouble(col("qv"), lit(planeSigns(j, dim)))).as("a"),
+        lit(j).as("j"))
+    }: _*)
+    val flips = slice(
+      array_sort(filter(margins, x => x.getField("a").isNotNull)),
+      1, probes - 1)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("b0", lshBucket(col("qv"), planes, dim))
+      // pow(2, j) is exact for j < 53, far past any plane count here
+      .withColumn("bucket", explode(concat(array(col("b0")),
+        transform(flips, x => col("b0").bitwiseXOR(
+          pow(lit(2.0), x.getField("j")).cast("long"))))))
+      .drop("b0")
+    val scored = c.join(q,
+      c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Per-subspace Lloyd (k-means) refinement of a PQ codebook — the
+    * training half of Jégou et al. 2011 that [[seedPqCodebooks]]'
+    * sampled-data quantizer skips. Each iteration assigns every sample
+    * vector's subspace slice to its nearest code (the SAME strict-<
+    * L2 argmin [[graft.functions.PqKernels.codes]] encodes with — ties
+    * to the lower code) and replaces each non-empty code's centroid
+    * with the MEAN of its members (L2 k-means needs the true mean,
+    * unlike the spherical [[refineCentroids]] whose cosine objective is
+    * scale-invariant). Empty codes keep their previous centroid.
+    *
+    * Determinism contract, mirroring [[refineCentroids]]: the sample is
+    * collected in id order, per-dim member sums fold sequentially in
+    * double over that order, and the mean is ONE division sum/count per
+    * dim — exactly `list_reduce(list(x ORDER BY id), +) / count(*)` in
+    * the DuckDB replay, so the refined codebook is oracle-checkable
+    * bit-for-bit. Vectors shorter than m·dsub are skipped (they are
+    * unencodable — [[graft.functions.PqKernels.codes]] nulls them).
+    *
+    * An index-BUILD step over a driver-side sample (PQ training sets
+    * are samples in production too — FAISS trains on ~10k–1M vectors
+    * regardless of corpus size); the corpus-wide encode stays the
+    * map-side kernel.
+    */
+  def refinePqCodebooks(
+      sample: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16,
+      iterations: Int = 2): Array[Double] = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(codebook.length == m * numCodes * dsub,
+      s"codebook length ${codebook.length} != m*numCodes*dsub " +
+        s"(${m * numCodes * dsub})")
+    val vecs = sample.orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(rowVecToDouble).filter(_.length >= m * dsub)
+    var cb = codebook.clone()
+    var it = 0
+    while (it < iterations) {
+      val next = cb.clone()
+      var sub = 0
+      while (sub < m) {
+        val sums = Array.fill(numCodes)(new Array[Double](dsub))
+        val counts = new Array[Long](numCodes)
+        vecs.foreach { v =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var code = 0
+          while (code < numCodes) {
+            val base = (sub * numCodes + code) * dsub
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val x = v(sub * dsub + i) - cb(base + i)
+              d += x * x
+              i += 1
+            }
+            if (d < bestD) { bestD = d; best = code } // tie → lower code
+            code += 1
+          }
+          val s = sums(best)
+          var i = 0
+          while (i < dsub) { s(i) += v(sub * dsub + i); i += 1 }
+          counts(best) += 1
+        }
+        var code = 0
+        while (code < numCodes) {
+          if (counts(code) > 0) {
+            val base = (sub * numCodes + code) * dsub
+            var i = 0
+            while (i < dsub) {
+              next(base + i) = sums(code)(i) / counts(code)
+              i += 1
+            }
+          }
+          code += 1
+        }
+        sub += 1
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** DISTRIBUTED twin of [[refinePqCodebooks]] for full-corpus training:
+    * per iteration, ONE pass encodes every vector with the current
+    * codebook (the same map-side [[graft.functions.PqCodes]] kernel the
+    * index build uses), explodes to (sub, code, slice) and aggregates
+    * per-dim sums + counts — map-side partial aggregation collapses each
+    * partition to ≤ m·numCodes groups before the shuffle, so the driver
+    * collects ≤ m·numCodes rows × (dsub+1) columns per iteration and the
+    * corpus never moves. Unencodable vectors contribute nothing (null
+    * codes explode to zero rows), matching the driver twin's skip.
+    *
+    * Same floating-point caveat as [[refineCentroidsDistributed]]:
+    * partial sums add in partition order, so refined entries can differ
+    * from the sequential driver twin in final ulps — use the driver twin
+    * when bit-replay against the oracle matters.
+    */
+  def refinePqCodebooksDistributed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16,
+      iterations: Int = 2): Array[Double] = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(codebook.length == m * numCodes * dsub,
+      s"codebook length ${codebook.length} != m*numCodes*dsub " +
+        s"(${m * numCodes * dsub})")
+    var cb = codebook.clone()
+    var it = 0
+    while (it < iterations) {
+      val ex = df
+        .select(col(vecCol).as("v"),
+          graft.functions.PqCodes(col(vecCol), cb, m, numCodes, dsub)
+            .as("codes"))
+        .select(col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .withColumn("s", slice(col("v"), col("sub") * dsub + 1, lit(dsub)))
+      val aggs = (0 until dsub).map(i =>
+        sum(element_at(col("s"), i + 1).cast("double")).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = ex.groupBy("sub", "code").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = cb.clone()
+      rows.foreach { r =>
+        val sub = r.getInt(0)
+        val code = r.getInt(1)
+        if (r.getLong(dsub + 2) > 0) {
+          val base = (sub * numCodes + code) * dsub
+          var i = 0
+          while (i < dsub) {
+            next(base + i) = r.getDouble(i + 2) / r.getLong(dsub + 2)
+            i += 1
+          }
+        }
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
 }

@@ -30,6 +30,13 @@ con.create_function(
     [str], int)
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Local-only oracles (Queries.localOracles): SQL the driver's fixed
+# checker can't run (needs the zlib UDF above). Merged here so the
+# repo-local gate hash-checks them like any other query.
+try:
+    oracle.update(json.load(open(f"{outdir}/oracle_sql_local.json")))
+except FileNotFoundError:
+    pass
 # Queries that threw inside Verify (written by Verify as _failed.json).
 # Surfacing these as ERR rows makes a silently-disappearing query
 # impossible: r11/r12 shrank 80 -> 78 rows and no artifact said why.
