@@ -1895,6 +1895,48 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Multi-probe replay: per query, the per-plane margins |q·s_j| are
+    * the same sequential folds as the bucketing; the `probes − 1 = 2`
+    * smallest (ties to the lower plane — the array_sort struct order)
+    * flip bit j of the kernel bucket via xor(bucket, 1 << j). Probe
+    * buckets are pairwise distinct, so the UNION ALL join is the exact
+    * candidate multiset; then the single-probe cosine/rank mechanics.
+    */
+  private val annLshMultiprobeTopKOracle: String = {
+    val planeCols = (0 until 4).map(j => s"${signsSql(j)} AS s$j").mkString(", ")
+    val bucket = (0 until 4)
+      .map(j => s"(CASE WHEN ${dotSql("e", s"s$j")} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val marginRows = (0 until 4)
+      .map(j => s"SELECT query_id, $j AS j, abs(${dotSql("qe", s"s$j")}) AS a" +
+        " FROM q CROSS JOIN p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucket AS bucket
+       |  FROM v CROSS JOIN p),
+       |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket FROM d
+       |  WHERE vec_id < 10),
+       |m AS ($marginRows),
+       |f AS (SELECT query_id, j FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY a, j) AS rn FROM m) WHERE rn <= 2),
+       |qb AS (SELECT query_id, qe, qn, bucket FROM q
+       |  UNION ALL
+       |  SELECT q.query_id, q.qe, q.qn,
+       |    xor(q.bucket, CAST(1 AS BIGINT) << f.j) AS bucket
+       |  FROM q JOIN f ON f.query_id = q.query_id),
+       |s AS (SELECT qb.query_id, d.vec_id AS neighbor_id,
+       |  ${dotSql("qe", "d.e")} / (qn * d.nrm) AS sim
+       |  FROM qb JOIN d ON qb.bucket = d.bucket AND d.vec_id <> qb.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   private val annCosineNearDupOracle: String = {
     val planeCols = (0 until 32).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
     val bucketCols = (0 until 8).map { tt =>
@@ -2499,6 +2541,79 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** One per-subspace PQ Lloyd iteration as oracle CTEs — the DuckDB
+    * replay of [[graft.operators.Similarity.refinePqCodebooks]]:
+    * assign every sample slice to its nearest code by the SAME strict-<
+    * L2 argmin the encode kernel uses (sequential squared-diff fold,
+    * ties to the lower code), then replace each non-empty code's
+    * centroid with the per-dim sequential member sum in vec_id order
+    * divided ONCE by the member count; empty codes keep `prev`'s entry.
+    */
+  private def pqLloydIterSql(i: Int, prev: String): String =
+    s"""pa_$i AS (SELECT s.vec_id, s.e, c.m, c.code,
+       |  ${subDistSql("list_slice(s.e, c.m*16+1, c.m*16+16)", "c.cv")} AS sd
+       |  FROM samp s CROSS JOIN $prev c),
+       |pb_$i AS (SELECT vec_id, e, m, code FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, m ORDER BY sd, code) AS rn FROM pa_$i)
+       |  WHERE rn = 1),
+       |ps_$i AS (SELECT m, code, pp.p AS pos,
+       |  list_reduce(list(e[m*16 + pp.p + 1] ORDER BY vec_id),
+       |    (x, y) -> x + y) AS sm,
+       |  count(*) AS n
+       |  FROM pb_$i CROSS JOIN (SELECT UNNEST(range(16)) AS p) pp
+       |  GROUP BY m, code, pp.p),
+       |pc_$i AS (SELECT c.m, c.code, COALESCE(w.cv, c.cv) AS cv FROM $prev c
+       |  LEFT JOIN (SELECT m, code, list(sm / n ORDER BY pos) AS cv
+       |    FROM ps_$i GROUP BY m, code) w
+       |  ON w.m = c.m AND w.code = c.code)""".stripMargin
+
+  /** [[annIvfPqTopKOracle]] with the codebook CTE replaced by the seed
+    * codebook + 2 [[pqLloydIterSql]] iterations over the vec_id < 256
+    * sample — the bit-exact replay of
+    * [[graft.operators.Similarity.refinePqCodebooks]]'s driver fold.
+    * Coarse centroids stay the un-refined seeds, as in the query.
+    */
+  private val annIvfPqRefinedTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |sub AS (SELECT unnest(range(4)) AS m),
+       |pc_0 AS (SELECT sub.m, v.vec_id AS code,
+       |  list_slice(v.e, sub.m*16+1, sub.m*16+16) AS cv
+       |  FROM v CROSS JOIN sub WHERE v.vec_id < 8),
+       |samp AS (SELECT vec_id, e FROM v WHERE vec_id < 256
+       |  AND len(e) >= 64),
+       |${pqLloydIterSql(1, "pc_0")},
+       |${pqLloydIterSql(2, "pc_1")},
+       |enc0 AS (SELECT v.vec_id, cb.m, cb.code,
+       |  ${subDistSql("list_slice(v.e, cb.m*16+1, cb.m*16+16)", "cb.cv")} AS sd
+       |  FROM v CROSS JOIN pc_2 cb),
+       |enc AS (SELECT vec_id, m, code FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, m ORDER BY sd, code) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |cand AS (SELECT qp.query_id, qp.qe, a.vec_id AS neighbor_id
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |ps AS (SELECT cd.query_id, cd.neighbor_id, enc.m,
+       |  ${subDistSql("list_slice(cd.qe, enc.m*16+1, enc.m*16+16)", "cb.cv")} AS sd
+       |  FROM cand cd JOIN enc ON enc.vec_id = cd.neighbor_id
+       |  JOIN pc_2 cb ON cb.m = enc.m AND cb.code = enc.code),
+       |adc0 AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(sd ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM ps GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val annOutlierScoresOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -2765,6 +2880,7 @@ object Queries {
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
+    "ann_ivfpq_refined_topk" -> annIvfPqRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_splits" -> sampleSplitsOracle,
@@ -2977,6 +3093,7 @@ object Queries {
     "dedup_simhash_drop" -> dedupSimhashDropOracle,
     "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
+    "ann_lsh_multiprobe_topk" -> annLshMultiprobeTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
     "ann_cosine_neardup_capped" -> annCosineNearDupCappedOracle,
     "ann_semdedup" -> annSemDedupOracle,

@@ -67,6 +67,17 @@ object Recall {
         s"lsh_planes$planes" -> topkRecall(Similarity.lshTopK(
           emb, queries, "vec_id", "embedding", k, planes = planes, dim = 64))
       }).toMap
+      // multi-probe: the fix for the single-table cliff at 8 planes —
+      // probes=1 must coincide with lshTopK (spec-pinned), and recall
+      // should climb with the probe budget at fixed index cost
+      val lshMp = (for {
+        planes <- Seq(4, 8)
+        probes <- Seq(1, 2, 4, 8) if probes <= planes
+      } yield {
+        s"lsh_multiprobe_planes${planes}_probes$probes" -> topkRecall(
+          Similarity.lshTopKMultiProbe(emb, queries, "vec_id", "embedding",
+            k, planes = planes, dim = 64, probes = probes))
+      }).toMap
       val ivf = (for (nprobe <- Seq(2, 4, 8, 16)) yield {
         s"ivf_nprobe$nprobe" -> topkRecall(Similarity.ivfTopK(
           emb, queries, "vec_id", "embedding", k, cents, nprobe = nprobe))
@@ -76,7 +87,19 @@ object Recall {
           emb, queries, "vec_id", "embedding", k, cents, nprobe,
           cb, m = 4, numCodes = 8, dsub = 16))
       }).toMap
-      lsh ++ ivf ++ ivfpq
+      // trained codebook (2-iteration per-subspace Lloyd on the
+      // vec_id < 256 sample, the ann_ivfpq_refined_topk configuration)
+      // vs the seed rows above: the r14 file measured 0.05–0.16 —
+      // this row is the proof the training half actually buys recall
+      val cbTrained = Similarity.refinePqCodebooks(
+        emb.filter(col("vec_id") < 256), "vec_id", "embedding", cb,
+        m = 4, numCodes = 8, dsub = 16, iterations = 2)
+      val ivfpqRef = (for (nprobe <- Seq(4, 8, 16)) yield {
+        s"ivfpq_refined_nprobe$nprobe" -> topkRecall(Similarity.ivfPqTopK(
+          emb, queries, "vec_id", "embedding", k, cents, nprobe,
+          cbTrained, m = 4, numCodes = 8, dsub = 16))
+      }).toMap
+      lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

@@ -710,16 +710,33 @@ object Similarity {
     * via LUT/ADC — the scan is O(probed lists) over compressed rows.
     * Keep the raw-vector store ([[writeIvfAssignments]]) alongside when
     * exact re-ranking is needed; this store alone answers ADC top-k.
+    *
+    * `trainIterations > 0` first Lloyd-refines `codebook` over the FULL
+    * corpus via [[refinePqCodebooksDistributed]] (one aggregate pass per
+    * iteration — the corpus never moves) and encodes with the TRAINED
+    * codebook. The `_meta` sidecar records the trained codebook's
+    * fingerprint, so a probe presenting the un-trained seed refuses
+    * instead of silently scoring against mismatched centroids — callers
+    * must probe with the returned codebook.
+    *
+    * @return the codebook the store was actually encoded with (the
+    *         input when `trainIterations == 0`, the refined one
+    *         otherwise) — pass it to [[ivfPqTopKFromStore]].
     */
   def writeIvfPqAssignments(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], codebook: Array[Double],
       storePath: String, m: Int = 4, numCodes: Int = 8,
-      dsub: Int = 16): Unit = {
+      dsub: Int = 16, trainIterations: Int = 0): Array[Double] = {
+    val cb =
+      if (trainIterations > 0)
+        refinePqCodebooksDistributed(df, idCol, vecCol, codebook,
+          m, numCodes, dsub, trainIterations)
+      else codebook
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list",
         least(scoredListStructs(col("v"), centroids): _*).getField("l"))
       .select(col("id"),
-        graft.functions.PqCodes(col("v"), codebook, m, numCodes, dsub)
+        graft.functions.PqCodes(col("v"), cb, m, numCodes, dsub)
           .as("codes"),
         col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
@@ -727,8 +744,9 @@ object Similarity {
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivfpq", Map(
       "numLists" -> centroids.size,
       "centroids_md5" -> vectorSetFingerprint(centroids),
-      "codebook_md5" -> vectorSetFingerprint(Seq(codebook)),
+      "codebook_md5" -> vectorSetFingerprint(Seq(cb)),
       "m" -> m, "numCodes" -> numCodes, "dsub" -> dsub))
+    cb
   }
 
   /** Probe a stored IVFPQ index: same LUT/ADC scoring, tie and top-k
@@ -999,7 +1017,10 @@ object Similarity {
     * distinct, so no candidate dedup pass is needed.
     *
     * Determinism contract: margins are the same sequential [[VecDot]]
-    * folds against the literal sign vectors the bucketing uses; the
+    * folds against the literal sign vectors the bucketing uses,
+    * evaluated over the first `dim` elements (the same prefix
+    * [[graft.functions.HyperplaneBits]] buckets on, so an over-length
+    * vector probes the full set, not just its kernel bucket); the
     * flip order is (|margin| ASC, plane ASC) — both replayable in SQL.
     * A degenerate query vector (null / shorter than `dim` / null
     * element) has null margins; those are filtered, so it probes only
@@ -1021,8 +1042,13 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn")),
       "cv", planes, dim)
+    // slice to the bucketing prefix: HyperplaneBits hashes the first
+    // `dim` elements, so margins must too — an over-length vector would
+    // otherwise get null margins (VecDot requires exact length equality)
+    // and silently degrade to single-probe
     val margins = array((0 until planes).map { j =>
-      struct(abs(dotDouble(col("qv"), lit(planeSigns(j, dim)))).as("a"),
+      struct(abs(dotDouble(slice(col("qv"), 1, dim),
+        lit(planeSigns(j, dim)))).as("a"),
         lit(j).as("j"))
     }: _*)
     val flips = slice(

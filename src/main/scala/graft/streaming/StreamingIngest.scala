@@ -69,7 +69,12 @@ object StreamingIngest {
     val cc = corruptCol.orElse(
       Some(graft.sources.JsonlOptions().corruptCol)
         .filter(raw.columns.contains))
-    val validated = Validation.transform(raw, contract, mode, cc)
+    // validate (not transform): the named observe() rides the same scan
+    // and surfaces the T4 error counters — including `corrupt_record:` —
+    // on every StreamingQueryProgress.observedMetrics, so a malformed
+    // stream is COUNTED, not just dropped (Strict) / nulled (Warn)
+    val validated = Validation.validate(raw, contract, mode,
+      observationName = "ingest", corruptCol = cc).data
     val prepared = graft.sinks.ParquetSink.preparePartitions(validated, partitionCols)
     var w = prepared.writeStream
       .format("parquet")

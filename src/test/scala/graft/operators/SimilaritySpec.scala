@@ -492,4 +492,215 @@ class SimilaritySpec extends SparkSpec {
     Similarity.semDedupPairs(dup, "vec_id", "v", centroids,
       threshold = 0.99, maxListDf = 10).count() shouldBe 0L
   }
+
+  // seeded corpus for the multi-probe tests: smooth deterministic
+  // vectors, dim 8 — small enough that 4-plane buckets hold few
+  // candidates, so the single-probe recall cliff is reproducible
+  private def mpVecs(n: Int) = (0L until n.toLong).map { i =>
+    (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("lshTopKMultiProbe: probes=1 is bit-identical to lshTopK") {
+    val corpus = mpVecs(120)
+    val queries = corpus.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    rows(Similarity.lshTopKMultiProbe(corpus, queries, "vec_id", "embedding",
+      k = 5, planes = 4, dim = 8, probes = 1)) shouldBe
+      rows(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, planes = 4, dim = 8))
+  }
+
+  test("lshTopKMultiProbe: planted near-dup recovered by a flipped probe") {
+    // plant a near-duplicate of each query that lands ACROSS the query's
+    // smallest-margin hyperplane and ONLY that one: shift along the
+    // component of that plane's sign vector orthogonal to every other
+    // plane, so exactly the bit the first probe flips changes. Single-
+    // probe cannot see it (different bucket); probes=2 must.
+    val planes = 4
+    val dim = 8
+    val signs = (0 until planes).map(Similarity.planeSigns(_, dim))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // component of signs(jmin) orthogonal to the span of the others
+    // (Gram–Schmidt on the others, then subtract projections)
+    def orthoDir(jmin: Int): Array[Double] = {
+      val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      for (j <- 0 until planes if j != jmin) {
+        var b = signs(j).clone()
+        basis.foreach { e =>
+          val c = dot(b, e) / dot(e, e)
+          b = b.zip(e).map { case (x, y) => x - c * y }
+        }
+        if (dot(b, b) > 1e-9) basis += b
+      }
+      var u = signs(jmin).map(identity)
+      basis.foreach { e =>
+        val c = dot(u, e) / dot(e, e)
+        u = u.zip(e).map { case (x, y) => x - c * y }
+      }
+      u
+    }
+    val base = (0L until 100L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * 0.37 + j * 1.13).toFloat))
+    }
+    val planted = base.filter(_._1 < 5).map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val margins = signs.map(s => math.abs(dot(v, s)))
+      val jmin = margins.indexOf(margins.min)
+      val d = dot(v, signs(jmin))
+      val u = orthoDir(jmin)
+      // dot(u, s_jmin) = |u|² > 0; cross the plane with an ε to spare,
+      // changing no other plane's dot at all
+      val t = -(2.0 * d + math.signum(d) * 1e-3) / dot(u, u)
+      (id + 1000L, v.zip(u).map { case (a, ui) => (a + t * ui).toFloat })
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    def found(probes: Int) = Similarity.lshTopKMultiProbe(
+      corpus, queries, "vec_id", "embedding",
+      k = 300, planes = planes, dim = dim, probes = probes)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = (0L until 5L).map(i => (i, i + 1000L)).toSet
+    // the planted copy sits in the one bucket the first flip probes:
+    // invisible to single-probe, always a candidate at probes=2
+    found(1).intersect(want) shouldBe Set.empty
+    want.subsetOf(found(2)) shouldBe true
+  }
+
+  test("lshTopKMultiProbe: degenerate and over-length query vectors") {
+    val corpus = mpVecs(120)
+    // shorter than dim: null margins filter out, probes only bucket 0 —
+    // same rows as single-probe for that query
+    val shortQ = Seq((900L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val multi = Similarity.lshTopKMultiProbe(corpus, shortQ,
+      "vec_id", "embedding", k = 200, planes = 4, dim = 8, probes = 3)
+    val single = Similarity.lshTopK(corpus, shortQ,
+      "vec_id", "embedding", k = 200, planes = 4, dim = 8)
+    multi.count() shouldBe single.count()
+    // LONGER than dim: bucketing uses the first `dim` elements, and so
+    // do the margins (the r15 over-length fix) — the extra probes are
+    // real, so the candidate pool strictly grows vs single-probe
+    val longQ = Seq((901L, Array.tabulate(11)(j =>
+      math.sin(0.37 + j * 1.13).toFloat))).toDF("vec_id", "embedding")
+    val mLong = Similarity.lshTopKMultiProbe(corpus, longQ,
+      "vec_id", "embedding", k = 200, planes = 4, dim = 8, probes = 3)
+    val sLong = Similarity.lshTopK(corpus, longQ,
+      "vec_id", "embedding", k = 200, planes = 4, dim = 8)
+    mLong.count() should be > sLong.count()
+  }
+
+  test("refinePqCodebooks: one Lloyd iteration matches the hand computation") {
+    // m=1, dsub=2, 2 codes. Seeds (0,0) and (10,10); members split
+    // cleanly, so the refined centroids are the plain member means.
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 2.0f)),
+      (2L, Array(10.0f, 10.0f)), (3L, Array(10.0f, 12.0f))
+    ).toDF("vec_id", "embedding")
+    val seed = Array(0.0, 0.0, 10.0, 10.0)
+    val out = Similarity.refinePqCodebooks(df, "vec_id", "embedding",
+      seed, m = 1, numCodes = 2, dsub = 2, iterations = 1)
+    out shouldBe Array(0.0, 1.0, 10.0, 11.0)
+    // iterations = 0 is the identity
+    Similarity.refinePqCodebooks(df, "vec_id", "embedding", seed,
+      m = 1, numCodes = 2, dsub = 2, iterations = 0) shouldBe seed
+  }
+
+  test("refinePqCodebooks: empty codes keep their centroid; ties go low") {
+    // every vector is nearest code 0; code 1 must survive untouched
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val seed = Array(0.0, 0.0, 100.0, 100.0)
+    val out = Similarity.refinePqCodebooks(df, "vec_id", "embedding",
+      seed, m = 1, numCodes = 2, dsub = 2, iterations = 1)
+    out.slice(2, 4) shouldBe Array(100.0, 100.0)
+    out.slice(0, 2) shouldBe Array(0.5, 0.0)
+    // exact tie between codes: strict-< keeps the LOWER code, so the
+    // equidistant vector updates code 0, not code 1
+    val tie = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tieSeed = Array(0.0, 0.0, 2.0, 0.0) // both at distance 1
+    val tieOut = Similarity.refinePqCodebooks(tie, "vec_id", "embedding",
+      tieSeed, m = 1, numCodes = 2, dsub = 2, iterations = 1)
+    tieOut shouldBe Array(1.0, 0.0, 2.0, 0.0)
+  }
+
+  test("refinePqCodebooks: training strictly lowers quantization error") {
+    val df = mpVecs(200)
+    val seed = Similarity.seedPqCodebooks(df, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 4)
+    val trained = Similarity.refinePqCodebooks(df, "vec_id", "embedding",
+      seed, m = 2, numCodes = 4, dsub = 4, iterations = 2)
+    def sqErr(cb: Array[Double]): Double = {
+      val vecs = df.orderBy("vec_id").select("embedding")
+        .as[Array[Float]].collect()
+      vecs.map { v =>
+        (0 until 2).map { sub =>
+          (0 until 4).map { code =>
+            (0 until 4).map { i =>
+              val x = v(sub * 4 + i) - cb((sub * 4 + code) * 4 + i)
+              x * x
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    sqErr(trained) should be < sqErr(seed)
+  }
+
+  test("refinePqCodebooksDistributed: behaviorally equals the driver twin") {
+    val df = mpVecs(150)
+    val seed = Similarity.seedPqCodebooks(df, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 4)
+    val driver = Similarity.refinePqCodebooks(df, "vec_id", "embedding",
+      seed, m = 2, numCodes = 4, dsub = 4, iterations = 2)
+    val dist = Similarity.refinePqCodebooksDistributed(df, "vec_id",
+      "embedding", seed, m = 2, numCodes = 4, dsub = 4, iterations = 2)
+    dist.length shouldBe driver.length
+    // partial sums add in partition order, so allow final-ulp drift —
+    // anything larger is a real assignment/mean divergence
+    dist.zip(driver).foreach { case (d, e) => d shouldBe e +- 1e-9 }
+  }
+
+  test("writeIvfPqAssignments(trainIterations): trains, stores, refuses the seed") {
+    val dim = 8
+    val corpus = mpVecs(200)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding",
+      numLists = 4)
+    val seed = Similarity.seedPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 4)
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfpq-train-").toString + "/idx"
+    val trained = Similarity.writeIvfPqAssignments(corpus, "vec_id",
+      "embedding", cents, seed, store, m = 2, numCodes = 4, dsub = 4,
+      trainIterations = 2)
+    // training moved the codebook, and it matches the distributed twin
+    trained should not equal seed
+    val twin = Similarity.refinePqCodebooksDistributed(corpus, "vec_id",
+      "embedding", seed, m = 2, numCodes = 4, dsub = 4, iterations = 2)
+    trained shouldBe twin
+    // probing with the RETURNED codebook works and equals the in-flight
+    // path on the same trained codebook
+    val queries = corpus.filter($"vec_id" < 3)
+    val stored = Similarity.ivfPqTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+      codebook = trained, m = 2, numCodes = 4, dsub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    val direct = Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, centroids = cents, nprobe = 2,
+      codebook = trained, m = 2, numCodes = 4, dsub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    stored shouldBe direct
+    // the _meta sidecar records the TRAINED fingerprint: probing with
+    // the stale seed codebook refuses instead of scoring garbage
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.ivfPqTopKFromStore(spark, store, queries,
+        "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+        codebook = seed, m = 2, numCodes = 4, dsub = 4)
+    e.getMessage should include("codebook_md5")
+  }
 }
