@@ -95,6 +95,13 @@ class StreamingIngestSpec extends SparkSpec {
     back.count() shouldBe 2 // corrupt line counted as an error, not landed
     back.columns should not contain "_corrupt_record"
     back.filter(back("id").isNull).count() shouldBe 0
+    // COUNTED, not just dropped: the T4 observe() rides the streaming
+    // scan and the corrupt_record metric surfaces on query progress
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest")))
+    observed should not be empty
+    observed.map(_.getAs[Long]("corrupt_record:_corrupt_record")).sum shouldBe 1L
+    observed.map(_.getAs[Long]("records")).sum shouldBe 3L
   }
 
   test("streaming dedup keeps first arrival per fingerprint across batches") {
