@@ -433,13 +433,15 @@ object TextAnalysis {
     * — thresholds still order documents correctly. Docs with no tokens
     * yield NULL (rule does not apply), same contract as punctRatio.
     *
-    * Scale shape: gram building is fully MAP-SIDE — one
-    * [[graft.functions.TextShinglesAll]] kernel call per (row, n)
-    * produces every n-gram with multiplicity straight from the text
-    * (no token explode, no window sort), a nested posexplode stacks the
-    * nine sizes, and grams hash to 8 bytes before the one tall
-    * (id, n, gram-hash) count shuffle (the postings-family rule: the
-    * shuffle never carries gram strings). One per-doc rollup after.
+    * Scale shape: gram building is fully MAP-SIDE — ONE
+    * [[graft.functions.TextShinglesHashed]] kernel call per row
+    * tokenizes the text once and emits every (n, xxhash64, charlen)
+    * for all nine sizes with multiplicity, pre-hashed (no token
+    * explode, no window sort, no gram strings EVER materialized — the
+    * r15 formulation re-tokenized per size and allocated each gram to
+    * hash it), then the one tall (id, n, gram-hash) count shuffle
+    * (the postings-family rule: the shuffle never carries gram
+    * strings). One per-doc rollup after.
     * 64-bit collision odds ~|grams per doc|²/2⁶⁴ — the same accepted
     * gamble as every postings join here (the DuckDB oracle groups the
     * strings themselves; a collision surfaces as a hash mismatch, not
@@ -450,29 +452,38 @@ object TextAnalysis {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
     val allNs = topNs ++ dupNs
+    // `total` MUST be computed in its own projection BELOW the explode:
+    // non-generator expressions sharing a select with a generator land
+    // in the Project ABOVE the Generate, i.e. evaluated once per GRAM —
+    // a full-document regex ~400× per doc (measured 1.2 s → 20 s at
+    // sf0.1 when fused into the explode select)
     val tall = df
       .select(col(idCol).as("id"),
         length(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
           .cast("long").as("total"),
-        posexplode(array(allNs.map(n =>
-          graft.functions.TextShinglesAll(col(textCol), n)): _*))
-          .as(Seq("ni", "grams")))
+        col(textCol).as("__text"))
       .select(col("id"), col("total"),
-        (col("ni") + lit(allNs.head)).as("n"), explode(col("grams")).as("g"))
-      .select(col("id"), col("total"), col("n"),
-        xxhash64(col("g")).as("h"),
-        length(col("g")).cast("long").as("len"))
+        explode(graft.functions.TextShinglesHashed(col("__text"), allNs))
+          .as("s"))
+      .select(col("id"), col("total"),
+        col("s.n").as("n"), col("s.h").as("h"), col("s.len").as("len"))
     val counts = tall.groupBy("id", "total", "n", "h")
       .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
       .withColumn("cov", col("c") * col("len"))
-    // top gram = argmax (c, len): lexicographic struct max picks the
-    // highest COUNT first (the published most-frequent-gram rule), the
-    // longer gram only between equal counts (ties there share c·len, so
-    // the coverage is deterministic either way)
+    // top gram = argmax (c, len): highest COUNT first (the published
+    // most-frequent-gram rule), the longer gram only between equal
+    // counts (ties there share c·len, so the coverage is deterministic
+    // either way). The lexicographic max is packed into ONE long —
+    // c·2³¹ + len, order-isomorphic while both < 2³¹ (c and len are
+    // bounded by the doc's char count) — keeping the aggregate a plain
+    // long max instead of an interpreted struct ordering (bench-neutral
+    // at sf0.1 where the kernel dominates, but it stays inside codegen)
     val perN = counts.groupBy("id", "total", "n").agg(
-      max(struct(col("c"), col("len"))).as("m"),
+      max(col("c") * lit(1L << 31) + col("len")).as("m"),
       sum(when(col("c") >= 2, col("cov")).otherwise(0L)).as("dup_cov"))
-      .withColumn("top_cov", col("m.c") * col("m.len")).drop("m")
+      .withColumn("top_cov",
+        shiftright(col("m"), 31) * (col("m").bitwiseAND(lit((1L << 31) - 1))))
+      .drop("m")
     def frac(cov: Column): Column =
       cov.cast("double") / when(col("total") > 0, col("total").cast("double"))
     val aggCols =

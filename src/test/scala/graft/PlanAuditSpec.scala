@@ -116,13 +116,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("n-gram repetition: map-side kernel gram build — no window sort, no gram strings shuffled") {
     val p = plan("text_repetition_ngrams")
-    // grams come from the TextShinglesAll kernel inside projection
-    // chains, never from a posexplode + lead() window (a per-document
-    // sort the operator doesn't need)
-    p should include("textshinglesall")
+    // grams come from the fused TextShinglesHashed kernel (one
+    // tokenize per row, all nine sizes pre-hashed in the kernel),
+    // never from a posexplode + lead() window (a per-document sort the
+    // operator doesn't need) and never as materialized gram strings
+    p should include("textshingleshashed")
     p should not include "Window"
-    // the count shuffle carries the 8-byte gram hash, not the string
-    p should include("xxhash64")
     p should include("HashAggregate")
     p should not include "CartesianProduct"
   }

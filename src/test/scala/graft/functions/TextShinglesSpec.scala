@@ -69,4 +69,38 @@ class TextShinglesSpec extends SparkSpec {
       .select(TextShinglesAll(col("text"), 3).as("g"))
       .collect().head.getSeq[String](0) shouldBe empty
   }
+
+  test("TextShinglesHashed: bit-identical to xxhash64/length of the string grams") {
+    // the fused kernel must produce EXACTLY the rows the unfused
+    // formulation (per-size TextShinglesAll → xxhash64(g), length(g))
+    // yields — same hashes (same UTF-8 bytes, seed 42), same char
+    // lengths (code points, not bytes — the Ümläut doc catches a
+    // byte-length bug), same multiplicity, across all sizes at once
+    val ns = Seq(2, 3, 4, 5)
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "\tleading tab then words tab\there",
+      "a a a a a a",
+      "one two",
+      "",
+      "Üñïçôdé TEXT with Ümläuts and ßharp s here",
+      "x y z x y z x y z"
+    ).toDF("text")
+    val fused = df.select(
+        explode(TextShinglesHashed(col("text"), ns)).as("s"))
+      .select(col("s.n"), col("s.h"), col("s.len"))
+      .as[(Int, Long, Long)].collect().sorted
+    val unfused = ns.map { n =>
+      df.select(explode(TextShinglesAll(col("text"), n)).as("g"))
+        .select(lit(n).as("n"), xxhash64(col("g")).as("h"),
+          org.apache.spark.sql.functions.length(col("g"))
+            .cast("long").as("len"))
+        .as[(Int, Long, Long)].collect()
+    }.reduce(_ ++ _).sorted
+    fused shouldBe unfused
+    // null text → empty (no rows), matching the per-size kernels
+    Seq(Option.empty[String]).toDF("text")
+      .select(explode(TextShinglesHashed(col("text"), ns)))
+      .count() shouldBe 0L
+  }
 }
