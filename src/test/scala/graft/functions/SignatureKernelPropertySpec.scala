@@ -56,4 +56,19 @@ class SignatureKernelPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().sorted
     kernel shouldBe legacy
   }
+
+  test("TextShinglesHashed matches per-size TextShinglesAll + xxhash64/length on random text") {
+    val ns = Seq(2, 3, 5, 9)
+    val fused = docs.select($"id",
+        explode(TextShinglesHashed($"text", ns)).as("s"))
+      .select($"id", $"s.n", $"s.h", $"s.len")
+      .as[(Long, Int, Long, Long)].collect().sorted
+    val unfused = ns.map { n =>
+      docs.select($"id", explode(TextShinglesAll($"text", n)).as("g"))
+        .select($"id", lit(n).as("n"), xxhash64($"g").as("h"),
+          org.apache.spark.sql.functions.length($"g").cast("long").as("len"))
+        .as[(Long, Int, Long, Long)].collect()
+    }.reduce(_ ++ _).sorted
+    fused shouldBe unfused
+  }
 }
