@@ -1163,6 +1163,37 @@ object Queries {
       codebook = cb, m = 4, numCodes = 8, dsub = 16)
   }
 
+  /** IVFPQ through a TRAINED persisted index: the driver-twin Lloyd
+    * refinement (bit-replayable, vec_id < 256 sample, 2 iterations)
+    * produces the codebook, the store is built and `_meta`-fingerprinted
+    * with it, and the probe presents the same trained codebook. Codes
+    * are ints and round-trip the store exactly, so the SAME oracle as
+    * ann_ivfpq_refined_topk checks the whole build→store→probe path.
+    * (The distributed training twin is exercised by
+    * `writeIvfPqAssignments(trainIterations)` in SimilaritySpec — its
+    * partition-order float sums are deliberately NOT oracle material.)
+    */
+  def annIvfPqStoreTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val seed = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    val cb = graft.operators.Similarity.refinePqCodebooks(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding", seed,
+      m = 4, numCodes = 8, dsub = 16, iterations = 2)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_trained_store_").toString
+    graft.operators.Similarity.writeIvfPqAssignments(
+      emb, "vec_id", "embedding", cents, cb, store,
+      m = 4, numCodes = 8, dsub = 16)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.ivfPqTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
   /** IVF ANN over k-means-REFINED centroids: the 16 seeds (vec_id < 16)
     * Lloyd-refined for 2 iterations on the deterministic vec_id < 256
     * sample, then the same probe/top-k mechanics as ann_ivf_topk. The
@@ -1637,6 +1668,7 @@ object Queries {
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
+    "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
     "ann_ivfpq_refined_topk" -> annIvfPqRefinedTopK _,
     "ann_outlier_scores" -> annOutlierScores _,
@@ -2881,6 +2913,9 @@ object Queries {
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,
     "ann_ivf_refined_topk" -> annIvfRefinedTopKOracle,
     "ann_ivfpq_refined_topk" -> annIvfPqRefinedTopKOracle,
+    // trained store round trip is value-exact (int codes), so the
+    // in-flight refined oracle checks the build→store→probe path too
+    "ann_ivfpq_store_trained_topk" -> annIvfPqRefinedTopKOracle,
     "ann_outlier_scores" -> annOutlierScoresOracle,
     "sample_bernoulli" -> sampleBernoulliOracle,
     "sample_splits" -> sampleSplitsOracle,
