@@ -129,6 +129,61 @@ object Similarity {
     nearDupPairsFromBuckets(base, bucketed, threshold)
   }
 
+  /** Collision probability of two vectors with cosine `c` in ONE
+    * `planes`-bit random-hyperplane bucket: (1 − θ/π)^planes with
+    * θ = arccos(c) (Goemans–Williamson / Charikar 2002). The
+    * hyperplane-LSH analog of [[Dedup.lshRecall]]'s per-band j^r.
+    */
+  def hyperplaneCollisionProb(planes: Int, cosine: Double): Double = {
+    require(planes >= 1, s"planes must be >= 1: $planes")
+    require(cosine >= -1.0 && cosine <= 1.0,
+      s"cosine must be in [-1,1]: $cosine")
+    math.pow(1.0 - math.acos(cosine) / math.Pi, planes)
+  }
+
+  /** Candidate recall of `tables` OR-amplified `planes`-bit bucketings
+    * at cosine `c`: 1 − (1 − p)^tables — what [[cosineNearDupPairs]]
+    * achieves BEFORE its exact-cosine verify (which keeps precision at
+    * 1.0 regardless). The default 4×8 gives ≈ 0.98 at c = 0.8, matching
+    * the measured `tau0.8_planted` pair recall in RECALL_r{N}.json.
+    */
+  def lshTableRecall(planes: Int, tables: Int, cosine: Double): Double = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
+    1.0 - math.pow(1.0 - hyperplaneCollisionProb(planes, cosine), tables)
+  }
+
+  /** Pick (planes, tables) for an embedding near-dup pass: the LARGEST
+    * plane count (smallest buckets → fewest spurious candidates in the
+    * Σdf² self-join) whose OR-amplified recall at `threshold` still
+    * reaches `targetRecall` within `maxTables` tables, and the smallest
+    * table count that gets there. The hyperplane analog of
+    * [[Dedup.lshBandPlan]]: exact verify keeps precision at 1.0, so the
+    * plan trades candidate volume against key-store size (tables keys
+    * per vector — a store is bound to the plan that wrote it, and the
+    * `_meta` sidecar refuses a re-planned probe). Driver-side
+    * arithmetic; feed the result to [[cosineNearDupPairs]] /
+    * [[embeddingBucketKeys]].
+    */
+  def lshTablePlan(threshold: Double, targetRecall: Double,
+      maxPlanes: Int = 16, maxTables: Int = 64): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1,1): $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1): $targetRecall")
+    val plans = for {
+      planes <- maxPlanes to 1 by -1
+      p = hyperplaneCollisionProb(planes, threshold)
+      if p > 0.0
+      // smallest t with 1-(1-p)^t >= target  ⇔  t >= ln(1-target)/ln(1-p)
+      t = math.ceil(math.log1p(-targetRecall) / math.log1p(-p)).toInt.max(1)
+      if t <= maxTables
+    } yield (planes, t)
+    require(plans.nonEmpty,
+      s"no (planes <= $maxPlanes, tables <= $maxTables) plan reaches " +
+        s"recall $targetRecall at cosine $threshold")
+    plans.head
+  }
+
   /** (id, bk) multi-table bucket keys of a (id, v) frame — the shared
     * first stage of every embedding near-dup pipeline. Bucket of table t
     * uses plane seeds [t*planes, (t+1)*planes); ONE HyperplaneBits kernel

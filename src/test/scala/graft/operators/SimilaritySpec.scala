@@ -493,6 +493,33 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.99, maxListDf = 10).count() shouldBe 0L
   }
 
+  test("hyperplane LSH planning: closed forms and plan selection") {
+    // one plane at cosine 0 (θ = π/2): collision probability exactly 1/2
+    Similarity.hyperplaneCollisionProb(1, 0.0) shouldBe 0.5 +- 1e-12
+    // identical vectors always collide; opposite never do
+    Similarity.hyperplaneCollisionProb(4, 1.0) shouldBe 1.0 +- 1e-12
+    Similarity.hyperplaneCollisionProb(4, -1.0) shouldBe 0.0 +- 1e-12
+    // more planes → smaller buckets → lower per-table collision
+    Similarity.hyperplaneCollisionProb(8, 0.8) should be <
+      Similarity.hyperplaneCollisionProb(4, 0.8)
+    // OR amplification is monotone in tables and consistent with the
+    // measured near-dup configuration: 4×8 at c=0.8 sits near 0.98
+    // (RECALL_r16 measured pair recall 1.0 on planted cos≈0.999 dups)
+    val r48 = Similarity.lshTableRecall(4, 8, 0.8)
+    r48 should be > 0.95
+    Similarity.lshTableRecall(4, 16, 0.8) should be > r48
+    // plan: largest planes whose table count fits, minimal tables —
+    // and the returned plan actually meets the target
+    val (planes, tables) = Similarity.lshTablePlan(0.8, 0.95,
+      maxPlanes = 16, maxTables = 64)
+    Similarity.lshTableRecall(planes, tables, 0.8) should be >= 0.95
+    if (tables > 1)
+      Similarity.lshTableRecall(planes, tables - 1, 0.8) should be < 0.95
+    // an unreachable target refuses instead of silently under-planning
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.lshTablePlan(0.1, 0.9999, maxPlanes = 16, maxTables = 2)
+  }
+
   // seeded corpus for the multi-probe tests: smooth deterministic
   // vectors, dim 8 — small enough that 4-plane buckets hold few
   // candidates, so the single-probe recall cliff is reproducible
