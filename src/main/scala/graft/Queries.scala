@@ -885,6 +885,23 @@ object Queries {
       .select("vec_id")
   }
 
+  /** Multi-probe semantic decontamination at HALF the tables (4×4,
+    * probes=2 vs the base path's 4×8): the corpus is hashed/exploded
+    * half as much, the benchmark side probes its kernel bucket plus the
+    * smallest-margin flip per table. The oracle replays the per-table
+    * margin argmin (ties → lower plane), the single bit flip, and the
+    * OR-of-probed-bucket candidate test bit-exactly from the same sign
+    * literals.
+    */
+  def annDecontaminateMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Decontaminate.dropNearBenchmarkEmbeddingsMultiProbe(
+      e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+      "vec_id", "embedding", threshold = 0.4, planes = 4, tables = 4,
+      probes = 2)
+      .select("vec_id")
+  }
+
   /** Deterministic Bernoulli sample: shuffle-free hash filter; the
     * oracle replays the identical hash + threshold, so the sampled SET
     * (not just its size) is checked.
@@ -1662,6 +1679,7 @@ object Queries {
     "ann_cosine_neardup_capped" -> annCosineNearDupCapped _,
     "ann_semdedup" -> annSemDedup _,
     "ann_decontaminate" -> annDecontaminate _,
+    "ann_decontaminate_multiprobe" -> annDecontaminateMultiprobe _,
     "ann_neardup_incremental" -> annNearDupIncremental _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_store_topk" -> annIvfStoreTopK _,
@@ -2110,6 +2128,51 @@ object Queries {
        |  FROM v CROSS JOIN p),
        |hits AS (SELECT DISTINCT x.vec_id
        |  FROM d x JOIN d y ON x.vec_id >= 25 AND y.vec_id < 25
+       |    AND ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
+       |SELECT vec_id FROM v
+       |WHERE vec_id >= 25 AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
+  }
+
+  /** Multi-probe decontamination replay (4 tables × 4 planes,
+    * probes=2): per table, the benchmark row's flip bucket is its
+    * kernel bucket with the argmin-|margin| bit (ties → lower plane)
+    * flipped; a corpus row is a candidate when its single key matches
+    * the benchmark's kernel OR flip bucket in ANY table.
+    */
+  private val annDecontaminateMultiprobeOracle: String = {
+    val planeCols = (0 until 16).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 4).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val marginCols = (0 until 4).flatMap { tt =>
+      (0 until 4).map(pp =>
+        s"abs(${dotSql("e", s"s${tt * 4 + pp}")}) AS m${tt}_$pp")
+    }.mkString(",\n  ")
+    val flipCols = (0 until 4).map { tt =>
+      val m = (0 until 4).map(pp => s"m${tt}_$pp")
+      s"""xor(b$tt, CAST(1 AS BIGINT) << (CASE
+         |    WHEN ${m(0)} <= ${m(1)} AND ${m(0)} <= ${m(2)} AND ${m(0)} <= ${m(3)} THEN 0
+         |    WHEN ${m(1)} <= ${m(2)} AND ${m(1)} <= ${m(3)} THEN 1
+         |    WHEN ${m(2)} <= ${m(3)} THEN 2 ELSE 3 END)) AS f$tt""".stripMargin
+    }.mkString(",\n  ")
+    val anyBucket = (0 until 4)
+      .map(tt => s"(x.b$tt = y.b$tt OR x.b$tt = y.f$tt)").mkString(" OR ")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols,
+       |  $marginCols
+       |  FROM v CROSS JOIN p),
+       |bq AS (SELECT *,
+       |  $flipCols
+       |  FROM d WHERE vec_id < 25),
+       |hits AS (SELECT DISTINCT x.vec_id
+       |  FROM d x JOIN bq y ON x.vec_id >= 25
        |    AND ($anyBucket)
        |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
        |SELECT vec_id FROM v
@@ -3133,6 +3196,7 @@ object Queries {
     "ann_cosine_neardup_capped" -> annCosineNearDupCappedOracle,
     "ann_semdedup" -> annSemDedupOracle,
     "ann_decontaminate" -> annDecontaminateOracle,
+    "ann_decontaminate_multiprobe" -> annDecontaminateMultiprobeOracle,
     "ann_neardup_incremental" -> annNearDupIncrementalOracle,
     "csv_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,

@@ -152,4 +152,72 @@ object Decontaminate {
       .distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** MULTI-PROBE semantic decontamination (Lv et al. 2007 applied to the
+    * benchmark side): the corpus keeps exactly ONE bucket key per
+    * (row, table) — the side whose hashing/explode volume matters at
+    * 100 TB — while each BENCHMARK vector additionally probes, per
+    * table, the `probes − 1` buckets reached by flipping its
+    * smallest-|margin| sign bits within that table. Table-recall per
+    * pair rises from (1−θ/π)^planes toward the multi-probe union, so
+    * `tables` can shrink ~probes× at equal recall: probes multiply only
+    * the BROADCAST side (|benchmark|·tables·probes rows), the corpus
+    * plan is byte-for-byte the single-probe one.
+    *
+    * Determinism contract: per-table margins are the same sequential
+    * [[graft.functions.VecDot]] folds over the first `dim` elements the
+    * bucketing hashes; flip order within a table is (|margin| ASC,
+    * plane ASC); probe buckets are pairwise distinct per table.
+    * `probes = 1` is bit-identical to [[dropNearBenchmarkEmbeddings]].
+    */
+  def dropNearBenchmarkEmbeddingsMultiProbe(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 4,
+      tables: Int = 4,
+      dim: Int = 64,
+      probes: Int = 2): DataFrame = {
+    require(probes >= 1 && probes <= planes,
+      s"probes must be in [1, planes=$planes]: $probes")
+    import Similarity.{dotDouble, norm, planeSigns}
+    val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("__bits",
+        graft.functions.HyperplaneBits(col("cv"), allSigns, planes))
+      .select(col("cid"), col("cv"), posexplode(col("__bits")).as(Seq("t", "b")))
+      .select(col("cid"), col("cv"), concat_ws(":", col("t"), col("b")).as("bk"))
+      .withColumn("cn", norm(col("cv")))
+    val perTable = (0 until tables).map { t =>
+      val margins = array((0 until planes).map { p =>
+        struct(abs(dotDouble(slice(col("bv"), 1, dim),
+          lit(planeSigns(t * planes + p, dim)))).as("a"), lit(p).as("p"))
+      }: _*)
+      val flips = slice(
+        array_sort(filter(margins, x => x.getField("a").isNotNull)),
+        1, probes - 1)
+      val b0 = element_at(col("__bits"), t + 1)
+      struct(lit(t).as("t"),
+        concat(array(b0), transform(flips, x => b0.bitwiseXOR(
+          pow(lit(2.0), x.getField("p")).cast("long")))).as("bs"))
+    }
+    val bmk = benchmark.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+      .withColumn("__bits",
+        graft.functions.HyperplaneBits(col("bv"), allSigns, planes))
+      .withColumn("bn", norm(col("bv")))
+      .select(col("bid"), col("bv"), col("bn"),
+        explode(array(perTable: _*)).as("tb"))
+      .select(col("bid"), col("bv"), col("bn"), col("tb.t").as("t"),
+        explode(col("tb.bs")).as("b"))
+      .select(col("bid"), col("bv"), col("bn"),
+        concat_ws(":", col("t"), col("b")).as("bk"))
+    val hits = c.join(broadcast(bmk), Seq("bk"))
+      .filter(dotDouble(col("cv"), col("bv")) / (col("cn") * col("bn"))
+        >= threshold)
+      .select(col("cid").as(idCol))
+      .distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -82,4 +82,67 @@ class DecontaminateSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
   }
+
+  test("multi-probe embedding decontamination: probes=1 ≡ single-probe; flip recovers a cross-plane leak") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // probes=1 must be bit-identical to the base path at equal config
+    val n = 80
+    val corp = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13).toFloat))
+    }.toDF("id", "v")
+    val bmk = corp.filter($"id" < 5)
+      .select(($"id" + 500).as("id"), $"v")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().sorted
+    ids(Decontaminate.dropNearBenchmarkEmbeddingsMultiProbe(
+      corp, bmk, "id", "v", threshold = 0.4,
+      planes = 4, tables = 3, dim = 8, probes = 1)) shouldBe
+      ids(Decontaminate.dropNearBenchmarkEmbeddings(
+        corp, bmk, "id", "v", threshold = 0.4,
+        planes = 4, tables = 3, dim = 8))
+    // single-table plant: corpus vector = benchmark vector shifted
+    // across ONLY its smallest-margin plane (shift orthogonal to the
+    // other three sign vectors) — invisible at probes=1 (different
+    // bucket, cosine ≈ 1 never verified), caught at probes=2
+    val planes = 4
+    val dim = 8
+    val signs = (0 until planes).map(Similarity.planeSigns(_, dim))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def orthoDir(jmin: Int): Array[Double] = {
+      val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      for (j <- 0 until planes if j != jmin) {
+        var b = signs(j).clone()
+        basis.foreach { e =>
+          val c = dot(b, e) / dot(e, e)
+          b = b.zip(e).map { case (x, y) => x - c * y }
+        }
+        if (dot(b, b) > 1e-9) basis += b
+      }
+      var u = signs(jmin).map(identity)
+      basis.foreach { e =>
+        val c = dot(u, e) / dot(e, e)
+        u = u.zip(e).map { case (x, y) => x - c * y }
+      }
+      u
+    }
+    val bv = Array.tabulate(dim)(j => math.sin(7 * 0.37 + j * 1.13))
+    val margins = signs.map(s => math.abs(dot(bv, s)))
+    val jmin = margins.indexOf(margins.min)
+    val d0 = dot(bv, signs(jmin))
+    val u = orthoDir(jmin)
+    val t = -(2.0 * d0 + math.signum(d0) * 1e-3) / dot(u, u)
+    val leaked = bv.zip(u).map { case (a, ui) => (a + t * ui).toFloat }
+    val corp2 = Seq((1L, leaked),
+      (2L, Array.tabulate(dim)(j => math.cos(j * 2.3).toFloat))).toDF("id", "v")
+    val bmk2 = Seq((900L, bv.map(_.toFloat))).toDF("id", "v")
+    def kept(probes: Int) = ids(
+      Decontaminate.dropNearBenchmarkEmbeddingsMultiProbe(
+        corp2, bmk2, "id", "v", threshold = 0.9,
+        planes = planes, tables = 1, dim = dim, probes = probes))
+    kept(1) should contain(1L) // leak survives single-probe
+    kept(2) should not contain 1L // the flip probe catches it
+    kept(2) should contain(2L) // unrelated vector still kept
+  }
 }
