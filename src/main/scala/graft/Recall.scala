@@ -180,6 +180,38 @@ object Recall {
         planted2, "vec_id", "embedding", threshold = 0.8,
         planes = 4, tables = 8, dim = 64)))
 
+    // Decontamination recall: fraction of corpus rows TRULY within τ of
+    // any benchmark vector that each LSH configuration actually drops.
+    // The row the multi-probe operator exists for: 4 tables + 2 probes
+    // should sit near 8 tables single-probe (same candidate-bucket
+    // budget, HALF the corpus-side keys) and above 4 tables alone.
+    val dBench = emb.filter(col("vec_id") < 50)
+    val dCorpus = emb.filter(col("vec_id") >= 50)
+    val trueHits = graft.core.CacheScope.persist(
+      dCorpus.select(col("vec_id"), col("embedding").as("cv"),
+          Similarity.norm(col("embedding")).as("cn"))
+        .join(broadcast(dBench.select(col("embedding").as("bv"),
+          Similarity.norm(col("embedding")).as("bn"))))
+        .filter(Similarity.dotDouble(col("cv"), col("bv")) /
+          (col("cn") * col("bn")) >= 0.4)
+        .select("vec_id").distinct())
+    val nTrueHits = trueHits.count()
+    def deconRecall(tables: Int, probes: Int): Double = {
+      if (nTrueHits == 0) return 1.0
+      val kept = graft.operators.Decontaminate
+        .dropNearBenchmarkEmbeddingsMultiProbe(dCorpus, dBench,
+          "vec_id", "embedding", threshold = 0.4,
+          planes = 4, tables = tables, dim = 64, probes = probes)
+      val dropped = dCorpus.select("vec_id")
+        .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+      dropped.join(trueHits, Seq("vec_id"), "left_semi").count()
+        .toDouble / nTrueHits
+    }
+    val decon = Map(
+      "t8_p1" -> deconRecall(8, 1),
+      "t4_p1" -> deconRecall(4, 1),
+      "t4_p2" -> deconRecall(4, 2))
+
     def fmt(d: Double) = Bench.fmt(d, 4)
     def obj(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (kk, v) => "\"" + kk + "\":" + fmt(v) }
@@ -192,7 +224,9 @@ object Recall {
         s""""topk_recall":$topk,""" +
         s""""pair_recall":{""" +
         s""""tau0.4":{"n_exact_pairs":$nPairs04,${obj(rec04).drop(1)},""" +
-        s""""tau0.8_planted":{"n_exact_pairs":$nPairs08,${obj(rec08).drop(1)}}}"""
+        s""""tau0.8_planted":{"n_exact_pairs":$nPairs08,${obj(rec08).drop(1)}},""" +
+        s""""decon_recall":{""" +
+        s""""tau0.4":{"n_true_hits":$nTrueHits,${obj(decon).drop(1)}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
