@@ -158,6 +158,18 @@ class PlanAuditSpec extends SparkSpec {
     read should not include "n_chars"
   }
 
+  test("multi-probe decontamination: benchmark broadcast, corpus hashed once") {
+    val p = plan("ann_decontaminate_multiprobe")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // probes multiply only the benchmark side: the corpus contributes
+    // exactly ONE posexplode of its per-table kernel buckets — the
+    // probe fan-out (explode of flip-bucket arrays) must never land on
+    // the corpus branch. 3 Generates total: corpus buckets, benchmark
+    // per-table probe structs, benchmark per-table bucket lists.
+    "Generate".r.findAllIn(p).length shouldBe 3
+  }
+
   test("sequence packing shuffles on the group key only, bounded times") {
     val p = plan("text_pack")
     // running-sum window + per-(group, seq) reassembly: the offset
