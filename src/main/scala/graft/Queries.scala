@@ -872,6 +872,33 @@ object Queries {
       .select("vec_id")
   }
 
+  /** Incremental embedding dedup against a HALF-SIZE store (4 tables vs
+    * the base query's 8) with the batch multi-probing its
+    * smallest-margin flip bucket per table (probes=2): the persisted
+    * (id, bk) store holds half the keys, the batch side recovers the
+    * recall. Same corpus/batch construction as ann_neardup_incremental;
+    * the oracle replays the 4 bucketings, the per-table margin argmin +
+    * flip on the batch side, the within-batch recursive CC (single-probe
+    * — the self-join is symmetric), and the exact-cosine verify.
+    */
+  def annNearDupIncrementalMultiprobe(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = e.filter(col("vec_id") < 250)
+    val store = graft.operators.Similarity.embeddingBucketKeys(
+      corpus, "vec_id", "embedding", planes = 4, tables = 4)
+    val batch = e.filter(col("vec_id") >= 250)
+      .union(e.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      .union(e.filter(col("vec_id") < 15)
+        .select((col("vec_id") + 30000).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    graft.operators.Similarity.dropNearCorpusEmbeddings(
+      batch, "vec_id", "embedding", store, corpus,
+      threshold = 0.4, planes = 4, tables = 4, probes = 2)
+      .select("vec_id")
+  }
+
   /** Semantic decontamination: vec_id < 25 is the held-out benchmark;
     * corpus rows (vec_id >= 25) within 0.4 cosine of any benchmark
     * vector drop. The oracle replays all 8 LSH bucketings from the same
@@ -1681,6 +1708,7 @@ object Queries {
     "ann_decontaminate" -> annDecontaminate _,
     "ann_decontaminate_multiprobe" -> annDecontaminateMultiprobe _,
     "ann_neardup_incremental" -> annNearDupIncremental _,
+    "ann_neardup_incremental_multiprobe" -> annNearDupIncrementalMultiprobe _,
     "ann_ivf_topk" -> annIvfTopK _,
     "ann_ivf_store_topk" -> annIvfStoreTopK _,
     "ann_pq_topk" -> annPqTopK _,
@@ -2105,6 +2133,66 @@ object Queries {
        |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src),
        |hits AS (SELECT DISTINCT x.vec_id
        |  FROM bat x JOIN corp y ON ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
+       |SELECT vec_id FROM bat
+       |WHERE vec_id NOT IN (SELECT id FROM losers)
+       |  AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin
+  }
+
+  /** Multi-probe incremental replay (4 tables × 4 planes, probes=2):
+    * within-batch pairs keep the symmetric single-key test; the
+    * store-hit test lets the BATCH row x match the corpus key y.b_t
+    * against x's kernel bucket OR its argmin-|margin| flip per table.
+    */
+  private val annNearDupIncrementalMultiprobeOracle: String = {
+    val planeCols = (0 until 16).map(j => s"${signsSql(j)} AS s$j").mkString(",\n  ")
+    val bucketCols = (0 until 4).map { tt =>
+      val bits = (0 until 4)
+        .map(pp => s"(CASE WHEN ${dotSql("e", s"s${tt * 4 + pp}")} > 0 THEN ${1L << pp} ELSE 0 END)")
+        .mkString(" + ")
+      s"($bits) AS b$tt"
+    }.mkString(",\n  ")
+    val marginCols = (0 until 4).flatMap { tt =>
+      (0 until 4).map(pp =>
+        s"abs(${dotSql("e", s"s${tt * 4 + pp}")}) AS m${tt}_$pp")
+    }.mkString(",\n  ")
+    val flipCols = (0 until 4).map { tt =>
+      val m = (0 until 4).map(pp => s"m${tt}_$pp")
+      s"""xor(b$tt, CAST(1 AS BIGINT) << (CASE
+         |    WHEN ${m(0)} <= ${m(1)} AND ${m(0)} <= ${m(2)} AND ${m(0)} <= ${m(3)} THEN 0
+         |    WHEN ${m(1)} <= ${m(2)} AND ${m(1)} <= ${m(3)} THEN 1
+         |    WHEN ${m(2)} <= ${m(3)} THEN 2 ELSE 3 END)) AS f$tt""".stripMargin
+    }.mkString(",\n  ")
+    val anyBucket = (0 until 4).map(tt => s"x.b$tt = y.b$tt").mkString(" OR ")
+    val anyProbe = (0 until 4)
+      .map(tt => s"(y.b$tt = x.b$tt OR y.b$tt = x.f$tt)").mkString(" OR ")
+    s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |all0 AS (SELECT vec_id, e FROM v
+       |  UNION ALL SELECT vec_id + 10000, e FROM v WHERE vec_id < 25
+       |  UNION ALL SELECT vec_id + 30000, list_transform(e, x -> -x)
+       |    FROM v WHERE vec_id < 15),
+       |p AS (SELECT $planeCols),
+       |d AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm,
+       |  $bucketCols,
+       |  $marginCols
+       |  FROM all0 CROSS JOIN p),
+       |corp AS (SELECT * FROM d WHERE vec_id < 250),
+       |bat AS (SELECT *,
+       |  $flipCols
+       |  FROM d WHERE vec_id >= 250),
+       |pp AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bat x JOIN bat y ON x.vec_id < y.vec_id AND ($anyBucket)
+       |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4),
+       |eg AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |  UNION SELECT id_b, id_a FROM pp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM eg
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN eg e2 ON r.dst = e2.src),
+       |losers AS (SELECT DISTINCT src AS id FROM reach WHERE dst < src),
+       |hits AS (SELECT DISTINCT x.vec_id
+       |  FROM bat x JOIN corp y ON ($anyProbe)
        |  WHERE ${dotSql("x.e", "y.e")} / (x.nrm * y.nrm) >= 0.4)
        |SELECT vec_id FROM bat
        |WHERE vec_id NOT IN (SELECT id FROM losers)
@@ -3198,6 +3286,8 @@ object Queries {
     "ann_decontaminate" -> annDecontaminateOracle,
     "ann_decontaminate_multiprobe" -> annDecontaminateMultiprobeOracle,
     "ann_neardup_incremental" -> annNearDupIncrementalOracle,
+    "ann_neardup_incremental_multiprobe" ->
+      annNearDupIncrementalMultiprobeOracle,
     "csv_roundtrip" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
         |source, n_chars FROM documents""".stripMargin,

@@ -184,6 +184,42 @@ object Similarity {
     plans.head
   }
 
+  /** (id, bk) multi-table MULTI-PROBE bucket keys of a (id, v) frame:
+    * per table, the kernel bucket plus the `probes − 1` buckets reached
+    * by flipping that table's smallest-|margin| sign bits (ties → lower
+    * plane) — the query/batch-side key set that lets a single-key store
+    * run `~probes×` fewer tables at equal recall (Lv et al. 2007).
+    * Margins are the same sequential [[graft.functions.VecDot]] folds
+    * over the first `dim` elements the bucketing hashes; probe buckets
+    * are pairwise distinct per table. `probes = 1` emits exactly the
+    * single-probe keys.
+    */
+  private[operators] def multiProbeKeys(base: DataFrame, planes: Int,
+      tables: Int, dim: Int, probes: Int): DataFrame = {
+    require(probes >= 1 && probes <= planes,
+      s"probes must be in [1, planes=$planes]: $probes")
+    val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
+    val perTable = (0 until tables).map { t =>
+      val margins = array((0 until planes).map { p =>
+        struct(abs(dotDouble(slice(col("v"), 1, dim),
+          lit(planeSigns(t * planes + p, dim)))).as("a"), lit(p).as("p"))
+      }: _*)
+      val flips = slice(
+        array_sort(filter(margins, x => x.getField("a").isNotNull)),
+        1, probes - 1)
+      val b0 = element_at(col("__bits"), t + 1)
+      struct(lit(t).as("t"),
+        concat(array(b0), transform(flips, x => b0.bitwiseXOR(
+          pow(lit(2.0), x.getField("p")).cast("long")))).as("bs"))
+    }
+    base
+      .withColumn("__bits",
+        graft.functions.HyperplaneBits(col("v"), allSigns, planes))
+      .select(col("id"), explode(array(perTable: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), explode(col("tb.bs")).as("b"))
+      .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
+  }
+
   /** (id, bk) multi-table bucket keys of a (id, v) frame — the shared
     * first stage of every embedding near-dup pipeline. Bucket of table t
     * uses plane seeds [t*planes, (t+1)*planes); ONE HyperplaneBits kernel
@@ -954,13 +990,19 @@ object Similarity {
       planes: Int = 8,
       tables: Int = 8,
       dim: Int = 64,
-      maxBucketDf: Int = 0
+      maxBucketDf: Int = 0,
+      probes: Int = 1
   ): DataFrame = {
     // ONE HyperplaneBits pass over the batch: in-batch clustering and the
     // store join both read this bucket table (the survivor slice is an id
     // semi-join, not a re-hash of the surviving vectors) — the same
     // shared-first-stage shape as Dedup.dropNearDuplicatesIncremental's
     // shAll/bandsAll.
+    // `probes > 1` multi-probes the STORE join only (the batch probes
+    // its smallest-margin flip buckets per table, so the PERSISTED store
+    // can run ~probes× fewer tables at equal recall — the store side
+    // stays one key per (vector, table) and its plan is unchanged); the
+    // within-batch self-join is symmetric and keeps single-probe keys.
     // Hot-bucket cap (default OFF): capping here bounds BOTH the in-batch
     // self-join and the batch side of the store join; the corpus side is
     // capped independently below — a key hot on either side would
@@ -985,8 +1027,16 @@ object Similarity {
       else losers
     val survivors = CacheScope.persist(
       batch.join(pinnedLosers, Seq(idCol), "left_anti"))
-    val bBuckets = allBuckets
-      .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val bBuckets =
+      if (probes <= 1)
+        allBuckets
+          .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      else {
+        val pk = multiProbeKeys(
+          survivors.select(col(idCol).as("id"), col(vecCol).as("v")),
+          planes, tables, dim, probes)
+        if (maxBucketDf > 0) Dedup.capHotKeys(pk, "bk", maxBucketDf) else pk
+      }
     val cname = corpusBuckets.columns // accept any column names: (id, bk)
     // Corpus-side hot-bucket cap: a partial-aggregated count over the
     // store (one narrow row per distinct key — cheap even at 100 TB

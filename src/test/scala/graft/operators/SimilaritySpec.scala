@@ -384,6 +384,59 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.dropNearCorpusEmbeddings(batch, "vec_id", "v",
       store, corpus, threshold = 0.9, planes = 4, tables = 4, dim = 3)
     out.select("vec_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+    // probes=1 takes the identical single-key path — same rows out
+    Similarity.dropNearCorpusEmbeddings(batch, "vec_id", "v",
+        store, corpus, threshold = 0.9, planes = 4, tables = 4, dim = 3,
+        probes = 1)
+      .select("vec_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
+  }
+
+  test("dropNearCorpusEmbeddings multi-probe: flip probe catches a cross-plane store dup") {
+    // single-table store (the extreme small-store configuration): a
+    // batch near-copy of a corpus vector shifted across ONLY the
+    // smallest-margin plane lands in a different bucket — single-probe
+    // wrongly keeps it, the probes=2 flip finds the store key
+    val planes = 4
+    val dim = 8
+    val signs = (0 until planes).map(Similarity.planeSigns(_, dim))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def orthoDir(jmin: Int): Array[Double] = {
+      val basis = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      for (j <- 0 until planes if j != jmin) {
+        var b = signs(j).clone()
+        basis.foreach { e =>
+          val c = dot(b, e) / dot(e, e)
+          b = b.zip(e).map { case (x, y) => x - c * y }
+        }
+        if (dot(b, b) > 1e-9) basis += b
+      }
+      var u = signs(jmin).map(identity)
+      basis.foreach { e =>
+        val c = dot(u, e) / dot(e, e)
+        u = u.zip(e).map { case (x, y) => x - c * y }
+      }
+      u
+    }
+    val cv = Array.tabulate(dim)(j => math.sin(3 * 0.37 + j * 1.13))
+    val margins = signs.map(s => math.abs(dot(cv, s)))
+    val jmin = margins.indexOf(margins.min)
+    val d0 = dot(cv, signs(jmin))
+    val u = orthoDir(jmin)
+    val t = -(2.0 * d0 + math.signum(d0) * 1e-3) / dot(u, u)
+    val dup = cv.zip(u).map { case (a, ui) => (a + t * ui).toFloat }
+    val corpus = Seq((1L, cv.map(_.toFloat))).toDF("vec_id", "v")
+    val store = Similarity.embeddingBucketKeys(corpus, "vec_id", "v",
+      planes = planes, tables = 1, dim = dim)
+    val batch = Seq((10L, dup),
+      (11L, Array.tabulate(dim)(j => math.cos(j * 2.3).toFloat)))
+      .toDF("vec_id", "v")
+    def kept(probes: Int) = Similarity.dropNearCorpusEmbeddings(
+      batch, "vec_id", "v", store, corpus, threshold = 0.9,
+      planes = planes, tables = 1, dim = dim, probes = probes)
+      .select("vec_id").as[Long].collect().sorted
+    kept(1) shouldBe Array(10L, 11L) // dup missed: different bucket
+    kept(2) shouldBe Array(11L)      // flip probe reaches the store key
   }
 
   test("hot-bucket cap bounds a degenerate (all-same-vector) candidate set") {
