@@ -837,6 +837,24 @@ object Queries {
       k = 5, planes = 4, dim = 64, probes = 3)
   }
 
+  /** Multi-probe LSH top-5 through the PERSISTED bucket index — the
+    * production shape: (id, vector, norm) partitioned by bucket, the
+    * probe reading only the probed-bucket union (partition-pruned).
+    * Same planes/probes as ann_lsh_multiprobe_topk, so the SAME oracle
+    * checks it — the store round trip must be value-exact.
+    */
+  def annLshStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_lsh_store_").toString
+    graft.operators.Similarity.writeLshBuckets(
+      e, "vec_id", "embedding", store, planes = 4, dim = 64)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.lshTopKFromStore(
+      spark, store, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planes = 4, dim = 64, probes = 3)
+  }
+
   /** Embedding-cosine near-dup pairs. The oracle replays all 8 tables'
     * bucketings from the same literal sign vectors (all-pairs with an
     * OR-of-bucket-equalities filter — identical candidate set to the
@@ -1702,6 +1720,7 @@ object Queries {
     "ann_brute_topk" -> annBruteTopK _,
     "ann_lsh_topk" -> annLshTopK _,
     "ann_lsh_multiprobe_topk" -> annLshMultiprobeTopK _,
+    "ann_lsh_store_topk" -> annLshStoreTopK _,
     "ann_cosine_neardup" -> annCosineNearDup _,
     "ann_cosine_neardup_capped" -> annCosineNearDupCapped _,
     "ann_semdedup" -> annSemDedup _,
@@ -3280,6 +3299,9 @@ object Queries {
     "dedup_simhash_incremental" -> dedupSimhashIncrementalOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_lsh_multiprobe_topk" -> annLshMultiprobeTopKOracle,
+    // the stored-index twin is value-identical by construction (vectors
+    // and norms round-trip parquet exactly), so the same oracle checks it
+    "ann_lsh_store_topk" -> annLshMultiprobeTopKOracle,
     "ann_cosine_neardup" -> annCosineNearDupOracle,
     "ann_cosine_neardup_capped" -> annCosineNearDupCappedOracle,
     "ann_semdedup" -> annSemDedupOracle,

@@ -1104,6 +1104,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Persist the LSH top-k index: (neighbor_id, cv, cn) partitioned by
+    * `bucket` — the hyperplane analog of [[writeIvfAssignments]]. The
+    * plane signs are deterministic functions of (planes, dim), so the
+    * `_meta` sidecar records just those two; a probe with different
+    * values refuses instead of scanning buckets hashed under another
+    * geometry. Probing reads ONLY the probed-bucket partitions
+    * (literal IN → partition-pruned scan), so cost follows the query
+    * set's probe count, not the corpus.
+    */
+  def writeLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      storePath: String, planes: Int = 6, dim: Int = 64): Unit = {
+    withLshBucket(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm")),
+      "v", planes, dim)
+      .write.mode("overwrite").partitionBy("bucket").parquet(storePath)
+    // AFTER the data write: overwrite mode wipes the store root first
+    graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "lsh", Map(
+      "planes" -> planes, "dim" -> dim))
+  }
+
+  /** Probe a stored LSH index with optional multi-probe: bit-identical
+    * results to [[lshTopK]] (probes = 1) / [[lshTopKMultiProbe]] for the
+    * same corpus — vectors and norms round-trip parquet exactly — but
+    * the corpus side is the persisted store pruned to the probed-bucket
+    * union, inlined as a literal IN like [[ivfTopKFromStore]] so pruning
+    * reaches the file index. The probed-bucket collect is bounded by
+    * |queries| × probes (the query set is driver-small by contract,
+    * exactly as in the IVF store probes).
+    */
+  def lshTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int = 6,
+      dim: Int = 64,
+      probes: Int = 1
+  ): DataFrame = {
+    require(probes >= 1 && probes <= planes,
+      s"probes must be in [1, planes=$planes]: $probes")
+    graft.core.StoreMeta.requireIfPresent(spark, storePath, "lsh", Map(
+      "planes" -> planes, "dim" -> dim))
+    val margins = array((0 until planes).map { j =>
+      struct(abs(dotDouble(slice(col("qv"), 1, dim),
+        lit(planeSigns(j, dim)))).as("a"),
+        lit(j).as("j"))
+    }: _*)
+    val flips = slice(
+      array_sort(filter(margins, x => x.getField("a").isNotNull)),
+      1, probes - 1)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"))
+      .withColumn("b0", lshBucket(col("qv"), planes, dim))
+      .withColumn("bucket", explode(concat(array(col("b0")),
+        transform(flips, x => col("b0").bitwiseXOR(
+          pow(lit(2.0), x.getField("j")).cast("long"))))))
+      .drop("b0")
+    val probedBuckets = q.select("bucket").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val c = spark.read.parquet(storePath)
+      .filter(col("bucket").isInCollection(probedBuckets))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("bucket"))
+    val scored = c.join(broadcast(q),
+      c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** MULTI-PROBE LSH top-k (Lv et al. 2007, "Multi-Probe LSH"): each
     * query probes its own bucket PLUS the `probes − 1` buckets obtained
     * by flipping the sign bits whose hyperplane margin |q·plane_j| is

@@ -341,6 +341,39 @@ class SimilaritySpec extends SparkSpec {
     plan should include regex "list#\\d+ IN \\("
   }
 
+  test("lshTopKFromStore: bit-identical to in-flight LSH, bucket partitions pruned, meta refusal") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 5)
+    val store = java.nio.file.Files
+      .createTempDirectory("lsh-store-").toString + "/idx"
+    Similarity.writeLshBuckets(corpus, "vec_id", "embedding", store,
+      planes = 4, dim = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    // probes=1 ≡ lshTopK; probes=3 ≡ lshTopKMultiProbe — vectors and
+    // norms round-trip parquet exactly
+    rows(Similarity.lshTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, planes = 4, dim = 8)) shouldBe
+      rows(Similarity.lshTopK(corpus, queries,
+        "vec_id", "embedding", k = 5, planes = 4, dim = 8))
+    val stored = Similarity.lshTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, planes = 4, dim = 8, probes = 3)
+    rows(stored) shouldBe
+      rows(Similarity.lshTopKMultiProbe(corpus, queries,
+        "vec_id", "embedding", k = 5, planes = 4, dim = 8, probes = 3))
+    // the probed-bucket union reaches the file index as a partition
+    // filter — unprobed bucket= directories are never listed
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "bucket#\\d+ IN \\("
+    // a probe under a different geometry refuses via the _meta sidecar
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.lshTopKFromStore(spark, store, queries,
+        "vec_id", "embedding", k = 5, planes = 6, dim = 8)
+    e.getMessage should include("planes")
+  }
+
   test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
