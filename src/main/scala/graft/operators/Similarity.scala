@@ -194,7 +194,7 @@ object Similarity {
     * are pairwise distinct per table. `probes = 1` emits exactly the
     * single-probe keys.
     */
-  private[operators] def multiProbeKeys(base: DataFrame, planes: Int,
+  private[graft] def multiProbeKeys(base: DataFrame, planes: Int,
       tables: Int, dim: Int, probes: Int): DataFrame = {
     require(probes >= 1 && probes <= planes,
       s"probes must be in [1, planes=$planes]: $probes")

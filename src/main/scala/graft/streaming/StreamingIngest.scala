@@ -245,6 +245,82 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming incremental EMBEDDING near-dup dedup — the semantic twin
+    * of [[nearDedupStreamIncremental]] for streams that carry an
+    * embedding column: each micro-batch dedups against the persisted
+    * LSH bucket-key store
+    * ([[graft.operators.Similarity.dropNearCorpusEmbeddings]], with the
+    * accumulated OUTPUT as the candidate-pruned corpus-vector lookup
+    * side), appends survivors to the output and their bucket keys to
+    * the store. `probes > 1` multi-probes the store join, so the
+    * persisted store can run ~probes× fewer tables at equal recall —
+    * the same trade the batch operator ships. The per-batch marker
+    * protocol guards replays (a replayed batch would re-append bucket
+    * keys AND re-land survivors), stale markers pruned per commit.
+    *
+    * Bootstrap: a missing store reads as empty
+    * ([[graft.operators.Similarity.readEmbeddingBuckets]]) and a
+    * missing output path is an empty corpus, so the first batch seeds
+    * both.
+    */
+  def embeddingDedupStreamIncremental(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketStorePath: String,
+      outPath: String,
+      checkpoint: String,
+      threshold: Double = 0.9,
+      planes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      probes: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
+        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
+        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          graft.core.CacheScope.scoped {
+            val store = graft.operators.Similarity.readEmbeddingBuckets(
+              spark, bucketStorePath, planes, tables, dim)
+            val outDir = new org.apache.hadoop.fs.Path(outPath)
+            val slim = batch
+              .select(org.apache.spark.sql.functions.col(idCol),
+                org.apache.spark.sql.functions.col(vecCol))
+            // explicit schema: an output dir holding only markers/_SUCCESS
+            // (empty first batch) must read as zero rows, not fail
+            // schema inference
+            val corpusVecs =
+              if (fs.exists(outDir))
+                spark.read.schema(batch.schema).parquet(outPath)
+                  .select(org.apache.spark.sql.functions.col(idCol),
+                    org.apache.spark.sql.functions.col(vecCol))
+              else slim.limit(0)
+            val survivors = graft.core.CacheScope.persist(
+              graft.operators.Similarity.dropNearCorpusEmbeddings(
+                batch, idCol, vecCol, store, corpusVecs, threshold,
+                planes, tables, dim, probes = probes))
+            survivors.write.mode("append").parquet(outPath)
+            graft.operators.Similarity.appendEmbeddingBuckets(survivors,
+              idCol, vecCol, bucketStorePath, planes, tables, dim)
+          }
+          fs.mkdirs(markerDir)
+          fs.create(marker, false).close()
+          val stale = fs.listStatus(markerDir).filter { st =>
+            st.getPath.getName.stripPrefix("batch_").toLongOption
+              .exists(_ < batchId)
+          }
+          stale.foreach(st => fs.delete(st.getPath, false))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental TF-IDF near-dup dedup — the model-free twin
     * of [[nearDedupStreamIncremental]] for streams with no embedding
     * column and no shingle budget: each micro-batch dedups against the

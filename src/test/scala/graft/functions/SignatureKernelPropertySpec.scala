@@ -57,6 +57,45 @@ class SignatureKernelPropertySpec extends SparkSpec {
     kernel shouldBe legacy
   }
 
+  test("multiProbeKeys matches a driver-side margin/flip replay on random vectors") {
+    import graft.operators.Similarity
+    val (planes, tables, dim) = (4, 3, 8)
+    val signs = (0 until tables * planes).map(Similarity.planeSigns(_, dim))
+    val vecs = (1L to 60L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        (rng.nextDouble() * 2 - 1).toFloat))
+    }
+    def refKeys(v: Array[Float], probes: Int): Set[String] =
+      (0 until tables).flatMap { t =>
+        // same sequential double folds as VecDot / HyperplaneBits
+        def dot(g: Int): Double = {
+          var s = 0.0
+          var i = 0
+          while (i < dim) { s += v(i).toDouble * signs(g)(i); i += 1 }
+          s
+        }
+        val bucket = (0 until planes)
+          .map(p => if (dot(t * planes + p) > 0) 1L << p else 0L).sum
+        val flips = (0 until planes)
+          .map(p => (math.abs(dot(t * planes + p)), p))
+          .sorted.take(probes - 1).map(_._2)
+        (bucket +: flips.map(p => bucket ^ (1L << p)))
+          .map(b => s"$t:$b")
+      }.toSet
+    for (probes <- Seq(1, 2, 3)) {
+      val got = Similarity.multiProbeKeys(
+        vecs.toDF("id", "v"), planes, tables, dim, probes)
+        .as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      vecs.foreach { case (id, v) =>
+        withClue(s"probes=$probes id=$id: ") {
+          got(id) shouldBe refKeys(v, probes)
+          got(id).size shouldBe tables * probes // pairwise distinct
+        }
+      }
+    }
+  }
+
   test("TextShinglesHashed matches per-size TextShinglesAll + xxhash64/length on random text") {
     val ns = Seq(2, 3, 5, 9)
     val fused = docs.select($"id",

@@ -305,6 +305,45 @@ class StreamingIngestSpec extends SparkSpec {
       .collect().sorted shouldBe Array(11L, 13L, 21L)
   }
 
+  test("streaming incremental embedding dedup: cross-batch store hit across restart") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-emb-")
+    val ckpt = Files.createTempDirectory("stream-emb-ckpt-").toString
+    val base = Files.createTempDirectory("stream-emb-store-").toString
+    val store = s"$base/buckets"
+    val out = s"$base/out"
+    def vec(seed: Int) =
+      Array.tabulate(8)(j => math.sin(seed * 0.37 + j * 1.13).toFloat)
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("vec_id long, v array<float>")
+        .parquet(in.toString)
+      StreamingIngest.embeddingDedupStreamIncremental(raw, "vec_id", "v",
+        store, out, ckpt, threshold = 0.95, planes = 4, tables = 4,
+        dim = 8).awaitTermination(120000)
+    }
+    // micro-batch 1: 3 duplicates 1 (in-batch cluster → min-id survives);
+    // 5 is far from both
+    Seq((1L, vec(1)), (5L, vec(5)), (3L, vec(1))).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    run()
+    spark.read.parquet(out).select("vec_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 5L)
+    // micro-batch 2 after restart: 10 duplicates SURVIVOR 1 — caught
+    // only via the appended bucket store + accumulated output corpus;
+    // 11 is fresh
+    Seq((10L, vec(1)), (11L, vec(9))).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    run()
+    spark.read.parquet(out).select("vec_id").as[Long]
+      .collect().sorted shouldBe Array(1L, 5L, 11L)
+    // the persisted store holds exactly the survivors' keys: tables per id
+    graft.operators.Similarity.readEmbeddingBuckets(spark, store,
+      planes = 4, tables = 4, dim = 8)
+      .select("id").distinct().as[Long].collect().sorted shouldBe
+      Array(1L, 5L, 11L)
+  }
+
   test("streaming near-dup dedup with a bucketed band-key table") {
     import spark.implicits._
     val table = "sispec_nd_bucketed"
