@@ -1003,6 +1003,10 @@ object Similarity {
     // can run ~probes× fewer tables at equal recall — the store side
     // stays one key per (vector, table) and its plan is unchanged); the
     // within-batch self-join is symmetric and keeps single-probe keys.
+    // The probe path runs a second HyperplaneBits+margin pass over the
+    // SURVIVORS (margins aren't in the shared bucket table): one extra
+    // batch-bounded kernel scan, traded for a probes×-smaller persistent
+    // store — the store is per-corpus-vector, the scan per-batch-row.
     // Hot-bucket cap (default OFF): capping here bounds BOTH the in-batch
     // self-join and the batch side of the store join; the corpus side is
     // capped independently below — a key hot on either side would
