@@ -303,6 +303,9 @@ object JobRunner {
     *                           #  to kept lines; c4_min_words/c4_min_lines)
     *                           # (or lm: CCNet perplexity gate vs the
     *                           #  bigram LM at lm_store; lm_min_avg_lognat)
+    *                           # (or model: linear quality classifier vs
+    *                           #  the weight store at model_store;
+    *                           #  model_min_logit, default 0.0)
     *   decontaminate: ngram    # drop docs sharing n-grams with the eval
     *                           # set at benchmark_path (or verbatim:
     *                           # exact leading-run matches;
@@ -542,6 +545,18 @@ object JobRunner {
             df.sparkSession, need("lm_store")),
           need("id_field"), need("text_field"),
           Yaml.str(c, "lm_min_avg_lognat").map(_.toDouble).getOrElse(-12.0))
+      case "model" =>
+        // fastText-style linear quality classifier against a PERSISTED
+        // weight store (`model_store` — written offline via
+        // QualityModel.saveModel; missing store = error, scoring an
+        // absent fit has no semantics). Docs whose logit (bias + mean
+        // token weight) falls below `model_min_logit` (default 0.0 =
+        // sigmoid 0.5) drop, as do zero-token docs.
+        out = graft.operators.QualityModel.filterByScore(
+          out, graft.operators.QualityModel.loadModel(
+            df.sparkSession, need("model_store")),
+          need("id_field"), need("text_field"),
+          Yaml.str(c, "model_min_logit").map(_.toDouble).getOrElse(0.0))
       case "entropy" =>
         // lexical-diversity floor: drop keyword-stuffed/degenerate pages
         // below `entropy_min_nats` per-token Shannon entropy

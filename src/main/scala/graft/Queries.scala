@@ -1109,6 +1109,150 @@ object Queries {
       codebook = cb, m = 4, numCodes = 8, dsub = 16)
   }
 
+  /** IVFADC with RESIDUAL encoding (the full Jégou et al. 2011 shape):
+    * corpus vectors PQ-encode their residual against their coarse
+    * centroid, queries build one LUT per probed list from their own
+    * residual, and the codebook is SEEDED ON RESIDUALS (first 8 ids'
+    * residual slices). The oracle replays assignment, residual
+    * subtraction (exact IEEE `e[i] − ce[i]` per dim), seed slices,
+    * strict-< encode, per-list query residuals, and ADC bit-exactly.
+    */
+  def annIvfPqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val res = graft.operators.Similarity.residualFrame(
+      emb, "vec_id", "embedding", cents)
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      res, "id", "res", m = 4, k = 8, dsub = 16)
+    graft.operators.Similarity.ivfPqResidualTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16)
+  }
+
+  /** Weights of the demo linear quality model (fastText-style logit
+    * scoring): micro-quantized ONCE here, shared verbatim by the Spark
+    * query and the oracle's VALUES table. Common function words weigh
+    * positive (prose signal), spam tokens negative — the shape a real
+    * classifier learns; the values themselves are fixtures.
+    */
+  private val modelWeights: Seq[(String, Double)] = Seq(
+    "the" -> 0.8, "and" -> 0.5, "of" -> 0.4, "to" -> 0.3,
+    "data" -> 1.2, "model" -> 1.0, "learning" -> 1.1,
+    "click" -> -2.0, "free" -> -1.5, "buy" -> -2.5, "winner" -> -3.0,
+    "subscribe" -> -1.8)
+  private val modelBias: Double = -0.2
+
+  /** Model-based quality scoring (the CCNet/FineWeb-Edu classifier
+    * stage, linear fastText shape): logit = bias + mean token weight,
+    * OOV tokens weigh 0, zero-token docs unscorable. The oracle joins
+    * the same micro-unit VALUES table and replays the BIGINT sum + the
+    * two exact double divisions bit-for-bit.
+    */
+  def textModelScore(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.QualityModel.fromMap(
+      spark, modelWeights.toMap, modelBias)
+    graft.operators.QualityModel.scoreDocs(
+      t(spark, dir, "documents"), m, "doc_id", "text")
+  }
+
+  /** The same scoring through a PERSISTED model store (save → load →
+    * score): micro-unit longs and token strings round-trip parquet
+    * exactly, so the SAME oracle checks the whole store cycle.
+    */
+  def textModelScoreStore(spark: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.QualityModel.fromMap(
+      spark, modelWeights.toMap, modelBias)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_qmodel_store_").toString
+    graft.operators.QualityModel.saveModel(m, store)
+    ivfStoreDirs.add(store)
+    graft.operators.QualityModel.scoreDocs(
+      t(spark, dir, "documents"),
+      graft.operators.QualityModel.loadModel(spark, store),
+      "doc_id", "text")
+  }
+
+  /** SQ8 compressed-flat ANN (FAISS QT_8bit): per-dim (min, max) trained
+    * in one aggregate pass over the corpus, each vector encoded to 64
+    * code BYTES, full-precision queries score by decode-on-the-fly
+    * asymmetric L2². The oracle replays training (per-dim min/max GROUP
+    * BY), the floor/clamp encode, and the decode-subtract-square
+    * sequential fold bit-exactly — each scale/step division happens
+    * exactly once on both sides.
+    */
+  def annSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    graft.operators.Similarity.sqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, mins = mins, maxs = maxs)
+  }
+
+  /** SQ8 through the PERSISTED byte-code store: (id, codes binary) at 1
+    * byte per dim, probed with the same params the store was trained
+    * with (`_meta` fingerprint refuses a mismatch). Code bytes
+    * round-trip parquet exactly, so the SAME oracle as ann_sq_topk
+    * checks the whole build→store→probe path.
+    */
+  def annSqStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sq_store_").toString
+    graft.operators.Similarity.writeSqCodes(
+      emb, "vec_id", "embedding", store, mins, maxs)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.sqTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, mins = mins, maxs = maxs)
+  }
+
+  /** IVF + SQ8: coarse-quantizer pruning (nprobe=4 of 16 seed lists)
+    * over byte-compressed vectors — ivf_topk's sublinearity at
+    * ann_sq_topk's compression. The oracle composes the IVF assignment/
+    * probe CTEs with the SQ train/encode/decode/fold CTEs bit-exactly.
+    */
+  def annIvfSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    graft.operators.Similarity.ivfSqTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      mins = mins, maxs = maxs)
+  }
+
+  /** IVF-SQ8 through the PERSISTED index: (id, codes binary) partitioned
+    * by list, probes read only probed-list partitions (literal IN →
+    * partition-pruned scan). Code bytes round-trip parquet exactly, so
+    * the SAME oracle as ann_ivfsq_topk checks build→store→probe.
+    */
+  def annIvfSqStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq_store_").toString
+    graft.operators.Similarity.writeIvfSqCodes(
+      emb, "vec_id", "embedding", cents, store, mins, maxs)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.ivfSqTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      mins = mins, maxs = maxs)
+  }
+
   /** IVFPQ with a TRAINED codebook: the seed codebook refined by 2
     * iterations of per-subspace Lloyd over the vec_id < 256 sample —
     * the training half of Jégou et al. 2011 that the sampled-data
@@ -1732,6 +1876,11 @@ object Queries {
     "ann_ivf_store_topk" -> annIvfStoreTopK _,
     "ann_pq_topk" -> annPqTopK _,
     "ann_ivfpq_topk" -> annIvfPqTopK _,
+    "ann_ivfpq_residual_topk" -> annIvfPqResidualTopK _,
+    "ann_sq_topk" -> annSqTopK _,
+    "ann_sq_store_topk" -> annSqStoreTopK _,
+    "ann_ivfsq_topk" -> annIvfSqTopK _,
+    "ann_ivfsq_store_topk" -> annIvfSqStoreTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -1788,6 +1937,8 @@ object Queries {
     "search_hybrid_rrf" -> searchHybridRrf _,
     "text_lm_score" -> textLmScore _,
     "text_lm_score_store" -> textLmScoreStore _,
+    "text_model_score" -> textModelScore _,
+    "text_model_score_store" -> textModelScoreStore _,
     "text_lm_ppl_buckets" -> textLmPplBuckets _,
     "sample_ppl_stratified" -> samplePplStratified _,
     "search_phrase" -> searchPhrase _,
@@ -2636,6 +2787,82 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** SQ8 replay: `p` trains the per-dim grid (min/max GROUP BY — order
+    * independent, so plain aggregates match Spark's), `cd` encodes with
+    * the floor/clamp formula (the 255/(mx−mn) scale division inline,
+    * matching the one driver-side division), `rec` decodes with the
+    * (mx−mn)/255 step, and the distance folds (q_i − rec_i)² in dim
+    * order — the [[graft.functions.SqKernels]] loop verbatim.
+    */
+  private val annSqTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |p AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+       |  FROM v CROSS JOIN range(64) t(i) GROUP BY i),
+       |cd AS (SELECT v.vec_id, p.i,
+       |  CASE WHEN p.mx > p.mn THEN least(255, greatest(0,
+       |    CAST(floor((v.e[p.i+1] - p.mn) * (255.0/(p.mx - p.mn))) AS INT)))
+       |  ELSE 0 END AS code
+       |  FROM v CROSS JOIN p),
+       |rec AS (SELECT cd.vec_id, cd.i,
+       |  p.mn + cd.code * (CASE WHEN p.mx > p.mn
+       |    THEN (p.mx - p.mn)/255.0 ELSE 0.0 END) AS rv
+       |  FROM cd JOIN p ON p.i = cd.i),
+       |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+       |d0 AS (SELECT q.query_id, rec.vec_id AS neighbor_id, rec.i,
+       |  (q.e[rec.i+1] - rec.rv) * (q.e[rec.i+1] - rec.rv) AS t
+       |  FROM q JOIN rec ON rec.vec_id <> q.query_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS adc
+       |  FROM d0 GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** IVF-SQ8 replay: the IVF assignment/probe CTEs (`c`/`a0`/`a`/`qp`,
+    * identical to the IVFPQ oracle) composed with the SQ8
+    * train/encode/decode CTEs (`p`/`cd`/`rec`, identical to the flat SQ
+    * oracle); candidates are probed-list members, distance is the same
+    * decode-subtract-square fold in dim order.
+    */
+  private val annIvfSqTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |p AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
+       |  FROM v CROSS JOIN range(64) t(i) GROUP BY i),
+       |cd AS (SELECT v.vec_id, p.i,
+       |  CASE WHEN p.mx > p.mn THEN least(255, greatest(0,
+       |    CAST(floor((v.e[p.i+1] - p.mn) * (255.0/(p.mx - p.mn))) AS INT)))
+       |  ELSE 0 END AS code
+       |  FROM v CROSS JOIN p),
+       |rec AS (SELECT cd.vec_id, cd.i,
+       |  p.mn + cd.code * (CASE WHEN p.mx > p.mn
+       |    THEN (p.mx - p.mn)/255.0 ELSE 0.0 END) AS rv
+       |  FROM cd JOIN p ON p.i = cd.i),
+       |cand AS (SELECT qp.query_id, qp.qe, a.vec_id AS neighbor_id
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |d0 AS (SELECT cd.query_id, cd.neighbor_id, rec.i,
+       |  (cd.qe[rec.i+1] - rec.rv) * (cd.qe[rec.i+1] - rec.rv) AS t
+       |  FROM cand cd JOIN rec ON rec.vec_id = cd.neighbor_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS adc
+       |  FROM d0 GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
   private val annIvfPqTopKOracle: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -2663,6 +2890,54 @@ object Queries {
        |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
        |ps AS (SELECT cd.query_id, cd.neighbor_id, enc.m,
        |  ${subDistSql("list_slice(cd.qe, enc.m*16+1, enc.m*16+16)", "cb.cv")} AS sd
+       |  FROM cand cd JOIN enc ON enc.vec_id = cd.neighbor_id
+       |  JOIN cb ON cb.m = enc.m AND cb.code = enc.code),
+       |adc0 AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(sd ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM ps GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** IVFADC residual replay: `rs` subtracts each corpus vector's
+    * assigned centroid per dim (exact IEEE), the codebook seeds from the
+    * first 8 ids' RESIDUAL slices, `qr` builds the query residual per
+    * probed list, and the encode/ADC chain runs on residuals throughout.
+    */
+  private val annIvfPqResidualTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, e, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, e AS qe, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |rs AS (SELECT a.vec_id, a.l,
+       |  list_transform(range(64), i -> a.e[i+1] - c.ce[i+1]) AS r
+       |  FROM a JOIN c ON c.l = a.l),
+       |sub AS (SELECT unnest(range(4)) AS m),
+       |cb AS (SELECT sub.m, rs.vec_id AS code,
+       |  list_slice(rs.r, sub.m*16+1, sub.m*16+16) AS cv
+       |  FROM rs CROSS JOIN sub WHERE rs.vec_id < 8),
+       |enc0 AS (SELECT rs.vec_id, cb.m, cb.code,
+       |  ${subDistSql("list_slice(rs.r, cb.m*16+1, cb.m*16+16)", "cb.cv")} AS sd
+       |  FROM rs CROSS JOIN cb),
+       |enc AS (SELECT vec_id, m, code FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id, m ORDER BY sd, code) AS rn FROM enc0)
+       |  WHERE rn = 1),
+       |qr AS (SELECT qp.query_id, qp.l,
+       |  list_transform(range(64), i -> qp.qe[i+1] - c.ce[i+1]) AS r
+       |  FROM qp JOIN c ON c.l = qp.l),
+       |cand AS (SELECT qr.query_id, qr.r, a.vec_id AS neighbor_id
+       |  FROM qr JOIN a ON a.l = qr.l AND a.vec_id <> qr.query_id),
+       |ps AS (SELECT cd.query_id, cd.neighbor_id, enc.m,
+       |  ${subDistSql("list_slice(cd.r, enc.m*16+1, enc.m*16+16)", "cb.cv")} AS sd
        |  FROM cand cd JOIN enc ON enc.vec_id = cd.neighbor_id
        |  JOIN cb ON cb.m = enc.m AND cb.code = enc.code),
        |adc0 AS (SELECT query_id, neighbor_id,
@@ -2944,6 +3219,29 @@ object Queries {
   // exact BIGINTs, one double division for the average. One SQL serves
   // the in-flight and the stored variant (counts round-trip parquet
   // exactly).
+  /** Linear quality-model replay: the same micro-unit weights as
+    * VALUES, the shared whitespace tokenizer, a LEFT join (OOV → 0),
+    * BIGINT sum, and the two exact double divisions in the same order
+    * as [[graft.operators.QualityModel.scoreDocs]].
+    */
+  private val textModelScoreOracle: String = {
+    val vals = modelWeights.map { case (t, w) =>
+      s"('$t', ${math.floor(w * 1e6 + 0.5).toLong})"
+    }.mkString(", ")
+    val biasMicros = math.floor(modelBias * 1e6 + 0.5).toLong
+    s"""WITH w(token, wm) AS (VALUES $vals),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+       |  '\\s+')) AS token FROM documents),
+       |t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       |s AS (SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(w.wm), 0) AS BIGINT) AS sum_micros
+       |  FROM t2 LEFT JOIN w ON w.token = t2.token GROUP BY t2.doc_id)
+       |SELECT doc_id, n_tokens, sum_micros,
+       |  CAST(sum_micros AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+       |    + CAST($biasMicros AS DOUBLE) / 1000000.0 AS logit
+       |FROM s""".stripMargin
+  }
+
   private val textLmScoreOracle: String =
     """WITH tl AS (SELECT doc_id, list_filter(
       |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l
@@ -3074,10 +3372,20 @@ object Queries {
     "search_hybrid_rrf" -> searchHybridRrfOracle,
     "text_lm_score" -> textLmScoreOracle,
     "text_lm_score_store" -> textLmScoreOracle,
+    "text_model_score" -> textModelScoreOracle,
+    // stored twin is value-identical (micro longs round-trip parquet)
+    "text_model_score_store" -> textModelScoreOracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "ann_ivf_store_topk" -> annIvfTopKOracle,
     "ann_pq_topk" -> annPqTopKOracle,
     "ann_ivfpq_topk" -> annIvfPqTopKOracle,
+    "ann_ivfpq_residual_topk" -> annIvfPqResidualTopKOracle,
+    "ann_sq_topk" -> annSqTopKOracle,
+    // the stored twin is value-identical by construction (code bytes
+    // round-trip parquet exactly), so the same oracle checks it
+    "ann_sq_store_topk" -> annSqTopKOracle,
+    "ann_ivfsq_topk" -> annIvfSqTopKOracle,
+    "ann_ivfsq_store_topk" -> annIvfSqTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

@@ -49,6 +49,7 @@ object Recall {
     val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", numLists = 16)
     val cb = Similarity.seedPqCodebooks(emb, "vec_id", "embedding",
       m = 4, k = 8, dsub = 16)
+    val (sqMins, sqMaxs) = Similarity.trainSqParams(emb, "embedding", 64)
 
     // k=5 is the oracle queries' operating point; k=50 stresses the
     // candidate budget (a single LSH bucket at 8 planes holds fewer
@@ -99,7 +100,51 @@ object Recall {
           emb, queries, "vec_id", "embedding", k, cents, nprobe,
           cbTrained, m = 4, numCodes = 8, dsub = 16))
       }).toMap
-      lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef
+      // IVFADC residual encoding (r16, Jégou 2011) at the oracle config —
+      // measured HONESTLY: on this unclustered unit-norm synthetic table
+      // residuals against seed centroids are no smaller than raw vectors,
+      // so residual encoding does NOT beat raw here (it pays on clustered
+      // real data); recorded so the claim stays empirical.
+      val resFrame = Similarity.residualFrame(emb, "vec_id", "embedding", cents)
+      val cbRes = Similarity.seedPqCodebooks(resFrame, "id", "res",
+        m = 4, k = 8, dsub = 16)
+      val ivfadc = (for (nprobe <- Seq(4, 8, 16)) yield {
+        s"ivfadc_nprobe$nprobe" -> topkRecall(
+          Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+            k, cents, nprobe, cbRes, m = 4, numCodes = 8, dsub = 16))
+      }).toMap
+      // The ACTUAL recall lever (r16 finding): a FAISS-realistic code
+      // budget (m=8, 64 codes, dsub=8 — 64⁸ cells vs the oracle config's
+      // 8⁴) plus FULL-CORPUS distributed Lloyd training. Training on the
+      // 256-row sample with 64 codes (4 samples/code) OVERFITS and loses
+      // recall — the distributed trainer over the whole corpus is the
+      // right tool at this code count.
+      val cb64 = Similarity.seedPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 64, dsub = 8)
+      val cb64T = Similarity.refinePqCodebooksDistributed(emb, "vec_id",
+        "embedding", cb64, m = 8, numCodes = 64, dsub = 8, iterations = 2)
+      val rich = (for {
+        (cbr, tag) <- Seq(cb64 -> "", cb64T -> "_trained")
+        nprobe <- Seq(4, 16)
+      } yield {
+        s"ivfpq_m8k64$tag${"_nprobe"}$nprobe" -> topkRecall(
+          Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+            k, cents, nprobe, cbr, m = 8, numCodes = 64, dsub = 8))
+      }).toMap
+      // SQ8 compressed-flat (r16): dim bytes per vector, decode-on-the-fly
+      // asymmetric L2². The table's vectors are unit-norm, so L2 order
+      // coincides with cosine order and the cosine ground truth applies;
+      // the row measures how much the 8-bit grid perturbs exact ranking.
+      val sq = Map("sq8_flat" -> topkRecall(Similarity.sqTopK(
+        emb, queries, "vec_id", "embedding", k, sqMins, sqMaxs))) ++
+        // IVF-SQ: recall ≈ the IVF probe ceiling × the tiny SQ loss —
+        // the sublinear operating points of the compressed index
+        (for (nprobe <- Seq(4, 16)) yield {
+          s"ivfsq_nprobe$nprobe" -> topkRecall(Similarity.ivfSqTopK(
+            emb, queries, "vec_id", "embedding", k, cents, nprobe,
+            sqMins, sqMaxs))
+        }).toMap
+      lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++ sq
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A fitted linear text classifier: a (token, w_micros) weight table
+  * plus a bias, both in integer MICRO-units (weight × 1e6, half-up).
+  * The table is vocab-bounded by contract (the fastText regime: at most
+  * a few million rows of short tokens), so scoring can broadcast it.
+  */
+case class LinearModel(weights: DataFrame, biasMicros: Long)
+
+/** Model-based quality scoring — the "quality classifier" stage of
+  * CCNet / FineWeb-Edu-style pipelines, in fastText's linear shape:
+  *
+  *   logit(doc) = bias + mean_i weight(token_i)
+  *
+  * with out-of-vocabulary tokens weighing 0 (reference pipelines train
+  * the weights offline; this operator is the 100 TB INFERENCE pass).
+  * The score is the LOGIT, not the sigmoid: sigmoid is monotone, so
+  * every gate can threshold the logit directly and the pipeline never
+  * pays a cross-engine transcendental — `exp()` differs in the last ulp
+  * between libms, while the +/× arithmetic here replays bit-exactly.
+  *
+  * Determinism contract: weights are quantized ONCE (driver-side,
+  * half-up) to BIGINT micro-units, per-doc sums are integer and
+  * therefore order-independent, and the logit is two exact double
+  * divisions at the end — the [[TextAnalysis.tokenEntropySignals]]
+  * micro-unit idiom.
+  *
+  * Scale shape: tokenize/explode is map-side; the weight join
+  * BROADCASTS the vocab-bounded table explicitly (a stats misprediction
+  * at 100 TB would otherwise shuffle every token posting in the corpus
+  * to look up a dictionary); the per-doc aggregate fully
+  * partial-aggregates (a document's tokens are colocated), so the one
+  * shuffle carries a single (id, n, sum) row per document — never
+  * token postings, never text.
+  */
+object QualityModel {
+
+  /** Quantize a driver-side weight map to a [[LinearModel]] (half-up to
+    * micro-units, the one lossy step — everything downstream is exact).
+    */
+  def fromMap(spark: SparkSession, weights: Map[String, Double],
+      bias: Double): LinearModel = {
+    import spark.implicits._
+    require(weights.nonEmpty, "linear model needs at least one weight")
+    val rows = weights.toSeq.map { case (t, w) => (t, micros(w)) }
+    LinearModel(rows.toDF("token", "w_micros"), micros(bias))
+  }
+
+  private def micros(w: Double): Long = math.floor(w * 1e6 + 0.5).toLong
+
+  /** Score a batch under a fitted model. Output: one row per document
+    * with at least one token — (id, n_tokens, sum_micros, logit) where
+    * `sum_micros` is the exact BIGINT micro-unit weight sum and `logit`
+    * is bias + mean token weight (two exact double divisions).
+    * Zero-token documents are unscorable and produce no row — mirrors
+    * [[LanguageModel.scoreBigrams]]' contract for sub-bigram docs.
+    */
+  def scoreDocs(batch: DataFrame, model: LinearModel, idCol: String,
+      textCol: String): DataFrame = {
+    batch
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(model.weights), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        coalesce(sum(col("w_micros")), lit(0L)).cast("long")
+          .as("sum_micros"))
+      .withColumn("logit",
+        col("sum_micros").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)) +
+          lit(model.biasMicros).cast("double") / lit(1e6))
+  }
+
+  /** Schema-preserving quality gate: keep rows whose logit is at least
+    * `minLogit` (equivalently, whose sigmoid quality probability is at
+    * least σ(minLogit) — state thresholds in logit space). Zero-token
+    * documents drop: a quality model that waves through unscorable text
+    * passes exactly the fragments the gate exists to catch. One
+    * semi-join on the id — the input row survives untouched.
+    */
+  def filterByScore(df: DataFrame, model: LinearModel, idCol: String,
+      textCol: String, minLogit: Double): DataFrame = {
+    val keep = scoreDocs(df, model, idCol, textCol)
+      .filter(col("logit") >= minLogit)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------- persisted model
+
+  /** Persist a fitted model (overwrite — the store IS the fit; the
+    * [[LanguageModel.saveModel]] contract). Micro-unit longs and token
+    * strings round-trip parquet exactly, so stored scoring is
+    * bit-identical to in-flight scoring.
+    */
+  def saveModel(model: LinearModel, storePath: String): Unit = {
+    model.weights.write.mode("overwrite").parquet(s"$storePath/weights")
+    model.weights.sparkSession.range(1)
+      .select(lit(model.biasMicros).as("bias_micros"))
+      .write.mode("overwrite").parquet(s"$storePath/_meta")
+  }
+
+  /** Load a persisted model. A MISSING store is an error, not a
+    * bootstrap — scoring against an absent fit has no semantics.
+    */
+  def loadModel(spark: SparkSession, storePath: String): LinearModel = {
+    val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
+    LinearModel(spark.read.parquet(s"$storePath/weights"),
+      meta.getAs[Long]("bias_micros"))
+  }
+}

@@ -395,7 +395,7 @@ object Similarity {
       val assigned = df
         .select(col(vecCol).as("v"))
         .withColumn("list",
-          least(scoredListStructs(col("v"), cents): _*).getField("l"))
+          bestListStruct(scoredListStructs(col("v"), cents)).getField("l"))
       val aggs = (0 until dim).map(i =>
         sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i")) :+
         count(lit(1)).as("n")
@@ -452,12 +452,18 @@ object Similarity {
       struct((-centroidScore(vec, c)).as("s"), lit(i).as("l"))
     }
 
+  /** `least` over the scored structs, tolerating the degenerate
+    * single-list quantizer (Spark's `least` requires ≥ 2 arguments).
+    */
+  private def bestListStruct(cols: Seq[Column]): Column =
+    if (cols.sizeIs == 1) cols.head else least(cols: _*)
+
   /** Best-centroid list id as a plain map-side Column (ties to the lower
     * list) — the coarse-quantizer assignment shared by the IVF build,
     * SemDeDup blocking, and cluster-balanced sampling.
     */
   def listAssignment(vec: Column, centroids: Seq[Array[Double]]): Column =
-    least(scoredListStructs(vec, centroids): _*).getField("l")
+    bestListStruct(scoredListStructs(vec, centroids)).getField("l")
 
   /** Cluster-balanced (diversity-aware) sampling: the first `n` rows of
     * each coarse cluster in seeded-hash order — the DataComp-style
@@ -506,7 +512,7 @@ object Similarity {
     // least() rejects a single argument; one centroid = one cluster
     val bestList =
       if (centroids.size == 1) lit(0)
-      else least(scoredListStructs(col("v"), centroids): _*).getField("l")
+      else bestListStruct(scoredListStructs(col("v"), centroids)).getField("l")
     val assigned = CacheScope.persist(base.select(col("id"),
       bestList.as("bk")))
     val blocked =
@@ -582,7 +588,7 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cn", norm(col("v")))
       .withColumn("list",
-        least(scoredListStructs(col("v"), centroids): _*).getField("l"))
+        bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivf", Map(
@@ -765,7 +771,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
     val enc = corpus.select(col(idCol).as("neighbor_id"),
-      least(scoredListStructs(col(vecCol), centroids): _*).getField("l")
+      bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
         .as("list"),
       graft.functions.PqCodes(col(vecCol), codebook, m, numCodes, dsub)
         .as("codes"))
@@ -790,6 +796,105 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc")
   }
+
+  /** Elementwise `v − centroids(list)` as a column: a literal-centroid
+    * CASE over the (small, by the same contract as every literal-centroid
+    * path here) list count — the residual each IVFADC row encodes.
+    * Unencodable vectors propagate: zip_with over a null vector is null,
+    * and a short vector pads with null elements, so [[graft.functions.PqCodes]]
+    * nulls the codes exactly as on the raw path.
+    */
+  private def residualCol(v: Column, listCol: Column,
+      centroids: Seq[Array[Double]]): Column =
+    coalesce(centroids.zipWithIndex.map { case (c, i) =>
+      when(listCol === i, zip_with(v, lit(c), (a, b) => a - b))
+    }: _*)
+
+  /** IVFADC with RESIDUAL encoding — the full Jégou et al. 2011 shape
+    * [[ivfPqTopK]] approximates: each corpus vector is PQ-encoded as its
+    * residual `v − centroid(list)` rather than raw, and each query
+    * computes one LUT PER PROBED LIST from its own residual against that
+    * list's centroid. Residuals are centered near zero, so the same
+    * codebook budget quantizes them far more finely than raw vectors —
+    * the standard recall lift at identical index size (codes are still m
+    * small ints per vector).
+    *
+    * Scale shape: unchanged from [[ivfPqTopK]] — assignment, residual,
+    * and encode are one map-side projection over the corpus; the join
+    * still moves (id, list, codes) rows; the only new cost is the
+    * query-side LUT ×nprobe (per probe row instead of per query — the
+    * probe rows were already exploded). Train the codebook on residuals
+    * (pass [[residualFrame]] to [[seedPqCodebooks]] /
+    * [[refinePqCodebooks]]) — a raw-vector codebook centered away from
+    * zero wastes its codes.
+    *
+    * Honest measurement (RECALL_r16): on the synthetic unit-norm,
+    * UNCLUSTERED test embeddings, residuals against the seed coarse
+    * quantizer are no smaller than the raw vectors, so this does NOT
+    * out-recall raw [[ivfPqTopK]] there — the residual win requires the
+    * cluster structure real corpora have. The measured lever on that
+    * table is the code budget + full-corpus distributed training
+    * (`ivfpq_m8k64_trained` rows: 0.044 → 0.284 recall@5 at nprobe=16).
+    */
+  def ivfPqResidualTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
+          .as("list"))
+      .select(col("neighbor_id"), col("list"),
+        graft.functions.PqCodes(
+          residualCol(col("cv"), col("list"), centroids),
+          codebook, m, numCodes, dsub).as("codes"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(array_sort(
+          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
+          .as("__p"))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+      .select(col("query_id"), col("list"),
+        graft.functions.PqLut(
+          residualCol(col("qv"), col("list"), centroids),
+          codebook, m, numCodes, dsub).as("lut"))
+    val scored = enc
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.PqAdc(col("lut"), col("codes"), numCodes))
+      .filter(col("adc").isNotNull) // see pqTopK: nulls would rank first
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** Residual column builder for codebook training: (id, res) of a
+    * corpus under literal centroids — feed to [[seedPqCodebooks]] /
+    * [[refinePqCodebooks]] so the quantizer is fit on what it encodes.
+    */
+  def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list",
+        bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
+      .select(col("id"),
+        residualCol(col("v"), col("list"), centroids).as("res"))
 
   /** The PQ-compressed stored IVF index — what [[writeIvfAssignments]]
     * should be at 100 TB: the persisted rows are (id, codes[m])
@@ -825,7 +930,7 @@ object Similarity {
       else codebook
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("list",
-        least(scoredListStructs(col("v"), centroids): _*).getField("l"))
+        bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
       .select(col("id"),
         graft.functions.PqCodes(col("v"), cb, m, numCodes, dsub)
           .as("codes"),
@@ -893,6 +998,244 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  // ----- 8-bit scalar quantization (SQ8, FAISS QT_8bit shape) -----
+
+  /** Per-dim (min, max) of a vector column in ONE aggregate pass — the
+    * training half of SQ8. Fully partial-aggregated (2·dim doubles per
+    * partition reach the driver), order-independent, and exactly
+    * replayable by a per-dim min/max GROUP BY in the oracle. Train once
+    * on the corpus, reuse for every encode/probe — the params pair is
+    * the entire "model".
+    */
+  def trainSqParams(df: DataFrame, vecCol: String, dim: Int = 64)
+      : (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn$i"),
+      max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "trainSqParams: empty corpus or all-null vector column")
+    (Array.tabulate(dim)(i => row.getDouble(2 * i)),
+      Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
+  }
+
+  // Each division happens exactly once per dim so the oracle's inline
+  // 255.0/(mx−mn) and (mx−mn)/255.0 reproduce the same IEEE bits;
+  // degenerate (max == min) dims encode 0 and decode to min.
+  private def sqScales(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    Array.tabulate(mins.length)(i =>
+      if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
+
+  private def sqSteps(mins: Array[Double], maxs: Array[Double]): Array[Double] =
+    Array.tabulate(mins.length)(i =>
+      if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255.0 else 0.0)
+
+  /** Shared scoring tail of the in-flight and stored SQ paths: broadcast
+    * the (small) query set against the coded corpus, decode-on-the-fly
+    * asymmetric L2², rank ascending with id tiebreak. The corpus side is
+    * never shuffled and never reconstructed to doubles — distance reads
+    * the code bytes directly ([[graft.functions.SqDist]]), so the join
+    * moves 1 byte per dim per corpus row.
+    */
+  private def sqScore(enc: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, mins: Array[Double],
+      maxs: Array[Double]): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = enc
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.functions.SqDist(col("qv"), col("codes"),
+        mins, sqSteps(mins, maxs)))
+      .filter(col("adc").isNotNull) // unencodable rows must not rank first
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** Exact-scan top-k over SQ8-compressed vectors: the accuracy/memory
+    * point between [[bruteForceTopK]] (exact, 4·dim bytes per row) and
+    * [[pqTopK]] (m bytes per row, coarse): dim bytes per row with per-dim
+    * resolution (max−min)/255, which on well-spread data ranks within a
+    * hair of exact L2 — the standard "compressed flat" index. Corpus is
+    * encoded map-side and streamed (never shuffled); pair distance
+    * decodes bytes on the fly. Combine with an IVF partitioning for
+    * sublinearity; alone it is the 4×-less-IO brute scan.
+    */
+  def sqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): DataFrame = {
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.SqCodes(col(vecCol), mins, sqScales(mins, maxs))
+        .as("codes"))
+    sqScore(enc, queries, idCol, vecCol, k, mins, maxs)
+  }
+
+  /** Persist the SQ8-compressed corpus: (id, codes binary) — dim bytes
+    * per vector instead of 4·dim float bytes, the 100 TB store shape
+    * when PQ's coarseness is too lossy. `_meta` records dim and the
+    * params fingerprint so a probe presenting different training params
+    * refuses instead of silently decoding against the wrong grid.
+    */
+  def writeSqCodes(df: DataFrame, idCol: String, vecCol: String,
+      storePath: String, mins: Array[Double], maxs: Array[Double]): Unit = {
+    df.select(col(idCol).as("id"),
+      graft.functions.SqCodes(col(vecCol), mins, sqScales(mins, maxs))
+        .as("codes"))
+      .write.mode("overwrite").parquet(storePath)
+    // AFTER the data write: overwrite mode wipes the store root first
+    graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "sq8", Map(
+      "dim" -> mins.length,
+      "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
+  }
+
+  /** Probe a stored SQ8 index: same scoring/tie mechanics as [[sqTopK]]
+    * (bit-identical for the same params — code bytes round-trip parquet
+    * exactly), but the corpus side is the compressed store.
+    */
+  def sqTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): DataFrame = {
+    graft.core.StoreMeta.requireIfPresent(spark, storePath, "sq8", Map(
+      "dim" -> mins.length,
+      "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
+    val enc = spark.read.parquet(storePath)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    sqScore(enc, queries, idCol, vecCol, k, mins, maxs)
+  }
+
+  /** IVF + SQ8: coarse-quantizer candidate pruning over byte-compressed
+    * vectors — [[ivfTopK]]'s sublinearity at [[sqTopK]]'s 4× compression,
+    * with far finer distances than IVFPQ at small m (dim bytes vs m
+    * bytes). Unlike PQ there is no per-list LUT: the SQ grid is
+    * list-independent, so probing is just the IVF join with the byte
+    * decode fused into the pair distance. Assignment + encode are one
+    * map-side projection; only (id, list, codes) rows move.
+    */
+  def ivfSqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
+        .as("list"),
+      graft.functions.SqCodes(col(vecCol), mins, sqScales(mins, maxs))
+        .as("codes"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(array_sort(
+          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
+          .as("__p"))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    ivfSqScore(enc, probes, k, mins, maxs)
+  }
+
+  /** Shared probe-scoring tail of the in-flight and stored IVF-SQ paths:
+    * `enc` is (neighbor_id, list, codes), `probes` is
+    * (query_id, qv, list).
+    */
+  private def ivfSqScore(enc: DataFrame, probes: DataFrame, k: Int,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val scored = enc
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.functions.SqDist(col("qv"), col("codes"),
+        mins, sqSteps(mins, maxs)))
+      .filter(col("adc").isNotNull) // unencodable rows must not rank first
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc")
+  }
+
+  /** Persist the IVF-SQ8 index: (id, codes binary) partitioned by list —
+    * the 100 TB shape when PQ is too lossy and raw floats too big: dim
+    * bytes per vector, probes read only probed-list partitions. `_meta`
+    * records the coarse geometry AND the grid params; probes presenting
+    * either wrong refuse.
+    */
+  def writeIvfSqCodes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], storePath: String,
+      mins: Array[Double], maxs: Array[Double]): Unit = {
+    df.select(col(idCol).as("id"),
+      graft.functions.SqCodes(col(vecCol), mins, sqScales(mins, maxs))
+        .as("codes"),
+      bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
+        .as("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(storePath)
+    // AFTER the data write: overwrite mode wipes the store root first
+    graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivfsq", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids),
+      "dim" -> mins.length,
+      "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
+  }
+
+  /** Probe a stored IVF-SQ8 index: same scoring/tie mechanics as
+    * [[ivfSqTopK]] (bit-identical — code bytes round-trip parquet
+    * exactly), corpus side pruned to the probed-list union via a literal
+    * IN that reaches the file index as a partition filter.
+    */
+  def ivfSqTopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}]: $nprobe")
+    graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivfsq", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids),
+      "dim" -> mins.length,
+      "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(array_sort(
+          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
+          .as("__p"))
+      .withColumn("list", col("__p").getField("l"))
+      .drop("__p")
+    val probedLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val enc = spark.read.parquet(storePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as("neighbor_id"), col("list"), col("codes"))
+    ivfSqScore(enc, probes, k, mins, maxs)
   }
 
   /** (id, bk) multi-table LSH bucket keys of an embedding table — the
@@ -1284,7 +1627,11 @@ object Similarity {
     * An index-BUILD step over a driver-side sample (PQ training sets
     * are samples in production too — FAISS trains on ~10k–1M vectors
     * regardless of corpus size); the corpus-wide encode stays the
-    * map-side kernel.
+    * map-side kernel. Size the sample to the code count: measured on
+    * the test table, 2 iterations over 256 samples IMPROVES an
+    * 8-code-per-subspace codebook but DEGRADES a 64-code one
+    * (4 samples/code overfits — RECALL_r16); at large `numCodes` use
+    * [[refinePqCodebooksDistributed]] over the full corpus instead.
     */
   def refinePqCodebooks(
       sample: DataFrame,

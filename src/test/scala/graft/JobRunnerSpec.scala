@@ -371,6 +371,35 @@ class JobRunnerSpec extends SparkSpec {
     }
   }
 
+  test("curation quality_filter: model gates on a persisted linear classifier store") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("qmstore-")
+      .toString + "/model"
+    graft.operators.QualityModel.saveModel(
+      graft.operators.QualityModel.fromMap(spark,
+        Map("data" -> 1.2, "click" -> -2.0), bias = -0.2), store)
+    val df = Seq(
+      (1L, "data data data", "x"), // logit 1.0
+      (2L, "click click", "y"),    // logit −2.2
+      (3L, "   ", "z")             // zero tokens: unscorable
+    ).toDF("doc_id", "text", "extra")
+    val base = Map("id_field" -> "doc_id", "text_field" -> "text",
+      "quality_filter" -> "model", "model_store" -> store)
+    // default threshold 0.0 keeps only the positive-logit doc
+    val out = JobRunner.applyCuration(df, Map("curation" -> base))
+    out.columns shouldBe df.columns
+    out.collect().map(_.getLong(0)) shouldBe Array(1L)
+    // permissive threshold keeps both scorable docs, never the blank one
+    JobRunner.applyCuration(df,
+      Map("curation" -> (base + ("model_min_logit" -> "-10.0"))))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    // a missing store is an error, not a silent pass-through
+    intercept[Exception] {
+      JobRunner.applyCuration(df, Map("curation" ->
+        (base + ("model_store" -> (store + "_missing"))))).collect()
+    }
+  }
+
   test("curation decontaminate: ngram and verbatim drop leaky docs") {
     import spark.implicits._
     val benchPath = java.nio.file.Files

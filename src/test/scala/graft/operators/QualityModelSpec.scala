@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val weights = Map("the" -> 0.8, "data" -> 1.2, "click" -> -2.0)
+
+  // the exact double formula scoreDocs computes, replayed on the driver
+  private def logit(sumMicros: Long, n: Long, biasMicros: Long): Double =
+    sumMicros.toDouble / (n.toDouble * 1e6) + biasMicros.toDouble / 1e6
+
+  private val docs = Seq(
+    (1L, "The Data data click"), // (.8 + 1.2 + 1.2 − 2.0)/4 − 0.2
+    (2L, "zebra qux"),           // OOV-only: 0/2 − 0.2
+    (3L, "   "),                 // zero tokens: unscorable, no row
+    (4L, "data")                 // 1.2 − 0.2
+  ).toDF("doc_id", "text")
+
+  test("scoreDocs: hand-computed logits, OOV weighs 0, zero-token doc unscorable") {
+    val m = QualityModel.fromMap(spark, weights, -0.2)
+    val out = QualityModel.scoreDocs(docs, m, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_micros", "logit")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    out.map(_._1) shouldBe Array(1L, 2L, 4L) // doc 3 unscorable
+    val byId = out.map(r => r._1 -> r).toMap
+    byId(1L) shouldBe ((1L, 4L, 1200000L, logit(1200000L, 4L, -200000L)))
+    byId(2L) shouldBe ((2L, 2L, 0L, logit(0L, 2L, -200000L)))
+    byId(4L) shouldBe ((4L, 1L, 1200000L, logit(1200000L, 1L, -200000L)))
+  }
+
+  test("filterByScore: schema-preserving threshold gate; unscorable docs drop") {
+    val m = QualityModel.fromMap(spark, weights, -0.2)
+    val kept = QualityModel.filterByScore(docs, m, "doc_id", "text",
+      minLogit = 0.0)
+    kept.columns shouldBe docs.columns
+    // doc 1 logit ≈ 0.1, doc 4 = 1.0 survive; doc 2 (−0.2) below, doc 3
+    // unscorable — a gate that passes unscorable text is not a gate
+    kept.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+    // permissive threshold still never resurrects the unscorable doc
+    QualityModel.filterByScore(docs, m, "doc_id", "text", minLogit = -10.0)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 4L)
+  }
+
+  test("persisted model: stored scoring bit-identical; missing store errors") {
+    val m = QualityModel.fromMap(spark, weights, -0.2)
+    val store = java.nio.file.Files
+      .createTempDirectory("qmodel-").toString + "/model"
+    QualityModel.saveModel(m, store)
+    def rows(model: LinearModel) =
+      QualityModel.scoreDocs(docs, model, "doc_id", "text")
+        .select("doc_id", "n_tokens", "sum_micros", "logit")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // micro longs + tokens round-trip parquet exactly → identical bits
+    rows(QualityModel.loadModel(spark, store)) shouldBe rows(m)
+    intercept[Exception] {
+      QualityModel.loadModel(spark, store + "_missing")
+    }
+  }
+}

@@ -374,6 +374,179 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("planes")
   }
 
+  test("sqTopK: exact on grid-aligned data; store round-trip bit-identical; meta refusal") {
+    // elements are integers in [0, 255] and every dim attains both ends,
+    // so mins=0, maxs=255, scale=step=1: encode floor(x) = x is LOSSLESS
+    // and adc must equal the exact squared L2 distance
+    val dim = 4
+    val grid = ((0L to 9L).map { id =>
+      id -> Array.tabulate(dim)(j => ((id * 37 + j * 91) % 251).toFloat)
+    } :+ (10L -> Array.fill(dim)(0f)) :+ (11L -> Array.fill(dim)(255f)))
+      .toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.trainSqParams(grid, "embedding", dim)
+    mins shouldBe Array.fill(dim)(0.0)
+    maxs shouldBe Array.fill(dim)(255.0)
+    val queries = grid.filter($"vec_id" < 3)
+    val out = Similarity.sqTopK(grid, queries, "vec_id", "embedding",
+      k = 4, mins, maxs)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    // driver-side exact L2² replay with the same asc/id-tiebreak ranking
+    val vecs = grid.as[(Long, Array[Float])].collect().toMap
+    val expected = (0L to 2L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) =>
+          val d = v.zip(vecs(q)).map { case (a, b) =>
+            val t = a.toDouble - b.toDouble; t * t }.sum
+          (n, d)
+        }
+        .sortBy { case (n, d) => (d, n) }.take(4).zipWithIndex
+        .map { case ((n, d), i) => (q, n, (i + 1).toLong, d) }
+    }
+    out shouldBe expected.sortBy(t => (t._1, t._3)).toArray
+    // store round-trip: code bytes round-trip parquet exactly
+    val store = java.nio.file.Files
+      .createTempDirectory("sq-store-").toString + "/idx"
+    Similarity.writeSqCodes(grid, "vec_id", "embedding", store, mins, maxs)
+    Similarity.sqTopKFromStore(spark, store, queries, "vec_id",
+      "embedding", k = 4, mins, maxs)
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._3)) shouldBe out
+    // probing with different training params refuses via _meta
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.sqTopKFromStore(spark, store, queries, "vec_id",
+        "embedding", k = 4, mins.map(_ + 1.0), maxs.map(_ + 1.0))
+    e.getMessage should include("params_md5")
+  }
+
+  test("sqTopK: quantization error bound, null contract, degenerate constant dim") {
+    val dim = 8
+    // dim 7 constant: max == min ⇒ scale/step 0, code 0, decode = min
+    val base = (0L to 19L).map { id =>
+      id -> Array.tabulate(dim)(j =>
+        if (j == 7) 3.25f else math.sin(id * 2.17 + j * 0.91).toFloat)
+    }
+    // two frames: clean float-array rows + null/short/null-element rows
+    val clean = base.toDF("vec_id", "embedding")
+    val dirty = Seq(
+      (100L, null.asInstanceOf[Array[java.lang.Float]]),
+      (101L, Array[java.lang.Float](1f, 2f, 3f)),
+      (102L, Array[java.lang.Float](1f, null, 3f, 4f, 5f, 6f, 7f, 8f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val all = clean.unionByName(dirty)
+    val (mins, maxs) = Similarity.trainSqParams(clean, "embedding", dim)
+    // degenerate dim trained correctly
+    mins(7) shouldBe maxs(7)
+    val out = Similarity.sqTopK(all, clean.filter($"vec_id" < 2),
+      "vec_id", "embedding", k = 25, mins, maxs)
+    val neighbors = out.select("neighbor_id").as[Long].collect().toSet
+    // unencodable rows are dropped, never ranked
+    neighbors.intersect(Set(100L, 101L, 102L)) shouldBe empty
+    // per-dim decode error < step ⇒ self-distance ≤ Σ step² (encodable
+    // in-range data); checked through the public path: each query's
+    // nearest neighbor among 20 spread vectors must beat the bound only
+    // if it is its own near-twin — instead assert adc ≥ 0 and the
+    // quantization bound on a planted exact twin of query 0
+    val twin = Seq((200L, base.find(_._1 == 0L).get._2))
+      .toDF("vec_id", "embedding")
+    val steps = mins.indices.map(i =>
+      if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255.0 else 0.0)
+    val bound = steps.map(s => s * s).sum
+    val twinAdc = Similarity.sqTopK(twin, clean.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 1, mins, maxs)
+      .select("adc").as[Double].head()
+    twinAdc should be >= 0.0
+    twinAdc should be <= bound
+  }
+
+  test("ivfSqTopK: nprobe=all ≡ sqTopK; store round-trip, partition pruning, meta refusal") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    // probing every list = no pruning: bit-identical to the flat scan
+    rows(Similarity.ivfSqTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, centroids = cents, nprobe = 4, mins = mins, maxs = maxs)) shouldBe
+      rows(Similarity.sqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, mins, maxs))
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfsq-store-").toString + "/idx"
+    Similarity.writeIvfSqCodes(corpus, "vec_id", "embedding", cents,
+      store, mins, maxs)
+    val stored = Similarity.ivfSqTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+      mins = mins, maxs = maxs)
+    rows(stored) shouldBe
+      rows(Similarity.ivfSqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, centroids = cents, nprobe = 2, mins = mins, maxs = maxs))
+    // the probed-list union reaches the file index as a partition filter
+    val plan = stored.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex "list#\\d+ IN \\("
+    // wrong grid params refuse via _meta
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.ivfSqTopKFromStore(spark, store, queries, "vec_id",
+        "embedding", k = 5, centroids = cents, nprobe = 2,
+        mins = mins.map(_ - 1.0), maxs = maxs)
+    e.getMessage should include("params_md5")
+  }
+
+  test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
+    // shift identity: with a single centroid c, residual IVFADC over v
+    // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
+    // v − c under the same (residual-seeded) codebook — the subtraction
+    // is the same zip_with expression, so the doubles agree exactly
+    val corpus = mpVecs(120)
+    val queries = corpus.filter($"vec_id" < 4)
+    val c0 = Array.tabulate(8)(j => math.sin(j * 1.13).toDouble)
+    val cents1 = Seq(c0)
+    def shifted(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id",
+        zip_with($"embedding", lit(c0), (a, b) => a - b).as("embedding"))
+    val cbRes = Similarity.seedPqCodebooks(
+      Similarity.residualFrame(corpus, "vec_id", "embedding", cents1),
+      "id", "res", m = 2, k = 4, dsub = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    rows(Similarity.ivfPqResidualTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, centroids = cents1, nprobe = 1,
+      codebook = cbRes, m = 2, numCodes = 4, dsub = 4)) shouldBe
+      rows(Similarity.ivfPqTopK(shifted(corpus), shifted(queries),
+        "vec_id", "embedding", k = 5, centroids = cents1, nprobe = 1,
+        codebook = cbRes, m = 2, numCodes = 4, dsub = 4))
+    // clustered data (where residual encoding exists to win): two tight
+    // clusters far apart; residual-seeded codes must recover each
+    // query's own-cluster neighbors exactly
+    val dim = 8
+    def clustered(id: Long, c: Int, eps: Float) =
+      (id, Array.tabulate(dim)(j =>
+        (if (c == 0) math.sin(j * 1.1) else math.cos(j * 0.7)).toFloat +
+          (if (j == (id % dim).toInt) eps else 0f)))
+    val cdf = ((0L to 9L).map(i => clustered(i, 0, 0.01f * (i + 1))) ++
+      (10L to 19L).map(i => clustered(i, 1, 0.01f * (i + 1))))
+      .toDF("vec_id", "embedding")
+    val cents2Fixed = Seq(
+      Similarity.seedCentroids(cdf, "vec_id", "embedding", 1).head,
+      Similarity.seedCentroids(cdf.filter($"vec_id" >= 10),
+        "vec_id", "embedding", 1).head)
+    val res2 = Similarity.residualFrame(cdf, "vec_id", "embedding", cents2Fixed)
+    val cbRes2 = Similarity.seedPqCodebooks(res2, "id", "res",
+      m = 2, k = 4, dsub = 4)
+    val out = Similarity.ivfPqResidualTopK(cdf,
+      cdf.filter($"vec_id" === 0), "vec_id", "embedding", k = 3,
+      centroids = cents2Fixed, nprobe = 1, codebook = cbRes2,
+      m = 2, numCodes = 4, dsub = 4)
+      .select("neighbor_id").as[Long].collect()
+    // nprobe=1: all neighbors come from the query's own cluster
+    all(out) should be < 10L
+  }
+
   test("ivfPqTopK with nprobe = numLists equals plain pqTopK") {
     val cb = Similarity.seedPqCodebooks(pqVecs, "vec_id", "embedding",
       m = 2, k = 4, dsub = 2)
