@@ -1199,6 +1199,32 @@ object Similarity {
       "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
   }
 
+  /** Append one batch's encoded rows to an IVF-SQ8 store — no read,
+    * list, or rewrite of existing data (the append-only contract of the
+    * dedup/LM stores: what a long-running ingester needs). The first
+    * write stamps `_meta`; later appends REQUIRE the same coarse
+    * geometry and grid params. Training params are FROZEN at store
+    * creation by design — re-training per batch would silently re-grid
+    * codes already on disk (the DSIR frozen-fit argument); rebuild via
+    * [[writeIvfSqCodes]] when the corpus distribution genuinely moves.
+    */
+  def appendIvfSqCodes(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], storePath: String,
+      mins: Array[Double], maxs: Array[Double]): Unit = {
+    graft.core.StoreMeta.writeOrRequire(df.sparkSession, storePath,
+      "ivfsq", Map(
+        "numLists" -> centroids.size,
+        "centroids_md5" -> vectorSetFingerprint(centroids),
+        "dim" -> mins.length,
+        "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
+    df.select(col(idCol).as("id"),
+      graft.functions.SqCodes(col(vecCol), mins, sqScales(mins, maxs))
+        .as("codes"),
+      bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
+        .as("list"))
+      .write.mode("append").partitionBy("list").parquet(storePath)
+  }
+
   /** Probe a stored IVF-SQ8 index: same scoring/tie mechanics as
     * [[ivfSqTopK]] (bit-identical — code bytes round-trip parquet
     * exactly), corpus side pruned to the probed-list union via a literal

@@ -496,6 +496,92 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("params_md5")
   }
 
+  test("SqKernels fuzz: codes and distances match a driver-side replay; out-of-range clamps") {
+    val rnd = new scala.util.Random(42)
+    val dim = 8
+    val base = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 4f - 2f)))
+    // one corpus vector far outside the trained grid on every dim: its
+    // codes must clamp to 0/255, not wrap or poison the ranking
+    val data = (base :+ (60L, Array.tabulate(dim)(j =>
+      if (j % 2 == 0) 50f else -50f))).toDF("vec_id", "embedding")
+    val trained = base.toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.trainSqParams(trained, "embedding", dim)
+    val scales = Array.tabulate(dim)(i =>
+      if (maxs(i) > mins(i)) 255.0 / (maxs(i) - mins(i)) else 0.0)
+    val steps = Array.tabulate(dim)(i =>
+      if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255.0 else 0.0)
+    def codesOf(v: Array[Float]): Array[Int] = Array.tabulate(dim) { i =>
+      val c = math.floor((v(i).toDouble - mins(i)) * scales(i))
+      if (c < 0) 0 else if (c > 255) 255 else c.toInt
+    }
+    val vecs = (base :+ (60L, Array.tabulate(dim)(j =>
+      if (j % 2 == 0) 50f else -50f))).toMap
+    val got = data.select($"vec_id",
+      graft.functions.SqCodes($"embedding", mins, scales).as("codes"))
+      .as[(Long, Array[Byte])].collect()
+    got.length shouldBe 61
+    got.foreach { case (id, codes) =>
+      codes.map(_ & 0xFF) shouldBe codesOf(vecs(id))
+    }
+    // the out-of-range vector clamps to the grid corners exactly
+    got.find(_._1 == 60L).get._2.map(_ & 0xFF) shouldBe
+      Array.tabulate(dim)(j => if (j % 2 == 0) 255 else 0)
+    // every pair distance the public path produces matches the replay
+    val qids = Seq(0L, 7L)
+    val adc = Similarity.sqTopK(data, data.filter($"vec_id".isin(qids: _*)),
+      "vec_id", "embedding", k = 61, mins, maxs)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+    adc.length shouldBe qids.size * 60
+    adc.foreach { case (q, n, d) =>
+      val qv = vecs(q)
+      val cc = codesOf(vecs(n))
+      var acc = 0.0
+      var i = 0
+      while (i < dim) {
+        val t = qv(i).toDouble - (mins(i) + cc(i).toDouble * steps(i))
+        acc += t * t
+        i += 1
+      }
+      d shouldBe acc
+    }
+  }
+
+  test("appendIvfSqCodes: appended store ≡ one-shot build; frozen params refuse a re-grid") {
+    val corpus = mpVecs(150)
+    val first = corpus.filter($"vec_id" < 100)
+    val rest = corpus.filter($"vec_id" >= 100)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val appended = java.nio.file.Files
+      .createTempDirectory("ivfsq-append-").toString + "/idx"
+    Similarity.appendIvfSqCodes(first, "vec_id", "embedding", cents,
+      appended, mins, maxs)
+    Similarity.appendIvfSqCodes(rest, "vec_id", "embedding", cents,
+      appended, mins, maxs)
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("ivfsq-oneshot-").toString + "/idx"
+    Similarity.writeIvfSqCodes(corpus, "vec_id", "embedding", cents,
+      oneShot, mins, maxs)
+    rows(Similarity.ivfSqTopKFromStore(spark, appended, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+      mins = mins, maxs = maxs)) shouldBe
+      rows(Similarity.ivfSqTopKFromStore(spark, oneShot, queries,
+        "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+        mins = mins, maxs = maxs))
+    // appending under different grid params refuses: the store's codes
+    // were cut on the ORIGINAL grid and would silently mis-decode
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.appendIvfSqCodes(rest, "vec_id", "embedding", cents,
+        appended, mins.map(_ - 0.5), maxs)
+    e.getMessage should include("params_md5")
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
