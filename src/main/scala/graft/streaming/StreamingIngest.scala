@@ -171,6 +171,36 @@ object StreamingIngest {
     * store-side Exchange in the non-broadcast regime — the right shape
     * for a long-running ingester whose store grows without bound.
     */
+  /** Run `body` exactly once per (markerRoot, batchId) — the per-batch
+    * marker protocol every foreachBatch twin shares. A marker under
+    * `markerRoot/_markers` means the batch fully committed: skip the
+    * replay. Absent → run `body`, write the marker, then prune markers
+    * from earlier batches (a restart only ever replays the LATEST
+    * checkpoint-uncommitted batch, so once batch N runs, markers < N can
+    * never be consulted again — without pruning a long-running ingester
+    * accumulates one file per micro-batch forever; pruning is idempotent
+    * on replay). Underscore-prefixed paths are invisible to parquet
+    * readers (like _SUCCESS) and go through the Hadoop FS API so
+    * object-store roots work.
+    */
+  private def runBatchOnce(spark: SparkSession, markerRoot: String,
+      batchId: Long)(body: => Unit): Unit = {
+    val markerDir = new org.apache.hadoop.fs.Path(s"$markerRoot/_markers")
+    val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      body
+      fs.mkdirs(markerDir)
+      fs.create(marker, false).close()
+      val stale = fs.listStatus(markerDir).filter { st =>
+        st.getPath.getName.stripPrefix("batch_").toLongOption
+          .exists(_ < batchId)
+      }
+      stale.foreach(st => fs.delete(st.getPath, false))
+      ()
+    }
+  }
+
   def nearDedupStreamIncremental(
       stream: DataFrame,
       idCol: String,
@@ -190,12 +220,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
-        val marker = new org.apache.hadoop.fs.Path(markerDir,
-          s"batch_$batchId")
-        val fs = marker.getFileSystem(
-          spark.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
+        runBatchOnce(spark, outPath, batchId) {
           graft.core.CacheScope.scoped {
             val store =
               if (bucketedStore) graft.operators.Dedup.readBucketedBandKeys(
@@ -227,20 +252,6 @@ object StreamingIngest {
             survivors.select(col(idCol), col(textCol))
               .write.mode("append").parquet(corpusDocsPath)
           }
-          fs.mkdirs(markerDir)
-          fs.create(marker, false).close()
-          // Prune markers from earlier batches: a restart only ever
-          // replays the LATEST checkpoint-uncommitted batch, so once
-          // batch N runs, markers < N can never be consulted again —
-          // without this a long-running ingester accumulates one file
-          // per micro-batch forever. Idempotent on replay (the replayed
-          // batch re-prunes the same ids).
-          val stale = fs.listStatus(markerDir).filter { st =>
-            st.getPath.getName.stripPrefix("batch_").toLongOption
-              .exists(_ < batchId)
-          }
-          stale.foreach(st => fs.delete(st.getPath, false))
-          ()
         }
       }
       .start()
@@ -281,14 +292,12 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
-        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
+        runBatchOnce(spark, outPath, batchId) {
           graft.core.CacheScope.scoped {
             val store = graft.operators.Similarity.readEmbeddingBuckets(
               spark, bucketStorePath, planes, tables, dim)
             val outDir = new org.apache.hadoop.fs.Path(outPath)
+            val fs = outDir.getFileSystem(spark.sessionState.newHadoopConf())
             val slim = batch
               .select(org.apache.spark.sql.functions.col(idCol),
                 org.apache.spark.sql.functions.col(vecCol))
@@ -309,14 +318,6 @@ object StreamingIngest {
             graft.operators.Similarity.appendEmbeddingBuckets(survivors,
               idCol, vecCol, bucketStorePath, planes, tables, dim)
           }
-          fs.mkdirs(markerDir)
-          fs.create(marker, false).close()
-          val stale = fs.listStatus(markerDir).filter { st =>
-            st.getPath.getName.stripPrefix("batch_").toLongOption
-              .exists(_ < batchId)
-          }
-          stale.foreach(st => fs.delete(st.getPath, false))
-          ()
         }
       }
       .start()
@@ -347,11 +348,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val markerDir = new org.apache.hadoop.fs.Path(s"$outPath/_markers")
-        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
+        runBatchOnce(batch.sparkSession, outPath, batchId) {
           graft.core.CacheScope.scoped {
             val survivors = graft.core.CacheScope.persist(
               graft.operators.Tfidf.dropNearCorpusTfidf(
@@ -361,14 +358,6 @@ object StreamingIngest {
             graft.operators.Tfidf.appendToStore(survivors, idCol, textCol,
               tfidfStorePath, buckets = buckets, maxTokenDf = maxTokenDf)
           }
-          fs.mkdirs(markerDir)
-          fs.create(marker, false).close()
-          val stale = fs.listStatus(markerDir).filter { st =>
-            st.getPath.getName.stripPrefix("batch_").toLongOption
-              .exists(_ < batchId)
-          }
-          stale.foreach(st => fs.delete(st.getPath, false))
-          ()
         }
       }
       .start()
@@ -401,21 +390,53 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val markerDir = new org.apache.hadoop.fs.Path(s"$storePath/_markers")
-        val marker = new org.apache.hadoop.fs.Path(markerDir, s"batch_$batchId")
-        val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
+        runBatchOnce(batch.sparkSession, storePath, batchId) {
           graft.operators.Search.writeIndexSegment(
             batch, idCol, textCol, storePath, buckets)
-          fs.mkdirs(markerDir)
-          fs.create(marker, false).close()
-          val stale = fs.listStatus(markerDir).filter { st =>
-            st.getPath.getName.stripPrefix("batch_").toLongOption
-              .exists(_ < batchId)
+        }
+      }
+      .start()
+
+  /** Streaming CURATION: run the job driver's `curation:` block on every
+    * micro-batch ([[graft.JobRunner.applyCuration]] — extract, quality
+    * gates incl. the persisted-store `lm`/`model` classifiers, PII
+    * redaction, decontamination vs a static benchmark, within-batch
+    * dedupe/sampling) and append survivors — the shape a continuous
+    * ingester needs: gate quality IN the stream instead of re-reading
+    * the landed corpus in a nightly batch.
+    *
+    * This is the STATELESS half of streaming curation: every store the
+    * block references (lm_store, model_store, benchmark_path) is a
+    * FROZEN fit read per batch, and dedupe/sample scopes are
+    * within-batch. CROSS-batch dedup state lives in the dedicated twins
+    * ([[dedupStreamIncremental]] / [[nearDedupStreamIncremental]] /
+    * [[embeddingDedupStreamIncremental]] / [[tfidfDedupStreamIncremental]]),
+    * which compose with this pass by chaining outputs.
+    *
+    * Quality gates that aggregate per document (lm/model scoring group
+    * exploded tokens) are why this runs `foreachBatch`: mid-stream
+    * aggregation + semi-join is not expressible in a single append-mode
+    * streaming plan, but each micro-batch is a plain batch frame where
+    * the BATCH operators run unchanged — identical semantics to running
+    * the job driver once per arriving file. The [[runBatchOnce]] marker
+    * protocol guards replays (a replayed completed batch would re-land
+    * its survivors).
+    */
+  def curateStream(
+      stream: DataFrame,
+      curation: Map[String, Any],
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        runBatchOnce(batch.sparkSession, outPath, batchId) {
+          graft.core.CacheScope.scoped {
+            graft.JobRunner.applyCuration(batch, Map("curation" -> curation))
+              .write.mode("append").parquet(outPath)
           }
-          stale.foreach(st => fs.delete(st.getPath, false))
-          ()
         }
       }
       .start()

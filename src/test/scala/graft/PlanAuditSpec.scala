@@ -229,6 +229,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 plans broadcast the query side and score straight from code bytes") {
+    for (name <- Seq("ann_sq_topk", "ann_ivfsq_topk")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        p should (include("BroadcastNestedLoopJoin") or include("BroadcastHashJoin"))
+        p should not include "SortMergeJoin"
+        p should not include "CartesianProduct"
+        p should include("sqcodes") // corpus encoded map-side
+        p should include("sqdist")  // pair distance fused over the bytes
+      }
+    }
+  }
+
+  test("quality-model scoring broadcasts the weight table; per-doc agg partial-aggregates") {
+    // the vocab-bounded weight table must broadcast (a misprediction
+    // would shuffle every token posting in the corpus), and the per-doc
+    // sum must map-side combine so the one shuffle carries one row/doc
+    val p = plan("text_model_score")
+    p should include("BroadcastHashJoin")
+    p should include("HashAggregate")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("incremental dedup computes signatures map-side (kernel projections)") {
     plan("dedup_simhash_incremental") should include("simhashbits")
     plan("dedup_minhash_incremental") should include("minhashbands")

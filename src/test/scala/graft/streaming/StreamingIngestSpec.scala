@@ -414,6 +414,46 @@ class StreamingIngestSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("streaming curation gates micro-batches like the batch job driver") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-cur-")
+    val ckpt = Files.createTempDirectory("stream-cur-ckpt-").toString
+    val out = Files.createTempDirectory("stream-cur-out-").toString + "/out"
+    val store = Files.createTempDirectory("stream-cur-model-").toString +
+      "/model"
+    graft.operators.QualityModel.saveModel(
+      graft.operators.QualityModel.fromMap(spark,
+        Map("data" -> 1.2, "click" -> -2.0), bias = -0.2), store)
+    val curation = Map[String, Any](
+      "id_field" -> "doc_id", "text_field" -> "text",
+      "dedupe" -> "exact",
+      "quality_filter" -> "model", "model_store" -> store)
+    def docsCsv(rows: Seq[(Long, String)]): String =
+      "doc_id,text\n" + rows.map { case (i, t) => s"$i,$t" }.mkString("\n")
+    def run(): Unit = {
+      val raw = spark.readStream.schema("doc_id long, text string")
+        .option("header", "true").csv(in.toString)
+      graft.streaming.StreamingIngest
+        .curateStream(raw, curation, out, ckpt)
+        .awaitTermination(60000)
+    }
+    // batch 1: a good doc, its exact duplicate (higher id drops), spam
+    Files.writeString(in.resolve("a.csv"),
+      docsCsv(Seq((1L, "data data data"), (2L, "data data data"),
+        (3L, "click click"))))
+    run()
+    // batch 2: a good doc (OOV tokens weigh 0: logit 1.2/3 − 0.2 > 0)
+    // and spam below the default threshold
+    Files.writeString(in.resolve("b.csv"),
+      docsCsv(Seq((10L, "more data here"), (11L, "click click click"))))
+    run()
+    // restart with no new data: markers + checkpoint → nothing re-lands
+    run()
+    spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .shouldBe(Array(1L, 10L))
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("watermarked windowed event counts over a stream") {
     val in = Files.createTempDirectory("stream-ev-")
     Files.writeString(in.resolve("e.csv"),
