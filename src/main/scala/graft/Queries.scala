@@ -1253,6 +1253,38 @@ object Queries {
       mins = mins, maxs = maxs)
   }
 
+  /** SQ8 shortlist + exact refine (FAISS IndexRefineFlat shape): the
+    * ADC top-20 per query re-scored with the exact L2² between the raw
+    * vectors and re-ranked to top-5. The oracle replays the full ADC
+    * chain at rank ≤ 20, then the exact per-dim sequential fold.
+    */
+  def annSqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    graft.operators.Similarity.sqRerankTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, mins = mins, maxs = maxs, factor = 4)
+  }
+
+  /** IVFPQ shortlist + exact refine: the probed lists' ADC top-20 per
+    * query re-ranked by exact L2² — fixes what the lossy codes misorder
+    * within the shortlist (it cannot resurrect unprobed lists).
+    */
+  def annIvfPqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    graft.operators.Similarity.ivfPqRerankTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16, factor = 4)
+  }
+
   /** IVFPQ with a TRAINED codebook: the seed codebook refined by 2
     * iterations of per-subspace Lloyd over the vec_id < 256 sample —
     * the training half of Jégou et al. 2011 that the sampled-data
@@ -1881,6 +1913,8 @@ object Queries {
     "ann_sq_store_topk" -> annSqStoreTopK _,
     "ann_ivfsq_topk" -> annIvfSqTopK _,
     "ann_ivfsq_store_topk" -> annIvfSqStoreTopK _,
+    "ann_sq_rerank_topk" -> annSqRerankTopK _,
+    "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -2794,7 +2828,7 @@ object Queries {
     * (mx−mn)/255 step, and the distance folds (q_i − rec_i)² in dim
     * order — the [[graft.functions.SqKernels]] loop verbatim.
     */
-  private val annSqTopKOracle: String =
+  private val sqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |p AS (SELECT i, min(e[i+1]) AS mn, max(e[i+1]) AS mx
@@ -2816,9 +2850,30 @@ object Queries {
        |  list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS adc
        |  FROM d0 GROUP BY query_id, neighbor_id),
        |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)""".stripMargin
+
+  private val annSqTopKOracle: String =
+    s"""$sqAdcChainSql
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Exact-refine replay: the SQ ADC chain's top-20 shortlist re-scored
+    * with the exact per-dim (q_i − c_i)² sequential fold and re-ranked.
+    */
+  private val annSqRerankTopKOracle: String =
+    s"""$sqAdcChainSql,
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (q.e[i+1] - v2.e[i+1]) * (q.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN q ON q.query_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
 
   /** IVF-SQ8 replay: the IVF assignment/probe CTEs (`c`/`a0`/`a`/`qp`,
     * identical to the IVFPQ oracle) composed with the SQ8
@@ -2863,7 +2918,7 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
 
-  private val annIvfPqTopKOracle: String =
+  private val ivfPqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
@@ -2896,9 +2951,30 @@ object Queries {
        |  list_reduce(list(sd ORDER BY m), (x, y) -> x + y) AS adc
        |  FROM ps GROUP BY query_id, neighbor_id),
        |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM adc0)""".stripMargin
+
+  private val annIvfPqTopKOracle: String =
+    s"""$ivfPqAdcChainSql
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Exact-refine replay over the IVFPQ chain: the probed lists' ADC
+    * top-20 shortlist re-scored with the exact per-dim sequential fold.
+    */
+  private val annIvfPqRerankTopKOracle: String =
+    s"""$ivfPqAdcChainSql,
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (q2.e[i+1] - v2.e[i+1]) * (q2.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v q2 ON q2.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
 
   /** IVFADC residual replay: `rs` subtracts each corpus vector's
     * assigned centroid per dim (exact IEEE), the codebook seeds from the
@@ -3386,6 +3462,8 @@ object Queries {
     "ann_sq_store_topk" -> annSqTopKOracle,
     "ann_ivfsq_topk" -> annIvfSqTopKOracle,
     "ann_ivfsq_store_topk" -> annIvfSqTopKOracle,
+    "ann_sq_rerank_topk" -> annSqRerankTopKOracle,
+    "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

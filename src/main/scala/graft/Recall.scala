@@ -143,7 +143,13 @@ object Recall {
           s"ivfsq_nprobe$nprobe" -> topkRecall(Similarity.ivfSqTopK(
             emb, queries, "vec_id", "embedding", k, cents, nprobe,
             sqMins, sqMaxs))
-        }).toMap
+        }).toMap ++
+        // exact refine over the SQ shortlist: the misses left are ONLY
+        // true neighbors outside the ADC top-(k·4) — the production
+        // two-stage shape's residual error
+        Map("sq8_rerank_f4" -> topkRecall(Similarity.sqRerankTopK(
+          emb, queries, "vec_id", "embedding", k, sqMins, sqMaxs,
+          factor = 4)))
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++ sq
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap

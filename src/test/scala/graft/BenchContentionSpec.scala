@@ -88,10 +88,19 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
     node.get("unit").asText() shouldBe "sec"
     node.get("sf").asText() shouldBe "sf0.1"
     node.get("value").asDouble() shouldBe 123.46 +- 1e-9
-    // every query above the median time survives the cut
+    // admission is slowest-first: no omitted query may be slower than a
+    // kept one (tie-safe: equal times can fall either side of the cut),
+    // and the budget must always admit a useful number of entries —
+    // the registered set has outgrown "half always fits" (134 names ×
+    // ~30 bytes > 1800), which is exactly why `omitted` exists
     val kept = node.get("queries")
-    val slowest = results.sortBy(-_._2).take(results.size / 2)
-    slowest.foreach { case (n, _) => kept.has(n) shouldBe true }
+    val (keptTimes, omittedTimes) =
+      results.partition { case (n, _) => kept.has(n) } match {
+        case (k, o) => (k.map(_._2), o.map(_._2))
+      }
+    if (omittedTimes.nonEmpty)
+      keptTimes.min should be >= omittedTimes.max
+    kept.size() should be >= 40
     node.get("omitted").asInt() shouldBe (results.size - kept.size())
   }
 

@@ -582,6 +582,43 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("params_md5")
   }
 
+  test("rerankExact: whole-corpus shortlist ≡ exact L2 ranking; subset shortlist never resurrects outsiders") {
+    val corpus = mpVecs(40)
+    val queries = corpus.filter($"vec_id" < 3)
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", 8)
+    // factor 8 makes the SQ shortlist the WHOLE corpus (5·8 = 40), so
+    // the refine stage must reproduce the exact L2² brute ranking —
+    // driver-replayed with the same sequential per-dim fold
+    val out = Similarity.sqRerankTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, mins, maxs, factor = 8)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    def l2(q: Array[Float], c: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < 8) {
+        val d = q(i).toDouble - c(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val expected = (0L to 2L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) => (n, l2(vecs(q), v)) }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q, n, (i + 1).toLong, d) }
+    }.sortBy(t => (t._1, t._3))
+    out shouldBe expected.toArray
+    // a hand-built subset shortlist ranks ONLY its members — the refine
+    // stage must never resurrect candidates stage one didn't surface
+    val short = Seq((0L, 7L), (0L, 9L)).toDF("query_id", "neighbor_id")
+    Similarity.rerankExact(short, corpus,
+      queries.filter($"vec_id" === 0), "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet shouldBe Set(7L, 9L)
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
