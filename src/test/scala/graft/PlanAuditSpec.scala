@@ -253,6 +253,20 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("exact-refine plans broadcast the shortlist; the raw corpus is never shuffled or crossed") {
+    for (name <- Seq("ann_sq_rerank_topk", "ann_ivfpq_rerank_topk")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        // the refine join must stream the corpus against the broadcast
+        // (shortlist × query-vector) table — candidate-bounded by
+        // construction — never sort-merge or cross it
+        p should include("BroadcastHashJoin")
+        p should not include "SortMergeJoin"
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
   test("incremental dedup computes signatures map-side (kernel projections)") {
     plan("dedup_simhash_incremental") should include("simhashbits")
     plan("dedup_minhash_incremental") should include("minhashbands")
