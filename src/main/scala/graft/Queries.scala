@@ -3289,12 +3289,6 @@ object Queries {
       |  rrf_score, n_arms
       |FROM r WHERE rank <= 10""".stripMargin
 
-  // Stupid-Backoff bigram LM: fit on even-id docs (exact integer count
-  // tables), score odd-id docs — seen bigrams ln(cb/c1), unseen
-  // ln(0.4·(cu+1)/(T+V)) — each quantized to micro-nats, summed as
-  // exact BIGINTs, one double division for the average. One SQL serves
-  // the in-flight and the stored variant (counts round-trip parquet
-  // exactly).
   /** Linear quality-model replay: the same micro-unit weights as
     * VALUES, the shared whitespace tokenizer, a LEFT join (OOV → 0),
     * BIGINT sum, and the two exact double divisions in the same order
@@ -3318,6 +3312,12 @@ object Queries {
        |FROM s""".stripMargin
   }
 
+  // Stupid-Backoff bigram LM: fit on even-id docs (exact integer count
+  // tables), score odd-id docs — seen bigrams ln(cb/c1), unseen
+  // ln(0.4·(cu+1)/(T+V)) — each quantized to micro-nats, summed as
+  // exact BIGINTs, one double division for the average. One SQL serves
+  // the in-flight and the stored variant (counts round-trip parquet
+  // exactly).
   private val textLmScoreOracle: String =
     """WITH tl AS (SELECT doc_id, list_filter(
       |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS l

@@ -50,6 +50,19 @@ object Recall {
     val cb = Similarity.seedPqCodebooks(emb, "vec_id", "embedding",
       m = 4, k = 8, dsub = 16)
     val (sqMins, sqMaxs) = Similarity.trainSqParams(emb, "embedding", 64)
+    // k-independent fits hoisted out of curves(k) — re-running the
+    // full-corpus distributed Lloyd (the harness's most expensive
+    // stage) once per k would produce bit-identical codebooks twice
+    val cbTrained = Similarity.refinePqCodebooks(
+      emb.filter(col("vec_id") < 256), "vec_id", "embedding", cb,
+      m = 4, numCodes = 8, dsub = 16, iterations = 2)
+    val resFrame = Similarity.residualFrame(emb, "vec_id", "embedding", cents)
+    val cbRes = Similarity.seedPqCodebooks(resFrame, "id", "res",
+      m = 4, k = 8, dsub = 16)
+    val cb64 = Similarity.seedPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 64, dsub = 8)
+    val cb64T = Similarity.refinePqCodebooksDistributed(emb, "vec_id",
+      "embedding", cb64, m = 8, numCodes = 64, dsub = 8, iterations = 2)
 
     // k=5 is the oracle queries' operating point; k=50 stresses the
     // candidate budget (a single LSH bucket at 8 planes holds fewer
@@ -92,9 +105,6 @@ object Recall {
       // vec_id < 256 sample, the ann_ivfpq_refined_topk configuration)
       // vs the seed rows above: the r14 file measured 0.05–0.16 —
       // this row is the proof the training half actually buys recall
-      val cbTrained = Similarity.refinePqCodebooks(
-        emb.filter(col("vec_id") < 256), "vec_id", "embedding", cb,
-        m = 4, numCodes = 8, dsub = 16, iterations = 2)
       val ivfpqRef = (for (nprobe <- Seq(4, 8, 16)) yield {
         s"ivfpq_refined_nprobe$nprobe" -> topkRecall(Similarity.ivfPqTopK(
           emb, queries, "vec_id", "embedding", k, cents, nprobe,
@@ -105,9 +115,6 @@ object Recall {
       // residuals against seed centroids are no smaller than raw vectors,
       // so residual encoding does NOT beat raw here (it pays on clustered
       // real data); recorded so the claim stays empirical.
-      val resFrame = Similarity.residualFrame(emb, "vec_id", "embedding", cents)
-      val cbRes = Similarity.seedPqCodebooks(resFrame, "id", "res",
-        m = 4, k = 8, dsub = 16)
       val ivfadc = (for (nprobe <- Seq(4, 8, 16)) yield {
         s"ivfadc_nprobe$nprobe" -> topkRecall(
           Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
@@ -119,10 +126,6 @@ object Recall {
       // 256-row sample with 64 codes (4 samples/code) OVERFITS and loses
       // recall — the distributed trainer over the whole corpus is the
       // right tool at this code count.
-      val cb64 = Similarity.seedPqCodebooks(emb, "vec_id", "embedding",
-        m = 8, k = 64, dsub = 8)
-      val cb64T = Similarity.refinePqCodebooksDistributed(emb, "vec_id",
-        "embedding", cb64, m = 8, numCodes = 64, dsub = 8, iterations = 2)
       val rich = (for {
         (cbr, tag) <- Seq(cb64 -> "", cb64T -> "_trained")
         nprobe <- Seq(4, 16)

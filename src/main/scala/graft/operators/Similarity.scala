@@ -458,6 +458,18 @@ object Similarity {
   private def bestListStruct(cols: Seq[Column]): Column =
     if (cols.sizeIs == 1) cols.head else least(cols: _*)
 
+  /** The probed-list explosion every IVF-family probe builder shares:
+    * `vec`'s `nprobe` best-scored list structs, exploded to one row per
+    * (query row, probed list). Single-sources the probe contract —
+    * lists order by (−score, list id), the [[scoredListStructs]]
+    * struct order — so a tie-break change can never drift between the
+    * seven probe sites.
+    */
+  private def explodedProbe(vec: Column, centroids: Seq[Array[Double]],
+      nprobe: Int): Column =
+    explode(slice(array_sort(array(scoredListStructs(vec, centroids): _*)),
+      1, nprobe))
+
   /** Best-centroid list id as a plain map-side Column (ties to the lower
     * list) — the coarse-quantizer assignment shared by the IVF build,
     * SemDeDup blocking, and cluster-balanced sampling.
@@ -509,12 +521,9 @@ object Similarity {
   ): DataFrame = {
     require(centroids.nonEmpty, "semDedupPairs needs at least one centroid")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // least() rejects a single argument; one centroid = one cluster
-    val bestList =
-      if (centroids.size == 1) lit(0)
-      else bestListStruct(scoredListStructs(col("v"), centroids)).getField("l")
     val assigned = CacheScope.persist(base.select(col("id"),
-      bestList.as("bk")))
+      bestListStruct(scoredListStructs(col("v"), centroids)).getField("l")
+        .as("bk")))
     val blocked =
       if (maxListDf > 0)
         CacheScope.persist(Dedup.capHotKeys(assigned, "bk", maxListDf))
@@ -533,17 +542,15 @@ object Similarity {
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
-    def scoredLists(vec: Column): Seq[Column] =
-      scoredListStructs(vec, centroids)
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn"))
-      .withColumn("list", least(scoredLists(col("cv")): _*).getField("l"))
+      .withColumn("list",
+        bestListStruct(scoredListStructs(col("cv"), centroids)).getField("l"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
-      .withColumn("__p",
-        explode(slice(array_sort(array(scoredLists(col("qv")): _*)), 1, nprobe)))
+      .withColumn("__p", explodedProbe(col("qv"), centroids, nprobe))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
     val scored = assigned
@@ -778,9 +785,7 @@ object Similarity {
     val probes = queries.select(col(idCol).as("query_id"),
         graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
           .as("lut"),
-        explode(slice(array_sort(
-          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
-          .as("__p"))
+        explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
     val scored = enc
@@ -861,9 +866,7 @@ object Similarity {
           codebook, m, numCodes, dsub).as("codes"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(slice(array_sort(
-          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
-          .as("__p"))
+        explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
       .select(col("query_id"), col("list"),
@@ -976,9 +979,7 @@ object Similarity {
     val probes = queries.select(col(idCol).as("query_id"),
         graft.functions.PqLut(col(vecCol), codebook, m, numCodes, dsub)
           .as("lut"),
-        explode(slice(array_sort(
-          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
-          .as("__p"))
+        explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
     val probedLists = probes.select("list").distinct()
@@ -1015,8 +1016,12 @@ object Similarity {
       min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn$i"),
       max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!row.isNullAt(0),
-      "trainSqParams: empty corpus or all-null vector column")
+    // every aggregate slot, not just dim 0: a corpus of uniformly-short
+    // vectors or an all-null dim j > 0 must fail with this message, not
+    // an opaque getDouble NPE below
+    require((0 until 2 * dim).forall(i => !row.isNullAt(i)),
+      "trainSqParams: empty corpus or all-null vector dimension " +
+        "(every dim needs at least one non-null element)")
     (Array.tabulate(dim)(i => row.getDouble(2 * i)),
       Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
   }
@@ -1148,9 +1153,7 @@ object Similarity {
         .as("codes"))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(slice(array_sort(
-          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
-          .as("__p"))
+        explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
     ivfSqScore(enc, probes, k, mins, maxs)
@@ -1251,9 +1254,7 @@ object Similarity {
       "params_md5" -> vectorSetFingerprint(Seq(mins, maxs))))
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(slice(array_sort(
-          array(scoredListStructs(col(vecCol), centroids): _*)), 1, nprobe))
-          .as("__p"))
+        explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
       .withColumn("list", col("__p").getField("l"))
       .drop("__p")
     val probedLists = probes.select("list").distinct()
@@ -1301,9 +1302,11 @@ object Similarity {
       .join(qv, "query_id")
     val scored = cv
       .join(broadcast(withQ), Seq("neighbor_id"))
-      .withColumn("dist",
-        dotDouble(zip_with(col("qv"), col("cv"), (a, b) => a - b),
-          zip_with(col("qv"), col("cv"), (a, b) => a - b)))
+      // delta projected ONCE, then self-dotted: CollapseProject keeps a
+      // non-cheap alias referenced twice in its own projection, so the
+      // interpreted zip_with runs once per pair, not twice
+      .withColumn("__d", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("dist", dotDouble(col("__d"), col("__d")))
       .filter(col("dist").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id"))

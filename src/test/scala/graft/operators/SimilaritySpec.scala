@@ -91,6 +91,14 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 5)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
     ivf shouldBe brute
+    // degenerate SINGLE-list quantizer: one centroid, nprobe=1 — valid
+    // per ivfTopK's own require, must not crash on least()'s 2-arg
+    // minimum (regression: this site was missed in the bestListStruct
+    // conversion) and equals brute force since the one list holds all
+    val single = Similarity.ivfTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 5, Seq(cents.head), nprobe = 1)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(3)))
+    single shouldBe brute
   }
 
   test("centroidOutlierScores: in-cluster high, off-cluster low, no shuffle") {
