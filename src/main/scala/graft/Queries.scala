@@ -1285,6 +1285,35 @@ object Queries {
       codebook = cb, m = 4, numCodes = 8, dsub = 16, factor = 4)
   }
 
+  /** Fully-persisted two-stage retrieval: compressed store shortlist +
+    * exact refine from the raw IVF store, BOTH scans pruned to the
+    * probed lists. Codes and raw floats round-trip parquet exactly, so
+    * the SAME oracle as ann_ivfpq_rerank_topk checks the whole
+    * build→stores→probe→refine chain.
+    */
+  def annIvfPqRerankStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val cb = graft.operators.Similarity.seedPqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 8, dsub = 16)
+    val pqStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_pq_").toString
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_raw_").toString
+    graft.operators.Similarity.writeIvfPqAssignments(
+      emb, "vec_id", "embedding", cents, cb, pqStore,
+      m = 4, numCodes = 8, dsub = 16)
+    graft.operators.Similarity.writeIvfAssignments(
+      emb, "vec_id", "embedding", cents, rawStore)
+    ivfStoreDirs.add(pqStore)
+    ivfStoreDirs.add(rawStore)
+    graft.operators.Similarity.ivfPqRerankTopKFromStores(
+      spark, pqStore, rawStore, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      codebook = cb, m = 4, numCodes = 8, dsub = 16, factor = 4)
+  }
+
   /** IVFPQ with a TRAINED codebook: the seed codebook refined by 2
     * iterations of per-subspace Lloyd over the vec_id < 256 sample —
     * the training half of Jégou et al. 2011 that the sampled-data
@@ -1915,6 +1944,7 @@ object Queries {
     "ann_ivfsq_store_topk" -> annIvfSqStoreTopK _,
     "ann_sq_rerank_topk" -> annSqRerankTopK _,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopK _,
+    "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankStoreTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -3464,6 +3494,10 @@ object Queries {
     "ann_ivfsq_store_topk" -> annIvfSqTopKOracle,
     "ann_sq_rerank_topk" -> annSqRerankTopKOracle,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopKOracle,
+    // the two-store twin is value-identical by construction (codes and
+    // raw floats round-trip parquet exactly), so the same oracle checks
+    // the whole build→stores→probe→refine chain
+    "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

@@ -1361,6 +1361,51 @@ object Similarity {
       corpus, queries, idCol, vecCol, k)
   }
 
+  /** Fully-PERSISTED two-stage retrieval: the compressed store answers
+    * the shortlist ([[ivfPqTopKFromStore]] at k·factor — (id, codes)
+    * partitions pruned to the probed lists) and the raw-vector store
+    * ([[writeIvfAssignments]]) answers the exact refine. The SAME
+    * probed-list pruning applies to the refine scan — every shortlist
+    * member came from a probed list — so neither store is ever read
+    * beyond the probed partitions: at a 10k-list production index a
+    * 10-query retrieval touches ~40 directories of code bytes plus the
+    * same ~40 of raw vectors, never the rest of either store.
+    */
+  def ivfPqRerankTopKFromStores(
+      spark: org.apache.spark.sql.SparkSession,
+      pqStorePath: String,
+      rawStorePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      codebook: Array[Double],
+      m: Int = 4,
+      numCodes: Int = 8,
+      dsub: Int = 16,
+      factor: Int = 4
+  ): DataFrame = {
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    val shortlist = ivfPqTopKFromStore(spark, pqStorePath, queries,
+      idCol, vecCol, k * factor, centroids, nprobe, codebook,
+      m, numCodes, dsub)
+    graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids)))
+    // the same probe set stage one used (same literal centroids), so the
+    // raw scan prunes to the identical partition union
+    val probedLists = queries
+      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
+      .select(col("__p").getField("l").as("list"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val rawPruned = spark.read.parquet(rawStorePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    rerankExact(shortlist, rawPruned, queries, idCol, vecCol, k)
+  }
+
   /** (id, bk) multi-table LSH bucket keys of an embedding table — the
     * STORE layout for incremental embedding dedup: `tables` keys per
     * vector, maintained append-only via [[appendEmbeddingBuckets]], so

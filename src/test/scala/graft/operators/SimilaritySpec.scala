@@ -627,6 +627,46 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet shouldBe Set(7L, 9L)
   }
 
+  test("ivfPqRerankTopKFromStores: ≡ in-flight rerank; BOTH store scans partition-pruned; raw-store meta refusal") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val cb = Similarity.seedPqCodebooks(corpus, "vec_id", "embedding",
+      m = 2, k = 4, dsub = 4)
+    val pqStore = java.nio.file.Files
+      .createTempDirectory("2stage-pq-").toString + "/idx"
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("2stage-raw-").toString + "/idx"
+    Similarity.writeIvfPqAssignments(corpus, "vec_id", "embedding",
+      cents, cb, pqStore, m = 2, numCodes = 4, dsub = 4)
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding",
+      cents, rawStore)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "dist")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val stored = Similarity.ivfPqRerankTopKFromStores(spark, pqStore,
+      rawStore, queries, "vec_id", "embedding", k = 3, centroids = cents,
+      nprobe = 2, codebook = cb, m = 2, numCodes = 4, dsub = 4, factor = 3)
+    rows(stored) shouldBe
+      rows(Similarity.ivfPqRerankTopK(corpus, queries, "vec_id",
+        "embedding", k = 3, centroids = cents, nprobe = 2, codebook = cb,
+        m = 2, numCodes = 4, dsub = 4, factor = 3))
+    // both stores' scans carry a probed-list partition filter — the
+    // compressed shortlist scan AND the raw refine scan
+    val plan = stored.queryExecution.executedPlan.toString
+    "list#\\d+ IN \\(".r.findAllIn(plan).length should be >= 2
+    // a raw store built under different centroids refuses via _meta
+    val otherRaw = java.nio.file.Files
+      .createTempDirectory("2stage-raw2-").toString + "/idx"
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding",
+      Seq(cents.head, cents.last), otherRaw)
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.ivfPqRerankTopKFromStores(spark, pqStore, otherRaw,
+        queries, "vec_id", "embedding", k = 3, centroids = cents,
+        nprobe = 2, codebook = cb, m = 2, numCodes = 4, dsub = 4)
+    e.getMessage should (include("centroids_md5") or include("numLists"))
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
