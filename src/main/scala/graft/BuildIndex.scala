@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.Yaml
+import graft.operators.Similarity
+
+/** Config-driven ANN index builds — the job-surface half of the
+  * retrieval stores (r16 verdict #5): the reference's ethos is that
+  * every scheduled action is a YAML config an orchestrator can run, and
+  * index BUILDS are exactly that kind of action (offline, whole-corpus,
+  * cadence-driven — the thing tomorrow's cron re-runs when the corpus
+  * grew). PROBES stay library-level by design: a probe is parameterized
+  * by an ad-hoc query DataFrame, which a static config cannot express —
+  * the boundary is build = config verb, probe = code (documented in
+  * COVERAGE.md).
+  *
+  * `runMain graft.BuildIndex <index.yaml>`:
+  * {{{
+  * input: /data/embeddings.parquet   # parquet with id + vector columns
+  * id_field: vec_id
+  * vector_field: embedding
+  * kind: ivfsq              # ivf | ivfpq | ivfsq | sq | lsh
+  *                          # | embedding_buckets
+  * store: /indexes/corpus_ivfsq
+  * raw_store: /indexes/corpus_raw    # optional (ivf-family kinds):
+  *                                   # also write the raw-vector refine
+  *                                   # store under the SAME centroids —
+  *                                   # the two-stage retrieval pair
+  * num_lists: 256           # ivf/ivfpq/ivfsq coarse lists
+  * dim: 64                  # vector dims (sq/lsh/embedding_buckets)
+  * pq_m: 8                  # ivfpq: subspaces
+  * pq_codes: 64             # ivfpq: codes per subspace
+  * pq_dsub: 8               # ivfpq: dims per subspace
+  * train_iterations: 2      # ivfpq: distributed-Lloyd sweeps (0 = seed)
+  * planes: 6                # lsh / embedding_buckets
+  * tables: 8                # embedding_buckets
+  * }}}
+  *
+  * Every build also persists the training artifacts the probe needs
+  * (centroids / trained codebook / SQ grid) under `store/_train/…`
+  * ([[Similarity.writeCentroids]] family), so the built index is
+  * self-contained: a separate probing process reads them back
+  * bit-exactly instead of re-deriving them from the corpus — and the
+  * store `_meta` fingerprints refuse any drift.
+  *
+  * Scale shape: one corpus pass per store written (assign + encode are
+  * map-side; the write shuffles only on the partition key), plus one
+  * aggregate pass per SQ grid / Lloyd iteration. Nothing here collects
+  * corpus rows to the driver — only the training artifacts
+  * (numLists·dim + m·codes·dsub doubles, driver-small by construction).
+  */
+object BuildIndex {
+
+  case class BuildReport(kind: String, store: String, rows: Long,
+      rawStore: Option[String])
+
+  def run(spark: SparkSession, cfgPath: String): BuildReport = {
+    val c = Yaml.loadFile(cfgPath)
+    def need(k: String): String = Yaml.str(c, k).getOrElse(
+      throw new IllegalArgumentException(s"index config requires $k"))
+    def intOpt(k: String): Option[Int] =
+      Yaml.str(c, k).map(_.toDouble.toInt)
+    val kind = need("kind")
+    val store = need("store")
+    val idCol = need("id_field")
+    val vecCol = need("vector_field")
+    val dim = intOpt("dim").getOrElse(64)
+    val input = spark.read.parquet(need("input"))
+      .select(col(idCol), col(vecCol))
+    val rows = input.count()
+
+    def cents(): Seq[Array[Double]] = Similarity.seedCentroids(
+      input, idCol, vecCol, intOpt("num_lists").getOrElse(16))
+    // the optional raw-vector refine twin, same centroids: the other
+    // half of the persisted two-stage retrieval pair
+    def rawTwin(cs: Seq[Array[Double]]): Option[String] =
+      Yaml.str(c, "raw_store").map { rp =>
+        Similarity.writeIvfAssignments(input, idCol, vecCol, cs, rp)
+        Similarity.writeCentroids(spark, rp, cs)
+        rp
+      }
+
+    val raw: Option[String] = kind match {
+      case "ivf" =>
+        val cs = cents()
+        Similarity.writeIvfAssignments(input, idCol, vecCol, cs, store)
+        Similarity.writeCentroids(spark, store, cs)
+        None
+      case "ivfsq" =>
+        val cs = cents()
+        val (mins, maxs) = Similarity.trainSqParams(input, vecCol, dim)
+        Similarity.writeIvfSqCodes(input, idCol, vecCol, cs, store,
+          mins, maxs)
+        Similarity.writeCentroids(spark, store, cs)
+        Similarity.writeSqTrainParams(spark, store, mins, maxs)
+        rawTwin(cs)
+      case "ivfpq" =>
+        val cs = cents()
+        val m = intOpt("pq_m").getOrElse(4)
+        val numCodes = intOpt("pq_codes").getOrElse(8)
+        val dsub = intOpt("pq_dsub").getOrElse(16)
+        val seed = Similarity.seedPqCodebooks(input, idCol, vecCol,
+          m = m, k = numCodes, dsub = dsub)
+        // returns the codebook the store was actually built with
+        // (trained when train_iterations > 0)
+        val cb = Similarity.writeIvfPqAssignments(input, idCol, vecCol,
+          cs, seed, store, m = m, numCodes = numCodes, dsub = dsub,
+          trainIterations = intOpt("train_iterations").getOrElse(0))
+        Similarity.writeCentroids(spark, store, cs)
+        Similarity.writePqCodebook(spark, store, cb, m, numCodes, dsub)
+        rawTwin(cs)
+      case "sq" =>
+        val (mins, maxs) = Similarity.trainSqParams(input, vecCol, dim)
+        Similarity.writeSqCodes(input, idCol, vecCol, store, mins, maxs)
+        Similarity.writeSqTrainParams(spark, store, mins, maxs)
+        None
+      case "lsh" =>
+        Similarity.writeLshBuckets(input, idCol, vecCol, store,
+          planes = intOpt("planes").getOrElse(6), dim = dim)
+        None
+      case "embedding_buckets" =>
+        // the near-dup key store is append-only by contract — a
+        // rebuild is a new path, not an overwrite
+        Similarity.appendEmbeddingBuckets(input, idCol, vecCol, store,
+          planes = intOpt("planes").getOrElse(8),
+          tables = intOpt("tables").getOrElse(8), dim = dim)
+        None
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind: $other " +
+          "(ivf|ivfpq|ivfsq|sq|lsh|embedding_buckets)")
+    }
+    BuildReport(kind, store, rows, raw)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfgPath = args(0)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, cfgPath)
+      System.err.println(
+        s"[graft] index kind=${r.kind} store=${r.store} rows=${r.rows}" +
+          r.rawStore.map(p => s" raw_store=$p").getOrElse(""))
+      spark.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[graft] FAILED: ${e.getMessage}")
+        spark.stop()
+        sys.exit(graft.core.ExitCodes.Failure)
+    }
+  }
+}

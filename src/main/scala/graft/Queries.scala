@@ -1314,6 +1314,36 @@ object Queries {
       codebook = cb, m = 4, numCodes = 8, dsub = 16, factor = 4)
   }
 
+  /** Fully-persisted IVF-SQ8 two-stage retrieval — the PRODUCTION
+    * configuration the RECALL harness pins (ivfsq shortlist recall
+    * ~0.97–0.98 at nprobe=16; exact refine restores top-k order): the
+    * byte-code store answers the ADC top-20 per query, the raw IVF
+    * store answers the exact refine, both scans pruned to the probed
+    * lists. Codes and raw floats round-trip parquet exactly, so one
+    * oracle replays build→stores→probe→refine bit-for-bit.
+    */
+  def annIvfSqRerankStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      emb, "embedding", dim = 64)
+    val sqStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_ivfsq_").toString
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_ivfsqraw_").toString
+    graft.operators.Similarity.writeIvfSqCodes(
+      emb, "vec_id", "embedding", cents, sqStore, mins, maxs)
+    graft.operators.Similarity.writeIvfAssignments(
+      emb, "vec_id", "embedding", cents, rawStore)
+    ivfStoreDirs.add(sqStore)
+    ivfStoreDirs.add(rawStore)
+    graft.operators.Similarity.ivfSqRerankTopKFromStores(
+      spark, sqStore, rawStore, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      mins = mins, maxs = maxs, factor = 4)
+  }
+
   /** IVFPQ with a TRAINED codebook: the seed codebook refined by 2
     * iterations of per-subspace Lloyd over the vec_id < 256 sample —
     * the training half of Jégou et al. 2011 that the sampled-data
@@ -1945,6 +1975,7 @@ object Queries {
     "ann_sq_rerank_topk" -> annSqRerankTopK _,
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopK _,
     "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankStoreTopK _,
+    "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -2854,9 +2885,11 @@ object Queries {
   /** SQ8 replay: `p` trains the per-dim grid (min/max GROUP BY — order
     * independent, so plain aggregates match Spark's), `cd` encodes with
     * the floor/clamp formula (the 255/(mx−mn) scale division inline,
-    * matching the one driver-side division), `rec` decodes with the
-    * (mx−mn)/255 step, and the distance folds (q_i − rec_i)² in dim
-    * order — the [[graft.functions.SqKernels]] loop verbatim.
+    * matching the one driver-side division), `rec` decodes at the BIN
+    * CENTER — mn + (code + 0.5)·step with the (mx−mn)/255 step, the
+    * FAISS QT_8bit reconstruction — and the distance folds
+    * (q_i − rec_i)² in dim order — the [[graft.functions.SqKernels]]
+    * loop verbatim.
     */
   private val sqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
@@ -2869,7 +2902,7 @@ object Queries {
        |  ELSE 0 END AS code
        |  FROM v CROSS JOIN p),
        |rec AS (SELECT cd.vec_id, cd.i,
-       |  p.mn + cd.code * (CASE WHEN p.mx > p.mn
+       |  p.mn + (CAST(cd.code AS DOUBLE) + 0.5) * (CASE WHEN p.mx > p.mn
        |    THEN (p.mx - p.mn)/255.0 ELSE 0.0 END) AS rv
        |  FROM cd JOIN p ON p.i = cd.i),
        |q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
@@ -2909,9 +2942,11 @@ object Queries {
     * identical to the IVFPQ oracle) composed with the SQ8
     * train/encode/decode CTEs (`p`/`cd`/`rec`, identical to the flat SQ
     * oracle); candidates are probed-list members, distance is the same
-    * decode-subtract-square fold in dim order.
+    * decode-subtract-square fold in dim order. Chain form (ends at the
+    * ranked `r` CTE) so the two-stage rerank oracle composes it at a
+    * wider shortlist, exactly like `sqAdcChainSql`.
     */
-  private val annIvfSqTopKOracle: String =
+  private val ivfSqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
@@ -2932,7 +2967,7 @@ object Queries {
        |  ELSE 0 END AS code
        |  FROM v CROSS JOIN p),
        |rec AS (SELECT cd.vec_id, cd.i,
-       |  p.mn + cd.code * (CASE WHEN p.mx > p.mn
+       |  p.mn + (CAST(cd.code AS DOUBLE) + 0.5) * (CASE WHEN p.mx > p.mn
        |    THEN (p.mx - p.mn)/255.0 ELSE 0.0 END) AS rv
        |  FROM cd JOIN p ON p.i = cd.i),
        |cand AS (SELECT qp.query_id, qp.qe, a.vec_id AS neighbor_id
@@ -2944,9 +2979,33 @@ object Queries {
        |  list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS adc
        |  FROM d0 GROUP BY query_id, neighbor_id),
        |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d)""".stripMargin
+
+  private val annIvfSqTopKOracle: String =
+    s"""$ivfSqAdcChainSql
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Two-stage IVF-SQ replay: the IVF-SQ ADC chain's top-20 shortlist
+    * re-scored with the exact per-dim (q_i − c_i)² sequential fold and
+    * re-ranked — `annSqRerankTopKOracle`'s refine CTEs over the
+    * sublinear chain. Query vectors come from `v` (one row per query),
+    * not `qp` (one row per probe).
+    */
+  private val annIvfSqRerankStoreTopKOracle: String =
+    s"""$ivfSqAdcChainSql,
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (vq.e[i+1] - v2.e[i+1]) * (vq.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v vq ON vq.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
 
   private val ivfPqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
@@ -3498,6 +3557,7 @@ object Queries {
     // raw floats round-trip parquet exactly), so the same oracle checks
     // the whole build→stores→probe→refine chain
     "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankTopKOracle,
+    "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

@@ -134,6 +134,33 @@ object Recall {
           Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
             k, cents, nprobe, cbr, m = 8, numCodes = 64, dsub = 8))
       }).toMap
+      // END-TO-END two-stage retrieval over the trained m8k64 first
+      // stage (r16 verdict): the exact refine can only reorder what the
+      // ADC shortlist surfaced, so recall@k of the two-stage equals the
+      // first stage's recall@(k·factor) — these rows measure whether a
+      // production (factor, nprobe) choice RESCUES the PQ stage or
+      // whether its shortlist recall is below rescue at any sane factor.
+      val richRerank = (for {
+        factor <- Seq(2, 4, 8)
+        nprobe <- Seq(4, 16)
+      } yield {
+        s"ivfpq_m8k64_trained_rerank_f${factor}_nprobe$nprobe" -> topkRecall(
+          Similarity.ivfPqRerankTopK(emb, queries, "vec_id", "embedding",
+            k, cents, nprobe, cb64T, m = 8, numCodes = 64, dsub = 8,
+            factor = factor))
+      }).toMap
+      // IVF-SQ + exact refine — the sublinear two-stage candidate: the
+      // SQ stage's shortlist recall is ~the IVF probe ceiling, so refine
+      // at a small factor should sit within noise of exact inside the
+      // probed lists. The deployable configuration at 100 TB if any is.
+      val ivfsqRerank = (for {
+        factor <- Seq(2, 4)
+        nprobe <- Seq(4, 16)
+      } yield {
+        s"ivfsq_rerank_f${factor}_nprobe$nprobe" -> topkRecall(
+          Similarity.ivfSqRerankTopK(emb, queries, "vec_id", "embedding",
+            k, cents, nprobe, sqMins, sqMaxs, factor = factor))
+      }).toMap
       // SQ8 compressed-flat (r16): dim bytes per vector, decode-on-the-fly
       // asymmetric L2². The table's vectors are unit-norm, so L2 order
       // coincides with cosine order and the cosine ground truth applies;
@@ -153,7 +180,8 @@ object Recall {
         Map("sq8_rerank_f4" -> topkRecall(Similarity.sqRerankTopK(
           emb, queries, "vec_id", "embedding", k, sqMins, sqMaxs,
           factor = 4)))
-      lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++ sq
+      lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
+        richRerank ++ ivfsqRerank ++ sq
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

@@ -18,17 +18,24 @@ import org.apache.spark.sql.types._
   * sublinear candidate pruning on its own.
   *
   * Asymmetric distance (the SQ analog of ADC) keeps the FULL-precision
-  * query and decodes each corpus byte on the fly:
-  * Σ_i (q_i − (min_i + code_i·step_i))² with step_i = (max_i−min_i)/255.
+  * query and decodes each corpus byte on the fly at the BIN CENTER:
+  * Σ_i (q_i − (min_i + (code_i + 0.5)·step_i))² with
+  * step_i = (max_i−min_i)/255 — the FAISS QT_8bit reconstruction, which
+  * halves the worst-case per-dim decode bias vs the bin's lower edge
+  * (a floor-encoded value lies anywhere in [edge, edge + step); the
+  * center is the minimax reconstruction point).
   * The decode is two flops per dim per pair — cheaper than materializing
   * a reconstructed double[] per corpus row (8× the memory traffic of the
   * byte codes, which is the whole point of the compression).
   *
   * Determinism contract (oracle-replayable): codes are
   * `floor((x − min_i) · (255/(max_i − min_i)))` clamped to [0, 255]
-  * (degenerate max == min dims encode 0), the scale and step divisions
-  * each happen exactly once so DuckDB replays the same IEEE bits, and
-  * the distance accumulates sequentially in double over dims — the same
+  * (degenerate max == min dims encode 0 and decode to min_i exactly —
+  * step is 0 there, so the +0.5 is inert), the scale and step divisions
+  * each happen exactly once so DuckDB replays the same IEEE bits, the
+  * decode is one add then one multiply then one add
+  * (`min + (code + 0.5)·step`, replayed in that order), and the
+  * distance accumulates sequentially in double over dims — the same
   * fold [[VecDot]]/[[PqKernels]] use.
   *
   * Null contract (mirrors [[PqKernels]]): a null vector, a vector
@@ -60,8 +67,8 @@ object SqKernels {
     out
   }
 
-  /** Asymmetric L2²: full-precision query vs decoded corpus bytes,
-    * sequential in double over dims.
+  /** Asymmetric L2²: full-precision query vs corpus bytes decoded at
+    * bin centers, sequential in double over dims.
     */
   def dist(q: ArrayData, isFloat: Boolean, codes: Array[Byte],
       mins: Array[Double], steps: Array[Double]): java.lang.Double = {
@@ -72,7 +79,7 @@ object SqKernels {
     var i = 0
     while (i < dim) {
       val x = if (isFloat) q.getFloat(i).toDouble else q.getDouble(i)
-      val d = x - (mins(i) + (codes(i) & 0xFF).toDouble * steps(i))
+      val d = x - (mins(i) + ((codes(i) & 0xFF).toDouble + 0.5) * steps(i))
       acc += d * d
       i += 1
     }

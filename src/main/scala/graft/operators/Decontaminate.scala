@@ -190,18 +190,12 @@ object Decontaminate {
       .select(col("cid"), col("cv"), posexplode(col("__bits")).as(Seq("t", "b")))
       .select(col("cid"), col("cv"), concat_ws(":", col("t"), col("b")).as("bk"))
       .withColumn("cn", norm(col("cv")))
+    // the one shared margin/flip definition — Similarity.probeBuckets —
+    // so this site can never drift from the batch-dedup probe sites
     val perTable = (0 until tables).map { t =>
-      val margins = array((0 until planes).map { p =>
-        struct(abs(dotDouble(slice(col("bv"), 1, dim),
-          lit(planeSigns(t * planes + p, dim)))).as("a"), lit(p).as("p"))
-      }: _*)
-      val flips = slice(
-        array_sort(filter(margins, x => x.getField("a").isNotNull)),
-        1, probes - 1)
-      val b0 = element_at(col("__bits"), t + 1)
       struct(lit(t).as("t"),
-        concat(array(b0), transform(flips, x => b0.bitwiseXOR(
-          pow(lit(2.0), x.getField("p")).cast("long")))).as("bs"))
+        Similarity.probeBuckets(col("bv"), element_at(col("__bits"), t + 1),
+          t * planes, planes, dim, probes).as("bs"))
     }
     val bmk = benchmark.select(col(idCol).as("bid"), col(vecCol).as("bv"))
       .withColumn("__bits",

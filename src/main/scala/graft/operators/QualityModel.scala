@@ -92,24 +92,70 @@ object QualityModel {
 
   // ------------------------------------------------------- persisted model
 
+  /** Order-independent content fingerprint of a weight table: the
+    * bit_xor fold of per-row xxhash64(token, w_micros) —
+    * layout/partitioning invariant, overflow-free under ANSI mode, one
+    * aggregate over a vocab-bounded table. What binds a store to the
+    * exact weights it was saved with.
+    */
+  private def weightsFingerprint(weights: DataFrame): Long =
+    weights
+      .agg(coalesce(
+        expr("bit_xor(xxhash64(token, w_micros))"), lit(0L)))
+      .collect()(0).getLong(0)
+
   /** Persist a fitted model (overwrite — the store IS the fit; the
     * [[LanguageModel.saveModel]] contract). Micro-unit longs and token
     * strings round-trip parquet exactly, so stored scoring is
-    * bit-identical to in-flight scoring.
+    * bit-identical to in-flight scoring. A [[graft.core.StoreMeta]]
+    * sidecar stamps the store kind + weight-table fingerprint, so
+    * [[loadModel]] refuses a directory that merely LOOKS like a model
+    * store (right columns, wrong or corrupt content) — the same
+    * self-describing contract every sq/ivfsq/lsh store carries.
     */
   def saveModel(model: LinearModel, storePath: String): Unit = {
     model.weights.write.mode("overwrite").parquet(s"$storePath/weights")
-    model.weights.sparkSession.range(1)
+    val spark = model.weights.sparkSession
+    spark.range(1)
       .select(lit(model.biasMicros).as("bias_micros"))
       .write.mode("overwrite").parquet(s"$storePath/_meta")
+    graft.core.StoreMeta.overwrite(spark, storePath, "quality_model", Map(
+      "bias_micros" -> model.biasMicros,
+      "weights_fp" -> weightsFingerprint(
+        spark.read.parquet(s"$storePath/weights"))))
   }
 
   /** Load a persisted model. A MISSING store is an error, not a
     * bootstrap — scoring against an absent fit has no semantics.
+    * A present [[graft.core.StoreMeta]] sidecar must match the loaded
+    * content: kind `quality_model`, the stored bias, and the weight
+    * table's recomputed fingerprint — so a foreign parquet directory
+    * with plausible columns, or a store whose weights were mutated
+    * behind the sidecar, refuses loudly instead of silently mis-scoring
+    * every document.
     */
   def loadModel(spark: SparkSession, storePath: String): LinearModel = {
-    val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
-    LinearModel(spark.read.parquet(s"$storePath/weights"),
-      meta.getAs[Long]("bias_micros"))
+    val metaRows =
+      try spark.read.parquet(s"$storePath/_meta").collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              Option(e.getMessage)
+                .exists(_.contains("Path does not exist")) =>
+          throw new IllegalArgumentException(
+            s"quality model store missing at $storePath — a missing " +
+              "store is an error, not a bootstrap: scoring against an " +
+              "absent fit has no semantics (write one with saveModel)")
+      }
+    require(metaRows.nonEmpty,
+      s"quality model store at $storePath has an empty _meta — " +
+        "corrupt or partially-written store; re-run saveModel")
+    val bias = metaRows(0).getAs[Long]("bias_micros")
+    val weights = spark.read.parquet(s"$storePath/weights")
+    graft.core.StoreMeta.requireIfPresent(spark, storePath,
+      "quality_model", Map(
+        "bias_micros" -> bias,
+        "weights_fp" -> weightsFingerprint(weights)))
+    LinearModel(weights, bias)
   }
 }

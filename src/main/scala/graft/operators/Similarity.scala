@@ -194,23 +194,48 @@ object Similarity {
     * are pairwise distinct per table. `probes = 1` emits exactly the
     * single-probe keys.
     */
+  /** The multi-probe bucket set of one vector against one hash table
+    * (Lv et al. 2007): the kernel bucket `b0` plus the `probes − 1`
+    * buckets reached by flipping the sign bits whose hyperplane margin
+    * |v·plane| is smallest — an array<long> of pairwise-distinct
+    * buckets. THE single definition of the margin/flip contract, shared
+    * by every probe site ([[multiProbeKeys]], [[lshTopKFromStore]],
+    * [[lshTopKMultiProbe]],
+    * [[Decontaminate.dropNearBenchmarkEmbeddingsMultiProbe]]) so a
+    * tie-break or margin change can never drift between them.
+    *
+    * Determinism contract: margins are sequential [[VecDot]] folds of
+    * `slice(vec, 1, dim)` — the same prefix [[HyperplaneBits]] buckets
+    * on, so an over-length vector probes the full set — against the
+    * literal sign vectors of planes [seedOffset, seedOffset + planes);
+    * flip order is (|margin| ASC, plane ASC); pow(2, p) is exact for
+    * p < 53. A degenerate vector (null / shorter than dim / null
+    * element) has null margins; those are filtered, so it probes only
+    * its kernel bucket — the single-probe contract. `probes = 1` emits
+    * exactly `array(b0)`.
+    */
+  private[graft] def probeBuckets(vec: Column, b0: Column, seedOffset: Int,
+      planes: Int, dim: Int, probes: Int): Column = {
+    val margins = array((0 until planes).map { p =>
+      struct(abs(dotDouble(slice(vec, 1, dim),
+        lit(planeSigns(seedOffset + p, dim)))).as("a"), lit(p).as("p"))
+    }: _*)
+    val flips = slice(
+      array_sort(filter(margins, x => x.getField("a").isNotNull)),
+      1, probes - 1)
+    concat(array(b0), transform(flips, x => b0.bitwiseXOR(
+      pow(lit(2.0), x.getField("p")).cast("long"))))
+  }
+
   private[graft] def multiProbeKeys(base: DataFrame, planes: Int,
       tables: Int, dim: Int, probes: Int): DataFrame = {
     require(probes >= 1 && probes <= planes,
       s"probes must be in [1, planes=$planes]: $probes")
     val allSigns = (0 until tables * planes).map(planeSigns(_, dim))
     val perTable = (0 until tables).map { t =>
-      val margins = array((0 until planes).map { p =>
-        struct(abs(dotDouble(slice(col("v"), 1, dim),
-          lit(planeSigns(t * planes + p, dim)))).as("a"), lit(p).as("p"))
-      }: _*)
-      val flips = slice(
-        array_sort(filter(margins, x => x.getField("a").isNotNull)),
-        1, probes - 1)
-      val b0 = element_at(col("__bits"), t + 1)
       struct(lit(t).as("t"),
-        concat(array(b0), transform(flips, x => b0.bitwiseXOR(
-          pow(lit(2.0), x.getField("p")).cast("long")))).as("bs"))
+        probeBuckets(col("v"), element_at(col("__bits"), t + 1),
+          t * planes, planes, dim, probes).as("bs"))
     }
     base
       .withColumn("__bits",
@@ -1274,6 +1299,23 @@ object Similarity {
     * it cannot recover a neighbor the first stage never surfaced, so
     * pick `factor` against the first stage's measured recall curve.
     *
+    * MEASURED factor guidance (RECALL_r17, sf0.1, 50 queries, vs exact
+    * cosine ground truth):
+    *  - SQ8 stage (recall ~0.98 un-refined): factor 4 restores
+    *    recall@5 = recall@50 = 1.000 (`sq8_rerank_f4`).
+    *  - IVF-SQ8 stage at nprobe=16: factor 2 ALREADY restores 1.000 at
+    *    both k (`ivfsq_rerank_f2_nprobe16`) — the production two-stage
+    *    configuration: sublinear scan, 4× compressed stage one, exact
+    *    results. At nprobe=4 recall caps at the IVF probe ceiling
+    *    (~0.60), not the refine: raise nprobe, not factor.
+    *  - IVFPQ m=8/codes=64 trained stage at nprobe=16: recall@50
+    *    climbs 0.368 (un-refined) → 0.560 (f2) → 0.757 (f4) →
+    *    **0.909 (f8)** — the smallest config crossing 0.9; recall@5
+    *    reaches only 0.62 at f8, so at 64× compression PQ is a
+    *    recall@50-class retriever here. The oracle-config m=4/codes=8
+    *    stage (shortlist recall ~0.16) is BELOW RESCUE at any sane
+    *    factor — use the m8k64-trained or IVF-SQ stage instead.
+    *
     * Scale shape: the corpus scan stays compressed in stage one; this
     * pass touches raw vectors ONLY for shortlist members. The
     * (shortlist × query-vector) table is |Q|·k·factor rows — broadcast
@@ -1391,6 +1433,74 @@ object Similarity {
     val shortlist = ivfPqTopKFromStore(spark, pqStorePath, queries,
       idCol, vecCol, k * factor, centroids, nprobe, codebook,
       m, numCodes, dsub)
+    graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids)))
+    // the same probe set stage one used (same literal centroids), so the
+    // raw scan prunes to the identical partition union
+    val probedLists = queries
+      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
+      .select(col("__p").getField("l").as("list"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val rawPruned = spark.read.parquet(rawStorePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    rerankExact(shortlist, rawPruned, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-SQ8 first stage + exact refine — the measured production
+    * two-stage configuration: the coarse probe makes the scan sublinear
+    * (nprobe/numLists of the corpus), SQ8 keeps the scanned bytes 4×
+    * compressed at ~0.97–0.98 shortlist recall (RECALL harness,
+    * `ivfsq_nprobe16`), and the exact refine re-orders the top-(k·f)
+    * shortlist from raw vectors. See [[rerankExact]] for the measured
+    * factor guidance.
+    */
+  def ivfSqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      mins: Array[Double],
+      maxs: Array[Double],
+      factor: Int = 4
+  ): DataFrame = {
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    rerankExact(
+      ivfSqTopK(corpus, queries, idCol, vecCol, k * factor, centroids,
+        nprobe, mins, maxs),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Fully-PERSISTED IVF-SQ8 two-stage retrieval — the
+    * [[ivfPqRerankTopKFromStores]] shape with the SQ8 store as stage
+    * one: the compressed store answers the top-(k·factor) shortlist and
+    * the raw-vector store ([[writeIvfAssignments]]) answers the exact
+    * refine, BOTH scans pruned to the probed lists (every shortlist
+    * member came from a probed list). At a 10k-list production index a
+    * 10-query retrieval touches ~nprobe·|Q| directories of code bytes
+    * plus the same few of raw vectors — never the rest of either store.
+    */
+  def ivfSqRerankTopKFromStores(
+      spark: org.apache.spark.sql.SparkSession,
+      sqStorePath: String,
+      rawStorePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      mins: Array[Double],
+      maxs: Array[Double],
+      factor: Int = 4
+  ): DataFrame = {
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    val shortlist = ivfSqTopKFromStore(spark, sqStorePath, queries,
+      idCol, vecCol, k * factor, centroids, nprobe, mins, maxs)
     graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
       "numLists" -> centroids.size,
       "centroids_md5" -> vectorSetFingerprint(centroids)))
@@ -1664,21 +1774,12 @@ object Similarity {
       s"probes must be in [1, planes=$planes]: $probes")
     graft.core.StoreMeta.requireIfPresent(spark, storePath, "lsh", Map(
       "planes" -> planes, "dim" -> dim))
-    val margins = array((0 until planes).map { j =>
-      struct(abs(dotDouble(slice(col("qv"), 1, dim),
-        lit(planeSigns(j, dim)))).as("a"),
-        lit(j).as("j"))
-    }: _*)
-    val flips = slice(
-      array_sort(filter(margins, x => x.getField("a").isNotNull)),
-      1, probes - 1)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
       .withColumn("b0", lshBucket(col("qv"), planes, dim))
-      .withColumn("bucket", explode(concat(array(col("b0")),
-        transform(flips, x => col("b0").bitwiseXOR(
-          pow(lit(2.0), x.getField("j")).cast("long"))))))
+      .withColumn("bucket", explode(
+        probeBuckets(col("qv"), col("b0"), 0, planes, dim, probes)))
       .drop("b0")
     val probedBuckets = q.select("bucket").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -1741,26 +1842,12 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm(col(vecCol)).as("cn")),
       "cv", planes, dim)
-    // slice to the bucketing prefix: HyperplaneBits hashes the first
-    // `dim` elements, so margins must too — an over-length vector would
-    // otherwise get null margins (VecDot requires exact length equality)
-    // and silently degrade to single-probe
-    val margins = array((0 until planes).map { j =>
-      struct(abs(dotDouble(slice(col("qv"), 1, dim),
-        lit(planeSigns(j, dim)))).as("a"),
-        lit(j).as("j"))
-    }: _*)
-    val flips = slice(
-      array_sort(filter(margins, x => x.getField("a").isNotNull)),
-      1, probes - 1)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
       .withColumn("b0", lshBucket(col("qv"), planes, dim))
-      // pow(2, j) is exact for j < 53, far past any plane count here
-      .withColumn("bucket", explode(concat(array(col("b0")),
-        transform(flips, x => col("b0").bitwiseXOR(
-          pow(lit(2.0), x.getField("j")).cast("long"))))))
+      .withColumn("bucket", explode(
+        probeBuckets(col("qv"), col("b0"), 0, planes, dim, probes)))
       .drop("b0")
     val scored = c.join(q,
       c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
@@ -1924,5 +2011,73 @@ object Similarity {
       it += 1
     }
     cb
+  }
+
+  // --------------------------------------------- persisted training artifacts
+
+  /** Persist the training artifacts a PROBE needs next to the store —
+    * what makes a persisted index self-contained across processes: the
+    * probe functions take centroids / codebooks / grid params as
+    * literals, and without a persisted copy a separate probing process
+    * must re-derive them from the corpus (cheap for seed centroids,
+    * NOT cheap for a distributed-Lloyd-trained codebook — and any
+    * re-derivation drift refuses at the `_meta` fingerprint instead of
+    * silently mis-scoring). Layout: parquet datasets under
+    * `storePath/_train/…` — underscore-prefixed, so
+    * `spark.read.parquet(storePath)` of a flat store never sees them.
+    * Doubles round-trip parquet exactly, so
+    * write→[[readCentroids]]/[[readPqCodebook]]/[[readSqTrainParams]]
+    * reproduce the same IEEE bits the build used.
+    */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, centroids: Seq[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, l) => (l, c.toSeq) }
+      .toDF("l", "c")
+      .write.mode("overwrite").parquet(s"$storePath/_train/centroids")
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): Seq[Array[Double]] =
+    spark.read.parquet(s"$storePath/_train/centroids")
+      .orderBy(col("l")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("c").toArray).toSeq
+
+  def writePqCodebook(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, codebook: Array[Double], m: Int, numCodes: Int,
+      dsub: Int): Unit = {
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("i", "x")
+      .write.mode("overwrite").parquet(s"$storePath/_train/codebook")
+    spark.range(1)
+      .select(lit(m).as("m"), lit(numCodes).as("num_codes"),
+        lit(dsub).as("dsub"))
+      .write.mode("overwrite").parquet(s"$storePath/_train/codebook_shape")
+  }
+
+  /** (codebook, m, numCodes, dsub) as persisted by [[writePqCodebook]]. */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): (Array[Double], Int, Int, Int) = {
+    val cb = spark.read.parquet(s"$storePath/_train/codebook")
+      .orderBy(col("i")).select("x").collect().map(_.getDouble(0))
+    val s = spark.read.parquet(s"$storePath/_train/codebook_shape")
+      .collect()(0)
+    (cb, s.getAs[Int]("m"), s.getAs[Int]("num_codes"), s.getAs[Int]("dsub"))
+  }
+
+  def writeSqTrainParams(spark: org.apache.spark.sql.SparkSession,
+      storePath: String, mins: Array[Double], maxs: Array[Double]): Unit = {
+    import spark.implicits._
+    mins.indices.map(i => (i, mins(i), maxs(i)))
+      .toDF("i", "mn", "mx")
+      .write.mode("overwrite").parquet(s"$storePath/_train/sq_params")
+  }
+
+  def readSqTrainParams(spark: org.apache.spark.sql.SparkSession,
+      storePath: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$storePath/_train/sq_params")
+      .orderBy(col("i")).collect()
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
 }

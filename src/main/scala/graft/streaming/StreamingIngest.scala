@@ -262,12 +262,14 @@ object StreamingIngest {
     * LSH bucket-key store
     * ([[graft.operators.Similarity.dropNearCorpusEmbeddings]], with the
     * accumulated OUTPUT as the candidate-pruned corpus-vector lookup
-    * side), appends survivors to the output and their bucket keys to
-    * the store. `probes > 1` multi-probes the store join, so the
-    * persisted store can run ~probes× fewer tables at equal recall —
-    * the same trade the batch operator ships. The per-batch marker
-    * protocol guards replays (a replayed batch would re-append bucket
-    * keys AND re-land survivors), stale markers pruned per commit.
+    * side), appends survivors' bucket keys to the store and THEN the
+    * survivors to the output — in that order, so a mid-batch crash can
+    * never duplicate output docs (see the in-body comment; duplicate
+    * store keys are harmless, duplicate corpus docs are not). `probes
+    * > 1` multi-probes the store join, so the persisted store can run
+    * ~probes× fewer tables at equal recall — the same trade the batch
+    * operator ships. The per-batch marker protocol guards replays,
+    * stale markers pruned per commit.
     *
     * Bootstrap: a missing store reads as empty
     * ([[graft.operators.Similarity.readEmbeddingBuckets]]) and a
@@ -314,9 +316,20 @@ object StreamingIngest {
               graft.operators.Similarity.dropNearCorpusEmbeddings(
                 batch, idCol, vecCol, store, corpusVecs, threshold,
                 planes, tables, dim, probes = probes))
-            survivors.write.mode("append").parquet(outPath)
+            // bucket keys BEFORE the survivor write: every mid-batch
+            // crash window is then output-duplicate-free. Crash between
+            // the appends → replay finds the survivors' keys in the
+            // store but no vectors in the output (the verify's corpus
+            // lookup is an inner join), recomputes the same survivors,
+            // and writes them once — the duplicate (id, bk) store rows
+            // are harmless because the candidate join is distinct.
+            // Crash after both writes (marker missing) → the replayed
+            // batch matches its OWN keys + vectors at cosine 1 and
+            // drops entirely. The reverse order left a window that
+            // re-landed the same survivors in the output corpus.
             graft.operators.Similarity.appendEmbeddingBuckets(survivors,
               idCol, vecCol, bucketStorePath, planes, tables, dim)
+            survivors.write.mode("append").parquet(outPath)
           }
         }
       }

@@ -54,8 +54,35 @@ class QualityModelSpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
     // micro longs + tokens round-trip parquet exactly → identical bits
     rows(QualityModel.loadModel(spark, store)) shouldBe rows(m)
-    intercept[Exception] {
+    val missing = the[IllegalArgumentException] thrownBy
       QualityModel.loadModel(spark, store + "_missing")
-    }
+    missing.getMessage should include("missing store is an error")
+  }
+
+  test("loadModel: sidecar binds the store to its exact weights — mutated content refuses") {
+    val m = QualityModel.fromMap(spark, weights, -0.2)
+    val store = java.nio.file.Files
+      .createTempDirectory("qmodel-tamper-").toString + "/model"
+    QualityModel.saveModel(m, store)
+    // overwrite the weight table behind the sidecar with a same-schema
+    // but different-content table: the recomputed fingerprint must
+    // mismatch the stamped one, so load refuses instead of silently
+    // scoring under the wrong fit
+    Seq(("rogue", 999999L)).toDF("token", "w_micros")
+      .write.mode("overwrite").parquet(s"$store/weights")
+    val e = the[IllegalArgumentException] thrownBy
+      QualityModel.loadModel(spark, store)
+    e.getMessage should include("weights_fp")
+    // an empty _meta directory (partially-written store) also refuses
+    val store2 = java.nio.file.Files
+      .createTempDirectory("qmodel-empty-").toString + "/model"
+    QualityModel.saveModel(m, store2)
+    val metaSchema = spark.read.parquet(s"$store2/_meta").schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
+      .write.mode("overwrite").parquet(s"$store2/_meta")
+    val e2 = the[IllegalArgumentException] thrownBy
+      QualityModel.loadModel(spark, store2)
+    e2.getMessage should include("empty _meta")
   }
 }

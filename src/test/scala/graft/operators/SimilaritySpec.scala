@@ -382,10 +382,11 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should include("planes")
   }
 
-  test("sqTopK: exact on grid-aligned data; store round-trip bit-identical; meta refusal") {
+  test("sqTopK: grid-aligned decode replay; store round-trip bit-identical; meta refusal") {
     // elements are integers in [0, 255] and every dim attains both ends,
-    // so mins=0, maxs=255, scale=step=1: encode floor(x) = x is LOSSLESS
-    // and adc must equal the exact squared L2 distance
+    // so mins=0, maxs=255, scale=step=1: encode floor(x) = x, and the
+    // bin-center decode reconstructs x + 0.5 per dim — the adc must
+    // equal the driver-side replay of exactly that formula
     val dim = 4
     val grid = ((0L to 9L).map { id =>
       id -> Array.tabulate(dim)(j => ((id * 37 + j * 91) % 251).toFloat)
@@ -399,13 +400,14 @@ class SimilaritySpec extends SparkSpec {
       k = 4, mins, maxs)
       .select("query_id", "neighbor_id", "rank", "adc")
       .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
-    // driver-side exact L2² replay with the same asc/id-tiebreak ranking
+    // driver-side decode replay (neighbor value + 0.5 at step 1) with
+    // the same asc/id-tiebreak ranking
     val vecs = grid.as[(Long, Array[Float])].collect().toMap
     val expected = (0L to 2L).flatMap { q =>
       vecs.toSeq.filter(_._1 != q)
         .map { case (n, v) =>
           val d = v.zip(vecs(q)).map { case (a, b) =>
-            val t = a.toDouble - b.toDouble; t * t }.sum
+            val t = b.toDouble - (a.toDouble + 0.5); t * t }.sum
           (n, d)
         }
         .sortBy { case (n, d) => (d, n) }.take(4).zipWithIndex
@@ -452,16 +454,18 @@ class SimilaritySpec extends SparkSpec {
     val neighbors = out.select("neighbor_id").as[Long].collect().toSet
     // unencodable rows are dropped, never ranked
     neighbors.intersect(Set(100L, 101L, 102L)) shouldBe empty
-    // per-dim decode error < step ⇒ self-distance ≤ Σ step² (encodable
-    // in-range data); checked through the public path: each query's
-    // nearest neighbor among 20 spread vectors must beat the bound only
-    // if it is its own near-twin — instead assert adc ≥ 0 and the
-    // quantization bound on a planted exact twin of query 0
+    // bin-center decode ⇒ per-dim decode error ≤ step/2 (an encoded
+    // value lies in [edge, edge + step), the center is ≤ step/2 away;
+    // the tiny multiplicative slack absorbs scale/step rounding) ⇒
+    // self-distance ≤ Σ (step/2)² on encodable in-range data; checked
+    // through the public path: assert adc ≥ 0 and the quantization
+    // bound on a planted exact twin of query 0. Half the lower-edge
+    // decode's Σ step² bound — the reason bin centers win.
     val twin = Seq((200L, base.find(_._1 == 0L).get._2))
       .toDF("vec_id", "embedding")
     val steps = mins.indices.map(i =>
       if (maxs(i) > mins(i)) (maxs(i) - mins(i)) / 255.0 else 0.0)
-    val bound = steps.map(s => s * s).sum
+    val bound = steps.map(s => 0.5 * s * 0.5 * s).sum * 1.0001 + 1e-30
     val twinAdc = Similarity.sqTopK(twin, clean.filter($"vec_id" === 0),
       "vec_id", "embedding", k = 1, mins, maxs)
       .select("adc").as[Double].head()
@@ -548,7 +552,8 @@ class SimilaritySpec extends SparkSpec {
       var acc = 0.0
       var i = 0
       while (i < dim) {
-        val t = qv(i).toDouble - (mins(i) + cc(i).toDouble * steps(i))
+        val t = qv(i).toDouble -
+          (mins(i) + (cc(i).toDouble + 0.5) * steps(i))
         acc += t * t
         i += 1
       }
@@ -665,6 +670,72 @@ class SimilaritySpec extends SparkSpec {
         queries, "vec_id", "embedding", k = 3, centroids = cents,
         nprobe = 2, codebook = cb, m = 2, numCodes = 4, dsub = 4)
     e.getMessage should (include("centroids_md5") or include("numLists"))
+  }
+
+  test("ivfSqRerankTopKFromStores: ≡ in-flight rerank; BOTH store scans partition-pruned; exact order within probed lists") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", 8)
+    val sqStore = java.nio.file.Files
+      .createTempDirectory("2stage-ivfsq-").toString + "/idx"
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("2stage-ivfsqraw-").toString + "/idx"
+    Similarity.writeIvfSqCodes(corpus, "vec_id", "embedding", cents,
+      sqStore, mins, maxs)
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding",
+      cents, rawStore)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "dist")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val stored = Similarity.ivfSqRerankTopKFromStores(spark, sqStore,
+      rawStore, queries, "vec_id", "embedding", k = 3, centroids = cents,
+      nprobe = 2, mins = mins, maxs = maxs, factor = 3)
+    rows(stored) shouldBe
+      rows(Similarity.ivfSqRerankTopK(corpus, queries, "vec_id",
+        "embedding", k = 3, centroids = cents, nprobe = 2,
+        mins = mins, maxs = maxs, factor = 3))
+    // both stores' scans carry a probed-list partition filter — the
+    // compressed shortlist scan AND the raw refine scan
+    val plan = stored.queryExecution.executedPlan.toString
+    "list#\\d+ IN \\(".r.findAllIn(plan).length should be >= 2
+    // a factor big enough to shortlist EVERY probed-list member makes
+    // the refine output the exact L2² ranking restricted to probed
+    // lists — driver-replayed (probe assignment = max-cosine argmin,
+    // ties to the lower list, the seedCentroids contract)
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    def l2(q: Array[Float], c: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 8) {
+        val d = q(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    def cos(v: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var i = 0
+      while (i < 8) { dot += v(i).toDouble * c(i); nc += c(i) * c(i); i += 1 }
+      dot / math.sqrt(nc)
+    }
+    def probeLists(v: Array[Float], n: Int): Set[Int] =
+      cents.indices.map(l => (cos(v, cents(l)), l))
+        .sortBy { case (cs, l) => (-cs, l) }.take(n).map(_._2).toSet
+    val assign = vecs.map { case (id, v) =>
+      id -> probeLists(v, 1).head
+    }
+    val full = Similarity.ivfSqRerankTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, centroids = cents, nprobe = 2,
+      mins = mins, maxs = maxs, factor = 40)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val expected = (0L until 4L).flatMap { q =>
+      val probed = probeLists(vecs(q), 2)
+      vecs.toSeq
+        .filter { case (n, _) => n != q && probed.contains(assign(n)) }
+        .map { case (n, v) => (n, l2(vecs(q), v)) }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q, n, (i + 1).toLong, d) }
+    }.sortBy(t => (t._1, t._3))
+    full shouldBe expected.toArray
   }
 
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
