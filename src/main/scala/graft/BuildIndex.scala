@@ -21,8 +21,8 @@ import graft.operators.Similarity
   * input: /data/embeddings.parquet   # parquet with id + vector columns
   * id_field: vec_id
   * vector_field: embedding
-  * kind: ivfsq              # ivf | ivfpq | ivfsq | sq | lsh
-  *                          # | embedding_buckets
+  * kind: ivfsq              # ivf | ivfpq | ivfsq | sq | binary
+  *                          # | ivf_binary | lsh | embedding_buckets
   * store: /indexes/corpus_ivfsq
   * raw_store: /indexes/corpus_raw    # optional (ivf-family kinds):
   *                                   # also write the raw-vector refine
@@ -116,6 +116,14 @@ object BuildIndex {
         Similarity.writeSqCodes(input, idCol, vecCol, store, mins, maxs)
         Similarity.writeSqTrainParams(spark, store, mins, maxs)
         None
+      case "binary" =>
+        Similarity.writeSignBits(input, idCol, vecCol, store, dim)
+        None
+      case "ivf_binary" =>
+        val cs = cents()
+        Similarity.writeIvfBinary(input, idCol, vecCol, cs, store, dim)
+        Similarity.writeCentroids(spark, store, cs)
+        rawTwin(cs)
       case "lsh" =>
         Similarity.writeLshBuckets(input, idCol, vecCol, store,
           planes = intOpt("planes").getOrElse(6), dim = dim)
@@ -129,7 +137,7 @@ object BuildIndex {
         None
       case other => throw new IllegalArgumentException(
         s"unknown index kind: $other " +
-          "(ivf|ivfpq|ivfsq|sq|lsh|embedding_buckets)")
+          "(ivf|ivfpq|ivfsq|sq|binary|ivf_binary|lsh|embedding_buckets)")
     }
     BuildReport(kind, store, rows, raw)
   }

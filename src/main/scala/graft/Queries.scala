@@ -1314,6 +1314,55 @@ object Queries {
       codebook = cb, m = 4, numCodes = 8, dsub = 16, factor = 4)
   }
 
+  /** Binary (1-bit sign) quantization top-k through the PERSISTED
+    * sign-bit store: 64 dims pack to two 32-bit words (dim/8 bytes per
+    * vector — 32× under float32), candidates rank by exact-integer
+    * Hamming distance. Packed longs round-trip parquet exactly, so one
+    * oracle (sign-pack + xor/popcount replay) checks build→store→probe.
+    */
+  def annBinaryStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_binary_store_").toString
+    graft.operators.Similarity.writeSignBits(
+      emb, "vec_id", "embedding", store, dim = 64)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.binaryTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64)
+  }
+
+  /** IVF + binary through the PERSISTED partition-pruned index:
+    * ivf_topk's sublinearity at 32× compression (two longs per vector).
+    * Build→store→probe under one oracle (IVF assignment/probe CTEs +
+    * sign-pack + xor/popcount over probed-list candidates).
+    */
+  def annIvfBinaryStoreTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_ivfbinary_store_").toString
+    graft.operators.Similarity.writeIvfBinary(
+      emb, "vec_id", "embedding", cents, store, dim = 64)
+    ivfStoreDirs.add(store)
+    graft.operators.Similarity.ivfBinaryTopKFromStore(
+      spark, store, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      dim = 64)
+  }
+
+  /** Binary stage + exact refine — the 1-bit "quantize + rescore"
+    * deployment: Hamming top-20 per query re-ranked by exact L2².
+    */
+  def annBinaryRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Similarity.binaryRerankTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, factor = 4)
+  }
+
   /** Fully-persisted IVF-SQ8 two-stage retrieval — the PRODUCTION
     * configuration the RECALL harness pins (ivfsq shortlist recall
     * ~0.97–0.98 at nprobe=16; exact refine restores top-k order): the
@@ -1976,6 +2025,9 @@ object Queries {
     "ann_ivfpq_rerank_topk" -> annIvfPqRerankTopK _,
     "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankStoreTopK _,
     "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopK _,
+    "ann_binary_store_topk" -> annBinaryStoreTopK _,
+    "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopK _,
+    "ann_binary_rerank_topk" -> annBinaryRerankTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -3007,6 +3059,90 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
        |FROM rr WHERE rank <= 5""".stripMargin
 
+  /** Binary sign-bit replay: pack bit i of word i/32 as
+    * `1::BIGINT << (i % 32)` when e[i+1] > 0 (32-bit words — the long
+    * sign bit is never touched in either engine, matching the kernel's
+    * planesPerKey = 32), Hamming = popcount(xor) summed over words —
+    * exact integers end-to-end. Chain form ends at the ranked `r` CTE
+    * so the rerank oracle composes it at a wider shortlist.
+    */
+  private val binaryChainSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |b AS (SELECT vec_id,
+       |  CAST(SUM(CASE WHEN i < 32 AND e[i+1] > 0
+       |    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS w1,
+       |  CAST(SUM(CASE WHEN i >= 32 AND e[i+1] > 0
+       |    THEN (1::BIGINT << (i-32)) ELSE 0 END) AS BIGINT) AS w2
+       |  FROM v CROSS JOIN range(64) t(i) GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, w1 AS qw1, w2 AS qw2 FROM b
+       |  WHERE vec_id < 10),
+       |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+       |  CAST(bit_count(xor(q.qw1, b.w1)) + bit_count(xor(q.qw2, b.w2))
+       |    AS BIGINT) AS hamming
+       |  FROM q JOIN b ON b.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, hamming, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+       |  FROM d)""".stripMargin
+
+  private val annBinaryStoreTopKOracle: String =
+    s"""$binaryChainSql
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** IVF-binary replay: the IVF assignment/probe CTEs (`c`/`a0`/`a`/
+    * `qp`, identical to the IVF-SQ oracle) composed with the sign-pack
+    * CTE (`b`, identical to the flat binary oracle); candidates are
+    * probed-list members, distance is the word-XOR popcount sum.
+    */
+  private val annIvfBinaryStoreTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
+       |a0 AS (SELECT v.vec_id, v.e, c.l,
+       |  ${dotSql("e", "ce")} / sqrt(${dotSql("ce", "ce")}) AS cs
+       |  FROM v CROSS JOIN c),
+       |a AS (SELECT vec_id, l FROM (SELECT *, row_number() OVER
+       |  (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn FROM a0)
+       |  WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, l FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, l) AS rn
+       |  FROM a0 WHERE vec_id < 10) WHERE rn <= 4),
+       |b AS (SELECT vec_id,
+       |  CAST(SUM(CASE WHEN i < 32 AND e[i+1] > 0
+       |    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS w1,
+       |  CAST(SUM(CASE WHEN i >= 32 AND e[i+1] > 0
+       |    THEN (1::BIGINT << (i-32)) ELSE 0 END) AS BIGINT) AS w2
+       |  FROM v CROSS JOIN range(64) t(i) GROUP BY vec_id),
+       |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+       |  FROM qp JOIN a ON a.l = qp.l AND a.vec_id <> qp.query_id),
+       |d AS (SELECT cand.query_id, cand.neighbor_id,
+       |  CAST(bit_count(xor(qb.w1, nb.w1)) + bit_count(xor(qb.w2, nb.w2))
+       |    AS BIGINT) AS hamming
+       |  FROM cand
+       |  JOIN b qb ON qb.vec_id = cand.query_id
+       |  JOIN b nb ON nb.vec_id = cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, hamming, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  private val annBinaryRerankTopKOracle: String =
+    s"""$binaryChainSql,
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (vq.e[i+1] - v2.e[i+1]) * (vq.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v vq ON vq.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
+
   private val ivfPqAdcChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
@@ -3558,6 +3694,9 @@ object Queries {
     // the whole build→stores→probe→refine chain
     "ann_ivfpq_rerank_store_topk" -> annIvfPqRerankTopKOracle,
     "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopKOracle,
+    "ann_binary_store_topk" -> annBinaryStoreTopKOracle,
+    "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopKOracle,
+    "ann_binary_rerank_topk" -> annBinaryRerankTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

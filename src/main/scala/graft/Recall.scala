@@ -180,8 +180,21 @@ object Recall {
         Map("sq8_rerank_f4" -> topkRecall(Similarity.sqRerankTopK(
           emb, queries, "vec_id", "embedding", k, sqMins, sqMaxs,
           factor = 4)))
+      // 1-bit sign quantization (r17): the 32× compression point —
+      // Hamming rank alone, then the production rescore shape. For sign
+      // bits E[hamming] = dim·θ/π, so on unit-norm data the Hamming
+      // order is a full-rank angle proxy (unlike bucket-equality LSH,
+      // whose recall is capped by bucket population).
+      val binary = Map(
+        "binary_hamming" -> topkRecall(Similarity.binaryTopK(
+          emb, queries, "vec_id", "embedding", k, dim = 64))) ++
+        (for (factor <- Seq(4, 8)) yield {
+          s"binary_rerank_f$factor" -> topkRecall(
+            Similarity.binaryRerankTopK(emb, queries, "vec_id",
+              "embedding", k, dim = 64, factor = factor))
+        }).toMap
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
-        richRerank ++ ivfsqRerank ++ sq
+        richRerank ++ ivfsqRerank ++ sq ++ binary
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

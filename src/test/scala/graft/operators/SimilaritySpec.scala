@@ -738,6 +738,122 @@ class SimilaritySpec extends SparkSpec {
     full shouldBe expected.toArray
   }
 
+  test("binaryTopK: driver-replayed sign-pack + Hamming; store bit-identity; dim refusal; null contract") {
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 80L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val dirty = Seq(
+      (100L, null.asInstanceOf[Array[java.lang.Float]]),
+      (101L, Array[java.lang.Float](1f, 2f, 3f)),
+      (102L, (Array.fill[java.lang.Float](63)(1f) :+
+        null.asInstanceOf[java.lang.Float]))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val clean = base.toDF("vec_id", "embedding")
+    val all = clean.unionByName(dirty)
+    val queries = clean.filter($"vec_id" < 3)
+    val out = Similarity.binaryTopK(all, queries, "vec_id", "embedding",
+      k = 79, dim = dim)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._3))
+    // degenerate rows (null / short / null element) never rank
+    out.map(_._2).toSet.intersect(Set(100L, 101L, 102L)) shouldBe empty
+    // driver replay: bit j of word j/32 iff x_j > 0 (strict), Hamming =
+    // popcount of the word XORs, ties -> lower neighbor id
+    def words(v: Array[Float]): (Long, Long) = {
+      var w1 = 0L; var w2 = 0L
+      for (j <- 0 until dim if v(j) > 0f)
+        if (j < 32) w1 |= 1L << j else w2 |= 1L << (j - 32)
+      (w1, w2)
+    }
+    val vecs = base.toMap
+    val expected = (0L until 3L).flatMap { q =>
+      val (q1, q2) = words(vecs(q))
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) =>
+          val (n1, n2) = words(v)
+          (n, (java.lang.Long.bitCount(q1 ^ n1) +
+            java.lang.Long.bitCount(q2 ^ n2)).toLong)
+        }
+        .sortBy { case (n, h) => (h, n) }.take(79).zipWithIndex
+        .map { case ((n, h), i) => (q, n, (i + 1).toLong, h) }
+    }.sortBy(t => (t._1, t._3))
+    out shouldBe expected.toArray
+    // persisted store: packed longs round-trip parquet exactly
+    val store = java.nio.file.Files
+      .createTempDirectory("binary-store-").toString + "/idx"
+    Similarity.writeSignBits(all, "vec_id", "embedding", store, dim)
+    Similarity.binaryTopKFromStore(spark, store, queries, "vec_id",
+      "embedding", k = 79, dim = dim)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._3)) shouldBe out
+    // probing under another dim refuses via _meta
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.binaryTopKFromStore(spark, store, queries, "vec_id",
+        "embedding", k = 5, dim = 32)
+    e.getMessage should include("dim")
+    // whole-corpus rerank shortlist ≡ exact L2² brute ranking (factor
+    // big enough that the Hamming stage surfaces everything)
+    val full = Similarity.binaryRerankTopK(clean, queries, "vec_id",
+      "embedding", k = 5, dim = dim, factor = 80)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val exact = (0L until 3L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) =>
+          var acc = 0.0; var i = 0
+          while (i < dim) {
+            val d = vecs(q)(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+          }
+          (n, acc)
+        }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q, n, (i + 1).toLong, d) }
+    }.sortBy(t => (t._1, t._3))
+    full shouldBe exact.toArray
+  }
+
+  test("ivfBinaryTopK: store ≡ in-memory; probed-list partition prune; append ≡ one-shot; geometry refusal") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "hamming")
+        .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._3))
+    val mem = rows(Similarity.ivfBinaryTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, centroids = cents, nprobe = 2, dim = 8))
+    // in-memory candidates = probed-list members only: replay the
+    // assignment driver-side and check every surfaced neighbor's list
+    // is probed by its query
+    val store = java.nio.file.Files
+      .createTempDirectory("ivfbinary-store-").toString + "/idx"
+    Similarity.writeIvfBinary(corpus, "vec_id", "embedding", cents,
+      store, dim = 8)
+    val stored = Similarity.ivfBinaryTopKFromStore(spark, store, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2, dim = 8)
+    rows(stored) shouldBe mem
+    // the store scan carries a probed-list partition filter
+    stored.queryExecution.executedPlan.toString should include regex
+      "list#\\d+ IN \\("
+    // append-only maintenance ≡ one-shot build
+    val appended = java.nio.file.Files
+      .createTempDirectory("ivfbinary-append-").toString + "/idx"
+    Similarity.appendIvfBinary(corpus.filter($"vec_id" < 100), "vec_id",
+      "embedding", cents, appended, dim = 8)
+    Similarity.appendIvfBinary(corpus.filter($"vec_id" >= 100), "vec_id",
+      "embedding", cents, appended, dim = 8)
+    rows(Similarity.ivfBinaryTopKFromStore(spark, appended, queries,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 2,
+      dim = 8)) shouldBe mem
+    // appending under different coarse geometry refuses
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.appendIvfBinary(corpus, "vec_id", "embedding",
+        Seq(cents.head, cents.last), appended, dim = 8)
+    e.getMessage should (include("centroids_md5") or include("numLists"))
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
