@@ -1352,6 +1352,34 @@ object Queries {
       dim = 64)
   }
 
+  /** Fully-persisted binary two-stage retrieval: the sign-bit store
+    * answers the Hamming top-20 shortlist, the raw IVF store answers
+    * the exact refine, both scans pruned to the probed lists — the
+    * smallest stage-one IO in the two-stage family (two longs per
+    * vector). Packed longs and raw floats round-trip parquet exactly,
+    * so one oracle replays build→stores→probe→refine.
+    */
+  def annIvfBinaryRerankStoreTopK(spark: SparkSession,
+      dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.Similarity.seedCentroids(
+      emb, "vec_id", "embedding", numLists = 16)
+    val binStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_ivfbin_").toString
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("graft_2stage_ivfbinraw_").toString
+    graft.operators.Similarity.writeIvfBinary(
+      emb, "vec_id", "embedding", cents, binStore, dim = 64)
+    graft.operators.Similarity.writeIvfAssignments(
+      emb, "vec_id", "embedding", cents, rawStore)
+    ivfStoreDirs.add(binStore)
+    ivfStoreDirs.add(rawStore)
+    graft.operators.Similarity.ivfBinaryRerankTopKFromStores(
+      spark, binStore, rawStore, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4,
+      dim = 64, factor = 4)
+  }
+
   /** Binary stage + exact refine — the 1-bit "quantize + rescore"
     * deployment: Hamming top-20 per query re-ranked by exact L2².
     */
@@ -2027,6 +2055,7 @@ object Queries {
     "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopK _,
     "ann_binary_store_topk" -> annBinaryStoreTopK _,
     "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopK _,
+    "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopK _,
     "ann_binary_rerank_topk" -> annBinaryRerankTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
@@ -3095,7 +3124,7 @@ object Queries {
     * CTE (`b`, identical to the flat binary oracle); candidates are
     * probed-list members, distance is the word-XOR popcount sum.
     */
-  private val annIvfBinaryStoreTopKOracle: String =
+  private val ivfBinaryChainSql: String =
     s"""WITH v AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |c AS (SELECT vec_id AS l, e AS ce FROM v WHERE vec_id < 16),
@@ -3124,9 +3153,31 @@ object Queries {
        |  JOIN b nb ON nb.vec_id = cand.neighbor_id),
        |r AS (SELECT query_id, neighbor_id, hamming, row_number() OVER
        |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  private val annIvfBinaryStoreTopKOracle: String =
+    s"""$ivfBinaryChainSql
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
        |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Persisted binary two-stage replay: the IVF-binary chain's top-20
+    * shortlist re-scored with the exact per-dim fold — the same refine
+    * CTEs as the SQ/IVF-SQ rerank oracles.
+    */
+  private val annIvfBinaryRerankStoreTopKOracle: String =
+    s"""$ivfBinaryChainSql,
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (vq.e[i+1] - v2.e[i+1]) * (vq.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v vq ON vq.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
 
   private val annBinaryRerankTopKOracle: String =
     s"""$binaryChainSql,
@@ -3696,6 +3747,7 @@ object Queries {
     "ann_ivfsq_rerank_store_topk" -> annIvfSqRerankStoreTopKOracle,
     "ann_binary_store_topk" -> annBinaryStoreTopKOracle,
     "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopKOracle,
+    "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopKOracle,
     "ann_binary_rerank_topk" -> annBinaryRerankTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it

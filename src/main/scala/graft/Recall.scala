@@ -192,7 +192,19 @@ object Recall {
           s"binary_rerank_f$factor" -> topkRecall(
             Similarity.binaryRerankTopK(emb, queries, "vec_id",
               "embedding", k, dim = 64, factor = factor))
-        }).toMap
+        }).toMap ++
+        // IVF × binary: sublinear probe over the Hamming rank, and the
+        // full two-stage (probe ceiling × Hamming proxy × exact refine)
+        (for (nprobe <- Seq(4, 16)) yield {
+          s"ivfbinary_nprobe$nprobe" -> topkRecall(
+            Similarity.ivfBinaryTopK(emb, queries, "vec_id", "embedding",
+              k, cents, nprobe, dim = 64))
+        }).toMap ++
+        Map("ivfbinary_rerank_f8_nprobe16" -> topkRecall(
+          Similarity.rerankExact(
+            Similarity.ivfBinaryTopK(emb, queries, "vec_id", "embedding",
+              k * 8, cents, nprobe = 16, dim = 64),
+            emb, queries, "vec_id", "embedding", k)))
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
         richRerank ++ ivfsqRerank ++ sq ++ binary
     }

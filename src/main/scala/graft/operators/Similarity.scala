@@ -2310,6 +2310,46 @@ object Similarity {
     ivfHammingScore(enc, probes, k, dim)
   }
 
+  /** Fully-PERSISTED binary two-stage retrieval — the
+    * [[ivfSqRerankTopKFromStores]] shape at 32× stage-one compression:
+    * the sign-bit store answers the Hamming top-(k·factor) shortlist,
+    * the raw-vector store ([[writeIvfAssignments]]) answers the exact
+    * refine, BOTH scans pruned to the probed lists. The smallest
+    * stage-one IO in the family; pick `factor` against
+    * [[rerankExact]]'s measured binary guidance (Hamming is a coarse
+    * proxy — budget a larger factor than SQ needs).
+    */
+  def ivfBinaryRerankTopKFromStores(
+      spark: org.apache.spark.sql.SparkSession,
+      binStorePath: String,
+      rawStorePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      dim: Int = 64,
+      factor: Int = 4
+  ): DataFrame = {
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    val shortlist = ivfBinaryTopKFromStore(spark, binStorePath, queries,
+      idCol, vecCol, k * factor, centroids, nprobe, dim)
+    graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
+      "numLists" -> centroids.size,
+      "centroids_md5" -> vectorSetFingerprint(centroids)))
+    // the same probe set stage one used (same literal centroids), so the
+    // raw scan prunes to the identical partition union
+    val probedLists = queries
+      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
+      .select(col("__p").getField("l").as("list"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val rawPruned = spark.read.parquet(rawStorePath)
+      .filter(col("list").isInCollection(probedLists))
+      .select(col("id").as(idCol), col("v").as(vecCol))
+    rerankExact(shortlist, rawPruned, queries, idCol, vecCol, k)
+  }
+
   // --------------------------------------------- persisted training artifacts
 
   /** Persist the training artifacts a PROBE needs next to the store —

@@ -242,6 +242,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("binary plans broadcast the query bits and score by XOR+popcount on packed words") {
+    // ann_binary_store_topk: the sign-bit corpus streams against the
+    // broadcast query words — never shuffled, never cross-joined; the
+    // pair score is bit_count over packed longs (codegen'd built-ins,
+    // no doubles, no arrays in the hot path). ann_ivfbinary_store_topk
+    // adds the probed-list partition prune (pinned in SimilaritySpec)
+    // and joins on the list key — still broadcast, still no sort-merge.
+    for (name <- Seq("ann_binary_store_topk", "ann_ivfbinary_store_topk")) {
+      withClue(s"$name: ") {
+        val p = plan(name)
+        p should (include("BroadcastNestedLoopJoin") or include("BroadcastHashJoin"))
+        p should not include "SortMergeJoin"
+        p should not include "CartesianProduct"
+        p should include("bit_count") // pair score on packed words
+        p should include("hyperplanebits") // sign-pack kernel, map-side
+      }
+    }
+  }
+
   test("quality-model scoring broadcasts the weight table; per-doc agg partial-aggregates") {
     // the vocab-bounded weight table must broadcast (a misprediction
     // would shuffle every token posting in the corpus), and the per-doc

@@ -854,6 +854,36 @@ class SimilaritySpec extends SparkSpec {
     e.getMessage should (include("centroids_md5") or include("numLists"))
   }
 
+  test("ivfBinaryRerankTopKFromStores: ≡ in-flight composition; BOTH store scans partition-pruned") {
+    val corpus = mpVecs(150)
+    val queries = corpus.filter($"vec_id" < 4)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 4)
+    val binStore = java.nio.file.Files
+      .createTempDirectory("2stage-ivfbin-").toString + "/idx"
+    val rawStore = java.nio.file.Files
+      .createTempDirectory("2stage-ivfbinraw-").toString + "/idx"
+    Similarity.writeIvfBinary(corpus, "vec_id", "embedding", cents,
+      binStore, dim = 8)
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding",
+      cents, rawStore)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "dist")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val stored = Similarity.ivfBinaryRerankTopKFromStores(spark,
+      binStore, rawStore, queries, "vec_id", "embedding", k = 3,
+      centroids = cents, nprobe = 2, dim = 8, factor = 3)
+    // the persisted pair must equal the in-flight composition: Hamming
+    // shortlist at k·factor over the same probe set, exact refine over
+    // the raw corpus
+    rows(stored) shouldBe rows(Similarity.rerankExact(
+      Similarity.ivfBinaryTopK(corpus, queries, "vec_id", "embedding",
+        k = 9, centroids = cents, nprobe = 2, dim = 8),
+      corpus, queries, "vec_id", "embedding", k = 3))
+    // both stores' scans carry a probed-list partition filter
+    val plan = stored.queryExecution.executedPlan.toString
+    "list#\\d+ IN \\(".r.findAllIn(plan).length should be >= 2
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
