@@ -24,12 +24,16 @@ import graft.operators.Similarity
   * kind: ivfsq              # ivf | ivfpq | ivfsq | sq | binary
   *                          # | ivf_binary | lsh | embedding_buckets
   * store: /indexes/corpus_ivfsq
-  * raw_store: /indexes/corpus_raw    # optional (ivf-family kinds):
-  *                                   # also write the raw-vector refine
+  * raw_store: /indexes/corpus_raw    # optional, compressed kinds only
+  *                                   # (ivfsq|ivfpq|ivf_binary): also
+  *                                   # write the raw-vector refine
   *                                   # store under the SAME centroids —
-  *                                   # the two-stage retrieval pair
+  *                                   # the two-stage retrieval pair;
+  *                                   # refused for other kinds
   * num_lists: 256           # ivf/ivfpq/ivfsq coarse lists
-  * dim: 64                  # vector dims (sq/lsh/embedding_buckets)
+  * dim: 64                  # vector dims (sq/ivfsq/binary/ivf_binary/
+  *                          # lsh/embedding_buckets; a uniformly
+  *                          # different corpus dim refuses loudly)
   * pq_m: 8                  # ivfpq: subspaces
   * pq_codes: 64             # ivfpq: codes per subspace
   * pq_dsub: 8               # ivfpq: dims per subspace
@@ -69,7 +73,41 @@ object BuildIndex {
     val dim = intOpt("dim").getOrElse(64)
     val input = spark.read.parquet(need("input"))
       .select(col(idCol), col(vecCol))
-    val rows = input.count()
+    // ONE stats pass serves the report's row count AND the dim sanity
+    // check below — not a separate count() job per concern
+    val stats = input.agg(count(lit(1)),
+      min(size(col(vecCol))), max(size(col(vecCol)))).collect()(0)
+    val rows = stats.getLong(0)
+    val minDim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val maxDim = if (stats.isNullAt(2)) 0 else stats.getInt(2)
+    // Kinds that slice/encode the first `dim` elements REFUSE a config
+    // dim that cannot match the data: a uniformly different corpus dim
+    // means the config is wrong (a too-large dim would silently write
+    // an EMPTY store — every row fails the encodable filter; a
+    // too-small one would silently prefix-truncate every vector and
+    // crater recall). Mixed sizes with max >= dim pass: dirty short
+    // rows are filtered by the library contract.
+    val dimKinds = Set("sq", "ivfsq", "binary", "ivf_binary", "lsh",
+      "embedding_buckets")
+    if (dimKinds(kind) && rows > 0) {
+      if (minDim == maxDim && minDim != dim)
+        throw new IllegalArgumentException(
+          s"corpus vectors are uniformly $minDim-dim but the config " +
+            s"says dim: $dim — set dim: $minDim")
+      if (maxDim < dim)
+        throw new IllegalArgumentException(
+          s"no corpus vector reaches dim: $dim (max is $maxDim) — " +
+            "the store would be empty")
+    }
+    // raw_store names the refine twin of a COMPRESSED first stage; for
+    // any other kind it would be silently ignored, surfacing hours
+    // later as a missing path in the probe job — refuse it up front
+    // (kind: ivf IS the raw store, build it directly)
+    val twinKinds = Set("ivfsq", "ivfpq", "ivf_binary")
+    if (Yaml.str(c, "raw_store").nonEmpty && !twinKinds(kind))
+      throw new IllegalArgumentException(
+        s"raw_store is only supported for kinds " +
+          s"${twinKinds.toSeq.sorted.mkString("/")} (got kind: $kind)")
 
     def cents(): Seq[Array[Double]] = Similarity.seedCentroids(
       input, idCol, vecCol, intOpt("num_lists").getOrElse(16))

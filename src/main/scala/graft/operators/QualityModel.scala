@@ -92,17 +92,25 @@ object QualityModel {
 
   // ------------------------------------------------------- persisted model
 
-  /** Order-independent content fingerprint of a weight table: the
-    * bit_xor fold of per-row xxhash64(token, w_micros) —
-    * layout/partitioning invariant, overflow-free under ANSI mode, one
-    * aggregate over a vocab-bounded table. What binds a store to the
-    * exact weights it was saved with.
+  /** Order-independent content fingerprint of a weight table: the row
+    * count plus the EXACT decimal sum of per-row
+    * xxhash64(token, w_micros) — layout/partitioning invariant, one
+    * aggregate over a vocab-bounded table. Sum, not XOR: an XOR fold is
+    * blind to rows replicated an odd number of times (h ⊕ h ⊕ h = h),
+    * and replicated weight rows DO corrupt scoring (the token join
+    * multiplies in-vocabulary counts while OOV tokens still count
+    * once) — the multiplicity-sensitive sum catches every replication.
+    * decimal(38,0) holds the sum exactly for any realistic vocab
+    * (|hash| < 2⁶³ → 19 digits + millions of rows ≪ 38 digits).
     */
-  private def weightsFingerprint(weights: DataFrame): Long =
-    weights
-      .agg(coalesce(
-        expr("bit_xor(xxhash64(token, w_micros))"), lit(0L)))
-      .collect()(0).getLong(0)
+  private def weightsFingerprint(weights: DataFrame): (Long, String) = {
+    val r = weights.agg(
+      count(lit(1)),
+      coalesce(sum(xxhash64(col("token"), col("w_micros"))
+          .cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).collect()(0)
+    (r.getLong(0), r.getDecimal(1).toBigInteger.toString)
+  }
 
   /** Persist a fitted model (overwrite — the store IS the fit; the
     * [[LanguageModel.saveModel]] contract). Micro-unit longs and token
@@ -119,10 +127,12 @@ object QualityModel {
     spark.range(1)
       .select(lit(model.biasMicros).as("bias_micros"))
       .write.mode("overwrite").parquet(s"$storePath/_meta")
+    val (n, fp) = weightsFingerprint(
+      spark.read.parquet(s"$storePath/weights"))
     graft.core.StoreMeta.overwrite(spark, storePath, "quality_model", Map(
       "bias_micros" -> model.biasMicros,
-      "weights_fp" -> weightsFingerprint(
-        spark.read.parquet(s"$storePath/weights"))))
+      "n_weights" -> n,
+      "weights_fp" -> fp))
   }
 
   /** Load a persisted model. A MISSING store is an error, not a
@@ -152,10 +162,12 @@ object QualityModel {
         "corrupt or partially-written store; re-run saveModel")
     val bias = metaRows(0).getAs[Long]("bias_micros")
     val weights = spark.read.parquet(s"$storePath/weights")
+    val (n, fp) = weightsFingerprint(weights)
     graft.core.StoreMeta.requireIfPresent(spark, storePath,
       "quality_model", Map(
         "bias_micros" -> bias,
-        "weights_fp" -> weightsFingerprint(weights)))
+        "n_weights" -> n,
+        "weights_fp" -> fp))
     LinearModel(weights, bias)
   }
 }

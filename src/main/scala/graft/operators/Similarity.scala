@@ -993,7 +993,28 @@ object Similarity {
       m: Int = 4,
       numCodes: Int = 8,
       dsub: Int = 16
-  ): DataFrame = {
+  ): DataFrame =
+    ivfPqStageFromStore(spark, storePath, queries, idCol, vecCol, k,
+      centroids, nprobe, codebook, m, numCodes, dsub)._1
+
+  /** [[ivfPqTopKFromStore]] plus the probed-list set it pruned to — so
+    * a two-stage wrapper can prune the raw refine store to the SAME
+    * partition union without running the probe-discovery job twice.
+    */
+  private def ivfPqStageFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      codebook: Array[Double],
+      m: Int,
+      numCodes: Int,
+      dsub: Int
+  ): (DataFrame, Seq[Int]) = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
     graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivfpq", Map(
@@ -1020,10 +1041,11 @@ object Similarity {
       .filter(col("adc").isNotNull) // see pqTopK: nulls would rank first
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
-    scored
+    val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc")
+    (ranked, probedLists)
   }
 
   // ----- 8-bit scalar quantization (SQ8, FAISS QT_8bit shape) -----
@@ -1269,7 +1291,25 @@ object Similarity {
       nprobe: Int,
       mins: Array[Double],
       maxs: Array[Double]
-  ): DataFrame = {
+  ): DataFrame =
+    ivfSqStageFromStore(spark, storePath, queries, idCol, vecCol, k,
+      centroids, nprobe, mins, maxs)._1
+
+  /** [[ivfSqTopKFromStore]] plus the probed-list set it pruned to (see
+    * [[ivfPqStageFromStore]]).
+    */
+  private def ivfSqStageFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): (DataFrame, Seq[Int]) = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
     graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivfsq", Map(
@@ -1287,7 +1327,7 @@ object Similarity {
     val enc = spark.read.parquet(storePath)
       .filter(col("list").isInCollection(probedLists))
       .select(col("id").as("neighbor_id"), col("list"), col("codes"))
-    ivfSqScore(enc, probes, k, mins, maxs)
+    (ivfSqScore(enc, probes, k, mins, maxs), probedLists)
   }
 
   /** Exact re-ranking of a compressed shortlist (the FAISS
@@ -1430,18 +1470,35 @@ object Similarity {
       factor: Int = 4
   ): DataFrame = {
     require(factor >= 1, s"refine factor must be >= 1: $factor")
-    val shortlist = ivfPqTopKFromStore(spark, pqStorePath, queries,
-      idCol, vecCol, k * factor, centroids, nprobe, codebook,
+    val (shortlist, probedLists) = ivfPqStageFromStore(spark, pqStorePath,
+      queries, idCol, vecCol, k * factor, centroids, nprobe, codebook,
       m, numCodes, dsub)
+    rerankFromRawStore(spark, rawStorePath, shortlist, queries,
+      idCol, vecCol, k, centroids, probedLists)
+  }
+
+  /** The shared raw-refine tail of every persisted two-stage wrapper:
+    * prune the raw-vector store ([[writeIvfAssignments]]) to the SAME
+    * probed-list union stage one scanned — every shortlist member came
+    * from a probed list, so neither store is ever read beyond the
+    * probed partitions — and re-rank exactly. One definition, so the
+    * raw-store contract (meta keys, list pruning) can never drift
+    * between the PQ / SQ / binary compositions.
+    */
+  private def rerankFromRawStore(
+      spark: org.apache.spark.sql.SparkSession,
+      rawStorePath: String,
+      shortlist: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      probedLists: Seq[Int]
+  ): DataFrame = {
     graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
       "numLists" -> centroids.size,
       "centroids_md5" -> vectorSetFingerprint(centroids)))
-    // the same probe set stage one used (same literal centroids), so the
-    // raw scan prunes to the identical partition union
-    val probedLists = queries
-      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
-      .select(col("__p").getField("l").as("list"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
     val rawPruned = spark.read.parquet(rawStorePath)
       .filter(col("list").isInCollection(probedLists))
       .select(col("id").as(idCol), col("v").as(vecCol))
@@ -1499,21 +1556,10 @@ object Similarity {
       factor: Int = 4
   ): DataFrame = {
     require(factor >= 1, s"refine factor must be >= 1: $factor")
-    val shortlist = ivfSqTopKFromStore(spark, sqStorePath, queries,
-      idCol, vecCol, k * factor, centroids, nprobe, mins, maxs)
-    graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
-      "numLists" -> centroids.size,
-      "centroids_md5" -> vectorSetFingerprint(centroids)))
-    // the same probe set stage one used (same literal centroids), so the
-    // raw scan prunes to the identical partition union
-    val probedLists = queries
-      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
-      .select(col("__p").getField("l").as("list"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    val rawPruned = spark.read.parquet(rawStorePath)
-      .filter(col("list").isInCollection(probedLists))
-      .select(col("id").as(idCol), col("v").as(vecCol))
-    rerankExact(shortlist, rawPruned, queries, idCol, vecCol, k)
+    val (shortlist, probedLists) = ivfSqStageFromStore(spark, sqStorePath,
+      queries, idCol, vecCol, k * factor, centroids, nprobe, mins, maxs)
+    rerankFromRawStore(spark, rawStorePath, shortlist, queries,
+      idCol, vecCol, k, centroids, probedLists)
   }
 
   /** (id, bk) multi-table LSH bucket keys of an embedding table — the
@@ -2288,7 +2334,24 @@ object Similarity {
       centroids: Seq[Array[Double]],
       nprobe: Int,
       dim: Int = 64
-  ): DataFrame = {
+  ): DataFrame =
+    ivfBinaryStageFromStore(spark, storePath, queries, idCol, vecCol, k,
+      centroids, nprobe, dim)._1
+
+  /** [[ivfBinaryTopKFromStore]] plus the probed-list set it pruned to
+    * (see [[ivfPqStageFromStore]]).
+    */
+  private def ivfBinaryStageFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Double]],
+      nprobe: Int,
+      dim: Int
+  ): (DataFrame, Seq[Int]) = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}]: $nprobe")
     graft.core.StoreMeta.requireIfPresent(spark, storePath, "ivf_binary",
@@ -2307,7 +2370,7 @@ object Similarity {
     val enc = spark.read.parquet(storePath)
       .filter(col("list").isInCollection(probedLists))
       .select(col("id").as("neighbor_id"), col("list"), col("cb"))
-    ivfHammingScore(enc, probes, k, dim)
+    (ivfHammingScore(enc, probes, k, dim), probedLists)
   }
 
   /** Fully-PERSISTED binary two-stage retrieval — the
@@ -2333,21 +2396,11 @@ object Similarity {
       factor: Int = 4
   ): DataFrame = {
     require(factor >= 1, s"refine factor must be >= 1: $factor")
-    val shortlist = ivfBinaryTopKFromStore(spark, binStorePath, queries,
-      idCol, vecCol, k * factor, centroids, nprobe, dim)
-    graft.core.StoreMeta.requireIfPresent(spark, rawStorePath, "ivf", Map(
-      "numLists" -> centroids.size,
-      "centroids_md5" -> vectorSetFingerprint(centroids)))
-    // the same probe set stage one used (same literal centroids), so the
-    // raw scan prunes to the identical partition union
-    val probedLists = queries
-      .select(explodedProbe(col(vecCol), centroids, nprobe).as("__p"))
-      .select(col("__p").getField("l").as("list"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    val rawPruned = spark.read.parquet(rawStorePath)
-      .filter(col("list").isInCollection(probedLists))
-      .select(col("id").as(idCol), col("v").as(vecCol))
-    rerankExact(shortlist, rawPruned, queries, idCol, vecCol, k)
+    val (shortlist, probedLists) = ivfBinaryStageFromStore(spark,
+      binStorePath, queries, idCol, vecCol, k * factor, centroids,
+      nprobe, dim)
+    rerankFromRawStore(spark, rawStorePath, shortlist, queries,
+      idCol, vecCol, k, centroids, probedLists)
   }
 
   // --------------------------------------------- persisted training artifacts

@@ -131,4 +131,35 @@ class BuildIndexSpec extends SparkSpec {
         "kind: nope", s"store: $sqStore"))
     e.getMessage should include("unknown index kind")
   }
+
+  test("misconfiguration refuses up front: wrong dim, raw_store on a non-twin kind") {
+    val data = vecs(40) // uniformly 8-dim
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-in4-").toString + "/emb"
+    data.write.parquet(inPath)
+    val store = java.nio.file.Files
+      .createTempDirectory("bidx-bad-").toString + "/idx"
+    // omitted dim defaults to 64: on an 8-dim corpus kind: binary would
+    // silently write an EMPTY store — must refuse naming the real dim
+    val e1 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: binary", s"store: $store"))
+    e1.getMessage should include("set dim: 8")
+    // a too-SMALL dim on a uniform corpus would silently
+    // prefix-truncate every vector — same refusal
+    val e2 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: sq", s"store: $store", "dim: 4"))
+    e2.getMessage should include("set dim: 8")
+    // raw_store with a kind that has no refine twin would be silently
+    // ignored and surface hours later as a missing path — refuse
+    val e3 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: ivf", s"store: $store", "raw_store: /tmp/nope",
+        "num_lists: 4"))
+    e3.getMessage should include("raw_store is only supported")
+  }
 }

@@ -72,7 +72,20 @@ class QualityModelSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$store/weights")
     val e = the[IllegalArgumentException] thrownBy
       QualityModel.loadModel(spark, store)
-    e.getMessage should include("weights_fp")
+    e.getMessage should (include("weights_fp") or include("n_weights"))
+    // ODD replication (every row 3×) — invisible to an XOR fold
+    // (h ⊕ h ⊕ h = h) but it corrupts scoring (in-vocab tokens join 3×,
+    // OOV once), so the multiplicity-sensitive fingerprint must refuse
+    val storeR = java.nio.file.Files
+      .createTempDirectory("qmodel-repl-").toString + "/model"
+    QualityModel.saveModel(m, storeR)
+    val dup = weights.toSeq
+      .map { case (t, wgt) => (t, math.floor(wgt * 1e6 + 0.5).toLong) }
+    (dup ++ dup).toDF("token", "w_micros")
+      .write.mode("append").parquet(s"$storeR/weights")
+    val eR = the[IllegalArgumentException] thrownBy
+      QualityModel.loadModel(spark, storeR)
+    eR.getMessage should (include("weights_fp") or include("n_weights"))
     // an empty _meta directory (partially-written store) also refuses
     val store2 = java.nio.file.Files
       .createTempDirectory("qmodel-empty-").toString + "/model"
