@@ -1380,6 +1380,19 @@ object Queries {
       dim = 64, factor = 4)
   }
 
+  /** Matryoshka prefix-dim two-stage: exact cosine over the first 16
+    * dims (¼ of the stage-one bytes, zero index infrastructure) ranks
+    * the top-20 shortlist, exact full-dim L2² re-ranks to top-5. The
+    * oracle replays the 16-dim folds and the full-dim refine.
+    */
+  def annMatryoshkaRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Similarity.prefixRerankTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, prefixDim = 16, factor = 4)
+  }
+
   /** Binary stage + exact refine — the 1-bit "quantize + rescore"
     * deployment: Hamming top-20 per query re-ranked by exact L2².
     */
@@ -2057,6 +2070,7 @@ object Queries {
     "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopK _,
     "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopK _,
     "ann_binary_rerank_topk" -> annBinaryRerankTopK _,
+    "ann_matryoshka_rerank_topk" -> annMatryoshkaRerankTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -3179,6 +3193,43 @@ object Queries {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
        |FROM rr WHERE rank <= 5""".stripMargin
 
+  /** Matryoshka replay: prefix cosine over list_slice(e, 1, 16) with
+    * 16-element folds (norms inline per pair — deterministic functions
+    * of the row, same bits as the engine's precomputed norms), rank
+    * DESC with id tie-break at the shortlist width, then the full-dim
+    * exact-refine CTEs.
+    */
+  private val annMatryoshkaRerankTopKOracle: String = {
+    def dot16(a: String, b: String): String =
+      s"list_reduce(list_transform(range(16), i -> $a[i+1] * $b[i+1]), " +
+        "(x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |pv AS (SELECT vec_id, list_slice(e, 1, 16) AS pe FROM v),
+       |q AS (SELECT vec_id AS query_id, pe AS qpe FROM pv
+       |  WHERE vec_id < 10),
+       |s AS (SELECT query_id, pv.vec_id AS neighbor_id,
+       |  ${dot16("qpe", "pe")} /
+       |  (sqrt(${dot16("qpe", "qpe")}) * sqrt(${dot16("pe", "pe")}))
+       |    AS sim
+       |  FROM q, pv WHERE pv.vec_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s),
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (vq.e[i+1] - v2.e[i+1]) * (vq.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v vq ON vq.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
+  }
+
   private val annBinaryRerankTopKOracle: String =
     s"""$binaryChainSql,
        |rr0 AS (SELECT r.query_id, r.neighbor_id,
@@ -3749,6 +3800,7 @@ object Queries {
     "ann_ivfbinary_store_topk" -> annIvfBinaryStoreTopKOracle,
     "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopKOracle,
     "ann_binary_rerank_topk" -> annBinaryRerankTopKOracle,
+    "ann_matryoshka_rerank_topk" -> annMatryoshkaRerankTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

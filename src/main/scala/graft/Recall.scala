@@ -205,8 +205,22 @@ object Recall {
             Similarity.ivfBinaryTopK(emb, queries, "vec_id", "embedding",
               k * 8, cents, nprobe = 16, dim = 64),
             emb, queries, "vec_id", "embedding", k)))
+      // Matryoshka prefix-dim two-stage (r17): stage one reads d'/64 of
+      // the bytes with ZERO index infrastructure. On this synthetic
+      // table the leading dims are NOT informative by construction
+      // (every dim is iid — the anti-MRL case), so these rows measure
+      // the floor: real MRL-trained embeddings concentrate signal in
+      // the prefix and sit far above it.
+      val matry = (for {
+        d <- Seq(16, 32)
+        factor <- Seq(4, 8)
+      } yield {
+        s"matryoshka_d${d}_rerank_f$factor" -> topkRecall(
+          Similarity.prefixRerankTopK(emb, queries, "vec_id",
+            "embedding", k, prefixDim = d, factor = factor))
+      }).toMap
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
-        richRerank ++ ivfsqRerank ++ sq ++ binary
+        richRerank ++ ivfsqRerank ++ sq ++ binary ++ matry
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

@@ -2059,6 +2059,43 @@ object Similarity {
     cb
   }
 
+  /** Matryoshka-style prefix-dimension two-stage (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): stage one ranks by
+    * exact cosine over only the FIRST `prefixDim` elements — for
+    * MRL-trained embeddings the leading dims carry most of the signal,
+    * so the stage-one scan moves prefixDim/dim of the bytes with no
+    * index build, no codebooks, and no training artifacts at all —
+    * then the top-(k·factor) shortlist re-ranks by exact full-dim L2²
+    * ([[rerankExact]]). The zero-infrastructure member of the
+    * two-stage family: where SQ8/PQ/binary compress every dim, this
+    * truncates dims, and the two compose (a prefix slice can feed any
+    * quantized index).
+    *
+    * Determinism contract: the prefix stage is [[bruteForceTopK]] over
+    * `slice(vec, 1, prefixDim)` — same sequential folds, same
+    * (sim DESC, id) tie-break; a vector SHORTER than prefixDim gets a
+    * null prefix cosine ([[VecDot]] length contract) and ranks last in
+    * DESC order, mirroring the brute path's degenerate handling.
+    */
+  def prefixRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int,
+      factor: Int = 4
+  ): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1: $prefixDim")
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    def sliced(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as(vecCol))
+    rerankExact(
+      bruteForceTopK(sliced(corpus), sliced(queries), idCol, vecCol,
+        k * factor),
+      corpus, queries, idCol, vecCol, k)
+  }
+
   // ------------------------------------------------- binary (1-bit) quantization
 
   /** Identity-basis "planes" for sign-bit quantization: plane j is the

@@ -884,6 +884,52 @@ class SimilaritySpec extends SparkSpec {
     "list#\\d+ IN \\(".r.findAllIn(plan).length should be >= 2
   }
 
+  test("prefixRerankTopK: whole-corpus factor ≡ exact; prefix stage ranks by sliced cosine; short vectors rank last") {
+    val corpus = mpVecs(40)
+    val queries = corpus.filter($"vec_id" < 3)
+    // factor 14 → shortlist 42 ≥ corpus: the refine must reproduce the
+    // exact full-dim L2² ranking regardless of the prefix stage's order
+    val full = Similarity.prefixRerankTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, prefixDim = 4, factor = 14)
+      .select("query_id", "neighbor_id", "rank", "dist")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val vecs = corpus.as[(Long, Array[Float])].collect().toMap
+    val exact = (0L until 3L).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) =>
+          var acc = 0.0; var i = 0
+          while (i < 8) {
+            val d = vecs(q)(i).toDouble - v(i).toDouble; acc += d * d; i += 1
+          }
+          (n, acc)
+        }
+        .sortBy { case (n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((n, d), i) => (q, n, (i + 1).toLong, d) }
+    }.sortBy(t => (t._1, t._3))
+    full shouldBe exact.toArray
+    // a TIGHT factor surfaces only prefix-cosine winners: the stage-one
+    // shortlist must equal bruteForceTopK over the sliced vectors
+    val sliced = corpus.select($"vec_id",
+      slice($"embedding", 1, 4).as("embedding"))
+    val slicedQ = queries.select($"vec_id",
+      slice($"embedding", 1, 4).as("embedding"))
+    val stage1 = Similarity.bruteForceTopK(sliced, slicedQ, "vec_id",
+      "embedding", k = 10).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    Similarity.prefixRerankTopK(corpus, queries, "vec_id", "embedding",
+      k = 10, prefixDim = 4, factor = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet shouldBe stage1
+    // vectors shorter than the prefix get a null stage-one cosine and
+    // rank last — they can only surface when the shortlist is exhausted
+    val dirty = corpus.unionByName(Seq(
+      (200L, Array[Float](1f, 2f))).toDF("vec_id", "embedding"))
+    val out = Similarity.prefixRerankTopK(dirty, queries, "vec_id",
+      "embedding", k = 5, prefixDim = 4, factor = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    out should not contain 200L
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
