@@ -628,6 +628,27 @@ object Similarity {
       "centroids_md5" -> vectorSetFingerprint(centroids)))
   }
 
+  /** Append one batch's raw (id, v, norm, list) rows to an IVF
+    * raw-vector store — the refine half of the persisted two-stage
+    * pair, under the same append-only contract as [[appendIvfSqCodes]]:
+    * no read, list, or rewrite of existing data; the first write stamps
+    * `_meta`, later appends REQUIRE the same coarse geometry (appending
+    * under different centroids would put vectors in lists probes never
+    * scan).
+    */
+  def appendIvfAssignments(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], storePath: String): Unit = {
+    graft.core.StoreMeta.writeOrRequire(df.sparkSession, storePath,
+      "ivf", Map(
+        "numLists" -> centroids.size,
+        "centroids_md5" -> vectorSetFingerprint(centroids)))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cn", norm(col("v")))
+      .withColumn("list",
+        bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
+      .write.mode("append").partitionBy("list").parquet(storePath)
+  }
+
   /** Probe a stored IVF index: same scoring/tie/top-k mechanics as
     * [[ivfTopK]] (results are bit-identical for the same centroids —
     * floats and the build-time norm round-trip parquet exactly), but the

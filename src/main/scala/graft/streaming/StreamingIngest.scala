@@ -410,6 +410,58 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming TWO-STAGE INDEX maintenance: append each micro-batch of
+    * vectors to BOTH halves of the persisted retrieval pair — the
+    * IVF-SQ8 code store ([[graft.operators.Similarity.appendIvfSqCodes]])
+    * and the raw refine store
+    * ([[graft.operators.Similarity.appendIvfAssignments]]) — so a
+    * continuous ingester keeps the production two-stage index
+    * ([[graft.operators.Similarity.ivfSqRerankTopKFromStores]], the
+    * RECALL-pinned recall-1.0 configuration) fresh without nightly
+    * rebuilds. Bootstrap the pair once via `graft.BuildIndex` (kind
+    * ivfsq + raw_store) or let the first batch stamp both `_meta`s;
+    * geometry and grid are FROZEN thereafter — a drifted config refuses
+    * instead of silently mis-listing or re-gridding
+    * ([[graft.operators.Similarity.appendIvfSqCodes]]'s contract).
+    *
+    * Exactly-once: each store gets its OWN per-batch marker
+    * ([[runBatchOnce]] under the store root), so a crash BETWEEN the
+    * two appends replays only the missing one — duplicates cannot arise
+    * across the pair. The residual window (crash after one store's data
+    * write but before its marker) would duplicate rows WITHIN that
+    * store on replay — and a retrieval store surfaces duplicates as
+    * repeated top-k ranks, so unlike the dedup key stores this window
+    * matters; it is the same single-write residual every foreachBatch
+    * twin carries, and a production deploy swaps the append for one
+    * transactional table commit.
+    */
+  def twoStageIndexStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sqStorePath: String,
+      rawStorePath: String,
+      checkpoint: String,
+      centroids: Seq[Array[Double]],
+      mins: Array[Double],
+      maxs: Array[Double],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        runBatchOnce(spark, sqStorePath, batchId) {
+          graft.operators.Similarity.appendIvfSqCodes(
+            batch, idCol, vecCol, centroids, sqStorePath, mins, maxs)
+        }
+        runBatchOnce(spark, rawStorePath, batchId) {
+          graft.operators.Similarity.appendIvfAssignments(
+            batch, idCol, vecCol, centroids, rawStorePath)
+        }
+      }
+      .start()
+
   /** Streaming CURATION: run the job driver's `curation:` block on every
     * micro-batch ([[graft.JobRunner.applyCuration]] — extract, quality
     * gates incl. the persisted-store `lm`/`model` classifiers, PII

@@ -344,6 +344,71 @@ class StreamingIngestSpec extends SparkSpec {
       Array(1L, 5L, 11L)
   }
 
+  test("streaming two-stage index maintenance: stores ≡ one-shot build; replay appends nothing") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("stream-idx-")
+    val ckpt = Files.createTempDirectory("stream-idx-ckpt-").toString
+    val base = Files.createTempDirectory("stream-idx-store-").toString
+    val (sqStore, rawStore) = (s"$base/sq", s"$base/raw")
+    def vec(seed: Int) =
+      Array.tabulate(8)(j => math.sin(seed * 0.37 + j * 1.13).toFloat)
+    val all = (0 until 40).map(i => (i.toLong, vec(i)))
+    val ref = all.toDF("vec_id", "v")
+    val cents = graft.operators.Similarity.seedCentroids(
+      ref, "vec_id", "v", 4)
+    val (mins, maxs) = graft.operators.Similarity.trainSqParams(
+      ref, "v", 8)
+    def run(): Unit = {
+      val raw = spark.readStream
+        .schema("vec_id long, v array<float>")
+        .parquet(in.toString)
+      StreamingIngest.twoStageIndexStream(raw, "vec_id", "v",
+        sqStore, rawStore, ckpt, cents, mins, maxs)
+        .awaitTermination(120000)
+    }
+    all.take(25).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    run()
+    // second micro-batch after a restart: the index keeps growing
+    all.drop(25).toDF("vec_id", "v")
+      .coalesce(1).write.mode("append").parquet(in.toString)
+    run()
+    val queries = ref.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "dist")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3))
+    val streamed = rows(
+      graft.operators.Similarity.ivfSqRerankTopKFromStores(spark,
+        sqStore, rawStore, queries, "vec_id", "v", k = 3,
+        centroids = cents, nprobe = 2, mins = mins, maxs = maxs,
+        factor = 3))
+    // probing the stream-maintained pair ≡ probing a one-shot build
+    // over everything ingested so far
+    val oneShotSq = Files.createTempDirectory("idx-oneshot-sq-")
+      .toString + "/idx"
+    val oneShotRaw = Files.createTempDirectory("idx-oneshot-raw-")
+      .toString + "/idx"
+    graft.operators.Similarity.writeIvfSqCodes(ref, "vec_id", "v",
+      cents, oneShotSq, mins, maxs)
+    graft.operators.Similarity.writeIvfAssignments(ref, "vec_id", "v",
+      cents, oneShotRaw)
+    streamed shouldBe rows(
+      graft.operators.Similarity.ivfSqRerankTopKFromStores(spark,
+        oneShotSq, oneShotRaw, queries, "vec_id", "v", k = 3,
+        centroids = cents, nprobe = 2, mins = mins, maxs = maxs,
+        factor = 3))
+    // a restart with the same checkpoint and no new input appends
+    // NOTHING (the checkpoint already committed both batches) — the
+    // duplicate-rank failure mode cannot arise from a clean restart
+    run()
+    spark.read.parquet(rawStore).count() shouldBe 40L
+    // and a replayed LATEST batch (its checkpoint commit removed, the
+    // crash-after-append window) skips via the per-store markers: the
+    // marker for the latest batch survives pruning by construction
+    val sqMarkers = new java.io.File(s"$sqStore/_markers").list().toSeq
+    sqMarkers should contain("batch_1")
+  }
+
   test("streaming near-dup dedup with a bucketed band-key table") {
     import spark.implicits._
     val table = "sispec_nd_bucketed"
