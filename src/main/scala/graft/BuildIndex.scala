@@ -71,34 +71,14 @@ object BuildIndex {
     val idCol = need("id_field")
     val vecCol = need("vector_field")
     val dim = intOpt("dim").getOrElse(64)
-    val input = spark.read.parquet(need("input"))
-      .select(col(idCol), col(vecCol))
-    // ONE stats pass serves the report's row count AND the dim sanity
-    // check below — not a separate count() job per concern
-    val stats = input.agg(count(lit(1)),
-      min(size(col(vecCol))), max(size(col(vecCol)))).collect()(0)
-    val rows = stats.getLong(0)
-    val minDim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
-    val maxDim = if (stats.isNullAt(2)) 0 else stats.getInt(2)
-    // Kinds that slice/encode the first `dim` elements REFUSE a config
-    // dim that cannot match the data: a uniformly different corpus dim
-    // means the config is wrong (a too-large dim would silently write
-    // an EMPTY store — every row fails the encodable filter; a
-    // too-small one would silently prefix-truncate every vector and
-    // crater recall). Mixed sizes with max >= dim pass: dirty short
-    // rows are filtered by the library contract.
-    val dimKinds = Set("sq", "ivfsq", "binary", "ivf_binary", "lsh",
-      "embedding_buckets")
-    if (dimKinds(kind) && rows > 0) {
-      if (minDim == maxDim && minDim != dim)
-        throw new IllegalArgumentException(
-          s"corpus vectors are uniformly $minDim-dim but the config " +
-            s"says dim: $dim — set dim: $minDim")
-      if (maxDim < dim)
-        throw new IllegalArgumentException(
-          s"no corpus vector reaches dim: $dim (max is $maxDim) — " +
-            "the store would be empty")
-    }
+    // PURE-config refusals run BEFORE the corpus scan — a bad YAML must
+    // not pay an input pass to be told so.
+    val allKinds = Set("ivf", "ivfpq", "ivfsq", "sq", "binary",
+      "ivf_binary", "lsh", "embedding_buckets")
+    if (!allKinds(kind))
+      throw new IllegalArgumentException(
+        s"unknown index kind: $kind " +
+          "(ivf|ivfpq|ivfsq|sq|binary|ivf_binary|lsh|embedding_buckets)")
     // raw_store names the refine twin of a COMPRESSED first stage; for
     // any other kind it would be silently ignored, surfacing hours
     // later as a missing path in the probe job — refuse it up front
@@ -108,6 +88,49 @@ object BuildIndex {
       throw new IllegalArgumentException(
         s"raw_store is only supported for kinds " +
           s"${twinKinds.toSeq.sorted.mkString("/")} (got kind: $kind)")
+
+    val input = spark.read.parquet(need("input"))
+      .select(col(idCol), col(vecCol))
+    // ONE stats pass serves the report's row count AND the dim sanity
+    // check below — not a separate count() job per concern. NULL
+    // vectors are excluded from the size aggregates explicitly:
+    // size(null) is -1 with ANSI off (and null with it on), and a -1
+    // sentinel leaking into min would defeat the uniform-dim refusal.
+    val vecSize = when(col(vecCol).isNotNull, size(col(vecCol)))
+    val stats = input.agg(count(lit(1)),
+      min(vecSize), max(vecSize)).collect()(0)
+    val rows = stats.getLong(0)
+    val minDim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val maxDim = if (stats.isNullAt(2)) 0 else stats.getInt(2)
+    // Kinds that slice/encode a fixed prefix REFUSE a config width that
+    // cannot match the data: a uniformly different corpus dim means the
+    // config is wrong (a too-large width would silently write an EMPTY
+    // store — every row fails the encodable filter / encodes null
+    // codes; a too-small one would silently prefix-truncate every
+    // vector and crater recall). Mixed sizes with max >= width pass:
+    // dirty short rows are filtered by the library contract. For ivfpq
+    // the encoded width is spelled pq_m × pq_dsub, same failure mode.
+    val (encodedWidth, widthLabel) =
+      if (kind == "ivfpq") {
+        val m = intOpt("pq_m").getOrElse(4)
+        val dsub = intOpt("pq_dsub").getOrElse(16)
+        (m * dsub, s"pq_m × pq_dsub = ${m * dsub}")
+      } else (dim, s"dim: $dim")
+    val widthKinds = Set("sq", "ivfsq", "ivfpq", "binary", "ivf_binary",
+      "lsh", "embedding_buckets")
+    if (widthKinds(kind) && rows > 0 && maxDim > 0) {
+      if (minDim == maxDim && minDim != encodedWidth)
+        throw new IllegalArgumentException(
+          s"corpus vectors are uniformly $minDim-dim but the config " +
+            s"says $widthLabel — " +
+            (if (kind == "ivfpq")
+              s"choose pq_m/pq_dsub with product $minDim"
+            else s"set dim: $minDim"))
+      if (maxDim < encodedWidth)
+        throw new IllegalArgumentException(
+          s"no corpus vector reaches $widthLabel (max is $maxDim) — " +
+            "the store would be empty")
+    }
 
     def cents(): Seq[Array[Double]] = Similarity.seedCentroids(
       input, idCol, vecCol, intOpt("num_lists").getOrElse(16))

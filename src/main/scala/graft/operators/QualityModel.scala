@@ -163,11 +163,22 @@ object QualityModel {
     val bias = metaRows(0).getAs[Long]("bias_micros")
     val weights = spark.read.parquet(s"$storePath/weights")
     val (n, fp) = weightsFingerprint(weights)
-    graft.core.StoreMeta.requireIfPresent(spark, storePath,
-      "quality_model", Map(
-        "bias_micros" -> bias,
-        "n_weights" -> n,
-        "weights_fp" -> fp))
+    val params = Map[String, Any]("bias_micros" -> bias,
+      "n_weights" -> n, "weights_fp" -> fp)
+    graft.core.StoreMeta.read(spark, storePath) match {
+      case Some(have) if !have.contains("n_weights") =>
+        // legacy sidecar (the interim XOR-fold fingerprint, which had
+        // no n_weights key): a healthy store saved under the old form
+        // must MIGRATE, not brick — restamp with the
+        // multiplicity-sensitive form. Trust level equals a
+        // sidecar-less store (which requireIfPresent tolerates by
+        // contract); from here on the new fingerprint guards it.
+        graft.core.StoreMeta.overwrite(spark, storePath,
+          "quality_model", params)
+      case _ =>
+        graft.core.StoreMeta.requireIfPresent(spark, storePath,
+          "quality_model", params)
+    }
     LinearModel(weights, bias)
   }
 }

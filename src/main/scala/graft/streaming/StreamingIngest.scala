@@ -451,13 +451,20 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        runBatchOnce(spark, sqStorePath, batchId) {
-          graft.operators.Similarity.appendIvfSqCodes(
-            batch, idCol, vecCol, centroids, sqStorePath, mins, maxs)
-        }
-        runBatchOnce(spark, rawStorePath, batchId) {
-          graft.operators.Similarity.appendIvfAssignments(
-            batch, idCol, vecCol, centroids, rawStorePath)
+        graft.core.CacheScope.scoped {
+          // persisted: the batch feeds TWO store appends (each a
+          // separate action) — without the cache the source micro-batch
+          // is scanned twice per trigger on a continuous ingester
+          val b = graft.core.CacheScope.persist(
+            batch.select(col(idCol), col(vecCol)))
+          runBatchOnce(spark, sqStorePath, batchId) {
+            graft.operators.Similarity.appendIvfSqCodes(
+              b, idCol, vecCol, centroids, sqStorePath, mins, maxs)
+          }
+          runBatchOnce(spark, rawStorePath, batchId) {
+            graft.operators.Similarity.appendIvfAssignments(
+              b, idCol, vecCol, centroids, rawStorePath)
+          }
         }
       }
       .start()

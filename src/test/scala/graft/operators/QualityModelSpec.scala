@@ -86,6 +86,18 @@ class QualityModelSpec extends SparkSpec {
     val eR = the[IllegalArgumentException] thrownBy
       QualityModel.loadModel(spark, storeR)
     eR.getMessage should (include("weights_fp") or include("n_weights"))
+    // a LEGACY sidecar (the interim XOR-era form: no n_weights key)
+    // on a healthy store must migrate — restamp under the new
+    // fingerprint — not refuse every store saved by the prior version
+    val storeL = java.nio.file.Files
+      .createTempDirectory("qmodel-legacy-").toString + "/model"
+    QualityModel.saveModel(m, storeL)
+    graft.core.StoreMeta.overwrite(spark, storeL, "quality_model",
+      Map("bias_micros" -> -200000L, "weights_fp" -> 12345L))
+    QualityModel.scoreDocs(docs, QualityModel.loadModel(spark, storeL),
+      "doc_id", "text").count() shouldBe 3
+    val restamped = graft.core.StoreMeta.read(spark, storeL).get
+    restamped.keySet should contain("n_weights")
     // an empty _meta directory (partially-written store) also refuses
     val store2 = java.nio.file.Files
       .createTempDirectory("qmodel-empty-").toString + "/model"
