@@ -57,6 +57,15 @@ import graft.operators.Similarity
   */
 object BuildIndex {
 
+  /** The one kind list — validation and the dispatch match below both
+    * derive from it, so adding a kind to one cannot silently miss the
+    * other (the match has no catch-all: an AllKinds entry without a
+    * dispatch arm is a MatchError at the first test drive, not a
+    * runtime "unknown kind" for a kind validation already admitted).
+    */
+  private val AllKinds = Set("ivf", "ivfpq", "ivfsq", "sq", "binary",
+    "ivf_binary", "lsh", "embedding_buckets")
+
   case class BuildReport(kind: String, store: String, rows: Long,
       rawStore: Option[String])
 
@@ -64,8 +73,16 @@ object BuildIndex {
     val c = Yaml.loadFile(cfgPath)
     def need(k: String): String = Yaml.str(c, k).getOrElse(
       throw new IllegalArgumentException(s"index config requires $k"))
-    def intOpt(k: String): Option[Int] =
-      Yaml.str(c, k).map(_.toDouble.toInt)
+    // Strict integer parse: `num_lists: 4.7` must FAIL the build, not
+    // quietly build a 4-list index — a refuse-loudly config surface
+    // cannot silently change geometry on a typo.
+    def intOpt(k: String): Option[Int] = Yaml.str(c, k).map { s =>
+      try s.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"index config key $k must be an integer (got: $s)")
+      }
+    }
     val kind = need("kind")
     val store = need("store")
     val idCol = need("id_field")
@@ -73,12 +90,9 @@ object BuildIndex {
     val dim = intOpt("dim").getOrElse(64)
     // PURE-config refusals run BEFORE the corpus scan — a bad YAML must
     // not pay an input pass to be told so.
-    val allKinds = Set("ivf", "ivfpq", "ivfsq", "sq", "binary",
-      "ivf_binary", "lsh", "embedding_buckets")
-    if (!allKinds(kind))
+    if (!AllKinds(kind))
       throw new IllegalArgumentException(
-        s"unknown index kind: $kind " +
-          "(ivf|ivfpq|ivfsq|sq|binary|ivf_binary|lsh|embedding_buckets)")
+        s"unknown index kind: $kind (${AllKinds.toSeq.sorted.mkString("|")})")
     // raw_store names the refine twin of a COMPRESSED first stage; for
     // any other kind it would be silently ignored, surfacing hours
     // later as a missing path in the probe job — refuse it up front
@@ -196,14 +210,18 @@ object BuildIndex {
           planes = intOpt("planes").getOrElse(8),
           tables = intOpt("tables").getOrElse(8), dim = dim)
         None
-      case other => throw new IllegalArgumentException(
-        s"unknown index kind: $other " +
-          "(ivf|ivfpq|ivfsq|sq|binary|ivf_binary|lsh|embedding_buckets)")
     }
     BuildReport(kind, store, rows, raw)
   }
 
   def main(args: Array[String]): Unit = {
+    // arity check BEFORE any session work: a bare invocation gets a
+    // usage line and the Failure exit code, not an
+    // ArrayIndexOutOfBoundsException stack trace
+    if (args.length != 1) {
+      System.err.println("usage: graft.BuildIndex <index.yaml>")
+      sys.exit(graft.core.ExitCodes.Failure)
+    }
     val cfgPath = args(0)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))

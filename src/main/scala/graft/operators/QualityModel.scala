@@ -166,13 +166,21 @@ object QualityModel {
     val params = Map[String, Any]("bias_micros" -> bias,
       "n_weights" -> n, "weights_fp" -> fp)
     graft.core.StoreMeta.read(spark, storePath) match {
-      case Some(have) if !have.contains("n_weights") =>
+      case Some(have) if !have.contains("n_weights") &&
+          have.get("family").contains("quality_model") &&
+          have.get("bias_micros").contains(bias.toString) =>
         // legacy sidecar (the interim XOR-fold fingerprint, which had
         // no n_weights key): a healthy store saved under the old form
         // must MIGRATE, not brick — restamp with the
-        // multiplicity-sensitive form. Trust level equals a
-        // sidecar-less store (which requireIfPresent tolerates by
-        // contract); from here on the new fingerprint guards it.
+        // multiplicity-sensitive form. Migration is gated on the
+        // sidecar actually BEING a legacy quality_model record (family
+        // matches and the bias — present in both forms — agrees with
+        // _meta); a sidecar of any other family, or one whose bias
+        // drifted from the store content, falls through to
+        // requireIfPresent below and refuses loudly instead of being
+        // silently re-certified. Trust level equals a sidecar-less
+        // store (which requireIfPresent tolerates by contract); from
+        // here on the new fingerprint guards it.
         graft.core.StoreMeta.overwrite(spark, storePath,
           "quality_model", params)
       case _ =>

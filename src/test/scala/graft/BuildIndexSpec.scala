@@ -161,5 +161,12 @@ class BuildIndexSpec extends SparkSpec {
         "kind: ivf", s"store: $store", "raw_store: /tmp/nope",
         "num_lists: 4"))
     e3.getMessage should include("raw_store is only supported")
+    // fractional numeric config is a typo, not a request for
+    // truncation — num_lists: 4.7 must fail, not build a 4-list index
+    val e4 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: ivf", s"store: $store", "num_lists: 4.7"))
+    e4.getMessage should include("num_lists must be an integer")
   }
 }

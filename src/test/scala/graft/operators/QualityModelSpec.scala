@@ -98,6 +98,29 @@ class QualityModelSpec extends SparkSpec {
       "doc_id", "text").count() shouldBe 3
     val restamped = graft.core.StoreMeta.read(spark, storeL).get
     restamped.keySet should contain("n_weights")
+    // the migration is GATED: a sidecar of any OTHER family at the
+    // path (also lacking n_weights) is a foreign store, not a legacy
+    // quality model — it must refuse, never be restamped
+    val storeF = java.nio.file.Files
+      .createTempDirectory("qmodel-foreign-").toString + "/model"
+    QualityModel.saveModel(m, storeF)
+    graft.core.StoreMeta.overwrite(spark, storeF, "ivf",
+      Map("num_lists" -> 16))
+    val eF = the[IllegalArgumentException] thrownBy
+      QualityModel.loadModel(spark, storeF)
+    eF.getMessage should include("family")
+    graft.core.StoreMeta.read(spark, storeF)
+      .get("family") shouldBe "ivf" // NOT re-certified
+    // ...and a legacy quality_model sidecar whose bias DISAGREES with
+    // _meta is drifted content, not a healthy legacy store — refuse
+    val storeD = java.nio.file.Files
+      .createTempDirectory("qmodel-drift-").toString + "/model"
+    QualityModel.saveModel(m, storeD)
+    graft.core.StoreMeta.overwrite(spark, storeD, "quality_model",
+      Map("bias_micros" -> 999999L, "weights_fp" -> 12345L))
+    val eD = the[IllegalArgumentException] thrownBy
+      QualityModel.loadModel(spark, storeD)
+    eD.getMessage should (include("bias_micros") or include("n_weights"))
     // an empty _meta directory (partially-written store) also refuses
     val store2 = java.nio.file.Files
       .createTempDirectory("qmodel-empty-").toString + "/model"
