@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full bench compiles unique whole-stage-codegen classes for
+  // ~140 queries x 3 reps in ONE JVM; the JDK default 240 MB code
+  // cache can fill mid-suite, silently disabling the JIT for every
+  // query after it — the one slowdown that grows with the suite and
+  // that a fresh-JVM isolated run never reproduces. Bench emits
+  // cc_used_mb/cc_max_mb per run so the artifact shows the headroom.
+  "-XX:ReservedCodeCacheSize=512m",
 )

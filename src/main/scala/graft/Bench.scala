@@ -1,7 +1,67 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-query self-adjudication record, emitted INTO the benchmark
+    * artifact so a reader can distinguish an environmental slowdown
+    * from a plan regression without any builder-side prose:
+    *
+    *  - `pos`: position in the suite's run order — a query that only
+    *    inflates when it runs late points at within-session
+    *    accumulation, not at its own plan.
+    *  - `uptimeS`: JVM uptime when the query's first rep started.
+    *  - `gcMs` / `jitMs`: GC collection time and JIT compilation time
+    *    that landed INSIDE each timed rep (deltas across the rep; the
+    *    between-rep System.gc() is outside the timed region). A rep
+    *    whose wall time is dominated by gc/jit is the session's cost,
+    *    not the plan's.
+    *  - `ccUsedMb`: code-cache occupancy at query start. A full code
+    *    cache disables the JIT for everything after it — the one
+    *    mechanism that gets WORSE every round as the suite grows and
+    *    that a fresh-JVM isolated run never sees.
+    */
+  private[graft] case class QueryDiag(pos: Int, uptimeS: Double,
+      gcMs: Seq[Long], jitMs: Seq[Long], ccUsedMb: Long)
+
+  private[graft] case class Timed(name: String, times: Seq[Double],
+      diag: QueryDiag)
+
+  private def gcTimeMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def jitTimeMs: Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+
+  private def uptimeS: Double =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3
+
+  /** (usedMb, maxMb) summed over the JIT code-cache pools ("CodeHeap
+    * 'non-profiled nmethods'" etc. on segmented caches, "Code Cache"
+    * otherwise).
+    */
+  private[graft] def codeCacheMb: (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.contains("CodeHeap") ||
+        p.getName.contains("Code Cache"))
+    val used = pools.map(_.getUsage.getUsed).sum
+    val max = pools.map(p => math.max(0L, p.getUsage.getMax)).sum
+    (used >> 20, max >> 20)
+  }
+
   def main(args: Array[String]): Unit = {
+    // Isolated mode — the mechanized adjudication protocol: a fresh
+    // JVM per query, so no within-session state (code cache, heap,
+    // block manager, JIT profile pollution) carries between queries.
+    // This is what four rounds of NOTES prose did by hand; now it is
+    // one env var and its output is the same two-line artifact.
+    if (sys.env.contains("GRAFT_BENCH_ISOLATED")) { runIsolated(args); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // min over `reps` runs per query: single-run local[32] timings swing
@@ -48,9 +108,10 @@ object Bench {
     val only = args.toSet
     val registered = (SparkEntry.queries ++ Queries.benchOnly).toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-    val (perRep, errors) = timeSuite(spark, sfDir, registered, reps,
+    val (timed, errors) = timeSuite(spark, sfDir, registered, reps,
       onTick = qi => if (qi > 0 && qi % 10 == 0) sentinels ++= sentinelProbe())
     sentinels ++= sentinelProbe()
+    val perRep = timed.map(t => t.name -> t.times)
     val spreads = perRep.map { case (n, ts) =>
       n -> (if (ts.min > 0) median(ts) / ts.min else 1.0)
     }
@@ -71,19 +132,20 @@ object Bench {
       else s"""{"series":$sentinelJson,"before":${fmt(sentinels.head, 4)},"after":${fmt(sentinels.last, 4)}}"""
     val errJson = errors.map { case (k, m) => "\"" + k + "\":" + jsonStr(m) }
       .mkString("{", ",", "}")
+    val diagJson = timed.map { t =>
+      "\"" + t.name + "\":" + diagObj(t.diag)
+    }.mkString("{", ",", "}")
     // A thrown query must be LOUD: the r11/r12 benches recorded
     // time-to-throw for two analysis-broken queries as if they ran.
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.map(_._1).mkString(", "))
-    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"sentinel":$sentinelObj,"contended":$contended,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+    val jvm = jvmSummary()
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"suite","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"diag":$diagJson,"jvm":$jvm,"sentinel":$sentinelObj,"contended":$contended,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
     // Full detail also lands in a FILE: the driver that collects this
     // run keeps only a bounded tail of stdout, so the per-rep evidence
     // must survive somewhere a reviewer can always reach.
-    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    writeDetail(full)
     // Two stdout lines, full first, compact LAST. The collector keeps
     // only the final ~2000 characters of output and parses a line that
     // starts with '{': the full line alone is ~4 kB and gets its head
@@ -92,8 +154,109 @@ object Bench {
     // lives) under a hard byte budget; the full map is one line up and
     // in the detail file.
     println(full)
-    println(compactLine(total, sfDir, contended, results, reps, errors.size))
+    println(compactLine(total, sfDir, contended, results, reps,
+      errors.size, diag = timed.map(t => t.name -> t.diag).toMap,
+      jvm = Some(jvm)))
     spark.stop()
+  }
+
+  private def writeDetail(full: String): Unit = {
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+  }
+
+  /** Suite-level JVM state at emit time. `gc_s`/`jit_s` are
+    * since-JVM-start totals; `cc_used_mb` vs `cc_max_mb` shows how
+    * close the code cache came to disabling compilation.
+    */
+  private[graft] def jvmSummary(): String = {
+    val (ccUsed, ccMax) = codeCacheMb
+    s"""{"up_s":${fmt(uptimeS, 1)},"gc_s":${fmt(gcTimeMs / 1e3, 1)},"jit_s":${fmt(jitTimeMs / 1e3, 1)},"cc_used_mb":$ccUsed,"cc_max_mb":$ccMax}"""
+  }
+
+  private def diagObj(d: QueryDiag): String =
+    s"""{"pos":${d.pos},"up_s":${fmt(d.uptimeS, 1)},"gc_ms":${d.gcMs.mkString("[", ",", "]")},"jit_ms":${d.jitMs.mkString("[", ",", "]")},"cc_mb":${d.ccUsedMb}}"""
+
+  /** Fresh-JVM-per-query benchmark: forks this same main once per
+    * registered query (optionally filtered by args), with the parent's
+    * own JVM flags and classpath, and merges the children's detail
+    * files into one artifact with `"mode":"isolated"`. The merged
+    * per-query value is each child's min-of-reps — measured with zero
+    * within-session state, which is the number four rounds of manual
+    * adjudication sessions kept reconstructing by hand.
+    */
+  private def runIsolated(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = args.toSet
+    val names = (SparkEntry.queries ++ Queries.benchOnly).keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") ||
+        a.startsWith("-D") || a.startsWith("--add-exports"))
+    val cp = System.getProperty("java.class.path")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val repTimes = scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    val diags = scala.collection.mutable.Map[String, String]()
+    val errors = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    names.zipWithIndex.foreach { case (name, i) =>
+      val detail = java.nio.file.Files
+        .createTempFile(s"bench-iso-$name-", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench", name))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("GRAFT_BENCH_DETAIL", detail.toString)
+      pb.environment().put("GRAFT_BENCH_REPS", reps.toString)
+      pb.environment().remove("GRAFT_BENCH_ISOLATED")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(
+        java.io.File.createTempFile(s"bench-iso-$name-", ".log")))
+      System.err.println(s"[bench-isolated] ${i + 1}/${names.size} $name")
+      val rc = pb.start().waitFor()
+      val body = try new String(java.nio.file.Files.readAllBytes(detail),
+        java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
+      if (rc != 0 || body.isEmpty)
+        errors += name -> s"child exit $rc, detail ${if (body.isEmpty) "empty" else "present"}"
+      else {
+        val node = mapper.readTree(body)
+        val errs = node.get("errors")
+        if (errs != null && errs.has(name))
+          errors += name -> errs.get(name).asText()
+        else {
+          results += name -> node.get("queries").get(name).asDouble()
+          val rts = node.get("rep_times").get(name)
+          repTimes += name ->
+            (0 until rts.size()).map(j => rts.get(j).asDouble())
+          // the child's jvm summary IS the query's isolation evidence:
+          // uptime ≈ startup + warm-up + reps, code cache near-empty
+          diags += name -> node.get("jvm").toString
+        }
+      }
+    }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
+    val repJson = repTimes.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(fmt(_, 4)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val diagJson = diags.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":" + jsonStr(m) }
+      .mkString("{", ",", "}")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench-isolated] ${errors.size} queries FAILED: " +
+        errors.map(_._1).mkString(", "))
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"isolated","queries":$qs,"rep_times":$repJson,"child_jvm":$diagJson,"contended":false,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+    writeDetail(full)
+    println(full)
+    println(compactLine(total, sfDir, contended = false, results.toSeq,
+      reps, errors.size, mode = "isolated"))
   }
 
   /** Time each registered query `reps` times. A query whose execution
@@ -115,24 +278,39 @@ object Bench {
     * unreferenced projection, so projection-heavy queries would time a
     * bare scan instead of the operator. The noop sink consumes every row
     * and column with zero write cost.
+    *
+    * Each successful query also carries a [[QueryDiag]]: suite
+    * position, JVM uptime at start, per-rep in-region GC/JIT time, and
+    * code-cache occupancy — the fields that let the committed artifact
+    * adjudicate an inflated number as environmental (late position +
+    * high gc/jit share + hot code cache) or real (clean diag, still
+    * slow) without a separate isolated session.
     */
   private[graft] def timeSuite(spark: SparkSession, sfDir: String,
       queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       reps: Int, onTick: Int => Unit = _ => ())
-      : (Seq[(String, Seq[Double])], Seq[(String, String)]) = {
+      : (Seq[Timed], Seq[(String, String)]) = {
     val timed = queries.zipWithIndex.map { case ((name, fn), qi) =>
       onTick(qi)
       var err: Option[String] = None
       val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val gcs = scala.collection.mutable.ArrayBuffer[Long]()
+      val jits = scala.collection.mutable.ArrayBuffer[Long]()
+      val up0 = uptimeS
+      val cc0 = codeCacheMb._1
       var rep = 0
       while (rep < reps && err.isEmpty) {
         spark.catalog.clearCache()
         System.gc()
         Thread.sleep(200)
+        val gc0 = gcTimeMs
+        val jit0 = jitTimeMs
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           times += (System.nanoTime() - t0) / 1e9
+          gcs += gcTimeMs - gc0
+          jits += jitTimeMs - jit0
         } catch {
           case e: Throwable =>
             err = Some(e.getClass.getSimpleName + ": " +
@@ -141,10 +319,11 @@ object Bench {
         }
         rep += 1
       }
-      (name, times.toSeq, err)
+      (name, times.toSeq,
+        QueryDiag(qi, up0, gcs.toSeq, jits.toSeq, cc0), err)
     }
-    (timed.collect { case (n, ts, None) => n -> ts },
-      timed.collect { case (n, _, Some(m)) => n -> m })
+    (timed.collect { case (n, ts, d, None) => Timed(n, ts, d) },
+      timed.collect { case (n, _, _, Some(m)) => n -> m })
   }
 
   /** Minimal JSON string escape for exception messages. */
@@ -173,19 +352,37 @@ object Bench {
     * `omitted` (their time is still inside `value`). Values carry 2
     * decimals: at the ≥50 ms magnitude where queries can be omitted,
     * ±5 ms resolution is already below run-to-run noise.
+    *
+    * When per-query diag is available, the SLOWEST [[DiagTop]] queries
+    * also carry `[pos, up_s, gc_ms, jit_ms, cc_mb]` under `"diag"` and
+    * the suite-level JVM summary rides along under `"jvm"` — the
+    * self-adjudication data must reach the artifact the collector
+    * actually keeps, and the collector keeps only this line. The cost
+    * is a few more omitted fast queries; the slow tail (where the
+    * adjudication question ever arises) always keeps its evidence.
     */
   private[graft] val CompactBudget = 1800
+  private[graft] val DiagTop = 8
   private[graft] def compactLine(total: Double, sfDir: String,
       contended: Boolean, results: Seq[(String, Double)], reps: Int,
-      errors: Int = 0): String = {
+      errors: Int = 0, diag: Map[String, QueryDiag] = Map.empty,
+      jvm: Option[String] = None, mode: String = "suite"): String = {
     val sfName = sfDir.replaceAll("/+$", "").split('/').lastOption.getOrElse(sfDir)
+    val bySlowest = results.sortBy(-_._2)
+    val diagJson =
+      if (diag.isEmpty) ""
+      else bySlowest.take(DiagTop).flatMap { case (n, _) =>
+        diag.get(n).map { d =>
+          "\"" + n + s"\":[${d.pos},${fmt(d.uptimeS, 0)},${d.gcMs.sum},${d.jitMs.sum},${d.ccUsedMb}]"
+        }
+      }.mkString(",\"diag\":{", ",", "}")
+    val jvmJson = jvm.map(j => s""","jvm":$j""").getOrElse("")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","contended":$contended,"errors":$errors,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","mode":"$mode","contended":$contended,"errors":$errors$jvmJson$diagJson,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
     }
-    val bySlowest = results.sortBy(-_._2)
     // admit slowest-first until the rendered line fits the budget
     var keep = bySlowest.size
     while (keep > 0 &&

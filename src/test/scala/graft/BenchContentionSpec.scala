@@ -132,10 +132,49 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
       "broken" -> ((s, _) =>
         s.range(1).toDF("id").selectExpr("unix_micros(cast(id as string))")))
     val (timed, errors) = Bench.timeSuite(spark, "unused", queries, reps = 2)
-    timed.map(_._1) shouldBe Seq("good")
-    timed.head._2 should have size 2
+    timed.map(_.name) shouldBe Seq("good")
+    timed.head.times should have size 2
     errors.map(_._1) shouldBe Seq("broken")
     errors.head._2 should include("AnalysisException")
+    // the self-adjudication diag rides along: suite position, uptime,
+    // and one in-region gc/jit delta per successful rep
+    timed.head.diag.pos shouldBe 0
+    timed.head.diag.uptimeS should be > 0.0
+    timed.head.diag.gcMs should have size 2
+    timed.head.diag.jitMs should have size 2
+    all(timed.head.diag.gcMs) should be >= 0L
+  }
+
+  test("compact line carries suite jvm summary and top-slowest diag") {
+    val names = realNames
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (0.05 + (i % 17) * 0.43)
+    }
+    val diag = names.zipWithIndex.map { case (n, i) =>
+      n -> Bench.QueryDiag(i, 100.0 + i, Seq(12L, 3L), Seq(40L, 5L), 37L)
+    }.toMap
+    val jvm = Bench.jvmSummary()
+    val line = Bench.compactLine(123.0, "/root/testdata/sf0.1",
+      contended = false, results, reps = 3, errors = 0,
+      diag = diag, jvm = Some(jvm))
+    line.length should be <= Bench.CompactBudget
+    val node = parseJson(line)
+    // the suite-level jvm summary is present with the code-cache fields
+    node.get("jvm").get("cc_max_mb").asLong() should be > 0L
+    node.get("jvm").get("up_s").asDouble() should be > 0.0
+    // diag covers exactly the slowest DiagTop queries, as
+    // [pos, up_s, gc_ms, jit_ms, cc_mb]
+    val slowest = results.sortBy(-_._2).take(Bench.DiagTop).map(_._1)
+    val d = node.get("diag")
+    d.size() shouldBe slowest.size
+    slowest.foreach { n =>
+      d.has(n) shouldBe true
+      d.get(n).size() shouldBe 5
+      d.get(n).get(2).asLong() shouldBe 15L // gc_ms summed over reps
+      d.get(n).get(3).asLong() shouldBe 45L // jit_ms summed over reps
+    }
+    // ...and the slowest queries are still all present in the map
+    slowest.foreach(n => node.get("queries").has(n) shouldBe true)
   }
 
   test("error map renders as valid JSON even with quotes/newlines in messages") {
