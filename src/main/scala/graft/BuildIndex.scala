@@ -4,19 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.Yaml
-import graft.operators.Similarity
+import graft.operators.{LanguageModel, QualityModel, Sampling, Search,
+  Similarity, Tfidf}
 
-/** Config-driven ANN index builds — the job-surface half of the
-  * retrieval stores (r16 verdict #5): the reference's ethos is that
-  * every scheduled action is a YAML config an orchestrator can run, and
-  * index BUILDS are exactly that kind of action (offline, whole-corpus,
-  * cadence-driven — the thing tomorrow's cron re-runs when the corpus
-  * grew). PROBES stay library-level by design: a probe is parameterized
-  * by an ad-hoc query DataFrame, which a static config cannot express —
-  * the boundary is build = config verb, probe = code (documented in
-  * COVERAGE.md).
+/** Config-driven index/fit builds — the job-surface half of the
+  * retrieval and curation stores (r16 verdict #5, completed r18): the
+  * reference's ethos is that every scheduled action is a YAML config an
+  * orchestrator can run, and store BUILDS are exactly that kind of
+  * action (offline, whole-corpus, cadence-driven — the thing tomorrow's
+  * cron re-runs when the corpus grew). PROBES stay library-level by
+  * design: a probe is parameterized by an ad-hoc query DataFrame, which
+  * a static config cannot express — the boundary is build = config
+  * verb, probe = code (documented in COVERAGE.md).
   *
-  * `runMain graft.BuildIndex <index.yaml>`:
+  * `runMain graft.BuildIndex <index.yaml>` — ANN kinds:
   * {{{
   * input: /data/embeddings.parquet   # parquet with id + vector columns
   * id_field: vec_id
@@ -42,18 +43,51 @@ import graft.operators.Similarity
   * tables: 8                # embedding_buckets
   * }}}
   *
-  * Every build also persists the training artifacts the probe needs
+  * Text-side kinds — same surface, same up-front refusals:
+  * {{{
+  * kind: bm25               # monolithic BM25 postings store
+  *                          #   (Search.writePostingsStore)
+  * kind: bm25_segment       # append ONE immutable segment to a
+  *                          #   growing index (Search.writeIndexSegment)
+  * kind: lm                 # bigram language-model fit
+  *                          #   (LanguageModel.fitBigramModel+saveModel)
+  * kind: tfidf              # frozen idf fit + vectors + postings
+  *                          #   (Tfidf.saveStore)
+  * kind: dsir               # DSIR importance-ratio fit
+  *                          #   (Sampling.saveImportanceRatios)
+  * input: /data/documents.parquet
+  * id_field: doc_id
+  * text_field: text
+  * store: /stores/corpus_bm25
+  * buckets: 64              # bm25 / bm25_segment / tfidf / dsir
+  * max_token_df: 50         # tfidf postings df cap
+  * target_input: /data/wiki.parquet  # dsir only: the target corpus
+  *
+  * kind: quality_model      # materialize an offline-trained linear
+  * input: /models/weights.parquet    # (token string, weight double)
+  * bias: -0.2
+  * store: /stores/quality
+  * }}}
+  *
+  * Every ANN build also persists the training artifacts the probe needs
   * (centroids / trained codebook / SQ grid) under `store/_train/…`
   * ([[Similarity.writeCentroids]] family), so the built index is
   * self-contained: a separate probing process reads them back
   * bit-exactly instead of re-deriving them from the corpus — and the
-  * store `_meta` fingerprints refuse any drift.
+  * store `_meta` fingerprints refuse any drift. The text-side fits are
+  * self-contained by their own save contracts (`_meta` rows / StoreMeta
+  * sidecars written by the operators).
   *
-  * Scale shape: one corpus pass per store written (assign + encode are
-  * map-side; the write shuffles only on the partition key), plus one
-  * aggregate pass per SQ grid / Lloyd iteration. Nothing here collects
-  * corpus rows to the driver — only the training artifacts
-  * (numLists·dim + m·codes·dsub doubles, driver-small by construction).
+  * Scale shape: ONE fused input aggregate serves the row count, the
+  * uniform-dim sanity check, AND (for sq/ivfsq) the per-dim min/max SQ
+  * grid — previously three separate corpus scans; min/max/count are
+  * order-independent, so the fused values are bit-identical to the
+  * separate passes. After it: one corpus pass per store written
+  * (assign + encode are map-side; the write shuffles only on the
+  * partition key) plus the id-ordered centroid seed (a TakeOrdered,
+  * bounded per-partition heaps). Nothing here collects corpus rows to
+  * the driver — only the training artifacts (numLists·dim +
+  * m·codes·dsub doubles, driver-small by construction).
   */
 object BuildIndex {
 
@@ -63,8 +97,11 @@ object BuildIndex {
     * dispatch arm is a MatchError at the first test drive, not a
     * runtime "unknown kind" for a kind validation already admitted).
     */
-  private val AllKinds = Set("ivf", "ivfpq", "ivfsq", "sq", "binary",
+  private val AnnKinds = Set("ivf", "ivfpq", "ivfsq", "sq", "binary",
     "ivf_binary", "lsh", "embedding_buckets")
+  private val TextKinds = Set("bm25", "bm25_segment", "lm",
+    "quality_model", "tfidf", "dsir")
+  private val AllKinds = AnnKinds ++ TextKinds
 
   case class BuildReport(kind: String, store: String, rows: Long,
       rawStore: Option[String])
@@ -73,7 +110,7 @@ object BuildIndex {
     val c = Yaml.loadFile(cfgPath)
     def need(k: String): String = Yaml.str(c, k).getOrElse(
       throw new IllegalArgumentException(s"index config requires $k"))
-    // Strict integer parse: `num_lists: 4.7` must FAIL the build, not
+    // Strict numeric parses: `num_lists: 4.7` must FAIL the build, not
     // quietly build a 4-list index — a refuse-loudly config surface
     // cannot silently change geometry on a typo.
     def intOpt(k: String): Option[Int] = Yaml.str(c, k).map { s =>
@@ -83,36 +120,122 @@ object BuildIndex {
           s"index config key $k must be an integer (got: $s)")
       }
     }
+    def dblOpt(k: String): Option[Double] = Yaml.str(c, k).map { s =>
+      try s.trim.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"index config key $k must be a number (got: $s)")
+      }
+    }
     val kind = need("kind")
     val store = need("store")
-    val idCol = need("id_field")
-    val vecCol = need("vector_field")
-    val dim = intOpt("dim").getOrElse(64)
-    // PURE-config refusals run BEFORE the corpus scan — a bad YAML must
+    // PURE-config refusals run BEFORE any input scan — a bad YAML must
     // not pay an input pass to be told so.
     if (!AllKinds(kind))
       throw new IllegalArgumentException(
         s"unknown index kind: $kind (${AllKinds.toSeq.sorted.mkString("|")})")
-    // raw_store names the refine twin of a COMPRESSED first stage; for
-    // any other kind it would be silently ignored, surfacing hours
-    // later as a missing path in the probe job — refuse it up front
-    // (kind: ivf IS the raw store, build it directly)
+    // A key that only some kinds consume would be silently ignored
+    // elsewhere, surfacing hours later as a missing path or an
+    // unexpectedly un-tuned store — refuse the combination up front.
+    // (raw_store names the refine twin of a COMPRESSED first stage;
+    // kind: ivf IS the raw store, build it directly.)
     val twinKinds = Set("ivfsq", "ivfpq", "ivf_binary")
-    if (Yaml.str(c, "raw_store").nonEmpty && !twinKinds(kind))
+    def onlyFor(key: String, kinds: Set[String]): Unit =
+      if (Yaml.str(c, key).nonEmpty && !kinds(kind))
+        throw new IllegalArgumentException(
+          s"$key is only supported for kinds " +
+            s"${kinds.toSeq.sorted.mkString("/")} (got kind: $kind)")
+    onlyFor("raw_store", twinKinds)
+    onlyFor("target_input", Set("dsir"))
+    onlyFor("bias", Set("quality_model"))
+    onlyFor("max_token_df", Set("tfidf"))
+    if (kind == "dsir" && Yaml.str(c, "target_input").isEmpty)
       throw new IllegalArgumentException(
-        s"raw_store is only supported for kinds " +
-          s"${twinKinds.toSeq.sorted.mkString("/")} (got kind: $kind)")
+        "kind dsir requires target_input (the target-distribution corpus)")
 
+    if (TextKinds(kind)) runText(spark, c, kind, store, need, intOpt, dblOpt)
+    else runAnn(spark, c, kind, store, need, intOpt)
+  }
+
+  // ------------------------------------------------------- text-side kinds
+
+  private def runText(spark: SparkSession, c: Map[String, Any], kind: String,
+      store: String, need: String => String, intOpt: String => Option[Int],
+      dblOpt: String => Option[Double]): BuildReport = {
+    val inPath = need("input")
+    // Empty-input refusal for every text kind: a build over zero rows
+    // would write a store that LOOKS healthy (meta rows, sidecars) and
+    // scores nothing — the silent-empty-store hole the ANN kinds
+    // already close via their width checks. count() over parquet reads
+    // no columns (empty projection), so this is footer-cheap.
+    val inputRaw = spark.read.parquet(inPath)
+    val rows = inputRaw.count()
+    if (rows == 0L)
+      throw new IllegalArgumentException(
+        s"input $inPath has no rows — the store would be empty")
+    kind match {
+      case "quality_model" =>
+        // input IS the offline-trained weight table, not a corpus
+        val bias = dblOpt("bias").getOrElse(throw new IllegalArgumentException(
+          "kind quality_model requires bias (the trained intercept)"))
+        QualityModel.saveModel(
+          QualityModel.fromWeightTable(inputRaw, bias), store)
+      case other =>
+        val docs = inputRaw.select(col(need("id_field")),
+          col(need("text_field")))
+        val idCol = need("id_field")
+        val textCol = need("text_field")
+        other match {
+          case "bm25" => Search.writePostingsStore(docs, idCol, textCol,
+            store, buckets = intOpt("buckets").getOrElse(64))
+          case "bm25_segment" => Search.writeIndexSegment(docs, idCol,
+            textCol, store, buckets = intOpt("buckets").getOrElse(64))
+          case "lm" => LanguageModel.saveModel(
+            LanguageModel.fitBigramModel(docs, idCol, textCol), store)
+          case "tfidf" => Tfidf.saveStore(docs, idCol, textCol, store,
+            buckets = intOpt("buckets").getOrElse(64),
+            maxTokenDf = intOpt("max_token_df").getOrElse(50))
+          case "dsir" =>
+            val target = spark.read.parquet(need("target_input"))
+            if (target.isEmpty)
+              throw new IllegalArgumentException(
+                "target_input has no rows — every ratio would be the " +
+                  "raw-only prior and the fit meaningless")
+            Sampling.saveImportanceRatios(docs, target, idCol, textCol,
+              store, buckets = intOpt("buckets").getOrElse(64))
+        }
+    }
+    BuildReport(kind, store, rows, None)
+  }
+
+  // ------------------------------------------------------------- ANN kinds
+
+  private def runAnn(spark: SparkSession, c: Map[String, Any], kind: String,
+      store: String, need: String => String,
+      intOpt: String => Option[Int]): BuildReport = {
+    val idCol = need("id_field")
+    val vecCol = need("vector_field")
+    val dim = intOpt("dim").getOrElse(64)
     val input = spark.read.parquet(need("input"))
       .select(col(idCol), col(vecCol))
-    // ONE stats pass serves the report's row count AND the dim sanity
-    // check below — not a separate count() job per concern. NULL
-    // vectors are excluded from the size aggregates explicitly:
+    // ONE fused stats pass serves the report's row count, the dim
+    // sanity check, AND the SQ training grid when the kind needs one —
+    // previously the grid was a second full corpus scan
+    // (trainSqParams); count/min/max are order-independent aggregates,
+    // so the fused values are bit-identical to the separate passes.
+    // NULL vectors are excluded from the size aggregates explicitly:
     // size(null) is -1 with ANSI off (and null with it on), and a -1
     // sentinel leaking into min would defeat the uniform-dim refusal.
+    val needSqGrid = kind == "sq" || kind == "ivfsq"
     val vecSize = when(col(vecCol).isNotNull, size(col(vecCol)))
-    val stats = input.agg(count(lit(1)),
-      min(vecSize), max(vecSize)).collect()(0)
+    val baseAggs = Seq(count(lit(1)), min(vecSize), max(vecSize))
+    val sqAggs =
+      if (!needSqGrid) Nil
+      else (0 until dim).flatMap(i => Seq(
+        min(element_at(col(vecCol), i + 1).cast("double")),
+        max(element_at(col(vecCol), i + 1).cast("double"))))
+    val allAggs = baseAggs ++ sqAggs
+    val stats = input.agg(allAggs.head, allAggs.tail: _*).collect()(0)
     val rows = stats.getLong(0)
     val minDim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
     val maxDim = if (stats.isNullAt(2)) 0 else stats.getInt(2)
@@ -145,6 +268,17 @@ object BuildIndex {
           s"no corpus vector reaches $widthLabel (max is $maxDim) — " +
             "the store would be empty")
     }
+    // The SQ grid, decoded from the SAME fused row — the width refusal
+    // above has already rejected the configs whose slots would be null
+    // for a uniformly-short corpus, so a null slot here means an empty
+    // corpus or an all-null dimension (trainSqParams' own message).
+    def sqGrid(): (Array[Double], Array[Double]) = {
+      require((0 until 2 * dim).forall(i => !stats.isNullAt(3 + i)),
+        "trainSqParams: empty corpus or all-null vector dimension " +
+          "(every dim needs at least one non-null element)")
+      (Array.tabulate(dim)(i => stats.getDouble(3 + 2 * i)),
+        Array.tabulate(dim)(i => stats.getDouble(3 + 2 * i + 1)))
+    }
 
     def cents(): Seq[Array[Double]] = Similarity.seedCentroids(
       input, idCol, vecCol, intOpt("num_lists").getOrElse(16))
@@ -165,7 +299,7 @@ object BuildIndex {
         None
       case "ivfsq" =>
         val cs = cents()
-        val (mins, maxs) = Similarity.trainSqParams(input, vecCol, dim)
+        val (mins, maxs) = sqGrid()
         Similarity.writeIvfSqCodes(input, idCol, vecCol, cs, store,
           mins, maxs)
         Similarity.writeCentroids(spark, store, cs)
@@ -187,7 +321,7 @@ object BuildIndex {
         Similarity.writePqCodebook(spark, store, cb, m, numCodes, dsub)
         rawTwin(cs)
       case "sq" =>
-        val (mins, maxs) = Similarity.trainSqParams(input, vecCol, dim)
+        val (mins, maxs) = sqGrid()
         Similarity.writeSqCodes(input, idCol, vecCol, store, mins, maxs)
         Similarity.writeSqTrainParams(spark, store, mins, maxs)
         None

@@ -984,6 +984,23 @@ object JobRunner {
                   log(s"compacted store $sp: $b -> $a files")
                 }
               }
+              // the segmented search index compacts on the same
+              // cadence; its "small file count" analogue is the
+              // SEGMENT count (one `_meta` row per append), so a
+              // long-running indexer's probe cost stays flat instead
+              // of growing a directory per micro-batch
+              Yaml.str(cur, "search_index").foreach { path =>
+                val nSegs =
+                  try curated.sparkSession.read.parquet(s"$path/_meta")
+                    .count()
+                  catch { case _: Exception => 0L }
+                if (nSegs >= every) {
+                  graft.operators.Search.compactIndexSegments(
+                    curated.sparkSession, path)
+                  log(s"compacted search index $path: " +
+                    s"$nSegs -> 1 segments")
+                }
+              }
             }
         }
       } catch {

@@ -51,6 +51,24 @@ object QualityModel {
 
   private def micros(w: Double): Long = math.floor(w * 1e6 + 0.5).toLong
 
+  /** Quantize a DISTRIBUTED weight table (`token` string, `weight`
+    * double) to a [[LinearModel]] — the config-build path, where the
+    * offline-trained weights arrive as a parquet table, not a driver
+    * map. The quantization is the same half-up micro-unit formula as
+    * [[fromMap]] evaluated as a Spark expression over identical double
+    * arithmetic (`floor(w * 1e6 + 0.5)`), so a table built this way is
+    * bit-identical to one built from the collected map — the vocab
+    * never collects to the driver.
+    */
+  def fromWeightTable(weights: DataFrame, bias: Double): LinearModel = {
+    val cols = weights.columns.toSet
+    require(cols.contains("token") && cols.contains("weight"),
+      s"weight table needs (token, weight) columns; has ${weights.columns.mkString(", ")}")
+    LinearModel(weights.select(col("token").cast("string").as("token"),
+      floor(col("weight").cast("double") * 1e6 + 0.5).cast("long")
+        .as("w_micros")), micros(bias))
+  }
+
   /** Score a batch under a fitted model. Output: one row per document
     * with at least one token — (id, n_tokens, sum_micros, logit) where
     * `sum_micros` is the exact BIGINT micro-unit weight sum and `logit`

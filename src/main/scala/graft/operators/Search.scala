@@ -318,6 +318,10 @@ object Search {
     */
   def writeIndexSegment(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, buckets: Int = 64): Unit = {
+    // heal a compaction that crashed mid-flip BEFORE appending: the
+    // append writes a new `_meta` row, and appending to a store whose
+    // `_meta` is mid-rename would orphan every pre-crash segment
+    repairMetaFlip(docs.sparkSession, storePath)
     val seg = java.util.UUID.randomUUID().toString
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col("__doc").as("doc_id"), col("tok"))
@@ -344,48 +348,128 @@ object Search {
     * postings (≤ |terms| result rows, broadcast back). Results are
     * identical to a monolithic index over the same documents.
     */
+  // ------------------------------------------ crash-safe segment compaction
+
+  private def storeFs(spark: SparkSession, storePath: String) =
+    new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** The readable `_meta` location, tolerating a compaction that died
+    * mid-flip: prefer the live `_meta`; with it absent, roll FORWARD to
+    * a COMPLETE `_meta_next` (its merged segment was fully renamed in
+    * before the flip began — `_SUCCESS` is the completeness witness) or
+    * BACK to the preserved `_meta_prev`. Read-only — probes must keep
+    * answering without write permission; writers heal the store via
+    * [[repairMetaFlip]] instead.
+    */
+  private def segmentMetaPath(spark: SparkSession, storePath: String): String = {
+    val fs = storeFs(spark, storePath)
+    if (fs.exists(hp(s"$storePath/_meta"))) s"$storePath/_meta"
+    else if (fs.exists(hp(s"$storePath/_meta_next/_SUCCESS")))
+      s"$storePath/_meta_next"
+    else if (fs.exists(hp(s"$storePath/_meta_prev"))) s"$storePath/_meta_prev"
+    else s"$storePath/_meta" // let the read fail with the loud message
+  }
+
+  /** Finish (or roll back) a compaction flip that crashed between its
+    * renames, then clear flip leftovers. Single-writer maintenance
+    * window by contract (same as every store append), so no lock is
+    * needed. Idempotent; a healthy store is a few exists() calls.
+    */
+  private def repairMetaFlip(spark: SparkSession, storePath: String): Unit = {
+    val fs = storeFs(spark, storePath)
+    val meta = hp(s"$storePath/_meta")
+    val next = hp(s"$storePath/_meta_next")
+    val prev = hp(s"$storePath/_meta_prev")
+    if (!fs.exists(meta)) {
+      if (fs.exists(hp(s"$storePath/_meta_next/_SUCCESS")))
+        fs.rename(next, meta) // roll forward: the merged view is complete
+      else if (fs.exists(prev))
+        fs.rename(prev, meta) // roll back: the flip never began
+    }
+    // leftovers of a completed (or aborted) flip; the orphan merged
+    // segment a rolled-back flip leaves behind is invisible to probes
+    // (they filter to _meta-listed segments) and is swept by the next
+    // successful compaction
+    if (fs.exists(meta)) {
+      if (fs.exists(prev)) fs.delete(prev, true)
+      if (fs.exists(next)) fs.delete(next, true)
+    }
+  }
+
   /** Merge ALL segments into one — the Lucene segment-merge. Every
     * micro-batch append adds a `segment=` partition directory, and a
     * probe pays per-segment listing plus per-segment `_meta` rows; a
     * long-running streaming indexer compacts periodically to keep the
-    * file tree flat. Postings rewrite once into a single new segment
-    * via a temp-dir swap (the rewrite plan reads the old files);
-    * per-segment stats collapse into one `_meta` row with the same
-    * sums, so probes before and after are identical. Streaming-marker
-    * state (`_markers`) is untouched.
+    * file tree flat. Per-segment stats collapse into one `_meta` row
+    * with the same sums, so probes before and after are identical.
+    * Streaming-marker state (`_markers`) is untouched.
+    *
+    * Crash-safe at every step — probes answer (and answer correctly)
+    * from ANY intermediate state, because they filter postings to the
+    * segments their `_meta` view lists:
+    *
+    *  1. The merged rewrite lands in a temp tree, then the new segment
+    *     directory RENAMES (atomic) under `postings/` — just another
+    *     segment dir, invisible to probes (not in `_meta`).
+    *  2. The new one-row meta lands COMPLETE at `_meta_next`
+    *     (`_SUCCESS`-marked) while the live `_meta` still serves the
+    *     old view.
+    *  3. The flip: `_meta` → `_meta_prev`, `_meta_next` → `_meta`,
+    *     delete `_meta_prev`. Each rename is atomic; a crash between
+    *     them leaves probes the forward view ([[segmentMetaPath]]) and
+    *     the next writer heals the tree ([[repairMetaFlip]]).
+    *  4. Old segment directories (now unreferenced) delete last, along
+    *     with any orphan segments earlier crashes left.
     */
   def compactIndexSegments(spark: SparkSession, storePath: String): Unit = {
+    repairMetaFlip(spark, storePath)
     val metas = spark.read.parquet(s"$storePath/_meta").collect()
     if (metas.length <= 1) return
     val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
     require(bucketSizes.length == 1,
       s"segments disagree on bucket count: ${bucketSizes.mkString(",")}")
+    val liveSegs = metas.map(_.getAs[String]("segment")).toSeq
     val seg = java.util.UUID.randomUUID().toString
     val tmp = s"$storePath/_compact_tmp"
+    val fs = storeFs(spark, storePath)
+    fs.delete(hp(tmp), true) // a dead prior attempt's debris
+    // (1) merged rewrite of the LIVE segments only (an orphan from a
+    // crashed flip must not leak back in), renamed-in atomically
     spark.read.parquet(s"$storePath/postings")
+      .filter(col("segment").isInCollection(liveSegs))
       .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
       .withColumn("segment", lit(seg))
       .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
+    fs.rename(hp(s"$tmp/postings/segment=$seg"),
+      hp(s"$storePath/postings/segment=$seg"))
+    // (2) the complete next meta beside the live one
     spark.range(1)
       .select(lit(seg).as("segment"),
         lit(metas.map(_.getAs[Long]("n_docs")).sum).as("n_docs"),
         lit(metas.map(_.getAs[Long]("total_len")).sum).as("total_len"),
         lit(bucketSizes.head).as("buckets"))
-      .write.parquet(s"$tmp/_meta")
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    for (d <- Seq("postings", "_meta"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/$d"), true)
-    for (d <- Seq("postings", "_meta"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"),
-        new org.apache.hadoop.fs.Path(s"$storePath/$d"))
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      .write.parquet(s"$storePath/_meta_next")
+    // (3) the flip
+    fs.rename(hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
+    fs.rename(hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
+    fs.delete(hp(s"$storePath/_meta_prev"), true)
+    // (4) unreferenced segment dirs: the merged-away ones + any orphans
+    val keep = s"segment=$seg"
+    fs.listStatus(hp(s"$storePath/postings"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("segment=")
+        && st.getPath.getName != keep)
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.delete(hp(tmp), true)
   }
 
   def bm25TopKSegmented(spark: SparkSession, storePath: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
-    val metas = spark.read.parquet(s"$storePath/_meta").collect()
+    val metas = spark.read.parquet(segmentMetaPath(spark, storePath))
+      .collect()
     require(metas.nonEmpty, s"empty search index at $storePath")
     val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
     require(bucketSizes.length == 1,
@@ -393,6 +477,11 @@ object Search {
     val buckets = bucketSizes.head
     val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
     val totalLen = metas.map(_.getAs[Long]("total_len")).sum
+    // only the segments the meta view lists: a half-merged compaction
+    // segment (or an orphan a crashed flip left behind) must not
+    // double-count df/stats — `segment` is a partition column, so this
+    // prunes directories, it does not scan them
+    val liveSegs = metas.map(_.getAs[String]("segment")).toSeq
     val qt = queryTerms(queries, idCol, textCol)
     val terms = qt.select("tok").distinct().collect()
       .map(_.getString(0)).sorted.toSeq
@@ -401,9 +490,14 @@ object Search {
       .distinct.sorted
     // pruned feeds both the df aggregate and the scoring join — persist
     // so the store scan runs once (releasable via CacheScope)
+    // bucket before segment: both prune partitions, but the rendered
+    // PartitionFilters string truncates after ~100 chars and the
+    // segment list is UUIDs — bucket-first keeps the pruning visible
+    // to plan audits
     val pruned = graft.core.CacheScope.persist(
       spark.read.parquet(s"$storePath/postings")
         .filter(col("bucket").isInCollection(probedBuckets) &&
+          col("segment").isInCollection(liveSegs) &&
           col("tok").isInCollection(terms))
         .select("tok", "doc_id", "tf", "len"))
     val dfc = pruned.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -169,4 +169,178 @@ class BuildIndexSpec extends SparkSpec {
         "kind: ivf", s"store: $store", "num_lists: 4.7"))
     e4.getMessage should include("num_lists must be an integer")
   }
+
+  // ------------------------------------------------------ text-side kinds
+
+  private def docsDf(n: Int) = (0L until n.toLong)
+    .map(i => (i, s"tok$i common${i % 3} shared${i % 7} tok${(i + 1) % n}"))
+    .toDF("doc_id", "text")
+
+  test("bm25 + bm25_segment kinds: config-built indexes probe identically to in-flight BM25") {
+    import graft.operators.Search
+    val docs = docsDf(50)
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-txt-").toString
+    docs.write.parquet(s"$inPath/all")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$inPath/even")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$inPath/odd")
+    val queries = docs.filter($"doc_id" < 2)
+    val direct = Search.bm25TopK(docs, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val mono = java.nio.file.Files
+      .createTempDirectory("bidx-bm25-").toString + "/idx"
+    BuildIndex.run(spark, writeCfg(s"input: $inPath/all",
+      "id_field: doc_id", "text_field: text", "kind: bm25",
+      s"store: $mono", "buckets: 8"))
+    Search.bm25TopKFromStore(spark, mono, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq shouldBe direct
+    // two config-built segments over disjoint halves ≡ the monolith
+    val segd = java.nio.file.Files
+      .createTempDirectory("bidx-bm25s-").toString + "/idx"
+    Seq("even", "odd").foreach(half => BuildIndex.run(spark, writeCfg(
+      s"input: $inPath/$half", "id_field: doc_id", "text_field: text",
+      "kind: bm25_segment", s"store: $segd", "buckets: 8")))
+    spark.read.parquet(s"$segd/_meta").count() shouldBe 2
+    Search.bm25TopKSegmented(spark, segd, queries, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq shouldBe direct
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("lm / tfidf / dsir / quality_model kinds: config-built fits score bit-identically") {
+    import graft.operators.{LanguageModel, QualityModel, Sampling, Tfidf}
+    val docs = docsDf(40)
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-fit-").toString
+    docs.write.parquet(s"$inPath/docs")
+    val batch = docs.filter($"doc_id" < 6)
+    // lm: stored scoring ≡ in-flight fit scoring
+    val lmStore = java.nio.file.Files
+      .createTempDirectory("bidx-lm-").toString + "/m"
+    BuildIndex.run(spark, writeCfg(s"input: $inPath/docs",
+      "id_field: doc_id", "text_field: text", "kind: lm",
+      s"store: $lmStore")).rows shouldBe 40L
+    def lmRows(m: LanguageModel.BigramModel) =
+      LanguageModel.scoreBigrams(batch, m, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    lmRows(LanguageModel.loadModel(spark, lmStore)) shouldBe
+      lmRows(LanguageModel.fitBigramModel(docs, "doc_id", "text"))
+    // tfidf: config-built store probes like a directly-saved one
+    val cfgStore = java.nio.file.Files
+      .createTempDirectory("bidx-tfidf-").toString + "/s"
+    val dirStore = java.nio.file.Files
+      .createTempDirectory("bidx-tfidf2-").toString + "/s"
+    BuildIndex.run(spark, writeCfg(s"input: $inPath/docs",
+      "id_field: doc_id", "text_field: text", "kind: tfidf",
+      s"store: $cfgStore", "buckets: 16", "max_token_df: 10"))
+    Tfidf.saveStore(docs, "doc_id", "text", dirStore,
+      buckets = 16, maxTokenDf = 10)
+    def kept(store: String) = Tfidf.dropNearCorpusTfidf(batch,
+      "doc_id", "text", store, buckets = 16, maxTokenDf = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    kept(cfgStore) shouldBe kept(dirStore)
+    // dsir: stored ratios score like the in-flight fit
+    val target = docs.filter($"doc_id" % 5 === 0)
+    target.write.parquet(s"$inPath/target")
+    val dsirStore = java.nio.file.Files
+      .createTempDirectory("bidx-dsir-").toString + "/r"
+    BuildIndex.run(spark, writeCfg(s"input: $inPath/docs",
+      "id_field: doc_id", "text_field: text", "kind: dsir",
+      s"store: $dsirStore", s"target_input: $inPath/target",
+      "buckets: 16"))
+    Sampling.importanceWeightsFromStore(batch,
+      Sampling.readImportanceRatios(spark, dsirStore),
+      "doc_id", "text", buckets = 16)
+      .orderBy("doc_id").collect().toSeq shouldBe
+      Sampling.importanceWeights(docs, target, "doc_id", "text",
+        buckets = 16).join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+        .orderBy("doc_id").collect().toSeq
+    // quality_model: weights arrive as a parquet table; stored scoring
+    // ≡ the driver-map path over the same weights
+    val wmap = Map("common0" -> 0.8, "shared3" -> -1.25, "tok1" -> 0.5)
+    val wPath = s"$inPath/weights"
+    wmap.toSeq.toDF("token", "weight").write.parquet(wPath)
+    val qStore = java.nio.file.Files
+      .createTempDirectory("bidx-qm-").toString + "/m"
+    BuildIndex.run(spark, writeCfg(s"input: $wPath", "kind: quality_model",
+      "bias: -0.2", s"store: $qStore")).rows shouldBe 3L
+    QualityModel.scoreDocs(batch, QualityModel.loadModel(spark, qStore),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq shouldBe
+      QualityModel.scoreDocs(batch,
+        QualityModel.fromMap(spark, wmap, -0.2), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("text kinds refuse misconfiguration before writing anything") {
+    val docs = docsDf(10)
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-txtbad-").toString
+    docs.write.parquet(s"$inPath/docs")
+    docs.filter($"doc_id" < 0).write.parquet(s"$inPath/empty")
+    val store = java.nio.file.Files
+      .createTempDirectory("bidx-txtbad-s-").toString + "/s"
+    // empty input would write a healthy-LOOKING store that scores
+    // nothing — refuse
+    val e1 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/empty", "id_field: doc_id",
+        "text_field: text", "kind: bm25", s"store: $store"))
+    e1.getMessage should include("no rows")
+    // dsir without a target corpus has no fit semantics
+    val e2 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/docs", "id_field: doc_id",
+        "text_field: text", "kind: dsir", s"store: $store"))
+    e2.getMessage should include("target_input")
+    // keys that only another kind consumes refuse instead of being
+    // silently ignored
+    val e3 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/docs", "id_field: doc_id",
+        "text_field: text", "kind: bm25", s"store: $store", "bias: 0.5"))
+    e3.getMessage should include("bias is only supported")
+    // quality_model without its trained intercept
+    val e4 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/docs", "kind: quality_model",
+        s"store: $store"))
+    e4.getMessage should include("requires bias")
+    new java.io.File(store).exists() shouldBe false
+  }
+
+  test("ANN builds: the fused stats pass scans the input once for count+dims+SQ grid") {
+    val data = vecs(80)
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-scan-").toString + "/emb"
+    data.write.parquet(inPath)
+    val store = java.nio.file.Files
+      .createTempDirectory("bidx-scan-s-").toString + "/idx"
+    // count input records read across the whole build: every full pass
+    // over the 80-row input adds 80 to the task input metrics
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      BuildIndex.run(spark, writeCfg(s"input: $inPath",
+        "id_field: vec_id", "vector_field: embedding", "kind: sq",
+        s"store: $store", "dim: 8"))
+      // listener events drain asynchronously — wait until stable
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(200); spins += 1
+      }
+      // exactly TWO input passes: the fused stats+grid aggregate and
+      // the code write (pre-fusion this was three — stats, grid, write)
+      read.get() shouldBe 160L
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the store built from the fused grid still probes correctly
+    val (mins, maxs) = Similarity.readSqTrainParams(spark, store)
+    val (dmins, dmaxs) = Similarity.trainSqParams(data, "embedding", 8)
+    mins.toSeq shouldBe dmins.toSeq
+    maxs.toSeq shouldBe dmaxs.toSeq
+  }
 }

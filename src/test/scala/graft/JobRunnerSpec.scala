@@ -902,6 +902,54 @@ class JobRunnerSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("curation compact_store_every also compacts the segmented search index") {
+    def jobYaml(dir: java.nio.file.Path, out: String, store: String,
+        idx: String): String =
+      write(dir, "job_idxc.yaml",
+        s"""tenant_id: t1
+           |source_connector_path: recipe_csv.yaml
+           |target_connector_path: recipe_parquet.yaml
+           |asset_path: asset.yaml
+           |schema_validation_mode: strict
+           |curation:
+           |  id_field: id
+           |  text_field: name
+           |  dedupe: incremental
+           |  fingerprint_store: $store
+           |  search_index: $idx
+           |  search_index_buckets: 4
+           |  compact_store_every: 2
+           |  update_store: true
+           |source:
+           |  files:
+           |    - {path: data.csv, object: people}
+           |target:
+           |  connection: {path: $out}
+           |""".stripMargin)
+    val (dir1, _) = fixture(Seq("1,alice,9.5", "2,bob,8.0"), "strict")
+    val store = dir1.resolve("fpstore").toString
+    val idx = dir1.resolve("bm25idx").toString
+    JobRunner.run(spark, jobYaml(dir1, dir1.resolve("out1").toString,
+      store, idx)).exitCode shouldBe ExitCodes.Success
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 1
+    val (dir2, _) = fixture(Seq("3,carol,7.0", "4,dave,6.0"), "strict")
+    JobRunner.run(spark, jobYaml(dir2, dir2.resolve("out2").toString,
+      store, idx)).exitCode shouldBe ExitCodes.Success
+    // day 2's append made 2 segments >= the cadence → merged to ONE,
+    // stats preserved, still probeable
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 1
+    spark.read.parquet(s"$idx/_meta")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+      .head.getLong(0) shouldBe 4
+    import spark.implicits._
+    val hits = graft.operators.Search.bm25TopKSegmented(spark, idx,
+      Seq((100L, "carol")).toDF("doc_id", "text").selectExpr(
+        "cast(doc_id as string) as id", "text"), "id", "text", k = 5)
+      .collect().map(_.get(1).toString)
+    hits shouldBe Array("3")
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("curation store_format bloom: three-day cycle maintains the sketch sidecar") {
     def jobYaml(dir: java.nio.file.Path, out: String, store: String): String =
       write(dir, "job_bloomstore.yaml",

@@ -146,6 +146,71 @@ class SearchSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("compaction crash windows: probes answer from every intermediate state") {
+    import org.apache.hadoop.fs.Path
+    val wide = (0L until 40L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 40}"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-crash-").toString + "/idx"
+    (0 to 2).foreach(i => Search.writeIndexSegment(
+      wide.filter($"doc_id" % 3 === i), "doc_id", "text", store, buckets = 8))
+    val queries = wide.filter($"doc_id" < 2)
+    def probe() = {
+      val r = Search.bm25TopKSegmented(spark, store, queries,
+        "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      graft.core.CacheScope.releaseAll()
+      r
+    }
+    val before = probe()
+    val fs = new Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+    // WINDOW 1 — crash after the merged segment renamed in but before
+    // the meta flip: the orphan segment (here: a verbatim copy of a
+    // live one, the worst case because its postings would double every
+    // df) is invisible — probes filter to _meta-listed segments
+    val liveSeg = new java.io.File(s"$store/postings").listFiles()
+      .filter(_.getName.startsWith("segment=")).head
+    val orphan = new java.io.File(s"$store/postings/segment=orphan-crash")
+    org.apache.commons.io.FileUtils.copyDirectory(liveSeg, orphan)
+    probe() shouldBe before
+
+    // WINDOW 2 — crash between the two flip renames (_meta is gone,
+    // _meta_next complete): probes roll FORWARD to the merged view.
+    // Manufacture it from a real flip artifact: run a real compaction,
+    // then un-flip its _meta to _meta_next and plant a stale
+    // _meta_prev — byte-identical to dying between rename 1 and 2.
+    Search.compactIndexSegments(spark, store)
+    probe() shouldBe before
+    new java.io.File(s"$store/postings").listFiles()
+      .count(_.getName.startsWith("segment=")) shouldBe 1 // orphan swept
+    fs.rename(new Path(s"$store/_meta"), new Path(s"$store/_meta_next"))
+    fs.mkdirs(new Path(s"$store/_meta_prev"))
+    probe() shouldBe before // read-only forward recovery
+
+    // ...and the next WRITER heals the tree: append works, _meta is
+    // live again with the merged row + the new segment's row
+    Search.writeIndexSegment(
+      Seq((100L, "tok0 common0 tok1")).toDF("doc_id", "text"),
+      "doc_id", "text", store, buckets = 8)
+    fs.exists(new Path(s"$store/_meta_next")) shouldBe false
+    fs.exists(new Path(s"$store/_meta_prev")) shouldBe false
+    spark.read.parquet(s"$store/_meta").count() shouldBe 2
+
+    // WINDOW 3 — crash BEFORE the flip began (_meta live, _meta_next
+    // incomplete): probes serve the old view; the next compaction
+    // sweeps the debris and converges to one segment
+    fs.mkdirs(new Path(s"$store/_meta_next")) // no _SUCCESS → incomplete
+    val healthy = probe()
+    Search.compactIndexSegments(spark, store)
+    probe() shouldBe healthy
+    spark.read.parquet(s"$store/_meta").count() shouldBe 1
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("segmented index: mismatched bucket counts refuse loudly") {
     val store = java.nio.file.Files
       .createTempDirectory("bm25-mismatch-").toString + "/idx"
