@@ -1393,6 +1393,21 @@ object Queries {
       "vec_id", "embedding", k = 5, prefixDim = 16, factor = 4)
   }
 
+  /** Matryoshka prefix slice FEEDING an SQ8 first stage + exact
+    * full-dim refine — the composed truncate×quantize two-stage (stage
+    * one moves 16 bytes/row against the raw scan's 256): SQ grid
+    * trained on the 16-dim slices, ADC top-20 per query, exact L2²
+    * re-rank. The oracle replays slice → per-prefix-dim min/max grid →
+    * encode/bin-center decode → ADC fold → full-dim refine.
+    */
+  def annMatryoshkaSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select("vec_id", "embedding")
+    graft.operators.Similarity.prefixSqRerankTopK(
+      corpus = emb,
+      queries = emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, prefixDim = 16, factor = 4)
+  }
+
   /** Binary stage + exact refine — the 1-bit "quantize + rescore"
     * deployment: Hamming top-20 per query re-ranked by exact L2².
     */
@@ -2071,6 +2086,7 @@ object Queries {
     "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopK _,
     "ann_binary_rerank_topk" -> annBinaryRerankTopK _,
     "ann_matryoshka_rerank_topk" -> annMatryoshkaRerankTopK _,
+    "ann_matryoshka_sq_topk" -> annMatryoshkaSqTopK _,
     "ann_ivfpq_store_topk" -> annIvfPqStoreTopK _,
     "ann_ivfpq_store_trained_topk" -> annIvfPqStoreTrainedTopK _,
     "ann_ivf_refined_topk" -> annIvfRefinedTopK _,
@@ -3199,6 +3215,50 @@ object Queries {
     * DESC with id tie-break at the shortlist width, then the full-dim
     * exact-refine CTEs.
     */
+  /** Composed replay: prefix slice (16 dims) → SQ8 grid trained on the
+    * SLICES (per-dim min/max over the 16 prefix dims) → encode +
+    * bin-center decode → ADC fold → top-20 shortlist → exact FULL-dim
+    * (64) refine. The `p`/`cd`/`rec`/`d0`/`d`/`r` CTEs are the flat SQ
+    * oracle's over `pv` instead of `v`; the refine tail is the shared
+    * full-dim re-rank.
+    */
+  private val annMatryoshkaSqTopKOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |pv AS (SELECT vec_id, list_slice(e, 1, 16) AS pe FROM v),
+       |p AS (SELECT i, min(pe[i+1]) AS mn, max(pe[i+1]) AS mx
+       |  FROM pv CROSS JOIN range(16) t(i) GROUP BY i),
+       |cd AS (SELECT pv.vec_id, p.i,
+       |  CASE WHEN p.mx > p.mn THEN least(255, greatest(0,
+       |    CAST(floor((pv.pe[p.i+1] - p.mn) * (255.0/(p.mx - p.mn))) AS INT)))
+       |  ELSE 0 END AS code
+       |  FROM pv CROSS JOIN p),
+       |rec AS (SELECT cd.vec_id, cd.i,
+       |  p.mn + (CAST(cd.code AS DOUBLE) + 0.5) * (CASE WHEN p.mx > p.mn
+       |    THEN (p.mx - p.mn)/255.0 ELSE 0.0 END) AS rv
+       |  FROM cd JOIN p ON p.i = cd.i),
+       |q AS (SELECT vec_id AS query_id, pe AS qpe FROM pv WHERE vec_id < 10),
+       |d0 AS (SELECT q.query_id, rec.vec_id AS neighbor_id, rec.i,
+       |  (q.qpe[rec.i+1] - rec.rv) * (q.qpe[rec.i+1] - rec.rv) AS t
+       |  FROM q JOIN rec ON rec.vec_id <> q.query_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list(t ORDER BY i), (x, y) -> x + y) AS adc
+       |  FROM d0 GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adc, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM d),
+       |rr0 AS (SELECT r.query_id, r.neighbor_id,
+       |  list_reduce(list_transform(range(64), i ->
+       |    (vq.e[i+1] - v2.e[i+1]) * (vq.e[i+1] - v2.e[i+1])),
+       |    (x, y) -> x + y) AS dist
+       |  FROM r JOIN v vq ON vq.vec_id = r.query_id
+       |  JOIN v v2 ON v2.vec_id = r.neighbor_id
+       |  WHERE r.rank <= 20),
+       |rr AS (SELECT query_id, neighbor_id, dist, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM rr0)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dist
+       |FROM rr WHERE rank <= 5""".stripMargin
+
   private val annMatryoshkaRerankTopKOracle: String = {
     def dot16(a: String, b: String): String =
       s"list_reduce(list_transform(range(16), i -> $a[i+1] * $b[i+1]), " +
@@ -3801,6 +3861,7 @@ object Queries {
     "ann_ivfbinary_rerank_store_topk" -> annIvfBinaryRerankStoreTopKOracle,
     "ann_binary_rerank_topk" -> annBinaryRerankTopKOracle,
     "ann_matryoshka_rerank_topk" -> annMatryoshkaRerankTopKOracle,
+    "ann_matryoshka_sq_topk" -> annMatryoshkaSqTopKOracle,
     // the stored-index twin is value-identical by construction (codes
     // round-trip parquet exactly), so the same oracle checks it
     "ann_ivfpq_store_topk" -> annIvfPqTopKOracle,

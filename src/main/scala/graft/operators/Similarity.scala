@@ -2117,6 +2117,36 @@ object Similarity {
       corpus, queries, idCol, vecCol, k)
   }
 
+  /** The COMPOSED two-stage: Matryoshka prefix slice feeding an SQ8
+    * first stage — stage one moves prefixDim BYTES per corpus row
+    * (truncate × quantize: prefixDim/dim from the slice, a further 4×
+    * from the 8-bit codes), the shortlist re-ranks by exact full-dim
+    * L2². This is [[prefixRerankTopK]]'s "a prefix slice can feed any
+    * quantized index" made concrete: the SQ grid trains on the SLICED
+    * corpus (per-dim min/max of the prefix dims only) and the ADC scan
+    * is [[sqTopK]] verbatim over the sliced pair, so determinism is the
+    * two stages' own contracts composed — nothing new to pin.
+    */
+  def prefixSqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int,
+      factor: Int = 4
+  ): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1: $prefixDim")
+    require(factor >= 1, s"refine factor must be >= 1: $factor")
+    def sliced(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as(vecCol))
+    val sc = sliced(corpus)
+    val (mins, maxs) = trainSqParams(sc, vecCol, prefixDim)
+    rerankExact(
+      sqTopK(sc, sliced(queries), idCol, vecCol, k * factor, mins, maxs),
+      corpus, queries, idCol, vecCol, k)
+  }
+
   // ------------------------------------------------- binary (1-bit) quantization
 
   /** Identity-basis "planes" for sign-bit quantization: plane j is the

@@ -930,6 +930,35 @@ class SimilaritySpec extends SparkSpec {
     out should not contain 200L
   }
 
+  test("prefixSqRerankTopK: full-width prefix ≡ plain SQ rerank; tight factor surfaces the sliced-SQ shortlist") {
+    val corpus = mpVecs(40)
+    val queries = corpus.filter($"vec_id" < 3)
+    // slice = identity at prefixDim = dim, so the composition must be
+    // BIT-identical to the plain SQ8 two-stage under the same grid
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "dist")
+        .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._3)).toSeq
+    rows(Similarity.prefixSqRerankTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, prefixDim = 8, factor = 3)) shouldBe
+      rows(Similarity.sqRerankTopK(corpus, queries, "vec_id",
+        "embedding", k = 5, mins = mins, maxs = maxs, factor = 3))
+    // at factor 1 the survivors are exactly the sliced-SQ stage-one
+    // shortlist: grid trained on the slices, ADC over the slices
+    val sliced = corpus.select($"vec_id",
+      slice($"embedding", 1, 4).as("embedding"))
+    val slicedQ = queries.select($"vec_id",
+      slice($"embedding", 1, 4).as("embedding"))
+    val (pm, px) = Similarity.trainSqParams(sliced, "embedding", 4)
+    val stage1 = Similarity.sqTopK(sliced, slicedQ, "vec_id",
+      "embedding", k = 10, mins = pm, maxs = px)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Similarity.prefixSqRerankTopK(corpus, queries, "vec_id", "embedding",
+      k = 10, prefixDim = 4, factor = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet shouldBe stage1
+  }
+
   test("ivfPqResidualTopK: shift identity vs raw IVFPQ; residual codebook beats raw on clustered data") {
     // shift identity: with a single centroid c, residual IVFADC over v
     // must be BIT-identical to raw ivfPqTopK over the pre-shifted data
