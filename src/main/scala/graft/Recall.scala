@@ -219,8 +219,20 @@ object Recall {
           Similarity.prefixRerankTopK(emb, queries, "vec_id",
             "embedding", k, prefixDim = d, factor = factor))
       }).toMap
+      // the COMPOSED truncate×quantize stage (r18): prefix slice feeds
+      // an SQ8 first stage — d'/64 of the bytes, then 4× again from the
+      // codes. Compare against the raw-prefix rows above: the delta IS
+      // the quantization cost on top of the truncation floor.
+      val matrySq = (for {
+        d <- Seq(16, 32)
+        factor <- Seq(4, 8)
+      } yield {
+        s"matryoshka_sq_d${d}_rerank_f$factor" -> topkRecall(
+          Similarity.prefixSqRerankTopK(emb, queries, "vec_id",
+            "embedding", k, prefixDim = d, factor = factor))
+      }).toMap
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
-        richRerank ++ ivfsqRerank ++ sq ++ binary ++ matry
+        richRerank ++ ivfsqRerank ++ sq ++ binary ++ matry ++ matrySq
     }
     val byK = Seq(5, 50).map(k => k -> curves(k)).toMap
 

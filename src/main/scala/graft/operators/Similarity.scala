@@ -2126,6 +2126,14 @@ object Similarity {
     * corpus (per-dim min/max of the prefix dims only) and the ADC scan
     * is [[sqTopK]] verbatim over the sliced pair, so determinism is the
     * two stages' own contracts composed — nothing new to pin.
+    *
+    * Measured (RECALL_r18, iid-dim synthetic table = the anti-MRL
+    * floor): quantizing the prefix costs 0.02–0.11 recall on top of
+    * the truncation floor at matched (d, factor) — e.g. d32/f8
+    * recall@50 0.879 raw-prefix vs 0.845 prefix+SQ8, recall@5 0.632 vs
+    * 0.520 — while stage one moves d bytes instead of 4·d. On real
+    * MRL-trained embeddings (signal concentrated in the prefix) both
+    * sit far above this floor.
     */
   def prefixSqRerankTopK(
       corpus: DataFrame,
