@@ -209,20 +209,25 @@ object Bench {
     names.zipWithIndex.foreach { case (name, i) =>
       val detail = java.nio.file.Files
         .createTempFile(s"bench-iso-$name-", ".json")
+      val logFile = java.io.File.createTempFile(s"bench-iso-$name-", ".log")
       val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench", name))
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("GRAFT_BENCH_DETAIL", detail.toString)
       pb.environment().put("GRAFT_BENCH_REPS", reps.toString)
       pb.environment().remove("GRAFT_BENCH_ISOLATED")
       pb.redirectErrorStream(true)
-      pb.redirectOutput(ProcessBuilder.Redirect.to(
-        java.io.File.createTempFile(s"bench-iso-$name-", ".log")))
+      pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))
       System.err.println(s"[bench-isolated] ${i + 1}/${names.size} $name")
       val rc = pb.start().waitFor()
       val body = try new String(java.nio.file.Files.readAllBytes(detail),
         java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
+      var failed = true
       if (rc != 0 || body.isEmpty)
-        errors += name -> s"child exit $rc, detail ${if (body.isEmpty) "empty" else "present"}"
+        // a dead child's evidence is its LOG — name the path, and echo
+        // the tail so the failure is diagnosable from this output alone
+        errors += name -> (s"child exit $rc, detail " +
+          s"${if (body.isEmpty) "empty" else "present"}, log: $logFile | " +
+          logTail(logFile))
       else {
         val node = mapper.readTree(body)
         val errs = node.get("errors")
@@ -236,7 +241,14 @@ object Bench {
           // the child's jvm summary IS the query's isolation evidence:
           // uptime ≈ startup + warm-up + reps, code cache near-empty
           diags += name -> node.get("jvm").toString
+          failed = false
         }
+      }
+      // successful children leave no debris (~140 queries × 2 temp
+      // files per run otherwise); failures keep their log for autopsy
+      if (!failed) {
+        java.nio.file.Files.deleteIfExists(detail)
+        logFile.delete()
       }
     }
     val total = results.map(_._2).sum
@@ -258,6 +270,17 @@ object Bench {
     println(compactLine(total, sfDir, contended = false, results.toSeq,
       reps, errors.size, mode = "isolated"))
   }
+
+  /** Last ~3 non-blank lines of a child log, flattened for the error
+    * map (stack-trace head lines usually carry the message).
+    */
+  private def logTail(f: java.io.File): String =
+    try {
+      val ls = scala.io.Source.fromFile(f, "UTF-8")
+      try ls.getLines().filter(_.trim.nonEmpty).toSeq.takeRight(3)
+        .mkString(" / ").take(400)
+      finally ls.close()
+    } catch { case _: Throwable => "(log unreadable)" }
 
   /** Time each registered query `reps` times. A query whose execution
     * THROWS lands in the returned error map (exception class + first

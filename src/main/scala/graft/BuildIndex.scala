@@ -149,6 +149,22 @@ object BuildIndex {
     onlyFor("target_input", Set("dsir"))
     onlyFor("bias", Set("quality_model"))
     onlyFor("max_token_df", Set("tfidf"))
+    // ...and the full key surface, so a leftover tuning key from a
+    // DIFFERENT kind's config (num_lists on a bm25 build, buckets on
+    // an lm build) fails the build instead of silently not tuning it
+    onlyFor("num_lists", Set("ivf", "ivfpq", "ivfsq"))
+    onlyFor("dim", Set("sq", "ivfsq", "binary", "ivf_binary", "lsh",
+      "embedding_buckets"))
+    onlyFor("pq_m", Set("ivfpq"))
+    onlyFor("pq_codes", Set("ivfpq"))
+    onlyFor("pq_dsub", Set("ivfpq"))
+    onlyFor("train_iterations", Set("ivfpq"))
+    onlyFor("planes", Set("lsh", "embedding_buckets"))
+    onlyFor("tables", Set("embedding_buckets"))
+    onlyFor("buckets", Set("bm25", "bm25_segment", "tfidf", "dsir"))
+    onlyFor("vector_field", AnnKinds)
+    onlyFor("text_field", TextKinds - "quality_model")
+    onlyFor("id_field", AllKinds - "quality_model")
     if (kind == "dsir" && Yaml.str(c, "target_input").isEmpty)
       throw new IllegalArgumentException(
         "kind dsir requires target_input (the target-distribution corpus)")
@@ -229,11 +245,18 @@ object BuildIndex {
     val needSqGrid = kind == "sq" || kind == "ivfsq"
     val vecSize = when(col(vecCol).isNotNull, size(col(vecCol)))
     val baseAggs = Seq(count(lit(1)), min(vecSize), max(vecSize))
+    // size-guarded element_at: ANSI mode (Spark 4's default) THROWS on
+    // an out-of-range index, which would crash this aggregate with an
+    // opaque array-index error BEFORE the width refusal below could
+    // name the real problem; the guard nulls short rows instead — the
+    // same null-skipping semantics the DuckDB oracle's e[i+1] has.
     val sqAggs =
       if (!needSqGrid) Nil
       else (0 until dim).flatMap(i => Seq(
-        min(element_at(col(vecCol), i + 1).cast("double")),
-        max(element_at(col(vecCol), i + 1).cast("double"))))
+        min(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+          .cast("double")),
+        max(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+          .cast("double"))))
     val allAggs = baseAggs ++ sqAggs
     val stats = input.agg(allAggs.head, allAggs.tail: _*).collect()(0)
     val rows = stats.getLong(0)

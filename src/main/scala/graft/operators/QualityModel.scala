@@ -64,6 +64,18 @@ object QualityModel {
     val cols = weights.columns.toSet
     require(cols.contains("token") && cols.contains("weight"),
       s"weight table needs (token, weight) columns; has ${weights.columns.mkString(", ")}")
+    // duplicate tokens REFUSE at build: the scoring join fans a
+    // duplicated token out (each occurrence re-adds its weight and
+    // inflates n_tokens — the exact corruption [[weightsFingerprint]]
+    // exists to catch), and fromMap cannot produce duplicates, so a
+    // table that can must prove it didn't. One aggregate over a
+    // vocab-bounded table.
+    val d = weights.agg(count(lit(1)), count_distinct(col("token")))
+      .collect()(0)
+    require(d.getLong(0) == d.getLong(1),
+      s"weight table has duplicate tokens (${d.getLong(0)} rows, " +
+        s"${d.getLong(1)} distinct) — duplicates corrupt every score " +
+        "(the token join re-adds each occurrence); dedupe the table first")
     LinearModel(weights.select(col("token").cast("string").as("token"),
       floor(col("weight").cast("double") * 1e6 + 0.5).cast("long")
         .as("w_micros")), micros(bias))

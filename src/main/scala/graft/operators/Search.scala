@@ -356,6 +356,20 @@ object Search {
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Hadoop rename reports most failures by RETURNING FALSE, not
+    * throwing (RawLocalFileSystem and object stores especially) — an
+    * unchecked flip rename could install a `_meta` pointing at a
+    * segment that never moved in, and step 4 would then delete every
+    * old segment. Every rename in the compaction protocol goes through
+    * this check so a failed step aborts loudly with the store still in
+    * a probe-answerable state.
+    */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"rename failed: $src -> $dst (store left in its pre-step state)")
+
   /** The readable `_meta` location, tolerating a compaction that died
     * mid-flip: prefer the live `_meta`; with it absent, roll FORWARD to
     * a COMPLETE `_meta_next` (its merged segment was fully renamed in
@@ -385,9 +399,9 @@ object Search {
     val prev = hp(s"$storePath/_meta_prev")
     if (!fs.exists(meta)) {
       if (fs.exists(hp(s"$storePath/_meta_next/_SUCCESS")))
-        fs.rename(next, meta) // roll forward: the merged view is complete
+        renameOrFail(fs, next, meta) // roll forward: merged view complete
       else if (fs.exists(prev))
-        fs.rename(prev, meta) // roll back: the flip never began
+        renameOrFail(fs, prev, meta) // roll back: the flip never began
     }
     // leftovers of a completed (or aborted) flip; the orphan merged
     // segment a rolled-back flip leaves behind is invisible to probes
@@ -407,35 +421,58 @@ object Search {
     * with the same sums, so probes before and after are identical.
     * Streaming-marker state (`_markers`) is untouched.
     *
-    * Crash-safe at every step — probes answer (and answer correctly)
-    * from ANY intermediate state, because they filter postings to the
-    * segments their `_meta` view lists:
+    * Crash-safe at every step — probes whose meta read happens AFTER
+    * any crash answer (and answer correctly), because they filter
+    * postings to the segments their `_meta` view lists:
     *
+    *  0. Debris sweep: `_compact_tmp` and any postings segment dir NOT
+    *     listed by the live `_meta` (orphans earlier crashes left)
+    *     delete first — BEFORE the single-segment early return, so a
+    *     rolled-forward crash's merged-away segments don't strand 2×
+    *     the postings on disk until `every` more appends accumulate.
     *  1. The merged rewrite lands in a temp tree, then the new segment
-    *     directory RENAMES (atomic) under `postings/` — just another
-    *     segment dir, invisible to probes (not in `_meta`).
+    *     directory RENAMES (atomic, checked) under `postings/` — just
+    *     another segment dir, invisible to probes (not in `_meta`).
     *  2. The new one-row meta lands COMPLETE at `_meta_next`
     *     (`_SUCCESS`-marked) while the live `_meta` still serves the
     *     old view.
     *  3. The flip: `_meta` → `_meta_prev`, `_meta_next` → `_meta`,
-    *     delete `_meta_prev`. Each rename is atomic; a crash between
-    *     them leaves probes the forward view ([[segmentMetaPath]]) and
-    *     the next writer heals the tree ([[repairMetaFlip]]).
-    *  4. Old segment directories (now unreferenced) delete last, along
-    *     with any orphan segments earlier crashes left.
+    *     delete `_meta_prev`. Each rename is atomic and CHECKED
+    *     ([[renameOrFail]] — Hadoop rename fails by returning false);
+    *     a crash between them leaves probes the forward view
+    *     ([[segmentMetaPath]]) and the next writer heals the tree
+    *     ([[repairMetaFlip]]).
+    *  4. Old segment directories (now unreferenced) delete last.
+    *
+    * Concurrency honesty: compaction runs in the single-WRITER
+    * maintenance window, but readers are not fenced — a probe that
+    * collected the PRE-flip `_meta` and hasn't finished its postings
+    * scan when step 4 deletes the old segments can fail that scan
+    * (FileNotFound) or return partial results; it answers correctly on
+    * retry against the new view. The crash windows (the contract the
+    * spec drives) never hit this: after a crash there is no concurrent
+    * deleter, and every surviving state is listed above.
     */
   def compactIndexSegments(spark: SparkSession, storePath: String): Unit = {
     repairMetaFlip(spark, storePath)
     val metas = spark.read.parquet(s"$storePath/_meta").collect()
+    val liveSegs = metas.map(_.getAs[String]("segment")).toSeq
+    val fs = storeFs(spark, storePath)
+    val tmp = s"$storePath/_compact_tmp"
+    // (0) debris sweep — also on the single-segment path
+    fs.delete(hp(tmp), true)
+    val liveDirs = liveSegs.map(s => s"segment=$s").toSet
+    if (fs.exists(hp(s"$storePath/postings")))
+      fs.listStatus(hp(s"$storePath/postings"))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("segment=") &&
+          !liveDirs(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
     if (metas.length <= 1) return
     val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
     require(bucketSizes.length == 1,
       s"segments disagree on bucket count: ${bucketSizes.mkString(",")}")
-    val liveSegs = metas.map(_.getAs[String]("segment")).toSeq
     val seg = java.util.UUID.randomUUID().toString
-    val tmp = s"$storePath/_compact_tmp"
-    val fs = storeFs(spark, storePath)
-    fs.delete(hp(tmp), true) // a dead prior attempt's debris
     // (1) merged rewrite of the LIVE segments only (an orphan from a
     // crashed flip must not leak back in), renamed-in atomically
     spark.read.parquet(s"$storePath/postings")
@@ -443,7 +480,7 @@ object Search {
       .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
       .withColumn("segment", lit(seg))
       .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
-    fs.rename(hp(s"$tmp/postings/segment=$seg"),
+    renameOrFail(fs, hp(s"$tmp/postings/segment=$seg"),
       hp(s"$storePath/postings/segment=$seg"))
     // (2) the complete next meta beside the live one
     spark.range(1)
@@ -453,10 +490,10 @@ object Search {
         lit(bucketSizes.head).as("buckets"))
       .write.parquet(s"$storePath/_meta_next")
     // (3) the flip
-    fs.rename(hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
-    fs.rename(hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
+    renameOrFail(fs, hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
+    renameOrFail(fs, hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
     fs.delete(hp(s"$storePath/_meta_prev"), true)
-    // (4) unreferenced segment dirs: the merged-away ones + any orphans
+    // (4) unreferenced segment dirs: the merged-away ones
     val keep = s"segment=$seg"
     fs.listStatus(hp(s"$storePath/postings"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("segment=")

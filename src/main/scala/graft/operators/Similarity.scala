@@ -1080,9 +1080,16 @@ object Similarity {
     */
   def trainSqParams(df: DataFrame, vecCol: String, dim: Int = 64)
       : (Array[Double], Array[Double]) = {
+    // size-guarded element_at: under ANSI (Spark 4's default) a vector
+    // shorter than `dim` would THROW the whole aggregate; the guard
+    // nulls short rows' missing dims instead — the DuckDB oracle's
+    // e[i+1] null-skip semantics, and the library contract that dirty
+    // short rows are filtered, not fatal
     val aggs = (0 until dim).flatMap(i => Seq(
-      min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn$i"),
-      max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i")))
+      min(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+        .cast("double")).as(s"mn$i"),
+      max(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+        .cast("double")).as(s"mx$i")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // every aggregate slot, not just dim 0: a corpus of uniformly-short
     // vectors or an all-null dim j > 0 must fail with this message, not

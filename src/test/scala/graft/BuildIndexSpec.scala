@@ -168,6 +168,22 @@ class BuildIndexSpec extends SparkSpec {
         s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
         "kind: ivf", s"store: $store", "num_lists: 4.7"))
     e4.getMessage should include("num_lists must be an integer")
+    // a too-LARGE dim on a uniform corpus must still get the actionable
+    // width refusal — under ANSI (Spark 4's default) an unguarded
+    // element_at in the fused SQ-grid aggregate would instead crash
+    // with an opaque array-index error before the check ran
+    val e5 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: sq", s"store: $store", "dim: 64"))
+    e5.getMessage should include("set dim: 8")
+    // a leftover tuning key from a DIFFERENT kind's config refuses
+    // instead of silently not tuning (num_lists would be ignored by sq)
+    val e6 = the[IllegalArgumentException] thrownBy
+      BuildIndex.run(spark, writeCfg(
+        s"input: $inPath", "id_field: vec_id", "vector_field: embedding",
+        "kind: sq", s"store: $store", "dim: 8", "num_lists: 16"))
+    e6.getMessage should include("num_lists is only supported")
   }
 
   // ------------------------------------------------------ text-side kinds
@@ -304,6 +320,15 @@ class BuildIndexSpec extends SparkSpec {
       writeCfg(s"input: $inPath/docs", "kind: quality_model",
         s"store: $store"))
     e4.getMessage should include("requires bias")
+    // a duplicated token in the weight table would fan the scoring
+    // join out and corrupt every logit — refuse at build
+    val dupW = Seq(("tok", 0.5), ("tok", 0.7), ("other", 1.0))
+      .toDF("token", "weight")
+    dupW.write.parquet(s"$inPath/dupweights")
+    val e5 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/dupweights", "kind: quality_model",
+        "bias: 0.0", s"store: $store"))
+    e5.getMessage should include("duplicate tokens")
     new java.io.File(store).exists() shouldBe false
   }
 

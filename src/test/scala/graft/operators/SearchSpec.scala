@@ -208,6 +208,20 @@ class SearchSpec extends SparkSpec {
     Search.compactIndexSegments(spark, store)
     probe() shouldBe healthy
     spark.read.parquet(s"$store/_meta").count() shouldBe 1
+    // WINDOW 4 — a rolled-FORWARD crash leaves the merged-away segment
+    // dirs as orphans while _meta already has one row: the next
+    // compaction must sweep them on its single-segment early-return
+    // path, not strand 2x the postings until `every` more appends
+    val live = new java.io.File(s"$store/postings").listFiles()
+      .filter(_.getName.startsWith("segment=")).head
+    org.apache.commons.io.FileUtils.copyDirectory(live,
+      new java.io.File(s"$store/postings/segment=rolled-fwd-orphan"))
+    fs.mkdirs(new Path(s"$store/_compact_tmp"))
+    Search.compactIndexSegments(spark, store) // 1 segment → early return
+    new java.io.File(s"$store/postings").listFiles()
+      .count(_.getName.startsWith("segment=")) shouldBe 1
+    fs.exists(new Path(s"$store/_compact_tmp")) shouldBe false
+    probe() shouldBe healthy
     graft.core.CacheScope.releaseAll()
   }
 
