@@ -179,6 +179,15 @@ object BuildIndex {
       store: String, need: String => String, intOpt: String => Option[Int],
       dblOpt: String => Option[Double]): BuildReport = {
     val inPath = need("input")
+    // remaining PURE-config requirements resolve BEFORE the input scan
+    // below — the file-level contract ("a bad YAML must not pay an
+    // input pass to be told so") applies to missing keys too
+    val fieldCfg =
+      if (kind == "quality_model") {
+        // input IS the offline-trained weight table, not a corpus
+        Left(dblOpt("bias").getOrElse(throw new IllegalArgumentException(
+          "kind quality_model requires bias (the trained intercept)")))
+      } else Right((need("id_field"), need("text_field")))
     // Empty-input refusal for every text kind: a build over zero rows
     // would write a store that LOOKS healthy (meta rows, sidecars) and
     // scores nothing — the silent-empty-store hole the ANN kinds
@@ -189,19 +198,13 @@ object BuildIndex {
     if (rows == 0L)
       throw new IllegalArgumentException(
         s"input $inPath has no rows — the store would be empty")
-    kind match {
-      case "quality_model" =>
-        // input IS the offline-trained weight table, not a corpus
-        val bias = dblOpt("bias").getOrElse(throw new IllegalArgumentException(
-          "kind quality_model requires bias (the trained intercept)"))
+    fieldCfg match {
+      case Left(bias) =>
         QualityModel.saveModel(
           QualityModel.fromWeightTable(inputRaw, bias), store)
-      case other =>
-        val docs = inputRaw.select(col(need("id_field")),
-          col(need("text_field")))
-        val idCol = need("id_field")
-        val textCol = need("text_field")
-        other match {
+      case Right((idCol, textCol)) =>
+        val docs = inputRaw.select(col(idCol), col(textCol))
+        kind match {
           case "bm25" => Search.writePostingsStore(docs, idCol, textCol,
             store, buckets = intOpt("buckets").getOrElse(64))
           case "bm25_segment" => Search.writeIndexSegment(docs, idCol,
@@ -245,18 +248,13 @@ object BuildIndex {
     val needSqGrid = kind == "sq" || kind == "ivfsq"
     val vecSize = when(col(vecCol).isNotNull, size(col(vecCol)))
     val baseAggs = Seq(count(lit(1)), min(vecSize), max(vecSize))
-    // size-guarded element_at: ANSI mode (Spark 4's default) THROWS on
-    // an out-of-range index, which would crash this aggregate with an
-    // opaque array-index error BEFORE the width refusal below could
-    // name the real problem; the guard nulls short rows instead — the
-    // same null-skipping semantics the DuckDB oracle's e[i+1] has.
+    // the SAME expression pair trainSqParams uses — one definition
+    // (Similarity.sqGridAggs), because the stored-vs-inflight grid
+    // bit-identity depends on both computing identical expressions;
+    // the guard also keeps ANSI mode from throwing on short rows
+    // before the width refusal below can name the real problem
     val sqAggs =
-      if (!needSqGrid) Nil
-      else (0 until dim).flatMap(i => Seq(
-        min(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
-          .cast("double")),
-        max(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
-          .cast("double"))))
+      if (!needSqGrid) Nil else Similarity.sqGridAggs(vecCol, dim)
     val allAggs = baseAggs ++ sqAggs
     val stats = input.agg(allAggs.head, allAggs.tail: _*).collect()(0)
     val rows = stats.getLong(0)

@@ -990,10 +990,21 @@ object JobRunner {
               // long-running indexer's probe cost stays flat instead
               // of growing a directory per micro-batch
               Yaml.str(cur, "search_index").foreach { path =>
+                // no swallow-to-zero: writeIndexSegment succeeded
+                // earlier in this run, so _meta is present by
+                // construction — a failed read here is CORRUPTION, and
+                // mapping it to 0 would silently disable compaction
+                // forever while the segment tree grows unboundedly.
+                // Log loudly, skip this window only.
                 val nSegs =
                   try curated.sparkSession.read.parquet(s"$path/_meta")
                     .count()
-                  catch { case _: Exception => 0L }
+                  catch {
+                    case e: Exception =>
+                      log(s"search index _meta unreadable at $path — " +
+                        s"compaction SKIPPED this window: ${e.getMessage}")
+                      -1L
+                  }
                 if (nSegs >= every) {
                   graft.operators.Search.compactIndexSegments(
                     curated.sparkSession, path)

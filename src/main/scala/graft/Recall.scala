@@ -64,6 +64,13 @@ object Recall {
     val cb64T = Similarity.refinePqCodebooksDistributed(emb, "vec_id",
       "embedding", cb64, m = 8, numCodes = 64, dsub = 8, iterations = 2)
 
+    // the prefix-SQ grids are fits: train ONCE per prefix dim, reuse
+    // across every (factor, k) combination in the sweep
+    val prefixGrids = Seq(16, 32).map { d =>
+      d -> Similarity.trainSqParams(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, d)
+          .as("embedding")), "embedding", d)
+    }.toMap
     // k=5 is the oracle queries' operating point; k=50 stresses the
     // candidate budget (a single LSH bucket at 8 planes holds fewer
     // than 50 vectors at this sf, so its recall@50 is structurally
@@ -227,9 +234,11 @@ object Recall {
         d <- Seq(16, 32)
         factor <- Seq(4, 8)
       } yield {
+        val (pm, px) = prefixGrids(d)
         s"matryoshka_sq_d${d}_rerank_f$factor" -> topkRecall(
           Similarity.prefixSqRerankTopK(emb, queries, "vec_id",
-            "embedding", k, prefixDim = d, factor = factor))
+            "embedding", k, prefixDim = d, factor = factor,
+            mins = pm, maxs = px))
       }).toMap
       lsh ++ lshMp ++ ivf ++ ivfpq ++ ivfpqRef ++ ivfadc ++ rich ++
         richRerank ++ ivfsqRerank ++ sq ++ binary ++ matry ++ matrySq

@@ -64,17 +64,26 @@ object QualityModel {
     val cols = weights.columns.toSet
     require(cols.contains("token") && cols.contains("weight"),
       s"weight table needs (token, weight) columns; has ${weights.columns.mkString(", ")}")
-    // duplicate tokens REFUSE at build: the scoring join fans a
-    // duplicated token out (each occurrence re-adds its weight and
-    // inflates n_tokens — the exact corruption [[weightsFingerprint]]
-    // exists to catch), and fromMap cannot produce duplicates, so a
-    // table that can must prove it didn't. One aggregate over a
-    // vocab-bounded table.
-    val d = weights.agg(count(lit(1)), count_distinct(col("token")))
-      .collect()(0)
-    require(d.getLong(0) == d.getLong(1),
-      s"weight table has duplicate tokens (${d.getLong(0)} rows, " +
-        s"${d.getLong(1)} distinct) — duplicates corrupt every score " +
+    // The states fromMap CANNOT represent must REFUSE at build, not
+    // certify: duplicate tokens (the scoring join re-adds each
+    // occurrence and inflates n_tokens — the corruption
+    // [[weightsFingerprint]] exists to catch), NULL tokens/weights
+    // (floor(NULL) quantizes to a null w_micros row that sum() then
+    // silently skips, mis-scoring every doc with that token), and an
+    // empty table (fromMap's own nonEmpty contract). One aggregate
+    // over a vocab-bounded table.
+    val d = weights.agg(count(lit(1)), count(col("token")),
+      count(col("weight")), count_distinct(col("token"))).collect()(0)
+    val (n, nTok, nW, nDist) =
+      (d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3))
+    require(n > 0, "linear model needs at least one weight")
+    require(nTok == n, s"weight table has ${n - nTok} NULL tokens")
+    require(nW == n,
+      s"weight table has ${n - nW} NULL weights — a null weight " +
+        "quantizes to a row the scoring sum silently skips")
+    require(nDist == nTok,
+      s"weight table has duplicate tokens ($nTok rows, " +
+        s"$nDist distinct) — duplicates corrupt every score " +
         "(the token join re-adds each occurrence); dedupe the table first")
     LinearModel(weights.select(col("token").cast("string").as("token"),
       floor(col("weight").cast("double") * 1e6 + 0.5).cast("long")

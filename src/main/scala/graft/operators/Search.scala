@@ -475,13 +475,25 @@ object Search {
     val seg = java.util.UUID.randomUUID().toString
     // (1) merged rewrite of the LIVE segments only (an orphan from a
     // crashed flip must not leak back in), renamed-in atomically
-    spark.read.parquet(s"$storePath/postings")
-      .filter(col("segment").isInCollection(liveSegs))
-      .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
-      .withColumn("segment", lit(seg))
-      .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
-    renameOrFail(fs, hp(s"$tmp/postings/segment=$seg"),
-      hp(s"$storePath/postings/segment=$seg"))
+    // a store whose segments hold ZERO postings rows (all-empty-text
+    // batches) has no segment dirs — and possibly no readable parquet
+    // at all (schema inference fails on a _SUCCESS-only dir), so the
+    // rewrite is skipped entirely and the merged "segment" is an empty
+    // directory; the _meta rows still collapse below
+    val hasSegmentDirs = fs.exists(hp(s"$storePath/postings")) &&
+      fs.listStatus(hp(s"$storePath/postings")).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("segment="))
+    if (hasSegmentDirs) {
+      spark.read.parquet(s"$storePath/postings")
+        .filter(col("segment").isInCollection(liveSegs))
+        .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
+        .withColumn("segment", lit(seg))
+        .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
+    }
+    if (fs.exists(hp(s"$tmp/postings/segment=$seg")))
+      renameOrFail(fs, hp(s"$tmp/postings/segment=$seg"),
+        hp(s"$storePath/postings/segment=$seg"))
+    else fs.mkdirs(hp(s"$storePath/postings/segment=$seg"))
     // (2) the complete next meta beside the live one
     spark.range(1)
       .select(lit(seg).as("segment"),

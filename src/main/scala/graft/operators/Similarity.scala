@@ -1078,18 +1078,26 @@ object Similarity {
     * on the corpus, reuse for every encode/probe — the params pair is
     * the entire "model".
     */
+  /** The per-dim (min, max) aggregate expression pair, shared by
+    * [[trainSqParams]] and [[graft.BuildIndex]]'s fused stats pass —
+    * ONE definition, because the stored-vs-inflight grid bit-identity
+    * (and the store params fingerprint) depends on both computing the
+    * exact same expression. element_at is size-guarded: under ANSI
+    * (Spark 4's default) a vector shorter than `dim` would THROW the
+    * whole aggregate; the guard nulls short rows' missing dims instead
+    * — the DuckDB oracle's e[i+1] null-skip semantics, and the library
+    * contract that dirty short rows are filtered, not fatal.
+    */
+  def sqGridAggs(vecCol: String, dim: Int): Seq[Column] =
+    (0 until dim).flatMap(i => Seq(
+      min(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+        .cast("double")),
+      max(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
+        .cast("double"))))
+
   def trainSqParams(df: DataFrame, vecCol: String, dim: Int = 64)
       : (Array[Double], Array[Double]) = {
-    // size-guarded element_at: under ANSI (Spark 4's default) a vector
-    // shorter than `dim` would THROW the whole aggregate; the guard
-    // nulls short rows' missing dims instead — the DuckDB oracle's
-    // e[i+1] null-skip semantics, and the library contract that dirty
-    // short rows are filtered, not fatal
-    val aggs = (0 until dim).flatMap(i => Seq(
-      min(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
-        .cast("double")).as(s"mn$i"),
-      max(when(size(col(vecCol)) >= i + 1, element_at(col(vecCol), i + 1))
-        .cast("double")).as(s"mx$i")))
+    val aggs = sqGridAggs(vecCol, dim)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // every aggregate slot, not just dim 0: a corpus of uniformly-short
     // vectors or an all-null dim j > 0 must fail with this message, not
@@ -2151,14 +2159,38 @@ object Similarity {
       prefixDim: Int,
       factor: Int = 4
   ): DataFrame = {
+    val (mins, maxs) = trainSqParams(
+      corpus.select(col(idCol), slice(col(vecCol), 1, prefixDim)
+        .as(vecCol)), vecCol, prefixDim)
+    prefixSqRerankTopK(corpus, queries, idCol, vecCol, k, prefixDim,
+      factor, mins, maxs)
+  }
+
+  /** Pre-trained-grid overload (mirrors [[sqRerankTopK]]'s shape): the
+    * grid is the fit, train it once per prefix dim and reuse across
+    * probes/factors — a recall sweep otherwise re-pays the full-corpus
+    * training aggregate per (factor, k) combination.
+    */
+  def prefixSqRerankTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDim: Int,
+      factor: Int,
+      mins: Array[Double],
+      maxs: Array[Double]
+  ): DataFrame = {
     require(prefixDim >= 1, s"prefixDim must be >= 1: $prefixDim")
     require(factor >= 1, s"refine factor must be >= 1: $factor")
+    require(mins.length == prefixDim && maxs.length == prefixDim,
+      s"grid width ${mins.length}/${maxs.length} != prefixDim $prefixDim")
     def sliced(df: DataFrame) = df.select(col(idCol),
       slice(col(vecCol), 1, prefixDim).as(vecCol))
-    val sc = sliced(corpus)
-    val (mins, maxs) = trainSqParams(sc, vecCol, prefixDim)
     rerankExact(
-      sqTopK(sc, sliced(queries), idCol, vecCol, k * factor, mins, maxs),
+      sqTopK(sliced(corpus), sliced(queries), idCol, vecCol, k * factor,
+        mins, maxs),
       corpus, queries, idCol, vecCol, k)
   }
 

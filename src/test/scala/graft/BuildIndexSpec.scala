@@ -329,6 +329,20 @@ class BuildIndexSpec extends SparkSpec {
       writeCfg(s"input: $inPath/dupweights", "kind: quality_model",
         "bias: 0.0", s"store: $store"))
     e5.getMessage should include("duplicate tokens")
+    // a NULL weight would quantize to a row the scoring sum silently
+    // skips — refuse instead of certifying the corrupt table
+    Seq(("a", Some(0.5)), ("b", None)).toDF("token", "weight")
+      .write.parquet(s"$inPath/nullweights")
+    val e6 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath/nullweights", "kind: quality_model",
+        "bias: 0.0", s"store: $store"))
+    e6.getMessage should include("NULL weights")
+    // missing required keys refuse BEFORE paying an input scan — the
+    // input path here doesn't even exist, and the key error must win
+    val e7 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("input: /nonexistent/nowhere", "id_field: doc_id",
+        "kind: bm25", s"store: $store"))
+    e7.getMessage should include("requires text_field")
     new java.io.File(store).exists() shouldBe false
   }
 

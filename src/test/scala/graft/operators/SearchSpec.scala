@@ -225,6 +225,22 @@ class SearchSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("compacting a zero-postings store (all-empty-text segments) merges metas without failing") {
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-empty-").toString + "/idx"
+    val blank = Seq((0L, "   "), (1L, " ")).toDF("doc_id", "text")
+    Search.writeIndexSegment(blank, "doc_id", "text", store, buckets = 4)
+    Search.writeIndexSegment(blank, "doc_id", "text", store, buckets = 4)
+    spark.read.parquet(s"$store/_meta").count() shouldBe 2
+    // zero postings rows → the merged write creates no segment dir;
+    // compaction must not die on the rename (regression guard)
+    Search.compactIndexSegments(spark, store)
+    spark.read.parquet(s"$store/_meta").count() shouldBe 1
+    spark.read.parquet(s"$store/_meta")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
+      .head.getLong(0) shouldBe 0L
+  }
+
   test("segmented index: mismatched bucket counts refuse loudly") {
     val store = java.nio.file.Files
       .createTempDirectory("bm25-mismatch-").toString + "/idx"
