@@ -375,6 +375,21 @@ class BuildIndexSpec extends SparkSpec {
       // exactly TWO input passes: the fused stats+grid aggregate and
       // the code write (pre-fusion this was three — stats, grid, write)
       read.get() shouldBe 160L
+      // ivfsq: fused agg + centroid seed (TakeOrdered) + code write =
+      // THREE passes (pre-fusion: four); the _train sidecar writes are
+      // driver-side literals and scan nothing
+      read.set(0L)
+      val store2 = java.nio.file.Files
+        .createTempDirectory("bidx-scan2-").toString + "/idx"
+      BuildIndex.run(spark, writeCfg(s"input: $inPath",
+        "id_field: vec_id", "vector_field: embedding", "kind: ivfsq",
+        s"store: $store2", "dim: 8", "num_lists: 4"))
+      var last2 = -1L
+      var spins2 = 0
+      while (read.get() != last2 && spins2 < 50) {
+        last2 = read.get(); Thread.sleep(200); spins2 += 1
+      }
+      read.get() shouldBe 240L
     } finally spark.sparkContext.removeSparkListener(listener)
     // and the store built from the fused grid still probes correctly
     val (mins, maxs) = Similarity.readSqTrainParams(spark, store)
