@@ -106,6 +106,20 @@ object BuildIndex {
   case class BuildReport(kind: String, store: String, rows: Long,
       rawStore: Option[String])
 
+  /** Shape test for [[Orchestrator.runScheduled]]'s dispatch: an
+    * index/fit build config is recognized by a `kind` from the kind
+    * list plus `store` + `input` keys — an ingestion job YAML carries
+    * none of these (it has source/target connector paths). Unreadable
+    * YAML is NOT an index config; the job path falls through to the
+    * JobRunner, whose loader reports the parse error.
+    */
+  def isIndexConfig(cfgPath: String): Boolean =
+    try {
+      val c = Yaml.loadFile(cfgPath)
+      Yaml.str(c, "kind").exists(AllKinds) &&
+        Yaml.str(c, "store").nonEmpty && Yaml.str(c, "input").nonEmpty
+    } catch { case _: Exception => false }
+
   def run(spark: SparkSession, cfgPath: String): BuildReport = {
     val c = Yaml.loadFile(cfgPath)
     def need(k: String): String = Yaml.str(c, k).getOrElse(

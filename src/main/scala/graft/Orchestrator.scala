@@ -93,6 +93,53 @@ object Orchestrator {
     Yaml.str(Yaml.loadFile(path), "concurrency_per_tenant")
       .map(_.toDouble.toInt).getOrElse(1)
 
+  /** Schedule-level dispatch: a schedule's `job_path` names either an
+    * ingestion job (JobRunner YAML) or a STORE BUILD (BuildIndex YAML,
+    * recognized by shape — [[BuildIndex.isIndexConfig]]), completing
+    * the build-as-config-verb boundary: "offline, whole-corpus,
+    * cadence-driven" is exactly what a schedule exists to run, so the
+    * orchestrator must be able to run one without a wrapper job.
+    *
+    * Retry semantics for builds: an [[IllegalArgumentException]] is a
+    * CONFIG error — retrying replays the same refusal, so it fails
+    * once, loudly, without burning the backoff budget; any other
+    * failure (I/O, transient infra) retries under the schedule's
+    * policy like a job would.
+    */
+  def runScheduled(spark: SparkSession, path: String,
+      retry: JobRunner.RetryPolicy,
+      sleep: Long => Unit = Thread.sleep,
+      log: String => Unit = m => System.err.println(s"[graft] $m")): Int =
+    if (!BuildIndex.isIndexConfig(path))
+      JobRunner.runWithRetry(spark, path, retry, sleep = sleep, log = log)
+        .exitCode
+    else {
+      def attempt(): (Int, Boolean) =
+        try {
+          val r = BuildIndex.run(spark, path)
+          log(s"index build kind=${r.kind} store=${r.store} rows=${r.rows}")
+          (graft.core.ExitCodes.Success, false)
+        } catch {
+          case e: IllegalArgumentException =>
+            log(s"index build config error (not retried): ${e.getMessage}")
+            (graft.core.ExitCodes.Failure, false)
+          case e: Exception =>
+            log(s"index build attempt failed: ${e.getMessage}")
+            (graft.core.ExitCodes.Failure, true)
+        }
+      var attemptN = 0
+      var (rc, retryable) = attempt()
+      while (attemptN < retry.maxRetries && retryable &&
+          retry.retryableExitCodes.contains(rc)) {
+        sleep(math.min(retry.maxDelayMs,
+          (retry.initialDelayMs * math.pow(retry.multiplier, attemptN)).toLong))
+        attemptN += 1
+        val (rc2, r2) = attempt()
+        rc = rc2; retryable = r2
+      }
+      rc
+    }
+
   /** One scheduling tick: run every schedule whose next-run time has
     * arrived; returns updated next-run times. Pure w.r.t. the clock so
     * tests drive it with a virtual one (orchestrated.py's loop, minus
@@ -111,7 +158,7 @@ object Orchestrator {
       due: Seq[(Schedule, java.time.LocalDateTime)],
       now: java.time.LocalDateTime,
       runJob: (SparkSession, String, JobRunner.RetryPolicy) => Int =
-        (s, p, r) => JobRunner.runWithRetry(s, p, r).exitCode,
+        (s, p, r) => runScheduled(s, p, r),
       concurrency: Int = 1
   ): Seq[(Schedule, java.time.LocalDateTime, Option[Int])] = {
     require(concurrency >= 1, s"concurrency must be >= 1: $concurrency")

@@ -96,6 +96,70 @@ class OrchestratorSpec extends SparkSpec {
     out.head._3 shouldBe Some(graft.core.ExitCodes.Failure)
   }
 
+  test("runScheduled dispatches a BuildIndex YAML: builds the store, config errors never retry, transient failures do") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orch-idx-")
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb.write.parquet(dir.resolve("emb").toString)
+    val policy = JobRunner.RetryPolicy(maxRetries = 3, initialDelayMs = 1)
+    // a valid index config builds on schedule, exit 0
+    val good = dir.resolve("index.yaml")
+    Files.writeString(good,
+      s"""kind: sq
+         |input: ${dir.resolve("emb")}
+         |store: ${dir.resolve("sqstore")}
+         |id_field: vec_id
+         |vector_field: embedding
+         |dim: 8
+         |""".stripMargin)
+    var slept = 0
+    runScheduled(spark, good.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Success
+    slept shouldBe 0
+    graft.operators.Similarity.readSqTrainParams(
+      spark, dir.resolve("sqstore").toString)._1.length shouldBe 8
+    // a CONFIG error fails once, loudly, with zero backoff burned —
+    // retrying a refusal replays the same refusal
+    val bad = dir.resolve("bad.yaml")
+    Files.writeString(bad,
+      s"""kind: sq
+         |input: ${dir.resolve("emb")}
+         |store: ${dir.resolve("badstore")}
+         |id_field: vec_id
+         |vector_field: embedding
+         |dim: 64
+         |""".stripMargin)
+    runScheduled(spark, bad.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Failure
+    slept shouldBe 0
+    // a TRANSIENT failure (missing input path is an AnalysisException,
+    // not a config refusal) retries under the schedule's policy
+    val transient = dir.resolve("transient.yaml")
+    Files.writeString(transient,
+      s"""kind: sq
+         |input: ${dir.resolve("not_yet_written")}
+         |store: ${dir.resolve("tstore")}
+         |id_field: vec_id
+         |vector_field: embedding
+         |dim: 8
+         |""".stripMargin)
+    runScheduled(spark, transient.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Failure
+    slept shouldBe 3 // maxRetries backoffs burned
+    // a non-index YAML falls through to the JobRunner path (whose
+    // loader rejects it as a job, after retries)
+    val notIdx = dir.resolve("job.yaml")
+    Files.writeString(notIdx, "tenant_id: t1\n")
+    runScheduled(spark, notIdx.toString, policy,
+      sleep = _ => (), log = _ => ()) should not be
+      graft.core.ExitCodes.Success
+  }
+
   test("runner config loads schedules with retry settings") {
     val dir = Files.createTempDirectory("orch-")
     val p = dir.resolve("runner.yaml")
