@@ -101,7 +101,22 @@ object BuildIndex {
     "ivf_binary", "lsh", "embedding_buckets")
   private val TextKinds = Set("bm25", "bm25_segment", "lm",
     "quality_model", "tfidf", "dsir")
-  private val AllKinds = AnnKinds ++ TextKinds
+  /** Store MAINTENANCE as a config verb — the other half of the
+    * build-surface symmetry (r18 verdict #2): compaction was only
+    * reachable from inside a running curation job
+    * (`curation.compact_store_every`), but "merge the small files /
+    * segments my appends accumulated" is exactly the offline,
+    * cadence-driven action a schedule exists to run. No `input`: the
+    * target store IS the input.
+    * {{{
+    * kind: compact
+    * store: /stores/corpus_bm25_seg
+    * family: segments            # segments | flat
+    * target_file_bytes: 134217728  # flat only (compactFlatStore target)
+    * }}}
+    */
+  private val MaintKinds = Set("compact")
+  private val AllKinds = AnnKinds ++ TextKinds ++ MaintKinds
 
   case class BuildReport(kind: String, store: String, rows: Long,
       rawStore: Option[String])
@@ -116,8 +131,10 @@ object BuildIndex {
   def isIndexConfig(cfgPath: String): Boolean =
     try {
       val c = Yaml.loadFile(cfgPath)
-      Yaml.str(c, "kind").exists(AllKinds) &&
-        Yaml.str(c, "store").nonEmpty && Yaml.str(c, "input").nonEmpty
+      val kind = Yaml.str(c, "kind")
+      kind.exists(AllKinds) && Yaml.str(c, "store").nonEmpty &&
+        (if (kind.exists(MaintKinds)) Yaml.str(c, "family").nonEmpty
+         else Yaml.str(c, "input").nonEmpty)
     } catch { case _: Exception => false }
 
   def run(spark: SparkSession, cfgPath: String): BuildReport = {
@@ -178,14 +195,69 @@ object BuildIndex {
     onlyFor("buckets", Set("bm25", "bm25_segment", "tfidf", "dsir"))
     onlyFor("vector_field", AnnKinds)
     onlyFor("text_field", TextKinds - "quality_model")
-    onlyFor("id_field", AllKinds - "quality_model")
+    onlyFor("id_field", AnnKinds ++ TextKinds - "quality_model")
+    // maintenance keys — and `input` itself, which a compact config
+    // must NOT carry (the target store is the input; a leftover input
+    // key from a build config would be silently ignored)
+    onlyFor("family", MaintKinds)
+    onlyFor("target_file_bytes", MaintKinds)
+    onlyFor("input", AnnKinds ++ TextKinds)
     if (kind == "dsir" && Yaml.str(c, "target_input").isEmpty)
       throw new IllegalArgumentException(
         "kind dsir requires target_input (the target-distribution corpus)")
 
-    if (TextKinds(kind)) runText(spark, c, kind, store, need, intOpt, dblOpt)
+    if (MaintKinds(kind)) runCompact(spark, c, store, need)
+    else if (TextKinds(kind)) runText(spark, c, kind, store, need, intOpt,
+      dblOpt)
     else runAnn(spark, c, kind, store, need, intOpt)
   }
+
+  // ------------------------------------------------------ maintenance kinds
+
+  /** `kind: compact` — dispatch on `family`:
+    *  - `segments`: merge a segmented BM25 index's segment directories
+    *    into one ([[Search.compactIndexSegments]], the crash-safe
+    *    protocol); probe results before and after are identical.
+    *  - `flat`: rewrite a flat append-only store's small files into
+    *    size-targeted ones ([[graft.core.StoreCompaction
+    *    .compactFlatStore]]); row multiset unchanged.
+    *
+    * A MISSING target store fails once as a config error (the flat
+    * path's `require`, the segments path's PATH_NOT_FOUND) — unlike an
+    * empty build input, a store that was never created is
+    * indistinguishable from a path typo, and compaction of a store no
+    * appender has touched yet is a schedule misordering to surface, not
+    * to retry quietly. `rows` in the report is the unit count compacted
+    * (segments merged / files rewritten).
+    */
+  private def runCompact(spark: SparkSession, c: Map[String, Any],
+      store: String, need: String => String): BuildReport =
+    need("family") match {
+      case "segments" =>
+        if (Yaml.str(c, "target_file_bytes").nonEmpty)
+          throw new IllegalArgumentException(
+            "target_file_bytes is only supported for family flat " +
+              "(segments merge whole partition directories)")
+        val nSegs = spark.read.parquet(s"$store/_meta").count()
+        Search.compactIndexSegments(spark, store)
+        BuildReport("compact", store, nSegs, None)
+      case "flat" =>
+        val target = Yaml.str(c, "target_file_bytes").map { s =>
+          try s.trim.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"index config key target_file_bytes must be an integer " +
+                  s"(got: $s)")
+          }
+        }.getOrElse(128L * 1024 * 1024)
+        val (before, _) = graft.core.StoreCompaction.compactFlatStore(
+          spark, store, target)
+        BuildReport("compact", store, before.toLong, None)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown compact family: $other (segments|flat)")
+    }
 
   // ------------------------------------------------------- text-side kinds
 
@@ -209,8 +281,12 @@ object BuildIndex {
     // no columns (empty projection), so this is footer-cheap.
     val inputRaw = spark.read.parquet(inPath)
     val rows = inputRaw.count()
+    // DataNotReadyException, not a plain config refusal: an EXISTING
+    // but empty input is "upstream hasn't landed yet", a transient
+    // state the scheduler retries under backoff (r18 verdict #1) — a
+    // MISSING path stays fail-once (indistinguishable from a typo).
     if (rows == 0L)
-      throw new IllegalArgumentException(
+      throw new graft.core.DataNotReadyException(
         s"input $inPath has no rows — the store would be empty")
     fieldCfg match {
       case Left(bias) =>
@@ -231,7 +307,7 @@ object BuildIndex {
           case "dsir" =>
             val target = spark.read.parquet(need("target_input"))
             if (target.isEmpty)
-              throw new IllegalArgumentException(
+              throw new graft.core.DataNotReadyException(
                 "target_input has no rows — every ratio would be the " +
                   "raw-only prior and the fit meaningless")
             Sampling.saveImportanceRatios(docs, target, idCol, textCol,
@@ -274,6 +350,14 @@ object BuildIndex {
     val rows = stats.getLong(0)
     val minDim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
     val maxDim = if (stats.isNullAt(2)) 0 else stats.getInt(2)
+    // Same empty-input contract as the text kinds (and the same
+    // retry classification — see DataNotReadyException): the fused
+    // stats row already holds the count, so this costs nothing. An
+    // empty ANN build would previously fail obliquely (empty centroid
+    // seed / null SQ grid slots) instead of naming the real problem.
+    if (rows == 0L)
+      throw new graft.core.DataNotReadyException(
+        s"input ${need("input")} has no rows — the store would be empty")
     // Kinds that slice/encode a fixed prefix REFUSE a config width that
     // cannot match the data: a uniformly different corpus dim means the
     // config is wrong (a too-large width would silently write an EMPTY

@@ -1067,18 +1067,29 @@ object JobRunner {
           log(s"attempt failed: ${e.getMessage}")
           JobReport(ExitCodes.Failure, 0L, 0L, Map.empty, "", "error")
       }
-    var attempt = 0
-    var report = attemptRun()
-    while (attempt < policy.maxRetries &&
+    retryLoop(policy, sleep)(attemptRun _) { report =>
       policy.retryableExitCodes.contains(report.exitCode) &&
-      report.validRecords == 0L) {
-      val delay = math.min(policy.maxDelayMs,
-        (policy.initialDelayMs * math.pow(policy.multiplier, attempt)).toLong)
-      sleep(delay)
-      attempt += 1
-      report = attemptRun()
+        report.validRecords == 0L
     }
-    report
+  }
+
+  /** THE exponential-backoff loop — `initialDelay × multiplier^attempt`,
+    * capped at `maxDelay`, at most `maxRetries` re-attempts. Shared by
+    * [[runWithRetry]] and [[Orchestrator.runScheduled]]'s build dispatch
+    * so the arithmetic can never drift between the two surfaces; each
+    * caller supplies its own `retryable` verdict over the attempt result.
+    */
+  private[graft] def retryLoop[A](policy: RetryPolicy, sleep: Long => Unit)(
+      attempt: () => A)(retryable: A => Boolean): A = {
+    var n = 0
+    var result = attempt()
+    while (n < policy.maxRetries && retryable(result)) {
+      sleep(math.min(policy.maxDelayMs,
+        (policy.initialDelayMs * math.pow(policy.multiplier, n)).toLong))
+      n += 1
+      result = attempt()
+    }
+    result
   }
 }
 

@@ -100,11 +100,22 @@ object Orchestrator {
     * cadence-driven" is exactly what a schedule exists to run, so the
     * orchestrator must be able to run one without a wrapper job.
     *
-    * Retry semantics for builds: an [[IllegalArgumentException]] is a
-    * CONFIG error — retrying replays the same refusal, so it fails
-    * once, loudly, without burning the backoff budget; any other
-    * failure (I/O, transient infra) retries under the schedule's
-    * policy like a job would.
+    * Retry semantics for builds — classification by CAUSE, not just
+    * exception surface:
+    *  - [[graft.core.DataNotReadyException]] (input exists but has no
+    *    rows yet): the upstream ingestion job hasn't landed — a
+    *    TRANSIENT state, retried under the schedule's backoff so the
+    *    build succeeds within the tick once data arrives.
+    *  - Any other [[IllegalArgumentException]] is a CONFIG error —
+    *    retrying replays the same refusal, so it fails once, loudly,
+    *    without burning the backoff budget.
+    *  - An [[org.apache.spark.sql.AnalysisException]] for a MISSING
+    *    input path is indistinguishable from a path typo and also
+    *    fails once (previously it burned the full backoff budget on
+    *    every tick); other AnalysisExceptions and I/O failures retry
+    *    like a job would.
+    * The backoff arithmetic is [[JobRunner.retryLoop]] — the same loop
+    * the job path runs, not a duplicate.
     */
   def runScheduled(spark: SparkSession, path: String,
       retry: JobRunner.RetryPolicy,
@@ -120,24 +131,24 @@ object Orchestrator {
           log(s"index build kind=${r.kind} store=${r.store} rows=${r.rows}")
           (graft.core.ExitCodes.Success, false)
         } catch {
+          case e: graft.core.DataNotReadyException =>
+            log(s"index build input not ready (retrying): ${e.getMessage}")
+            (graft.core.ExitCodes.Failure, true)
           case e: IllegalArgumentException =>
+            log(s"index build config error (not retried): ${e.getMessage}")
+            (graft.core.ExitCodes.Failure, false)
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "PATH_NOT_FOUND" ||
+                Option(e.getMessage).exists(_.contains("Path does not exist")) =>
             log(s"index build config error (not retried): ${e.getMessage}")
             (graft.core.ExitCodes.Failure, false)
           case e: Exception =>
             log(s"index build attempt failed: ${e.getMessage}")
             (graft.core.ExitCodes.Failure, true)
         }
-      var attemptN = 0
-      var (rc, retryable) = attempt()
-      while (attemptN < retry.maxRetries && retryable &&
-          retry.retryableExitCodes.contains(rc)) {
-        sleep(math.min(retry.maxDelayMs,
-          (retry.initialDelayMs * math.pow(retry.multiplier, attemptN)).toLong))
-        attemptN += 1
-        val (rc2, r2) = attempt()
-        rc = rc2; retryable = r2
-      }
-      rc
+      JobRunner.retryLoop(retry, sleep)(attempt _) { case (rc, retryable) =>
+        retryable && retry.retryableExitCodes.contains(rc)
+      }._1
     }
 
   /** One scheduling tick: run every schedule whose next-run time has

@@ -304,6 +304,9 @@ class BuildIndexSpec extends SparkSpec {
       writeCfg(s"input: $inPath/empty", "id_field: doc_id",
         "text_field: text", "kind: bm25", s"store: $store"))
     e1.getMessage should include("no rows")
+    // ...and it is the RETRYABLE refusal type: an existing-but-empty
+    // input is "upstream not landed", which the scheduler retries
+    e1 shouldBe a[graft.core.DataNotReadyException]
     // dsir without a target corpus has no fit semantics
     val e2 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
       writeCfg(s"input: $inPath/docs", "id_field: doc_id",
@@ -343,6 +346,46 @@ class BuildIndexSpec extends SparkSpec {
       writeCfg("input: /nonexistent/nowhere", "id_field: doc_id",
         "kind: bm25", s"store: $store"))
     e7.getMessage should include("requires text_field")
+    new java.io.File(store).exists() shouldBe false
+  }
+
+  test("kind compact: key-matrix refusals before touching the store; ANN empty input is data-not-ready") {
+    val store = java.nio.file.Files
+      .createTempDirectory("bidx-cpt-").toString + "/s"
+    // family is required
+    val e1 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $store"))
+    e1.getMessage should include("requires family")
+    // unknown family refuses with the valid set
+    val e2 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $store", "family: ivf"))
+    e2.getMessage should include("unknown compact family")
+    // flat-only knob on segments
+    val e3 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $store", "family: segments",
+        "target_file_bytes: 1024"))
+    e3.getMessage should include("only supported for family flat")
+    // a build key left over from a different config refuses
+    val e4 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $store", "family: flat",
+        "input: /data/docs.parquet"))
+    e4.getMessage should include("input is only supported")
+    // non-integer target_file_bytes refuses, not a silent default
+    val e5 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $store", "family: flat",
+        "target_file_bytes: lots"))
+    e5.getMessage should include("target_file_bytes must be an integer")
+    // ANN empty input: same data-not-ready contract as the text kinds
+    import spark.implicits._
+    val empty = vecs(5).filter($"vec_id" < 0)
+    val inPath = java.nio.file.Files
+      .createTempDirectory("bidx-annempty-").toString + "/emb"
+    empty.write.parquet(inPath)
+    val e6 = the[IllegalArgumentException] thrownBy BuildIndex.run(spark,
+      writeCfg(s"input: $inPath", "id_field: vec_id",
+        "vector_field: embedding", "kind: sq", s"store: $store", "dim: 8"))
+    e6.getMessage should include("no rows")
+    e6 shouldBe a[graft.core.DataNotReadyException]
     new java.io.File(store).exists() shouldBe false
   }
 

@@ -136,8 +136,10 @@ class OrchestratorSpec extends SparkSpec {
       sleep = _ => slept += 1, log = _ => ()) shouldBe
       graft.core.ExitCodes.Failure
     slept shouldBe 0
-    // a TRANSIENT failure (missing input path is an AnalysisException,
-    // not a config refusal) retries under the schedule's policy
+    // a MISSING input path is indistinguishable from a path typo —
+    // it fails ONCE with zero backoff burned (previously it burned the
+    // full budget on every tick); the retried "upstream not landed"
+    // state is an EXISTING input with no rows, driven below
     val transient = dir.resolve("transient.yaml")
     Files.writeString(transient,
       s"""kind: sq
@@ -150,6 +152,25 @@ class OrchestratorSpec extends SparkSpec {
     runScheduled(spark, transient.toString, policy,
       sleep = _ => slept += 1, log = _ => ()) shouldBe
       graft.core.ExitCodes.Failure
+    slept shouldBe 0
+    // a genuinely transient failure (not a refusal, not a missing
+    // path) still retries under the schedule's policy: corrupt input
+    // files throw at scan time, not analysis time
+    Files.createDirectories(dir.resolve("corrupt"))
+    Files.writeString(dir.resolve("corrupt").resolve("part-0.parquet"),
+      "this is not parquet")
+    val corrupt = dir.resolve("corrupt.yaml")
+    Files.writeString(corrupt,
+      s"""kind: sq
+         |input: ${dir.resolve("corrupt")}
+         |store: ${dir.resolve("cstore")}
+         |id_field: vec_id
+         |vector_field: embedding
+         |dim: 8
+         |""".stripMargin)
+    runScheduled(spark, corrupt.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Failure
     slept shouldBe 3 // maxRetries backoffs burned
     // a non-index YAML falls through to the JobRunner path (whose
     // loader rejects it as a job, after retries)
@@ -158,6 +179,101 @@ class OrchestratorSpec extends SparkSpec {
     runScheduled(spark, notIdx.toString, policy,
       sleep = _ => (), log = _ => ()) should not be
       graft.core.ExitCodes.Success
+  }
+
+  test("runScheduled retries a data-not-ready build: empty input on attempt 1, rows on attempt 2, success without intervention") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orch-dnr-")
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13).toFloat))
+    }.toDF("vec_id", "embedding")
+    // the input EXISTS (schema-bearing parquet) but holds no rows yet —
+    // the upstream ingestion job hasn't landed
+    emb.filter($"vec_id" < 0).write.parquet(dir.resolve("emb").toString)
+    val cfg = dir.resolve("index.yaml")
+    Files.writeString(cfg,
+      s"""kind: sq
+         |input: ${dir.resolve("emb")}
+         |store: ${dir.resolve("sqstore")}
+         |id_field: vec_id
+         |vector_field: embedding
+         |dim: 8
+         |""".stripMargin)
+    val policy = JobRunner.RetryPolicy(maxRetries = 3, initialDelayMs = 1)
+    var slept = 0
+    // the backoff sleep doubles as "upstream lands between attempts"
+    val rc = runScheduled(spark, cfg.toString, policy,
+      sleep = _ => {
+        slept += 1
+        emb.write.mode("overwrite").parquet(dir.resolve("emb").toString)
+      },
+      log = _ => ())
+    rc shouldBe graft.core.ExitCodes.Success
+    slept shouldBe 1 // one backoff, then the build went through
+    graft.operators.Similarity.readSqTrainParams(
+      spark, dir.resolve("sqstore").toString)._1.length shouldBe 8
+  }
+
+  test("runScheduled drives kind: compact — segmented index and flat store, probes bit-identical across compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orch-cpt-")
+    val policy = JobRunner.RetryPolicy(maxRetries = 2, initialDelayMs = 1)
+    var slept = 0
+    // segmented BM25 index: two appended segments → one
+    val docs = Seq((1L, "spark scala engine"), (2L, "scala query engine"),
+      (3L, "parquet files store")).toDF("doc_id", "text")
+    val idx = dir.resolve("idx").toString
+    graft.operators.Search.writeIndexSegment(
+      docs.filter($"doc_id" <= 2), "doc_id", "text", idx, buckets = 4)
+    graft.operators.Search.writeIndexSegment(
+      docs.filter($"doc_id" > 2), "doc_id", "text", idx, buckets = 4)
+    val queries = Seq((100L, "scala engine")).toDF("qid", "qtext")
+    def probe() = graft.operators.Search.bm25TopKSegmented(
+      spark, idx, queries, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 2
+    val segCfg = dir.resolve("compact_seg.yaml")
+    Files.writeString(segCfg,
+      s"kind: compact\nstore: $idx\nfamily: segments\n")
+    BuildIndex.isIndexConfig(segCfg.toString) shouldBe true
+    runScheduled(spark, segCfg.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Success
+    slept shouldBe 0
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 1
+    probe() shouldBe before
+    // flat store: two appends of 8 files each → size-targeted rewrite,
+    // row multiset unchanged
+    val flat = dir.resolve("flat").toString
+    val rows = (0L until 100L).map(i => (i, s"bk$i")).toDF("id", "bk")
+    rows.repartition(8).write.parquet(flat)
+    rows.repartition(8).write.mode("append").parquet(flat)
+    val beforeRows = spark.read.parquet(flat)
+      .collect().map(_.toString).sorted.toSeq
+    val flatCfg = dir.resolve("compact_flat.yaml")
+    Files.writeString(flatCfg,
+      s"kind: compact\nstore: $flat\nfamily: flat\n" +
+        "target_file_bytes: 134217728\n")
+    runScheduled(spark, flatCfg.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Success
+    slept shouldBe 0
+    val fs = new java.io.File(flat).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    fs shouldBe 1 // 200 tiny rows land well under one target file
+    spark.read.parquet(flat).collect().map(_.toString).sorted.toSeq shouldBe
+      beforeRows
+    // a compaction target that doesn't exist is a CONFIG error (path
+    // typo / schedule misordering): fails once, no backoff burned
+    val missing = dir.resolve("compact_missing.yaml")
+    Files.writeString(missing,
+      s"kind: compact\nstore: ${dir.resolve("nowhere")}\nfamily: flat\n")
+    runScheduled(spark, missing.toString, policy,
+      sleep = _ => slept += 1, log = _ => ()) shouldBe
+      graft.core.ExitCodes.Failure
+    slept shouldBe 0
   }
 
   test("runner config loads schedules with retry settings") {
