@@ -442,16 +442,23 @@ object Search {
     *     a crash between them leaves probes the forward view
     *     ([[segmentMetaPath]]) and the next writer heals the tree
     *     ([[repairMetaFlip]]).
-    *  4. Old segment directories (now unreferenced) delete last.
+    *  4. Old segment directories (now unreferenced) are NOT deleted
+    *     here — they stay on disk until the NEXT compaction's step-0
+    *     debris sweep (they are invisible to fresh probes, which
+    *     filter to `_meta`-listed segments).
     *
-    * Concurrency honesty: compaction runs in the single-WRITER
-    * maintenance window, but readers are not fenced — a probe that
-    * collected the PRE-flip `_meta` and hasn't finished its postings
-    * scan when step 4 deletes the old segments can fail that scan
-    * (FileNotFound) or return partial results; it answers correctly on
-    * retry against the new view. The crash windows (the contract the
-    * spec drives) never hit this: after a crash there is no concurrent
-    * deleter, and every surviving state is listed above.
+    * Deferred deletion is what closes the concurrent-READER window:
+    * compaction runs in the single-WRITER maintenance window, but a
+    * probe that snapshotted the PRE-flip `_meta` (or the pre-flip file
+    * index) and is still scanning when the flip lands would have failed
+    * with FileNotFound — or returned partial results — if step 4
+    * deleted eagerly. With deletion deferred a full compaction CYCLE,
+    * that probe's files all still exist and it answers bit-identically
+    * from the old view; only a reader that holds one view across TWO
+    * compactions of the same store can still race the sweep. Cost: the
+    * merged-away generation's bytes remain on disk until the next
+    * compaction (≤ 2× the store, same transient bound the merge itself
+    * needs while rewriting).
     */
   def compactIndexSegments(spark: SparkSession, storePath: String): Unit = {
     repairMetaFlip(spark, storePath)
@@ -505,12 +512,10 @@ object Search {
     renameOrFail(fs, hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
     renameOrFail(fs, hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
     fs.delete(hp(s"$storePath/_meta_prev"), true)
-    // (4) unreferenced segment dirs: the merged-away ones
-    val keep = s"segment=$seg"
-    fs.listStatus(hp(s"$storePath/postings"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("segment=")
-        && st.getPath.getName != keep)
-      .foreach(st => fs.delete(st.getPath, true))
+    // (4) the merged-away segment dirs stay until the NEXT compaction's
+    // step-0 debris sweep: unfenced concurrent readers still scanning
+    // the pre-flip view keep their files (see scaladoc); fresh probes
+    // never see them (not in _meta)
     fs.delete(hp(tmp), true)
   }
 
@@ -526,6 +531,24 @@ object Search {
     val buckets = bucketSizes.head
     val nDocs = metas.map(_.getAs[Long]("n_docs")).sum
     val totalLen = metas.map(_.getAs[Long]("total_len")).sum
+    // An index whose every segment indexed ZERO documents (all-empty-
+    // text batches, or a compaction of such segments) has a postings
+    // tree with no parquet files at all — the scan below would die on
+    // schema inference with an opaque error while the _meta looks
+    // healthy. Answer the probe honestly instead: no documents, no
+    // hits. neighbor_id is long by the same contract every store
+    // probe's doc ids follow (there are no postings rows to carry the
+    // writer's actual id type).
+    if (nDocs == 0L) {
+      import org.apache.spark.sql.types._
+      val qidType = queries.schema(idCol).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("query_id", qidType),
+          StructField("neighbor_id", LongType),
+          StructField("rank", LongType),
+          StructField("score", DoubleType))))
+    }
     // only the segments the meta view lists: a half-merged compaction
     // segment (or an orphan a crashed flip left behind) must not
     // double-count df/stats — `segment` is a partition column, so this

@@ -133,10 +133,41 @@ class SearchSpec extends SparkSpec {
       .sortBy(t => (t._1, t._3))
     val before = probe()
     graft.core.CacheScope.releaseAll()
+    // a reader mid-scan when the compaction flips: its meta view is the
+    // PRE-flip one — snapshot it so we can replay that reader below
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$store/_meta"),
+      new org.apache.hadoop.fs.Path(s"$store/_meta_reader_view"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/_meta_reader_view"),
+      new java.io.File(s"$store/_meta"))
     Search.compactIndexSegments(spark, store)
     spark.read.parquet(s"$store/_meta").count() shouldBe 1
-    new java.io.File(s"$store/postings").listFiles()
-      .count(_.getName.startsWith("segment=")) shouldBe 1
+    def segDirs() = new java.io.File(s"$store/postings").listFiles()
+      .count(_.getName.startsWith("segment="))
+    // old segment dirs are DEFERRED to the next compaction's debris
+    // sweep, so an unfenced reader holding the pre-flip view keeps its
+    // files: 1 merged + the 4 merged-away
+    segDirs() shouldBe 5
+    probe() shouldBe before
+    // replay the concurrent reader: probe against the PRE-flip meta —
+    // the exact state a reader that snapshotted _meta just before the
+    // flip scans from — and it answers bit-identically
+    val postFlip = new java.io.File(s"$store/_meta_post_flip")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$store/_meta"), postFlip)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$store/_meta_reader_view"),
+      new org.apache.hadoop.fs.Path(s"$store/_meta"))
+    probe() shouldBe before
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/_meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$store/_meta_post_flip"),
+      new org.apache.hadoop.fs.Path(s"$store/_meta"))
+    // the NEXT compaction's step-0 sweep reclaims the deferred dirs
+    // (single-segment early return still sweeps)
+    Search.compactIndexSegments(spark, store)
+    segDirs() shouldBe 1
     probe() shouldBe before
     // appending AFTER compaction keeps working
     Search.writeIndexSegment(
@@ -185,8 +216,12 @@ class SearchSpec extends SparkSpec {
     // _meta_prev — byte-identical to dying between rename 1 and 2.
     Search.compactIndexSegments(spark, store)
     probe() shouldBe before
-    new java.io.File(s"$store/postings").listFiles()
-      .count(_.getName.startsWith("segment=")) shouldBe 1 // orphan swept
+    // the pre-compaction orphan was swept at step 0; the 3 merged-away
+    // live segments are DEFERRED to the next sweep (reader fence)
+    val segNames = new java.io.File(s"$store/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("segment=")).toSet
+    segNames should not contain "segment=orphan-crash"
+    segNames.size shouldBe 4 // merged + 3 deferred
     fs.rename(new Path(s"$store/_meta"), new Path(s"$store/_meta_next"))
     fs.mkdirs(new Path(s"$store/_meta_prev"))
     probe() shouldBe before // read-only forward recovery
@@ -239,6 +274,17 @@ class SearchSpec extends SparkSpec {
     spark.read.parquet(s"$store/_meta")
       .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()
       .head.getLong(0) shouldBe 0L
+    // ...and a PROBE of the zero-doc store answers honestly (empty,
+    // correct schema) instead of dying on schema inference over a
+    // postings tree with no parquet files — the _meta looks healthy
+    // (one row), so the probe must not trust it blindly
+    val hits = Search.bm25TopKSegmented(spark, store,
+      Seq((9L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", k = 3)
+    hits.columns.toSeq shouldBe
+      Seq("query_id", "neighbor_id", "rank", "score")
+    hits.schema("query_id").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    hits.count() shouldBe 0L
   }
 
   test("segmented index: mismatched bucket counts refuse loudly") {
