@@ -262,43 +262,113 @@ object Similarity {
       .select(col("id"), concat_ws(":", col("t"), col("b")).as("bk"))
   }
 
+  // --------------------------------------- plan attribution (opt-in)
+
+  /** Opt-in per-stage `observe()` counters on the near-dup plans — the
+    * bench's diag pattern applied to a PLAN: when a family's cost moves,
+    * the first question is which stage's row volume moved, and these
+    * metrics answer it from one run instead of a bisection. Off by
+    * default: `CollectMetricsExec` does per-row accumulator work on the
+    * hottest edge of the plan (the candidate join's output), which is
+    * exactly where a benchmark must not pay an observer tax. Enabled
+    * thread-locally (same confinement reasoning as
+    * [[Dedup.withGuardThresholds]]); harvest via a
+    * `QueryExecutionListener` reading `observedMetrics` — see
+    * NearDupAttributionSpec.
+    */
+  def withPlanAttribution[T](body: => T): T = {
+    val prev = planAttribution.get()
+    planAttribution.set(true)
+    try body finally planAttribution.set(prev)
+  }
+
+  private val planAttribution = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  private def obsCount(df: DataFrame, name: String): DataFrame =
+    if (planAttribution.get()) df.observe(name, count(lit(1)).as("n"))
+    else df
+
   /** Candidate self-join + exact-cosine verify over an already-built
-    * (persisted) bucket table — shared by the self-dedup path above and
-    * the incremental path, which reuses the SAME bucket table for the
-    * store join instead of re-hashing the batch.
+    * (persisted) bucket table — shared by the self-dedup path above,
+    * SemDeDup, and the incremental path, which reuses the SAME bucket
+    * table for the store join instead of re-hashing the batch.
+    *
+    * ADAPTIVE verify shape, decided by |base| against the shared
+    * [[Dedup.broadcastMaxPairs]] guard (so the forced bench entries and
+    * `withGuardThresholds(0, …)` exercise the fallback):
+    *
+    *  - |base| broadcast-safe (incremental BATCHES, up to ~4M vectors):
+    *    FUSED verify. The vector+norm table broadcasts into both lookup
+    *    hops, so candidate pairs are cosine-verified AS THE BUCKET JOIN
+    *    EMITS them, and dedup happens AFTER the threshold filter —
+    *    where the survivors are the near-dup pairs themselves — never
+    *    on the candidate multiset. At recall-aggressive configs (few
+    *    planes, many tables) the candidate set is a large FRACTION of
+    *    all-pairs (4 planes on random vectors: ~40% of n²/2), and the
+    *    previous distinct-then-lookup shape shuffled it three times
+    *    (the distinct, then two sort-merge verify joins once the pair
+    *    count blew past the broadcast guard) — measured as the 4.02×
+    *    at-10×-data outlier in r18's BENCH_SCALE. The fused shape's
+    *    only per-candidate cost is two broadcast-hash probes and one
+    *    codegen'd dot product; duplicate verification across tables is
+    *    bounded by ×tables and skipped for the distinct-shuffle it
+    *    replaces. Verified cosine is the same expression on the same
+    *    float inputs, so duplicates collapse bit-exactly.
+    *
+    *  - |base| too big to broadcast (whole-corpus self-dedup at 100 TB):
+    *    the candidate-bounded shape — distinct first, ONE stream over
+    *    the corpus keeps only candidate vectors (broadcast semi-join on
+    *    the id set), both lookups broadcast that slim slice while the
+    *    pair count allows (see Dedup.verifyJaccard; past the guard the
+    *    joins run unhinted instead of risking the 8 GB ceiling).
     */
   private def nearDupPairsFromBuckets(base: DataFrame, bucketed: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = bucketed.as("x")
-      .join(bucketed.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // Verify shape (see Dedup.verifyJaccard): ONE stream over the corpus
-    // keeps only candidate vectors (broadcast semi-join on the tiny id
-    // set), cached candidate-bounded; both lookup joins then broadcast
-    // that slim slice. The corpus is never shuffled and never scanned
-    // twice, regardless of optimizer stats. Guarded by the shared
-    // Dedup.broadcastMaxPairs threshold: a dup-catastrophic candidate set
-    // times the vector payload can exceed the 8 GB broadcast ceiling, so
-    // past the threshold the joins run unhinted instead of failing.
-    val cp = CacheScope.persist(cands)
-    val nPairs = Dedup.guardCount(cp)
-    def pin(d: DataFrame): DataFrame =
-      if (nPairs <= Dedup.broadcastMaxPairs) broadcast(d) else d
-    val candIds = cp.select(col("id_a").as("id"))
-      .union(cp.select(col("id_b").as("id"))).distinct()
-    val candVecs = CacheScope.persist(
-      base.join(pin(candIds), Seq("id"), "left_semi")
-        .withColumn("nrm", norm(col("v"))))
-    cp
-      .join(pin(candVecs.select(col("id").as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))), "id_a")
-      .join(pin(candVecs.select(col("id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))), "id_b")
-      .withColumn("cosine",
-        dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    val rawCands = obsCount(
+      bucketed.as("x")
+        .join(bucketed.as("y"),
+          col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")),
+      "graft.neardup.candidate_pairs")
+    val nBase = Dedup.guardCount(base)
+    if (nBase <= Dedup.broadcastMaxPairs) {
+      val vecs = CacheScope.persist(base.withColumn("nrm", norm(col("v"))))
+      obsCount(
+        rawCands
+          .join(broadcast(vecs.select(col("id").as("id_a"),
+            col("v").as("va"), col("nrm").as("na"))), "id_a")
+          .join(broadcast(vecs.select(col("id").as("id_b"),
+            col("v").as("vb"), col("nrm").as("nb"))), "id_b")
+          .withColumn("cosine",
+            dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine"),
+        "graft.neardup.verified_pairs")
+        .distinct()
+    } else {
+      val cp = CacheScope.persist(rawCands.distinct())
+      val nPairs = Dedup.guardCount(cp)
+      def pin(d: DataFrame): DataFrame =
+        if (nPairs <= Dedup.broadcastMaxPairs) broadcast(d) else d
+      val candIds = cp.select(col("id_a").as("id"))
+        .union(cp.select(col("id_b").as("id"))).distinct()
+      val candVecs = CacheScope.persist(
+        base.join(pin(candIds), Seq("id"), "left_semi")
+          .withColumn("nrm", norm(col("v"))))
+      obsCount(
+        cp
+          .join(pin(candVecs.select(col("id").as("id_a"),
+            col("v").as("va"), col("nrm").as("na"))), "id_a")
+          .join(pin(candVecs.select(col("id").as("id_b"),
+            col("v").as("vb"), col("nrm").as("nb"))), "id_b")
+          .withColumn("cosine",
+            dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= threshold)
+          .select("id_a", "id_b", "cosine"),
+        "graft.neardup.verified_pairs")
+    }
   }
 
   /** Collect the first `numLists` vectors (in id order) as IVF coarse
@@ -1718,7 +1788,9 @@ object Similarity {
     // table, then the capped view of it, so the kernel runs once even
     // though capHotKeys reads its input twice.
     val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val rawBuckets = CacheScope.persist(bucketTable(base, planes, tables, dim))
+    val rawBuckets = CacheScope.persist(obsCount(
+      bucketTable(base, planes, tables, dim),
+      "graft.neardup.batch_bucket_rows"))
     val allBuckets =
       if (maxBucketDf > 0)
         CacheScope.persist(Dedup.capHotKeys(rawBuckets, "bk", maxBucketDf))
@@ -1753,10 +1825,12 @@ object Similarity {
     val corpusKeyed = Dedup.capHotKeys(corpusBuckets
       .select(col(cname(0)).as("cid"), col(cname(1)).as("cbk")),
       "cbk", maxBucketDf)
-    val cands = CacheScope.persist(corpusKeyed
-      .join(broadcast(bBuckets), col("bk") === col("cbk"))
-      .select(col("id").as("bid"), col("cid"))
-      .distinct())
+    val cands = CacheScope.persist(obsCount(
+      corpusKeyed
+        .join(broadcast(bBuckets), col("bk") === col("cbk"))
+        .select(col("id").as("bid"), col("cid"))
+        .distinct(),
+      "graft.neardup.store_candidates"))
     // one guard count shared by every downstream pin decision
     val nCands = Dedup.guardCount(cands)
     def pin(d: DataFrame): DataFrame =
@@ -1768,13 +1842,15 @@ object Similarity {
     val bVecs = survivors
       .select(col(idCol).as("bid"), col(vecCol).as("bv"))
       .withColumn("bn", norm(col("bv")))
-    val hits = cands
-      .join(pin(bVecs), "bid")
-      .join(pin(candVecs), "cid")
-      .filter(dotDouble(col("bv"), col("cv")) / (col("bn") * col("cn"))
-        >= threshold)
-      .select(col("bid").as(idCol))
-      .distinct()
+    val hits = obsCount(
+      cands
+        .join(pin(bVecs), "bid")
+        .join(pin(candVecs), "cid")
+        .filter(dotDouble(col("bv"), col("cv")) / (col("bn") * col("cn"))
+          >= threshold)
+        .select(col("bid").as(idCol))
+        .distinct(),
+      "graft.neardup.store_hits")
     survivors.join(pin(hits), Seq(idCol), "left_anti")
   }
 
