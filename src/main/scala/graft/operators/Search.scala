@@ -51,6 +51,24 @@ object Search {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
 
+  /** The three index tables every BM25 path composes: per-(doc, token)
+    * term frequencies, per-doc lengths, per-token document frequencies.
+    * Shared so the build surfaces can keep `dl` SEPARATE: corpus stats
+    * (n_docs, Σlen) are an aggregate of the tiny per-doc table, and a
+    * caller that persists `dl` gets them for one cached scan instead of
+    * re-deriving the whole joined index a second time (the stats pass
+    * used to recompute tokenize + three shuffles + two joins).
+    */
+  private def postingParts(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col("__doc").as("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    (tf, dl, df_)
+  }
+
   /** The inverted index as data: one row per (token, document) with the
     * term frequency, the document's total token count, and the token's
     * document frequency — length and df DENORMALIZED into the posting
@@ -58,13 +76,19 @@ object Search {
     * fixed-width keys ((doc, tok) then tok); text never shuffles.
     */
   def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col("__doc").as("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val (tf, dl, df_) = postingParts(docs, idCol, textCol)
     tf.join(dl, "doc_id").join(df_, "tok")
       .select("tok", "doc_id", "tf", "len", "df")
+  }
+
+  /** (n_docs, Σlen) from a (cached) per-doc length table — one row per
+    * document by construction, so no distinct is needed; values are
+    * identical to the old distinct-over-postings pass.
+    */
+  private def statsFromDl(dl: DataFrame): (Long, Long) = {
+    val r = dl.agg(count(lit(1)).cast("long"),
+      coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Per-term BM25 contribution in micro-nats. The arithmetic mirrors
@@ -80,17 +104,6 @@ object Search {
     floor(idf * tfn * lit(1e6) + lit(0.5)).cast("long")
   }
 
-  /** Corpus size and average document length, collected driver-side
-    * (one row — the documented-small collect idiom) so they ride the
-    * scoring expressions as literals exactly like the oracle's scalar
-    * subqueries.
-    */
-  private def corpusStats(postings: DataFrame): (Long, Long) = {
-    val r = postings.select(col("doc_id"), col("len")).distinct()
-      .agg(count(lit(1)).cast("long"), sum("len").cast("long")).collect()(0)
-    (r.getLong(0), r.getLong(1))
-  }
-
   /** More-like-this BM25 top-k: score every corpus document against
     * each query document's distinct-token set and keep the `k` best per
     * query (BIGINT micro-nat scores; ties break by neighbor id; the
@@ -101,9 +114,15 @@ object Search {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
-    val postings = bm25Postings(corpus, idCol, textCol)
+    // dl persisted: the stats collect below materializes it, and the
+    // scoring plan's length join then reads the cache — previously the
+    // stats pass re-derived the ENTIRE joined index a second time
+    val (tf, dl0, df_) = postingParts(corpus, idCol, textCol)
+    val dl = graft.core.CacheScope.persist(dl0)
+    val postings = tf.join(dl, "doc_id").join(df_, "tok")
+      .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, queryTerms(queries, idCol, textCol),
-      corpusStats(postings), k, k1, b)
+      statsFromDl(dl), k, k1, b)
   }
 
   /** (query_id, tok) distinct pairs of the query documents. */
@@ -145,12 +164,22 @@ object Search {
     */
   def writePostingsStore(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, buckets: Int = 64): Unit = {
-    val postings = bm25Postings(docs, idCol, textCol)
+    val (tf, dl0, df_) = postingParts(docs, idCol, textCol)
+    val dl = graft.core.CacheScope.persist(dl0) // per-doc rows: tiny; stats read it back
+    val postings = tf.join(dl, "doc_id").join(df_, "tok")
+      .select("tok", "doc_id", "tf", "len", "df")
     postings
       .withColumn("bucket", tokenBucket(col("tok"), buckets))
+      // align the write with the partition layout: WITHOUT this, every
+      // task holds rows of every bucket (the last shuffle is on tok)
+      // and the dynamic-partition write fans out tasks × buckets small
+      // files — 2048 at local 32×64, unbounded on a cluster. One
+      // narrow-row shuffle buys one file per (task, owned bucket),
+      // which is also what a probe then lists and opens.
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$storePath/postings")
-    val (nDocs, totalLen) = corpusStats(postings)
+    val (nDocs, totalLen) = statsFromDl(dl)
     docs.sparkSession
       .range(1).select(lit(nDocs).as("n_docs"), lit(totalLen).as("total_len"),
         lit(buckets).as("buckets"))
@@ -323,14 +352,15 @@ object Search {
     // `_meta` is mid-rename would orphan every pre-crash segment
     repairMetaFlip(docs.sparkSession, storePath)
     val seg = java.util.UUID.randomUUID().toString
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col("__doc").as("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
+    val (tf, dl0, _) = postingParts(docs, idCol, textCol)
+    val dl = graft.core.CacheScope.persist(dl0) // stats below read the cache
     val postings = tf.join(dl, "doc_id").select("tok", "doc_id", "tf", "len")
     postings
       .withColumn("segment", lit(seg))
       .withColumn("bucket", tokenBucket(col("tok"), buckets))
+      // bucket-aligned write: see writePostingsStore — one file per
+      // (task, owned bucket) per segment instead of tasks × buckets
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("segment", "bucket")
       .parquet(s"$storePath/postings")
     val stats = dl.agg(count(lit(1)).cast("long"),
@@ -495,6 +525,10 @@ object Search {
         .filter(col("segment").isInCollection(liveSegs))
         .select(col("tok"), col("doc_id"), col("tf"), col("len"), col("bucket"))
         .withColumn("segment", lit(seg))
+        // bucket-aligned rewrite (see writePostingsStore): the merge
+        // exists to REDUCE file count, so it must not re-fan the
+        // merged segment into input-splits × buckets files
+        .repartition(col("bucket"))
         .write.partitionBy("segment", "bucket").parquet(s"$tmp/postings")
     }
     if (fs.exists(hp(s"$tmp/postings/segment=$seg")))
