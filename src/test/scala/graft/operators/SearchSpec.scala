@@ -287,6 +287,30 @@ class SearchSpec extends SparkSpec {
     hits.count() shouldBe 0L
   }
 
+  test("store writes are bucket-aligned: file count bounded by buckets, not tasks × buckets") {
+    val wide = (0L until 40L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 40}"))
+      .toDF("doc_id", "text").repartition(8) // many input tasks on purpose
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().map { f =>
+        if (f.isDirectory) parquetFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-files-").toString + "/idx"
+    Search.writePostingsStore(wide, "doc_id", "text", store, buckets = 4)
+    // without the bucket-aligned repartition this is tasks × buckets
+    parquetFiles(s"$store/postings") should be <= 4
+    val seg = java.nio.file.Files
+      .createTempDirectory("bm25-segfiles-").toString + "/idx"
+    Search.writeIndexSegment(wide, "doc_id", "text", seg, buckets = 4)
+    parquetFiles(s"$seg/postings") should be <= 4
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("segmented index: mismatched bucket counts refuse loudly") {
     val store = java.nio.file.Files
       .createTempDirectory("bm25-mismatch-").toString + "/idx"
