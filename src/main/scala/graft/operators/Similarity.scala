@@ -685,12 +685,23 @@ object Similarity {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Persist the IVF assignments partitioned by coarse list. Every
+    * persisted-index writer here repartitions on the partition column
+    * first: assignment/encoding is map-side, so WITHOUT it every input
+    * task holds rows of every list and the dynamic-partition write fans
+    * out tasks × lists files — 4M files per build at 1000 executors ×
+    * 4096 lists. One build-time shuffle bounds the file count by the
+    * list count, which is also exactly the file set a probed-list scan
+    * then opens. (Same decision as the BM25 store writes; SearchSpec /
+    * SimilaritySpec pin the bound.)
+    */
   def writeIvfAssignments(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], storePath: String): Unit = {
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cn", norm(col("v")))
       .withColumn("list",
         bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivf", Map(
@@ -716,6 +727,7 @@ object Similarity {
       .withColumn("cn", norm(col("v")))
       .withColumn("list",
         bestListStruct(scoredListStructs(col("v"), centroids)).getField("l"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("append").partitionBy("list").parquet(storePath)
   }
 
@@ -1054,6 +1066,7 @@ object Similarity {
         graft.functions.PqCodes(col("v"), cb, m, numCodes, dsub)
           .as("codes"),
         col("list"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivfpq", Map(
@@ -1346,6 +1359,7 @@ object Similarity {
         .as("codes"),
       bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
         .as("list"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "ivfsq", Map(
@@ -1378,6 +1392,7 @@ object Similarity {
         .as("codes"),
       bestListStruct(scoredListStructs(col(vecCol), centroids)).getField("l")
         .as("list"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("append").partitionBy("list").parquet(storePath)
   }
 
@@ -1902,6 +1917,7 @@ object Similarity {
       df.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm")),
       "v", planes, dim)
+      .repartition(col("bucket")) // file count bounded by buckets, not tasks × buckets
       .write.mode("overwrite").partitionBy("bucket").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath, "lsh", Map(
@@ -2501,6 +2517,7 @@ object Similarity {
       .select(col(idCol).as("id"), signWords(col(vecCol), dim).as("cb"),
         bestListStruct(scoredListStructs(col(vecCol), centroids))
           .getField("l").as("list"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("overwrite").partitionBy("list").parquet(storePath)
     // AFTER the data write: overwrite mode wipes the store root first
     graft.core.StoreMeta.overwrite(df.sparkSession, storePath,
@@ -2527,6 +2544,7 @@ object Similarity {
       .select(col(idCol).as("id"), signWords(col(vecCol), dim).as("cb"),
         bestListStruct(scoredListStructs(col(vecCol), centroids))
           .getField("l").as("list"))
+      .repartition(col("list")) // file count bounded by lists, not tasks × lists
       .write.mode("append").partitionBy("list").parquet(storePath)
   }
 

@@ -1452,4 +1452,39 @@ class SimilaritySpec extends SparkSpec {
         codebook = seed, m = 2, numCodes = 4, dsub = 4)
     e.getMessage should include("codebook_md5")
   }
+
+  test("persisted-index writes are list-aligned: file count bounded by lists, not tasks × lists") {
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i => math.sin(seed * 31 + i).toFloat)
+    // many input tasks on purpose: without the pre-write repartition the
+    // dynamic-partition write fans out tasks × lists files
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt % 40)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding",
+      numLists = 4)
+    def parquetFiles(dir: String): Int = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0
+      else d.listFiles().map { f =>
+        if (f.isDirectory) parquetFiles(f.getPath)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    }
+    val ivf = java.nio.file.Files
+      .createTempDirectory("ivf-files-").toString + "/idx"
+    Similarity.writeIvfAssignments(corpus, "vec_id", "embedding", cents, ivf)
+    parquetFiles(ivf) should be <= 4
+    val (mins, maxs) = Similarity.trainSqParams(corpus, "embedding", dim)
+    val ivfsq = java.nio.file.Files
+      .createTempDirectory("ivfsq-files-").toString + "/idx"
+    Similarity.writeIvfSqCodes(corpus, "vec_id", "embedding", cents, ivfsq,
+      mins, maxs)
+    parquetFiles(ivfsq) should be <= 4
+    val lsh = java.nio.file.Files
+      .createTempDirectory("lsh-files-").toString + "/idx"
+    Similarity.writeLshBuckets(corpus, "vec_id", "embedding", lsh,
+      planes = 2, dim = dim)
+    parquetFiles(lsh) should be <= 4 // 2 planes -> 4 buckets
+    graft.core.CacheScope.releaseAll()
+  }
 }
