@@ -2198,6 +2198,24 @@ object Queries {
         .select("doc_id")
     }
 
+  /** BENCH-ONLY: `ann_neardup_incremental` with the FORCED
+    * whole-corpus verify shape — broadcastMaxPairs at 0 disables the
+    * fused broadcast verify (r19), so the in-batch stage runs the
+    * candidate-bounded fallback: distinct over the Σdf² candidate
+    * multiset, semi-join-pruned vector lookups, unhinted shuffle joins
+    * past the pin. driverMaxPairs stays at its default — the
+    * distributed-CC tail is already priced by `dedup_minhash_forced`,
+    * and this entry isolates exactly the plan r19 changed so a
+    * regression in EITHER verify shape is visible every round.
+    * NearDupAttributionSpec pins this path bit-identical to the fused
+    * one.
+    */
+  def annNearDupForced(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.withGuardThresholds(0L,
+      graft.operators.Dedup.defaultDriverMaxPairs) {
+      annNearDupIncremental(spark, dir)
+    }
+
   /** `ann_cosine_neardup` with the hot-bucket df-cap ENGAGED (cap =
     * 1000, far above any healthy bucket at this SF, so the result set
     * is unchanged) — prices the cap's OVERHEAD (one partial-aggregated
@@ -2234,6 +2252,7 @@ object Queries {
     "dedup_simhash_prod" -> dedupSimhashProd _,
     "dedup_minhash_forced" -> dedupMinhashForced _,
     "dedup_tfidf_forced" -> dedupTfidfForced _,
+    "ann_neardup_forced" -> annNearDupForced _,
     "sketch_topk_rollup" -> sketchTopkRollup _,
     "curation_pipeline" -> curationPipeline _
   )
