@@ -146,8 +146,8 @@ object Decontaminate {
     val c = bucketed(corpus, "cid", "cv").withColumn("cn", norm(col("cv")))
     val bmk = bucketed(benchmark, "bid", "bv").withColumn("bn", norm(col("bv")))
     val hits = c.join(broadcast(bmk), Seq("bk"))
-      .filter(dotDouble(col("cv"), col("bv")) / (col("cn") * col("bn"))
-        >= threshold)
+      .filter(Similarity.cosineOrNull(dotDouble(col("cv"), col("bv")),
+        col("cn"), col("bn")) >= threshold)
       .select(col("cid").as(idCol))
       .distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
@@ -208,8 +208,8 @@ object Decontaminate {
       .select(col("bid"), col("bv"), col("bn"),
         concat_ws(":", col("t"), col("b")).as("bk"))
     val hits = c.join(broadcast(bmk), Seq("bk"))
-      .filter(dotDouble(col("cv"), col("bv")) / (col("cn") * col("bn"))
-        >= threshold)
+      .filter(Similarity.cosineOrNull(dotDouble(col("cv"), col("bv")),
+        col("cn"), col("bn")) >= threshold)
       .select(col("cid").as(idCol))
       .distinct()
     corpus.join(hits, Seq(idCol), "left_anti")

@@ -34,6 +34,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotDouble(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from a precomputed dot and norms, NULL when either norm is
+    * zero — cosine is undefined for the all-zero vector, and a crawl
+    * corpus contains them (empty documents, failed encoders). Under
+    * Spark 4's ANSI default the bare division THROWS on the first such
+    * row and kills the whole dedup job; with this guard a null cosine
+    * simply fails every `>= threshold` verify, i.e. a degenerate vector
+    * is never anyone's near-duplicate (the same doctrine as the binary
+    * family's explicit degenerate filter). Used by every thresholded
+    * verify site ([[cosineNearDupPairs]]/[[semDedupPairs]]/
+    * [[dropNearCorpusEmbeddings]]/Decontaminate); values for nonzero
+    * norms are bit-identical to the bare division.
+    */
+  private[operators] def cosineOrNull(dot: Column, na: Column,
+      nb: Column): Column =
+    when(na =!= 0.0 && nb =!= 0.0, dot / (na * nb))
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank by cosine desc with id tiebreak. Self-pairs excluded.
     * Returns (query_id, neighbor_id, rank, sim).
@@ -341,8 +357,8 @@ object Similarity {
             col("v").as("va"), col("nrm").as("na"))), "id_a")
           .join(broadcast(vecs.select(col("id").as("id_b"),
             col("v").as("vb"), col("nrm").as("nb"))), "id_b")
-          .withColumn("cosine",
-            dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("cosine", cosineOrNull(
+            dotDouble(col("va"), col("vb")), col("na"), col("nb")))
           .filter(col("cosine") >= threshold)
           .select("id_a", "id_b", "cosine"),
         "graft.neardup.verified_pairs")
@@ -363,8 +379,8 @@ object Similarity {
             col("v").as("va"), col("nrm").as("na"))), "id_a")
           .join(pin(candVecs.select(col("id").as("id_b"),
             col("v").as("vb"), col("nrm").as("nb"))), "id_b")
-          .withColumn("cosine",
-            dotDouble(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("cosine", cosineOrNull(
+            dotDouble(col("va"), col("vb")), col("na"), col("nb")))
           .filter(col("cosine") >= threshold)
           .select("id_a", "id_b", "cosine"),
         "graft.neardup.verified_pairs")
@@ -1861,8 +1877,8 @@ object Similarity {
       cands
         .join(pin(bVecs), "bid")
         .join(pin(candVecs), "cid")
-        .filter(dotDouble(col("bv"), col("cv")) / (col("bn") * col("cn"))
-          >= threshold)
+        .filter(cosineOrNull(dotDouble(col("bv"), col("cv")),
+          col("bn"), col("cn")) >= threshold)
         .select(col("bid").as(idCol))
         .distinct(),
       "graft.neardup.store_hits")

@@ -155,4 +155,33 @@ class NearDupAttributionSpec extends SparkSpec {
     rows.length shouldBe rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length
     graft.core.CacheScope.releaseAll()
   }
+
+  test("fused ≡ fallback across randomized geometries, thresholds, and degenerate rows") {
+    // multi-seed sweep over the config surface: any drift between the
+    // two verify shapes is a silent-wrong-answer class, so it gets the
+    // property treatment, not one example
+    for (seed <- 1 to 6) {
+      val planes = 2 + seed % 3 // 2..4
+      val tables = 2 + (seed * 7) % 5 // 2..6
+      val threshold = Seq(0.3, 0.6, 0.9)(seed % 3)
+      val n = 30 + seed * 5
+      val rows = (0L until n.toLong).map { i =>
+        if (i % 13 == 0) (i, Array.fill(dim)(0f)) // degenerate zero vector
+        else (i, vec(seed * 1000 + i))
+      } ++ Seq((5000L + seed) -> vec(seed * 1000 + 1)) // one exact dup
+      val d = df(rows)
+      def pairsOf(run: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        run.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val fused = pairsOf(Similarity.cosineNearDupPairs(
+        d, "vec_id", "embedding", threshold, planes, tables, dim))
+      val forced = graft.operators.Dedup.withGuardThresholds(0L, 0L)(
+        pairsOf(Similarity.cosineNearDupPairs(
+          d, "vec_id", "embedding", threshold, planes, tables, dim)))
+      withClue(s"seed=$seed planes=$planes tables=$tables thr=$threshold: ") {
+        fused shouldBe forced
+        fused should contain ((1L, 5000L + seed)) // the planted dup survives both
+      }
+    }
+    graft.core.CacheScope.releaseAll()
+  }
 }
