@@ -69,6 +69,11 @@ object Similarity {
       norm(col(vecCol)).as("cn"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      // zero-NORM rows drop before scoring: 0/0 is the one case ANSI
+      // division throws on (a zero corpus vector killed the probe); a
+      // NULL dot (the documented over-length/length-mismatch contract)
+      // stays a null sim and ranks as before
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0)
       .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -667,6 +672,11 @@ object Similarity {
     val scored = assigned
       .join(broadcast(probes), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-NORM rows drop before scoring: 0/0 is the one case ANSI
+      // division throws on (a zero corpus vector killed the probe); a
+      // NULL dot (the documented over-length/length-mismatch contract)
+      // stays a null sim and ranks as before
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0)
       .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -787,6 +797,11 @@ object Similarity {
     val scored = assigned
       .join(broadcast(probes), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-NORM rows drop before scoring: 0/0 is the one case ANSI
+      // division throws on (a zero corpus vector killed the probe); a
+      // NULL dot (the documented over-length/length-mismatch contract)
+      // stays a null sim and ranks as before
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0)
       .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -1909,6 +1924,11 @@ object Similarity {
       "qv", planes, dim)
     val scored = c.join(q,
       c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      // zero-NORM rows drop before scoring: 0/0 is the one case ANSI
+      // division throws on (a zero corpus vector killed the probe); a
+      // NULL dot (the documented over-length/length-mismatch contract)
+      // stays a null sim and ranks as before
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0)
       .withColumn("sim", dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -1979,6 +1999,7 @@ object Similarity {
         col("nrm").as("cn"), col("bucket"))
     val scored = c.join(broadcast(q),
       c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0) // zero-norm: see lshTopK
       .withColumn("sim",
         dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
@@ -2041,6 +2062,7 @@ object Similarity {
       .drop("b0")
     val scored = c.join(q,
       c("bucket") === q("bucket") && col("query_id") =!= col("neighbor_id"))
+      .filter(col("qn") =!= 0.0 && col("cn") =!= 0.0) // zero-norm: see lshTopK
       .withColumn("sim",
         dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")

@@ -1487,4 +1487,37 @@ class SimilaritySpec extends SparkSpec {
     parquetFiles(lsh) should be <= 4 // 2 planes -> 4 buckets
     graft.core.CacheScope.releaseAll()
   }
+
+  test("zero-norm vectors: ranked scans skip them instead of throwing ANSI divide-by-zero") {
+    // crawl-corpus debris: empty documents / failed encoders embed to
+    // all-zero vectors, and cosine against them is 0/0 — the one case
+    // ANSI division kills the whole probe on
+    val corpus = ((0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j * 1.13).toFloat))) :+
+      (999L -> Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 50).collect()
+    brute.map(_.getLong(1)) should not contain 999L // never a neighbor
+    brute.map(_.getLong(0)).distinct.sorted shouldBe Array(0L, 1L)
+    val lsh = Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", k = 50, planes = 2, dim = 8).collect()
+    lsh.map(_.getLong(1)) should not contain 999L
+    val cents = Similarity.seedCentroids(
+      corpus.filter($"vec_id" < 30), "vec_id", "embedding", numLists = 2)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 50, centroids = cents, nprobe = 2).collect()
+    ivf.map(_.getLong(1)) should not contain 999L
+    // a zero-vector QUERY returns no rows (cosine undefined for it)
+    val zq = Seq((777L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    Similarity.bruteForceTopK(corpus, zq, "vec_id", "embedding", k = 5)
+      .count() shouldBe 0L
+    // and the near-dup verify treats it as nobody's duplicate
+    Similarity.cosineNearDupPairs(corpus.union(zq), "vec_id", "embedding",
+      threshold = 0.0, planes = 2, tables = 2, dim = 8)
+      .filter($"id_a" === 777L || $"id_b" === 777L || $"id_a" === 999L ||
+        $"id_b" === 999L)
+      .count() shouldBe 0L
+    graft.core.CacheScope.releaseAll()
+  }
 }
