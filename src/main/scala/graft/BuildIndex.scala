@@ -122,19 +122,21 @@ object BuildIndex {
       rawStore: Option[String])
 
   /** Shape test for [[Orchestrator.runScheduled]]'s dispatch: an
-    * index/fit build config is recognized by a `kind` from the kind
-    * list plus `store` + `input` keys — an ingestion job YAML carries
-    * none of these (it has source/target connector paths). Unreadable
-    * YAML is NOT an index config; the job path falls through to the
-    * JobRunner, whose loader reports the parse error.
+    * index/fit build config is recognized by a recognized `kind` plus a
+    * `store` key — an ingestion job YAML carries neither (it has
+    * source/target connector paths). Deliberately NOT stricter: a
+    * recognized kind MISSING its other required keys (`input`,
+    * `family`) must still dispatch to the build path so the user sees
+    * BuildIndex's one loud "index config requires X" refusal — the
+    * earlier shape test bounced such configs to the JobRunner, which
+    * burned the schedule's retries on a confusing not-a-job error.
+    * Unreadable YAML is NOT an index config; the job path falls through
+    * to the JobRunner, whose loader reports the parse error.
     */
   def isIndexConfig(cfgPath: String): Boolean =
     try {
       val c = Yaml.loadFile(cfgPath)
-      val kind = Yaml.str(c, "kind")
-      kind.exists(AllKinds) && Yaml.str(c, "store").nonEmpty &&
-        (if (kind.exists(MaintKinds)) Yaml.str(c, "family").nonEmpty
-         else Yaml.str(c, "input").nonEmpty)
+      Yaml.str(c, "kind").exists(AllKinds) && Yaml.str(c, "store").nonEmpty
     } catch { case _: Exception => false }
 
   def run(spark: SparkSession, cfgPath: String): BuildReport = {
@@ -238,7 +240,15 @@ object BuildIndex {
           throw new IllegalArgumentException(
             "target_file_bytes is only supported for family flat " +
               "(segments merge whole partition directories)")
-        val nSegs = spark.read.parquet(s"$store/_meta").count()
+        // Count via the crash-tolerant meta view, NOT `$store/_meta`
+        // directly: a store whose previous compaction died mid-flip has
+        // only `_meta_next`/`_meta_prev`, and a raw `_meta` read throws
+        // PATH_NOT_FOUND — which the orchestrator classifies fail-once,
+        // so the scheduled verb could never heal exactly the crash
+        // state the repair step exists for. A store with NO meta at all
+        // still fails once here (a never-created store is a schedule
+        // misordering, not a retry case).
+        val nSegs = Search.liveSegmentCount(spark, store)
         Search.compactIndexSegments(spark, store)
         BuildReport("compact", store, nSegs, None)
       case "flat" =>

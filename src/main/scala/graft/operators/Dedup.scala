@@ -541,6 +541,48 @@ object Dedup {
       .orElse(sys.props.get("graft.dedup.broadcastMaxPairs").map(_.toLong))
       .getOrElse(4000000L)
 
+  /** Byte ceiling for VECTOR broadcasts (the near-dup verify's
+    * vector+norm tables). The row-count guard alone is byte-blind: a
+    * broadcast fails in BYTES, and a guard-passing 4M-row batch is
+    * ~2 GB at dim 64 but ~24 GB at dim 768 and ~131 GB at dim 4096 —
+    * far past Spark's 8 GB broadcast ceiling, so a pure row guard
+    * would kill at production embedding dims exactly the jobs it
+    * green-lights at testdata dims. Every vector-broadcast decision
+    * therefore ANDs the row guard with `rows × (dim + 2) × 8` against
+    * this ceiling (8 B/element is deliberately conservative for
+    * float32 payloads — it absorbs per-row object/offset overhead in
+    * the hashed relation). Default 2 GiB: both verify hops broadcast
+    * the table, so the worst case is ~2× this, still under the 8 GB
+    * hard ceiling with headroom for the driver copy.
+    *
+    * Same override ladder as [[broadcastMaxPairs]]:
+    * [[withVecByteBudget]] thread-scoped, then
+    * `-Dgraft.dedup.broadcastMaxVecBytes=N`.
+    */
+  def broadcastMaxVecBytes: Long =
+    vecBytesOverride.get()
+      .orElse(sys.props.get("graft.dedup.broadcastMaxVecBytes").map(_.toLong))
+      .getOrElse(2L * 1024 * 1024 * 1024)
+
+  /** Estimated hashed-relation bytes for `rows` vectors of `dim`
+    * elements plus id + norm (the `(dim + 2) × 8` in the guard).
+    */
+  private[operators] def vecBroadcastBytes(rows: Long, dim: Int): Long =
+    rows * (dim.toLong + 2L) * 8L
+
+  private val vecBytesOverride = new ThreadLocal[Option[Long]] {
+    override def initialValue: Option[Long] = None
+  }
+
+  /** Run `body` with a thread-scoped vector-broadcast byte ceiling —
+    * how specs exercise the high-dim fallback on small data.
+    */
+  def withVecByteBudget[T](maxBytes: Long)(body: => T): T = {
+    val prev = vecBytesOverride.get()
+    vecBytesOverride.set(Some(maxBytes))
+    try body finally vecBytesOverride.set(prev)
+  }
+
   /** [[connectedComponents]]' driver-union-find ceiling; 0 (via
     * [[withGuardThresholds]] or `-Dgraft.dedup.driverMaxPairs=0`) forces
     * the distributed pointer-jumping loop.

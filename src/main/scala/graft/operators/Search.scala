@@ -408,6 +408,16 @@ object Search {
     * answering without write permission; writers heal the store via
     * [[repairMetaFlip]] instead.
     */
+  /** Segment count through the same crash-tolerant meta view probes
+    * use — for callers (the `kind: compact` verb's report) that need
+    * the pre-merge count without assuming the live `_meta` survived the
+    * previous flip. A store with no meta in ANY slot still fails loudly
+    * on the read.
+    */
+  private[graft] def liveSegmentCount(spark: SparkSession,
+      storePath: String): Long =
+    spark.read.parquet(segmentMetaPath(spark, storePath)).count()
+
   private def segmentMetaPath(spark: SparkSession, storePath: String): String = {
     val fs = storeFs(spark, storePath)
     if (fs.exists(hp(s"$storePath/_meta"))) s"$storePath/_meta"
@@ -496,14 +506,29 @@ object Search {
     val liveSegs = metas.map(_.getAs[String]("segment")).toSeq
     val fs = storeFs(spark, storePath)
     val tmp = s"$storePath/_compact_tmp"
-    // (0) debris sweep — also on the single-segment path
+    // (0) debris sweep — also on the single-segment path. Minimum
+    // retention age: a dir is only reclaimed once it has been debris
+    // for [[debrisMinAgeMs]] — step 4 stamps the merged-away dirs'
+    // mtime at flip time, so the age measured here is time-since-
+    // unreferenced, not time-since-written. This closes the residual
+    // reader race the one-cycle deferral left open (a reader holding a
+    // single view across TWO rapid compactions of the same store):
+    // any reader that snapshotted a meta view keeps its files for at
+    // least the retention window, however many compactions land inside
+    // it. Crash orphans were never stamped, so their write-time mtime
+    // over-ages them and they reclaim on the first sweep past the
+    // window — they were never in any meta view, so no reader holds
+    // them.
     fs.delete(hp(tmp), true)
     val liveDirs = liveSegs.map(s => s"segment=$s").toSet
+    val minAge = debrisMinAgeMs
+    val now = System.currentTimeMillis()
     if (fs.exists(hp(s"$storePath/postings")))
       fs.listStatus(hp(s"$storePath/postings"))
         .filter(st => st.isDirectory &&
           st.getPath.getName.startsWith("segment=") &&
-          !liveDirs(st.getPath.getName))
+          !liveDirs(st.getPath.getName) &&
+          now - st.getModificationTime >= minAge)
         .foreach(st => fs.delete(st.getPath, true))
     if (metas.length <= 1) return
     val bucketSizes = metas.map(_.getAs[Int]("buckets")).distinct
@@ -546,11 +571,47 @@ object Search {
     renameOrFail(fs, hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
     renameOrFail(fs, hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
     fs.delete(hp(s"$storePath/_meta_prev"), true)
-    // (4) the merged-away segment dirs stay until the NEXT compaction's
-    // step-0 debris sweep: unfenced concurrent readers still scanning
-    // the pre-flip view keep their files (see scaladoc); fresh probes
-    // never see them (not in _meta)
+    // (4) the merged-away segment dirs stay until a LATER compaction's
+    // step-0 debris sweep ages them out: unfenced concurrent readers
+    // still scanning the pre-flip view keep their files (see scaladoc);
+    // fresh probes never see them (not in _meta). Stamp their mtime NOW
+    // so the sweep's retention clock starts at the moment they became
+    // unreferenced — a segment written hours ago but merged away this
+    // second must still survive the full retention window. Best-effort:
+    // an FS without directory mtimes (object stores) falls back to
+    // write-time age, which reclaims EARLIER, i.e. degrades toward the
+    // pre-retention behavior, never toward stranding files.
+    val flipMs = System.currentTimeMillis()
+    liveSegs.foreach { s =>
+      try fs.setTimes(hp(s"$storePath/postings/segment=$s"), flipMs, -1)
+      catch { case _: Exception => () }
+    }
     fs.delete(hp(tmp), true)
+  }
+
+  /** Minimum time (ms) a merged-away or orphaned segment directory must
+    * have been debris before [[compactIndexSegments]]' step-0 sweep
+    * reclaims it (default 10 min). Same override ladder as
+    * [[Dedup.broadcastMaxPairs]]: [[withDebrisRetention]] thread-scoped
+    * for in-process callers (specs), `-Dgraft.search.debrisMinAgeMs=N`
+    * for launch configuration. 0 restores eager one-cycle reclamation.
+    */
+  def debrisMinAgeMs: Long =
+    debrisOverride.get()
+      .orElse(sys.props.get("graft.search.debrisMinAgeMs").map(_.toLong))
+      .getOrElse(600000L)
+
+  // plain ThreadLocal, not DynamicVariable — same child-thread
+  // inheritance reasoning as Dedup.guardOverride
+  private val debrisOverride = new ThreadLocal[Option[Long]] {
+    override def initialValue: Option[Long] = None
+  }
+
+  /** Run `body` with a thread-scoped debris retention age (ms). */
+  def withDebrisRetention[T](ms: Long)(body: => T): T = {
+    val prev = debrisOverride.get()
+    debrisOverride.set(Some(ms))
+    try body finally debrisOverride.set(prev)
   }
 
   def bm25TopKSegmented(spark: SparkSession, storePath: String,
@@ -572,7 +633,10 @@ object Search {
     // healthy. Answer the probe honestly instead: no documents, no
     // hits. neighbor_id is long by the same contract every store
     // probe's doc ids follow (there are no postings rows to carry the
-    // writer's actual id type).
+    // writer's actual id type); score is the BIGINT micro-nat type
+    // scoreTopK emits, so a union of probes across stores (or any
+    // LongType-expecting consumer) sees ONE schema regardless of
+    // store state.
     if (nDocs == 0L) {
       import org.apache.spark.sql.types._
       val qidType = queries.schema(idCol).dataType
@@ -581,7 +645,7 @@ object Search {
         StructType(Seq(StructField("query_id", qidType),
           StructField("neighbor_id", LongType),
           StructField("rank", LongType),
-          StructField("score", DoubleType))))
+          StructField("score", LongType))))
     }
     // only the segments the meta view lists: a half-merged compaction
     // segment (or an orphan a crashed flip left behind) must not

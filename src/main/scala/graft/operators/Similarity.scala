@@ -147,7 +147,7 @@ object Similarity {
       if (maxBucketDf > 0)
         CacheScope.persist(Dedup.capHotKeys(raw, "bk", maxBucketDf))
       else raw // both sides of the self-join
-    nearDupPairsFromBuckets(base, bucketed, threshold)
+    nearDupPairsFromBuckets(base, bucketed, threshold, dim)
   }
 
   /** Collision probability of two vectors with cosine `c` in ONE
@@ -318,7 +318,13 @@ object Similarity {
     *
     * ADAPTIVE verify shape, decided by |base| against the shared
     * [[Dedup.broadcastMaxPairs]] guard (so the forced bench entries and
-    * `withGuardThresholds(0, …)` exercise the fallback):
+    * `withGuardThresholds(0, …)` exercise the fallback) AND by the
+    * estimated broadcast payload against [[Dedup.broadcastMaxVecBytes]]
+    * — the row guard alone is byte-blind, and at production embedding
+    * dims (768–4096) a row-guard-passing batch is a tens-of-GB
+    * broadcast that fails past Spark's 8 GB ceiling; the byte gate
+    * routes exactly those batches to the fallback shape that already
+    * handles them (`dim` is in hand at every caller):
     *
     *  - |base| broadcast-safe (incremental BATCHES, up to ~4M vectors):
     *    FUSED verify. The vector+norm table broadcasts into both lookup
@@ -346,15 +352,24 @@ object Similarity {
     *    joins run unhinted instead of risking the 8 GB ceiling).
     */
   private def nearDupPairsFromBuckets(base: DataFrame, bucketed: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, dim: Int): DataFrame = {
     val rawCands = obsCount(
       bucketed.as("x")
         .join(bucketed.as("y"),
           col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b")),
       "graft.neardup.candidate_pairs")
+    // Decision count on the UNPERSISTED base — a documented deviation
+    // from guardCount's persist-first contract: this count decides
+    // whether base is cache-and-broadcast-sized at all, so persisting
+    // first would defeat the fallback's no-cache contract (the
+    // whole-corpus regime must never write 100 TB of cache blocks just
+    // to learn it is the whole-corpus regime). For parquet-backed
+    // inputs the count is footer-cheap (empty projection); for the
+    // incremental callers base is batch-bounded by construction.
     val nBase = Dedup.guardCount(base)
-    if (nBase <= Dedup.broadcastMaxPairs) {
+    if (nBase <= Dedup.broadcastMaxPairs &&
+        Dedup.vecBroadcastBytes(nBase, dim) <= Dedup.broadcastMaxVecBytes) {
       val vecs = CacheScope.persist(base.withColumn("nrm", norm(col("v"))))
       obsCount(
         rawCands
@@ -378,11 +393,21 @@ object Similarity {
       val candVecs = CacheScope.persist(
         base.join(pin(candIds), Seq("id"), "left_semi")
           .withColumn("nrm", norm(col("v"))))
+      // the candidate-VECTOR pins get the byte gate too (same
+      // blindness as the fused gate): |candVecs| ≤ min(2·pairs, |base|)
+      // without any extra count, so gate on that bound — ids-only pins
+      // above stay row-guarded (16 B/row is never the broadcast risk)
+      val candRowBound = math.min(2L * nPairs, nBase)
+      def pinVec(d: DataFrame): DataFrame =
+        if (nPairs <= Dedup.broadcastMaxPairs &&
+            Dedup.vecBroadcastBytes(candRowBound, dim) <=
+              Dedup.broadcastMaxVecBytes) broadcast(d)
+        else d
       obsCount(
         cp
-          .join(pin(candVecs.select(col("id").as("id_a"),
+          .join(pinVec(candVecs.select(col("id").as("id_a"),
             col("v").as("va"), col("nrm").as("na"))), "id_a")
-          .join(pin(candVecs.select(col("id").as("id_b"),
+          .join(pinVec(candVecs.select(col("id").as("id_b"),
             col("v").as("vb"), col("nrm").as("nb"))), "id_b")
           .withColumn("cosine", cosineOrNull(
             dotDouble(col("va"), col("vb")), col("na"), col("nb")))
@@ -644,7 +669,8 @@ object Similarity {
       if (maxListDf > 0)
         CacheScope.persist(Dedup.capHotKeys(assigned, "bk", maxListDf))
       else assigned
-    nearDupPairsFromBuckets(base, blocked, threshold)
+    nearDupPairsFromBuckets(base, blocked, threshold,
+      dim = centroids.head.length)
   }
 
   def ivfTopK(
@@ -1841,7 +1867,7 @@ object Similarity {
       if (maxBucketDf > 0)
         CacheScope.persist(Dedup.capHotKeys(rawBuckets, "bk", maxBucketDf))
       else rawBuckets
-    val pairs = nearDupPairsFromBuckets(base, allBuckets, threshold)
+    val pairs = nearDupPairsFromBuckets(base, allBuckets, threshold, dim)
     val comps = Dedup.connectedComponents(pairs)
     val losers = CacheScope.persist(comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol)))
@@ -1881,6 +1907,17 @@ object Similarity {
     val nCands = Dedup.guardCount(cands)
     def pin(d: DataFrame): DataFrame =
       if (nCands <= Dedup.broadcastMaxPairs) broadcast(d) else d
+    // vector-bearing pins AND the byte gate with the row guard (the
+    // row count alone is byte-blind at production dims — see
+    // Dedup.broadcastMaxVecBytes); candVecs rows ≤ nCands by
+    // construction, bVecs rows = |survivors| (persisted above, so this
+    // count materializes a cache the downstream joins reuse)
+    val nSurv = Dedup.guardCount(survivors)
+    def pinVec(d: DataFrame, rowBound: Long): DataFrame =
+      if (nCands <= Dedup.broadcastMaxPairs &&
+          Dedup.vecBroadcastBytes(rowBound, dim) <=
+            Dedup.broadcastMaxVecBytes) broadcast(d)
+      else d
     val candIds = cands.select(col("cid").as(idCol)).distinct()
     val candVecs = corpusVecs.join(pin(candIds), Seq(idCol), "left_semi")
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
@@ -1890,8 +1927,8 @@ object Similarity {
       .withColumn("bn", norm(col("bv")))
     val hits = obsCount(
       cands
-        .join(pin(bVecs), "bid")
-        .join(pin(candVecs), "cid")
+        .join(pinVec(bVecs, nSurv), "bid")
+        .join(pinVec(candVecs, nCands), "cid")
         .filter(cosineOrNull(dotDouble(col("bv"), col("cv")),
           col("bn"), col("cn")) >= threshold)
         .select(col("bid").as(idCol))

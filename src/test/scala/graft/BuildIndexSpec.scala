@@ -389,6 +389,37 @@ class BuildIndexSpec extends SparkSpec {
     new java.io.File(store).exists() shouldBe false
   }
 
+  test("kind compact heals a store whose previous compaction crashed mid-flip") {
+    import spark.implicits._
+    // a store crashed between the flip's two renames: _meta gone, the
+    // COMPLETE _meta_next holding the merged view — exactly the state
+    // repairMetaFlip exists for. The scheduled compact verb must repair
+    // it, not die on a raw _meta read (PATH_NOT_FOUND would classify
+    // fail-once and the schedule could never heal the store).
+    val docs = Seq((1L, "spark scala engine"), (2L, "scala query engine"),
+      (3L, "parquet files store")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("bidx-heal-").toString + "/idx"
+    graft.operators.Search.writeIndexSegment(
+      docs.filter($"doc_id" <= 2), "doc_id", "text", idx, buckets = 4)
+    graft.operators.Search.writeIndexSegment(
+      docs.filter($"doc_id" > 2), "doc_id", "text", idx, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/_meta"),
+      new org.apache.hadoop.fs.Path(s"$idx/_meta_next"))
+    val report = BuildIndex.run(spark,
+      writeCfg("kind: compact", s"store: $idx", "family: segments"))
+    report.rows shouldBe 2L // both segments visible through the repair view
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_meta")) shouldBe true
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_meta_next")) shouldBe false
+    spark.read.parquet(s"$idx/_meta").count() shouldBe 1
+    val hits = graft.operators.Search.bm25TopKSegmented(spark, idx,
+      Seq((100L, "scala engine")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
+    hits.count() should be > 0L
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("ANN builds: the fused stats pass scans the input once for count+dims+SQ grid") {
     val data = vecs(80)
     val inPath = java.nio.file.Files

@@ -276,6 +276,34 @@ class OrchestratorSpec extends SparkSpec {
     slept shouldBe 0
   }
 
+  test("recognized kind missing its other keys still dispatches to the build path and fails once, loudly") {
+    val dir = Files.createTempDirectory("orch-shape-")
+    val policy = JobRunner.RetryPolicy(maxRetries = 3, initialDelayMs = 1)
+    // kind: compact without family — must reach BuildIndex's one loud
+    // 'requires family' refusal, not fall through to the JobRunner and
+    // burn the schedule's retries on a not-a-job error
+    val noFam = dir.resolve("compact_nofam.yaml")
+    Files.writeString(noFam, s"kind: compact\nstore: ${dir.resolve("s")}\n")
+    BuildIndex.isIndexConfig(noFam.toString) shouldBe true
+    var slept = 0
+    val logs = scala.collection.mutable.ArrayBuffer[String]()
+    runScheduled(spark, noFam.toString, policy,
+      sleep = _ => slept += 1, log = logs += _) shouldBe
+      graft.core.ExitCodes.Failure
+    slept shouldBe 0 // config error: fail once, no backoff burned
+    logs.mkString(" ") should include("requires family")
+    // same for a build kind missing input
+    val noInput = dir.resolve("bm25_noinput.yaml")
+    Files.writeString(noInput, s"kind: bm25\nstore: ${dir.resolve("s2")}\n")
+    BuildIndex.isIndexConfig(noInput.toString) shouldBe true
+    logs.clear()
+    runScheduled(spark, noInput.toString, policy,
+      sleep = _ => slept += 1, log = logs += _) shouldBe
+      graft.core.ExitCodes.Failure
+    slept shouldBe 0
+    logs.mkString(" ") should include("requires input")
+  }
+
   test("runner config loads schedules with retry settings") {
     val dir = Files.createTempDirectory("orch-")
     val p = dir.resolve("runner.yaml")

@@ -156,6 +156,65 @@ class NearDupAttributionSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("byte gate: under the row guard but over the vec byte budget takes the fallback shape, bit-identically") {
+    // the r19 gate was `rows <= broadcastMaxPairs` — a ROW count gating
+    // a broadcast whose size is rows × dim × bytes, so a 4M-row batch
+    // at production dims (768–4096) passed the guard and then failed
+    // the 8 GB broadcast ceiling. The gate now ANDs a byte estimate:
+    // at the DEFAULT budget a guard-passing batch at high dim routes
+    // to the fallback...
+    graft.operators.Dedup.vecBroadcastBytes(4000000L, 4096) should be >
+      graft.operators.Dedup.broadcastMaxVecBytes
+    graft.operators.Dedup.vecBroadcastBytes(4000000L, 64) should be <=
+      graft.operators.Dedup.broadcastMaxVecBytes
+    // ...and the two shapes stay bit-identical. Shape witness: the
+    // fused verify counts work PRE-dedup (an exact copy colliding in
+    // all `tables` buckets verifies `tables` times), the fallback
+    // verifies the post-distinct candidate set (once per pair).
+    val rows = (0L until 40L).map(i => i -> vec(i * 11L)) ++
+      Seq(900L -> vec(0L)) // exact dup of id 0 → collides in all tables
+    val allPairCos = for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && (ia, ib) != ((0L, 900L))
+    } yield cosine(va, vb)
+    allPairCos.max should be < 0.9 // self-validating: only the planted pair
+    val d = df(rows)
+    def run(): (Set[(Long, Long)], Long) = {
+      val metrics = new scala.collection.concurrent.TrieMap[String, Long]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (k, row) =>
+            metrics.updateWith(k)(o => Some(math.max(o.getOrElse(0L),
+              row.getLong(0))))
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try Similarity.withPlanAttribution {
+        val p = Similarity.cosineNearDupPairs(
+          d, "vec_id", "embedding", threshold = 0.95,
+          planes = 4, tables = 8, dim = dim)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!metrics.contains("graft.neardup.verified_pairs") &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        (p, metrics("graft.neardup.verified_pairs"))
+      } finally spark.listenerManager.unregister(listener)
+    }
+    val (fusedPairs, fusedVerified) = run()
+    fusedPairs shouldBe Set((0L, 900L))
+    fusedVerified shouldBe 8L // fused: verified once per colliding table
+    // 41 rows pass the 4M row guard; a 1-byte budget forces the
+    // byte-gated fallback on the same data
+    val (gatedPairs, gatedVerified) =
+      graft.operators.Dedup.withVecByteBudget(1L)(run())
+    gatedPairs shouldBe fusedPairs // results bit-identical
+    gatedVerified shouldBe 1L // fallback: post-distinct, once per pair
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("fused ≡ fallback across randomized geometries, thresholds, and degenerate rows") {
     // multi-seed sweep over the config surface: any drift between the
     // two verify shapes is a silent-wrong-answer class, so it gets the

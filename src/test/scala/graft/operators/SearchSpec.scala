@@ -164,9 +164,13 @@ class SearchSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$store/_meta"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$store/_meta_post_flip"),
       new org.apache.hadoop.fs.Path(s"$store/_meta"))
-    // the NEXT compaction's step-0 sweep reclaims the deferred dirs
-    // (single-segment early return still sweeps)
-    Search.compactIndexSegments(spark, store)
+    // a LATER compaction's step-0 sweep reclaims the deferred dirs
+    // once they age past the retention window (single-segment early
+    // return still sweeps; retention 0 here = the eager one-cycle
+    // behavior — the window itself is covered by its own test below)
+    Search.withDebrisRetention(0L) {
+      Search.compactIndexSegments(spark, store)
+    }
     segDirs() shouldBe 1
     probe() shouldBe before
     // appending AFTER compaction keeps working
@@ -214,7 +218,12 @@ class SearchSpec extends SparkSpec {
     // Manufacture it from a real flip artifact: run a real compaction,
     // then un-flip its _meta to _meta_next and plant a stale
     // _meta_prev — byte-identical to dying between rename 1 and 2.
-    Search.compactIndexSegments(spark, store)
+    // (retention 0 throughout this test: the crash windows are about
+    // meta-state recovery, and the fresh-mtime debris here is exactly
+    // what the default window would — correctly — refuse to sweep)
+    Search.withDebrisRetention(0L) {
+      Search.compactIndexSegments(spark, store)
+    }
     probe() shouldBe before
     // the pre-compaction orphan was swept at step 0; the 3 merged-away
     // live segments are DEFERRED to the next sweep (reader fence)
@@ -240,7 +249,9 @@ class SearchSpec extends SparkSpec {
     // sweeps the debris and converges to one segment
     fs.mkdirs(new Path(s"$store/_meta_next")) // no _SUCCESS → incomplete
     val healthy = probe()
-    Search.compactIndexSegments(spark, store)
+    Search.withDebrisRetention(0L) {
+      Search.compactIndexSegments(spark, store)
+    }
     probe() shouldBe healthy
     spark.read.parquet(s"$store/_meta").count() shouldBe 1
     // WINDOW 4 — a rolled-FORWARD crash leaves the merged-away segment
@@ -252,7 +263,9 @@ class SearchSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.copyDirectory(live,
       new java.io.File(s"$store/postings/segment=rolled-fwd-orphan"))
     fs.mkdirs(new Path(s"$store/_compact_tmp"))
-    Search.compactIndexSegments(spark, store) // 1 segment → early return
+    Search.withDebrisRetention(0L) {
+      Search.compactIndexSegments(spark, store) // 1 segment → early return
+    }
     new java.io.File(s"$store/postings").listFiles()
       .count(_.getName.startsWith("segment=")) shouldBe 1
     fs.exists(new Path(s"$store/_compact_tmp")) shouldBe false
@@ -284,7 +297,66 @@ class SearchSpec extends SparkSpec {
       Seq("query_id", "neighbor_id", "rank", "score")
     hits.schema("query_id").dataType shouldBe
       org.apache.spark.sql.types.LongType
+    // score is the BIGINT micro-nat type scoreTopK emits on the normal
+    // path — the empty-store probe must not fork the schema by store
+    // state (a union of probes across stores would break on it)
+    hits.schema("score").dataType shouldBe
+      org.apache.spark.sql.types.LongType
     hits.count() shouldBe 0L
+  }
+
+  test("debris sweep honors minimum retention age: young deferred generation survives, old one reclaims") {
+    val wide = (0L until 40L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 40}"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-retain-").toString + "/idx"
+    (0 to 2).foreach(i => Search.writeIndexSegment(
+      wide.filter($"doc_id" % 3 === i), "doc_id", "text", store, buckets = 8))
+    def segDirs() = new java.io.File(s"$store/postings").listFiles()
+      .filter(_.getName.startsWith("segment=")).toSeq
+    def probe() = {
+      val r = Search.bm25TopKSegmented(spark, store,
+        wide.filter($"doc_id" < 2), "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+      graft.core.CacheScope.releaseAll()
+      r
+    }
+    val before = probe()
+    // compaction 1 defers the 3 merged-away dirs (mtime stamped at
+    // flip); compaction 2 lands INSIDE the retention window, so its
+    // sweep must keep them — the reader-across-two-compactions race
+    // the retention window exists to close
+    Search.withDebrisRetention(60L * 60L * 1000L) {
+      Search.compactIndexSegments(spark, store)
+      segDirs().size shouldBe 4 // merged + 3 deferred
+      probe() shouldBe before
+      // append so compaction 2 has real work (2 live segments)
+      Search.writeIndexSegment(
+        Seq((100L, "tok0 common0 tok1")).toDF("doc_id", "text"),
+        "doc_id", "text", store, buckets = 8)
+      Search.compactIndexSegments(spark, store)
+      // 1 merged + 2 deferred-from-this-flip + the 3 still-young
+      segDirs().size shouldBe 6
+      // age HALF the debris past the window (the 3 first-generation
+      // dirs); the next sweep reclaims exactly those and keeps the
+      // young generation
+      val live = spark.read.parquet(s"$store/_meta")
+        .collect().map(r => s"segment=${r.getAs[String]("segment")}").toSet
+      val (old3, rest) = segDirs().filterNot(d => live(d.getName))
+        .splitAt(3)
+      val afterAppend = probe() // post-append expected answers
+      old3.foreach(d =>
+        d.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      Search.compactIndexSegments(spark, store) // single-segment early return
+      val after = segDirs().map(_.getName).toSet
+      old3.foreach(d => after should not contain d.getName)
+      rest.foreach(d => after should contain(d.getName))
+      // sweeps never change answers — the live view is untouched
+      probe() shouldBe afterAppend
+    }
+    graft.core.CacheScope.releaseAll()
   }
 
   test("store writes are bucket-aligned: file count bounded by buckets, not tasks × buckets") {
