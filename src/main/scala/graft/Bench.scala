@@ -69,6 +69,13 @@ object Bench {
     // now one env var — so a scale regression in a touched family is
     // caught the round it lands.
     if (sys.env.contains("GRAFT_BENCH_SCALE")) { runScale(args); return }
+    // Sessions mode — min-of-fresh-JVM-sessions for the SUITE bench:
+    // the scale probe's interleaved-sessions machinery applied to the
+    // whole suite, so the committed artifact is a floor measurement
+    // instead of one session's I/O-weather sample.
+    if (sys.env.get("GRAFT_BENCH_SESSIONS").exists(_.trim.toInt > 1)) {
+      runSessions(args, sys.env("GRAFT_BENCH_SESSIONS").trim.toInt); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // min over `reps` runs per query: single-run local[32] timings swing
@@ -126,6 +133,7 @@ object Bench {
       contentionVerdict(sentinels.toSeq, spreads.map(_._2), reps)
     val results = perRep.map { case (n, ts) => n -> ts.min }
     val total = results.map(_._2).sum
+    val swing = swingFlags(sfDir, results)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
     val repJson = perRep.map { case (k, ts) =>
@@ -148,7 +156,9 @@ object Bench {
       System.err.println(s"[bench] ${errors.size} queries FAILED: " +
         errors.map(_._1).mkString(", "))
     val jvm = jvmSummary()
-    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"suite","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"diag":$diagJson,"jvm":$jvm,"sentinel":$sentinelObj,"contended":$contended,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
+    val swingJson = swing.map(s => jsonStr(s._1) + ":" + fmt(s._2, 2))
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"suite","queries":$qs,"rep_times":$repJson,"spread":$spreadJson,"diag":$diagJson,"jvm":$jvm,"sentinel":$sentinelObj,"contended":$contended,"swing_flagged":$swingJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min"}"""
     // Full detail also lands in a FILE: the driver that collects this
     // run keeps only a bounded tail of stdout, so the per-rep evidence
     // must survive somewhere a reviewer can always reach.
@@ -163,8 +173,125 @@ object Bench {
     println(full)
     println(compactLine(total, sfDir, contended, results, reps,
       errors.size, diag = timed.map(t => t.name -> t.diag).toMap,
-      jvm = Some(jvm)))
+      jvm = Some(jvm), swing = swing))
     spark.stop()
+  }
+
+  /** Mechanical session-swing adjudication: a query is flagged when its
+    * min-of-reps exceeds 1.5× its committed FLOOR — the per-query min
+    * across recent committed artifacts of the same sf
+    * (`GRAFT_BENCH_FLOOR`, default `BENCH_FLOOR.json` in the launch
+    * directory; regenerate it from new artifacts when plans genuinely
+    * change). The 1.5× band is what the r18 isolated-baseline work
+    * measured for same-day I/O swing on the store-building families.
+    * Returns (name → value/floor ratio), worst first. Empty when the
+    * floor file is absent, unreadable, or for a DIFFERENT sf — a dev
+    * run at sf0.01 must not flag against sf0.1 floors.
+    */
+  private[graft] def swingFlags(sfDir: String,
+      results: Seq[(String, Double)],
+      path: String =
+        sys.env.getOrElse("GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json"))
+      : Seq[(String, Double)] = {
+    val sfName = sfDir.replaceAll("/+$", "").split('/').lastOption
+      .getOrElse(sfDir)
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      if (node.get("sf") == null || node.get("sf").asText() != sfName) Nil
+      else {
+        val floors = node.get("floors")
+        results.flatMap { case (n, v) =>
+          Option(floors.get(n)).map(_.asDouble()).filter(_ > 0)
+            .map(f => n -> v / f).filter(_._2 > 1.5)
+        }.sortBy(-_._2)
+      }
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** `GRAFT_BENCH_SESSIONS=N` (N ≥ 2): run the whole suite N times,
+    * each a FRESH JVM (same isolation reasoning as the scale probe's
+    * interleaved legs), and report the per-query MIN across sessions —
+    * the committed artifact then measures the plan's floor, not one
+    * session's I/O weather, and the per-session maps ride along as the
+    * variance exhibit. `contended` ORs the children's verdicts;
+    * swing flags are recomputed on the MERGED values, so a family that
+    * is slow in every session (a real regression) stays flagged while
+    * one slow window disappears into the min.
+    */
+  private def runSessions(args: Array[String], sessions: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") ||
+        a.startsWith("-D") || a.startsWith("--add-exports"))
+    val cp = System.getProperty("java.class.path")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val perSession =
+      scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val jvms = scala.collection.mutable.ArrayBuffer[String]()
+    val errors = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var contended = false
+    for (s <- 1 to sessions) {
+      val detail = java.nio.file.Files
+        .createTempFile(s"bench-sess-$s-", ".json")
+      val logFile = java.io.File.createTempFile(s"bench-sess-$s-", ".log")
+      val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ args
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().remove("GRAFT_BENCH_SESSIONS")
+      pb.environment().put("GRAFT_BENCH_DETAIL", detail.toString)
+      pb.environment().put("GRAFT_BENCH_REPS", reps.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))
+      System.err.println(s"[bench-sessions] session $s/$sessions")
+      val rc = pb.start().waitFor()
+      val body = try new String(java.nio.file.Files.readAllBytes(detail),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+      if (rc != 0 || body.isEmpty)
+        errors += s"session_$s" -> (s"child exit $rc, log: $logFile | " +
+          logTail(logFile))
+      else {
+        val node = mapper.readTree(body)
+        val qs = node.get("queries")
+        perSession += qs.fieldNames().asScala
+          .map(q => q -> qs.get(q).asDouble()).toMap
+        contended ||= Option(node.get("contended")).exists(_.asBoolean())
+        jvms += Option(node.get("jvm")).map(_.toString).getOrElse("{}")
+        val errs = node.get("errors")
+        if (errs != null) errs.fieldNames().asScala.foreach(q =>
+          errors += s"${q}_s$s" -> errs.get(q).asText())
+        java.nio.file.Files.deleteIfExists(detail)
+        logFile.delete()
+      }
+    }
+    val names = perSession.flatMap(_.keys).distinct.sorted
+    val merged = names.map(n => n -> perSession.flatMap(_.get(n)).min)
+    val total = merged.map(_._2).sum
+    val swing = swingFlags(sfDir, merged.toSeq)
+    def qmap(m: Map[String, Double]): String =
+      names.flatMap(n => m.get(n).map(v => "\"" + n + "\":" + fmt(v, 4)))
+        .mkString("{", ",", "}")
+    val qs = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
+      .mkString("{", ",", "}")
+    val sessJson = perSession.map(qmap).mkString("[", ",", "]")
+    val jvmJson = jvms.mkString("[", ",", "]")
+    val errJson = errors.map { case (k, m) => "\"" + k + "\":" + jsonStr(m) }
+      .mkString("{", ",", "}")
+    val swingJson = swing.map(s => jsonStr(s._1) + ":" + fmt(s._2, 2))
+      .mkString("{", ",", "}")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench-sessions] ${errors.size} failures: " +
+        errors.map(_._1).mkString(", "))
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"sessions","sessions":$sessions,"queries":$qs,"session_queries":$sessJson,"session_jvm":$jvmJson,"contended":$contended,"swing_flagged":$swingJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min-of-sessions"}"""
+    writeDetail(full)
+    println(full)
+    println(compactLine(total, sfDir, contended, merged.toSeq, reps,
+      errors.size, mode = "sessions", swing = swing))
   }
 
   private def writeDetail(full: String): Unit = {
@@ -565,7 +692,8 @@ object Bench {
   private[graft] def compactLine(total: Double, sfDir: String,
       contended: Boolean, results: Seq[(String, Double)], reps: Int,
       errors: Int = 0, diag: Map[String, QueryDiag] = Map.empty,
-      jvm: Option[String] = None, mode: String = "suite"): String = {
+      jvm: Option[String] = None, mode: String = "suite",
+      swing: Seq[(String, Double)] = Nil): String = {
     val sfName = sfDir.replaceAll("/+$", "").split('/').lastOption.getOrElse(sfDir)
     val bySlowest = results.sortBy(-_._2)
     val diagJson =
@@ -576,11 +704,17 @@ object Bench {
         }
       }.mkString(",\"diag\":{", ",", "}")
     val jvmJson = jvm.map(j => s""","jvm":$j""").getOrElse("")
+    // swing names (mechanical adjudication verdict) always survive the
+    // budget loop — worst DiagTop ratios only, so a pathological run
+    // can't flood the line
+    val swingJson = swing.take(DiagTop)
+      .map(s => jsonStr(s._1) + ":" + fmt(s._2, 2))
+      .mkString(",\"swing\":{", ",", "}")
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","mode":"$mode","contended":$contended,"errors":$errors$jvmJson$diagJson,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfName","reps":$reps,"agg":"min","mode":"$mode","contended":$contended,"errors":$errors$jvmJson$diagJson$swingJson,"omitted":$omitted,"detail":"BENCH_DETAIL.json","queries":$qs}"""
     }
     // admit slowest-first until the rendered line fits the budget
     var keep = bySlowest.size

@@ -114,6 +114,42 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
     node.get("contended").asBoolean() shouldBe true
   }
 
+  test("swingFlags: >1.5x over the committed floor flags, same-sf only, worst first") {
+    val floor = java.nio.file.Files.createTempFile("floor-", ".json")
+    java.nio.file.Files.writeString(floor,
+      """{"sf":"sf0.1","floors":{"a":1.0,"b":2.0,"c":0.5}}""")
+    val results = Seq("a" -> 1.2, "b" -> 3.5, "c" -> 2.0, "new_q" -> 9.9)
+    // a: 1.2x (inside the band), b: 1.75x, c: 4x; new_q has no floor
+    val flags = Bench.swingFlags("/root/testdata/sf0.1", results,
+      floor.toString)
+    flags.map(_._1) shouldBe Seq("c", "b") // worst ratio first
+    flags.head._2 shouldBe 4.0 +- 1e-9
+    // a different sf must not adjudicate against these floors
+    Bench.swingFlags("/root/testdata/sf0.01", results,
+      floor.toString) shouldBe empty
+    // absent/unreadable floor file: no flags, no crash
+    Bench.swingFlags("/root/testdata/sf0.1", results,
+      "/nonexistent/floor.json") shouldBe empty
+  }
+
+  test("swing verdict survives the compact line's budget loop") {
+    val results = realNames.zipWithIndex.map { case (n, i) =>
+      n -> (0.05 + (i % 17) * 0.43)
+    }
+    val swing = Seq("dedup_tfidf_forced" -> 2.1, "dedup_simhash_pairs" -> 1.7)
+    val line = Bench.compactLine(123.0, "/root/testdata/sf0.1",
+      contended = false, results, reps = 3, swing = swing)
+    line.length should be <= Bench.CompactBudget
+    val node = parseJson(line)
+    node.get("swing").get("dedup_tfidf_forced").asDouble() shouldBe 2.1 +- 1e-9
+    node.get("swing").size() shouldBe 2
+    // and the committed BENCH_FLOOR.json itself parses with the right sf
+    val committed = parseJson(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_FLOOR.json")))
+    committed.get("sf").asText() shouldBe "sf0.1"
+    committed.get("floors").size() should be > 100
+  }
+
   test("compact line: pathological names degrade to omission, never overflow") {
     val results = (1 to 200).map(i => s"very_long_query_name_padding_${i}_x" * 2 -> i * 0.1)
     val line = Bench.compactLine(10.0, "sf9", contended = false, results, reps = 3)
