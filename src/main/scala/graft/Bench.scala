@@ -413,7 +413,10 @@ object Bench {
   private[graft] val DefaultScaleFamilies = Seq(
     "ann_neardup_incremental", "dedup_minhash_forced",
     "dedup_tfidf_forced", "dedup_tfidf_incremental",
-    "search_bm25_segmented", "search_bm25_store_topk")
+    "search_bm25_segmented", "search_bm25_store_topk",
+    // the df-ceiling twins (r20): the lexical probes' scale lever —
+    // their curves price what the ceiling buys vs the exact entries
+    "search_bm25_topk_maxdf", "search_bm25_store_maxdf")
 
   /** Mechanized scale probe (`GRAFT_BENCH_SCALE=1`): for each factor in
     * `GRAFT_SCALE_FACTORS` (default "3,10"), fork

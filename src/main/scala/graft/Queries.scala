@@ -1902,6 +1902,45 @@ object Queries {
       "doc_id", "text", k = 10)
   }
 
+  /** Docs with at least one whitespace token — the `N` every BM25
+    * oracle's `st` CTE counts; the df-ceiling entries derive their
+    * threshold from it so the ceiling scales with the corpus.
+    */
+  private def bm25NDocs(docs: DataFrame): Long =
+    docs.filter(col("text").isNotNull && trim(col("text")) =!= "").count()
+
+  /** BM25 with the documented-divergence df-ceiling (`maxDf = ⌊N/2⌋`):
+    * query terms in more than half the corpus contribute nothing —
+    * near-zero idf, but they alone make the exact probe's work Σdf ≈
+    * |terms|·N (a stopword scores nearly every document), which is the
+    * measured lexical-retrieval scale steepness. Kept-term scores are
+    * bit-identical to the exact path and the oracle replays the same
+    * ceiling, so the divergence itself is hash-checked.
+    */
+  def searchBm25TopKMaxDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.Search.bm25TopK(
+      docs, docs.filter(col("doc_id") % 100 === 7), "doc_id", "text",
+      k = 10, maxDf = bm25NDocs(docs) / 2)
+  }
+
+  /** The df-ceiling through the PERSISTED store: df is denormalized in
+    * every postings row, so the ceiling rides the scan as a pushed
+    * long predicate (row groups dominated by stopword postings skip on
+    * parquet statistics before any scoring work).
+    */
+  def searchBm25StoreMaxDf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bm25_maxdf_").toString
+    graft.operators.Search.writePostingsStore(
+      docs, "doc_id", "text", store, buckets = 8)
+    ivfStoreDirs.add(store)
+    graft.operators.Search.bm25TopKFromStore(
+      spark, store, docs.filter(col("doc_id") % 100 === 7),
+      "doc_id", "text", k = 10, maxDf = bm25NDocs(docs) / 2)
+  }
+
   /** Hybrid retrieval: the BM25 lexical arm and the embedding cosine
     * arm (same query set — ids ≡ 7 mod 100, top 20 each) fused by
     * reciprocal-rank fusion into one top-10. Both arms are themselves
@@ -2140,6 +2179,8 @@ object Queries {
     "search_bm25_topk" -> searchBm25TopK _,
     "search_bm25_store_topk" -> searchBm25StoreTopK _,
     "search_bm25_segmented" -> searchBm25Segmented _,
+    "search_bm25_topk_maxdf" -> searchBm25TopKMaxDf _,
+    "search_bm25_store_maxdf" -> searchBm25StoreMaxDf _,
     "search_hybrid_rrf" -> searchHybridRrf _,
     "text_lm_score" -> textLmScore _,
     "text_lm_score_store" -> textLmScoreStore _,
@@ -3634,6 +3675,20 @@ object Queries {
       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
       |FROM r WHERE rank <= 10""".stripMargin
 
+  // The df-ceiling twin: identical replay with the dfc CTE filtered to
+  // df ≤ ⌊N/2⌋ (DuckDB `//` = integer floor division, matching the
+  // Spark side's Long division on a non-negative count). Built by
+  // substitution so the two chains can never drift except in the one
+  // clause that differs; the require guards the substitution itself.
+  private val searchBm25MaxDfOracle: String = {
+    val exact = "dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),"
+    val ceiled = "dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok\n" +
+      "  HAVING count(*) <= (SELECT count(DISTINCT doc_id)//2 FROM tk)),"
+    val sql = searchBm25Oracle.replace(exact, ceiled)
+    require(sql != searchBm25Oracle, "df-ceiling substitution failed")
+    sql
+  }
+
   // Hybrid RRF: the BM25 CTE chain (rank ≤ 20) and the brute-cosine CTE
   // chain (rank ≤ 20) fused by floor(1e9/(60+rank)) BIGINT
   // contributions — both arms replay their own oracles' arithmetic
@@ -3851,6 +3906,8 @@ object Queries {
     "search_bm25_topk" -> searchBm25Oracle,
     "search_bm25_store_topk" -> searchBm25Oracle,
     "search_bm25_segmented" -> searchBm25Oracle,
+    "search_bm25_topk_maxdf" -> searchBm25MaxDfOracle,
+    "search_bm25_store_maxdf" -> searchBm25MaxDfOracle,
     "search_hybrid_rrf" -> searchHybridRrfOracle,
     "text_lm_score" -> textLmScoreOracle,
     "text_lm_score_store" -> textLmScoreOracle,

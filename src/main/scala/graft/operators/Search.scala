@@ -110,16 +110,31 @@ object Search {
     * query document itself is excluded). Query terms broadcast — the
     * query side is a seed set, small by construction — so candidate
     * postings prune map-side before any wide work.
+    *
+    * `maxDf > 0` enables DOCUMENTED-DIVERGENCE stopword pruning: query
+    * terms whose corpus document frequency exceeds `maxDf` contribute
+    * NOTHING to scores (their postings are dropped before the scoring
+    * join). This is the lexical-retrieval scale lever — the probe's
+    * work is Σ over query terms of df(term), and a stopword term alone
+    * scores nearly EVERY document (df ≈ N), which is why the exact
+    * probe's measured scale curve trends super-sub-linear-but-steep;
+    * with common terms contributing ~0 idf, dropping them barely moves
+    * rankings but removes the dominant Σdf mass. Kept-term scores and
+    * corpus stats (N, avgdl, df) are bit-identical to the exact path;
+    * 0 (default) = exact.
     */
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = DefaultK1,
-      b: Double = DefaultB): DataFrame = {
+      b: Double = DefaultB, maxDf: Long = 0L): DataFrame = {
     // dl persisted: the stats collect below materializes it, and the
     // scoring plan's length join then reads the cache — previously the
     // stats pass re-derived the ENTIRE joined index a second time
     val (tf, dl0, df_) = postingParts(corpus, idCol, textCol)
     val dl = graft.core.CacheScope.persist(dl0)
-    val postings = tf.join(dl, "doc_id").join(df_, "tok")
+    // the df-ceiling prunes via the INNER join: a dropped tok's tf rows
+    // never reach the wide join, let alone the scoring aggregate
+    val dfK = if (maxDf > 0) df_.filter(col("df") <= maxDf) else df_
+    val postings = tf.join(dl, "doc_id").join(dfK, "tok")
       .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, queryTerms(queries, idCol, textCol),
       statsFromDl(dl), k, k1, b)
@@ -196,7 +211,8 @@ object Search {
     */
   def bm25TopKFromStore(spark: SparkSession, storePath: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
-      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+      k1: Double = DefaultK1, b: Double = DefaultB,
+      maxDf: Long = 0L): DataFrame = {
     val meta = spark.read.parquet(s"$storePath/_meta").collect()(0)
     val (nDocs, totalLen, buckets) =
       (meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_len"),
@@ -207,9 +223,15 @@ object Search {
     val probedBuckets = terms
       .map(t => math.floorMod(MurmurFree.md5Long60(t), buckets.toLong))
       .distinct.sorted
+    // df is DENORMALIZED into every store row, so the df-ceiling (see
+    // bm25TopK) rides the scan as a pushed long predicate — parquet
+    // row groups dominated by a stopword's postings skip on statistics
+    // before any scoring work
+    val dfPred =
+      if (maxDf > 0) col("df") <= maxDf else lit(true)
     val postings = spark.read.parquet(s"$storePath/postings")
       .filter(col("bucket").isInCollection(probedBuckets) &&
-        col("tok").isInCollection(terms))
+        col("tok").isInCollection(terms) && dfPred)
       .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, qt, (nDocs, totalLen), k, k1, b)
   }
@@ -616,7 +638,8 @@ object Search {
 
   def bm25TopKSegmented(spark: SparkSession, storePath: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
-      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+      k1: Double = DefaultK1, b: Double = DefaultB,
+      maxDf: Long = 0L): DataFrame = {
     val metas = spark.read.parquet(segmentMetaPath(spark, storePath))
       .collect()
     require(metas.nonEmpty, s"empty search index at $storePath")
@@ -670,7 +693,12 @@ object Search {
           col("segment").isInCollection(liveSegs) &&
           col("tok").isInCollection(terms))
         .select("tok", "doc_id", "tf", "len"))
-    val dfc = pruned.groupBy("tok").agg(count(lit(1)).as("df"))
+    // segments recompute df at probe time (it can't be denormalized
+    // across immutable segments), so the df-ceiling (see bm25TopK)
+    // filters the aggregated counts; the broadcast inner join then
+    // drops the stopword postings before scoring
+    val dfc0 = pruned.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfc = if (maxDf > 0) dfc0.filter(col("df") <= maxDf) else dfc0
     scoreTopK(pruned.join(broadcast(dfc), "tok"), qt,
       (nDocs, totalLen), k, k1, b)
   }

@@ -305,6 +305,50 @@ class SearchSpec extends SparkSpec {
     hits.count() shouldBe 0L
   }
 
+  test("maxDf ceiling: stopword terms contribute nothing, kept-term scores bit-identical, 0 = exact") {
+    // 'the' appears in every doc (df 6 = N); 'rare'/'gem' in 2 each;
+    // equal doc lengths within each pair so kept-term scores must TIE
+    // exactly (same tf, df, len → identical micro-nat contribution)
+    val docs = Seq(
+      (1L, "the rare word alpha"), (2L, "the rare cats beta"),
+      (3L, "the gem gray gamma"), (4L, "the gem dark delta"),
+      (5L, "the epsilon"), (6L, "the zeta")).toDF("doc_id", "text")
+    val queries = Seq((10L, "the rare gem")).toDF("doc_id", "text")
+    def run(maxDf: Long): Map[Long, Long] =
+      Search.bm25TopK(docs, queries, "doc_id", "text", k = 10,
+        maxDf = maxDf)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val exact = run(0L)
+    exact.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L) // 'the' hits all
+    val ceiled = run(3L) // df('the')=6 > 3; rare/gem (df 2) kept
+    // docs that only matched via the stopword drop entirely
+    ceiled.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    // with the stopword's (nonzero, BM25+) contribution gone, the
+    // equal-length same-df same-tf pairs tie bit-exactly
+    ceiled(1L) shouldBe ceiled(2L)
+    ceiled(3L) shouldBe ceiled(4L)
+    // ...whereas the exact path broke those ties only via 'the' (equal
+    // lengths → it didn't: pin that the ceiling changed no kept math)
+    exact(1L) - ceiled(1L) shouldBe exact(3L) - ceiled(3L)
+    // a ceiling no term reaches ≡ exact
+    run(100L) shouldBe exact
+    // the same ceiling through the store and segment paths
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-maxdf-").toString + "/s"
+    Search.writePostingsStore(docs, "doc_id", "text", store, buckets = 4)
+    Search.bm25TopKFromStore(spark, store, queries, "doc_id", "text",
+      k = 10, maxDf = 3L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap shouldBe ceiled
+    val segs = java.nio.file.Files
+      .createTempDirectory("bm25-maxdf-seg-").toString + "/s"
+    (0 to 1).foreach(i => Search.writeIndexSegment(
+      docs.filter($"doc_id" % 2 === i), "doc_id", "text", segs, buckets = 4))
+    Search.bm25TopKSegmented(spark, segs, queries, "doc_id", "text",
+      k = 10, maxDf = 3L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap shouldBe ceiled
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("debris sweep honors minimum retention age: young deferred generation survives, old one reclaims") {
     val wide = (0L until 40L)
       .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 40}"))
