@@ -331,7 +331,7 @@ object JobRunner {
         Yaml.str(c, "dedupe").exists(_ != "incremental"))
       throw new IllegalArgumentException(
         "store_format: bloom supports only dedupe: incremental")
-    var out = df
+    var out = obsStage(df, "input")
     // extraction first: downstream dedup/quality rules should judge the
     // extracted prose, not the markup
     Yaml.str(c, "extract").foreach {
@@ -472,6 +472,7 @@ object JobRunner {
       case other =>
         throw new IllegalArgumentException(s"unknown curation.dedupe: $other")
     }
+    if (Yaml.str(c, "dedupe").nonEmpty) out = obsStage(out, "dedupe")
     // decontamination after dedupe, before the quality gate: judged on
     // extracted, deduped prose. The benchmark parquet must carry the
     // SAME id/text field names as the contract (it is an eval set
@@ -497,6 +498,7 @@ object JobRunner {
           throw new IllegalArgumentException(
             s"unknown curation.decontaminate: $other")
       }
+      out = obsStage(out, "decontaminate")
     }
     // one gate or a LIST of gates applied in order (a real pipeline
     // stacks them: `quality_filter: [gopher, entropy]`)
@@ -516,7 +518,8 @@ object JobRunner {
       case (acc :+ "entropy", "gopher") => acc :+ "gopher+entropy"
       case (acc, g)                     => acc :+ g
     }
-    qualityFilters.foreach {
+    qualityFilters.zipWithIndex.foreach { case (gate, gi) =>
+      gate match {
       case "gopher+entropy" =>
         out = graft.operators.TextAnalysis.gopherEntropyFilter(
           out, need("id_field"), need("text_field"),
@@ -576,6 +579,8 @@ object JobRunner {
           Yaml.str(c, "compression_max_ratio").map(_.toDouble).getOrElse(8.0))
       case other =>
         throw new IllegalArgumentException(s"unknown curation.quality_filter: $other")
+      }
+      out = obsStage(out, s"quality_${gi}_$gate")
     }
     // sampling LAST: rates are chosen against the curated (deduped,
     // quality-gated) distribution, not the raw batch
@@ -594,8 +599,39 @@ object JobRunner {
       case other =>
         throw new IllegalArgumentException(s"unknown curation.sample: $other")
     }
+    if (Yaml.str(c, "sample").nonEmpty) out = obsStage(out, "sample")
     out
   }
+
+  /** Opt-in per-stage `observe()` row counters on the curation chain —
+    * the same plan-attribution pattern as
+    * [[graft.operators.Similarity.withPlanAttribution]]: when
+    * `curation_pipeline`'s cost (or scale curve) moves, one attributed
+    * run says which stage's row volume moved instead of a bisection.
+    * Off by default for the same reason: `CollectMetricsExec` does
+    * per-row accumulator work on every instrumented edge, and the bench
+    * must not pay an observer tax (CurationAttributionSpec asserts the
+    * default plan carries no CollectMetrics). Metric names:
+    * `graft.curation.{input,dedupe,decontaminate,quality_<i>_<gate>,
+    * sample}` — each the ROW COUNT LEAVING that stage; harvest via a
+    * `QueryExecutionListener` reading `observedMetrics`.
+    */
+  def withCurationAttribution[T](body: => T): T = {
+    val prev = curationAttribution.get()
+    curationAttribution.set(true)
+    try body finally curationAttribution.set(prev)
+  }
+
+  // plain ThreadLocal, not DynamicVariable — same child-thread
+  // inheritance reasoning as Dedup.guardOverride
+  private val curationAttribution = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+
+  private def obsStage(df: DataFrame, stage: String): DataFrame =
+    if (curationAttribution.get())
+      df.observe(s"graft.curation.$stage", count(lit(1)).as("n"))
+    else df
 
   /** `curation.store_format`: `parquet` (default — store keys are paths,
     * appends are plain parquet), `bucketed` (store keys name TABLES

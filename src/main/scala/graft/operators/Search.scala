@@ -131,11 +131,18 @@ object Search {
     // stats pass re-derived the ENTIRE joined index a second time
     val (tf, dl0, df_) = postingParts(corpus, idCol, textCol)
     val dl = graft.core.CacheScope.persist(dl0)
-    // the df-ceiling prunes via the INNER join: a dropped tok's tf rows
-    // never reach the wide join, let alone the scoring aggregate
-    val dfK = if (maxDf > 0) df_.filter(col("df") <= maxDf) else df_
-    val postings = tf.join(dl, "doc_id").join(dfK, "tok")
-      .select("tok", "doc_id", "tf", "len", "df")
+    // the df-ceiling prunes via the INNER join — and prunes FIRST:
+    // with the tok join ahead of the length join, a stopword's tf rows
+    // drop before the wide doc_id join ever sees them (join order
+    // follows syntax — CBO reorder is off), so the ceiling saves the
+    // join volume too, not just the scoring aggregate
+    val postings =
+      if (maxDf > 0)
+        tf.join(df_.filter(col("df") <= maxDf), "tok").join(dl, "doc_id")
+          .select("tok", "doc_id", "tf", "len", "df")
+      else
+        tf.join(dl, "doc_id").join(df_, "tok")
+          .select("tok", "doc_id", "tf", "len", "df")
     scoreTopK(postings, queryTerms(queries, idCol, textCol),
       statsFromDl(dl), k, k1, b)
   }
