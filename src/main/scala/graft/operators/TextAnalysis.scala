@@ -327,16 +327,28 @@ object TextAnalysis {
     */
   private def repetitionSignalsWithEntropy(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val words = df
-      .select(col(idCol).as("id"),
-        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-    val wByDoc = Window.partitionBy("id").orderBy("pos")
-    val withBigram = words.withColumn("bg",
-      when(lead(col("w"), 1).over(wByDoc).isNotNull,
-        concat_ws(" ", col("w"), lead(col("w"), 1).over(wByDoc))))
-    val wordAgg = withBigram.groupBy(col("id"), col("w"))
+    // Bigrams are built ARRAY-SIDE — zip_with over two shifted slices
+    // of the same token array — instead of the former
+    // posexplode + lead-over-(id, pos) window. The window shape
+    // shuffle-SORTED every token in the corpus, twice (the word and
+    // bigram aggregates each re-executed the generator+window branch),
+    // and curation-chain attribution measured it as the dominant
+    // scaling stage of `curation_pipeline` at 10× (the quality stage
+    // was 4.6× at 10× data; every other stage ≤ 2×). Array-side
+    // construction is map-side codegen; the only shuffles left are the
+    // two partial-aggregated groupBys. Pair contents are identical:
+    // adjacent non-empty tokens joined by one space, n−1 pairs per
+    // doc, none for single-token docs.
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    val words = df.select(col(idCol).as("id"), explode(toks).as("w"))
+    val bgArr = when(size(toks) > 1,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = df.select(col(idCol).as("id"), explode(bgArr).as("bg"))
+    val wordAgg = words.groupBy(col("id"), col("w"))
       .agg(count(lit(1)).as("wc"))
       .groupBy(col("id"))
       .agg(sum(col("wc")).as("n_words"),
@@ -344,7 +356,7 @@ object TextAnalysis {
         max(col("wc")).as("max_wc"),
         sum(floor(col("wc") * log(col("wc")) * 1e6 + 0.5).cast("long"))
           .as("__ent_s"))
-    val bigramAgg = withBigram.filter(col("bg").isNotNull)
+    val bigramAgg = bigrams
       .groupBy(col("id"), col("bg"))
       .agg(count(lit(1)).as("bc"))
       .groupBy(col("id"))
