@@ -413,10 +413,15 @@ object Bench {
   private[graft] val DefaultScaleFamilies = Seq(
     "ann_neardup_incremental", "dedup_minhash_forced",
     "dedup_tfidf_forced", "dedup_tfidf_incremental",
-    "search_bm25_segmented", "search_bm25_store_topk",
-    // the df-ceiling twins (r20): the lexical probes' scale lever —
-    // their curves price what the ceiling buys vs the exact entries
-    "search_bm25_topk_maxdf", "search_bm25_store_maxdf")
+    "search_bm25_segmented", "search_bm25_store_topk")
+  // NOT in the default set: the df-ceiling twins
+  // (search_bm25_*_maxdf). ScaleCorpus deliberately splits vocabulary
+  // per replica (dfs stay constant as N grows), which makes any
+  // N-relative ceiling inert at factor > 1 — their curves here would
+  // measure the corpus model, not the knob. The knob's scale value is
+  // measured under the production df model (stopword df ∝ N, fixed
+  // queries) by graft.tools.ProfileBm25's verbatim-duplication factor
+  // mode; pass the names as args to probe them here anyway.
 
   /** Mechanized scale probe (`GRAFT_BENCH_SCALE=1`): for each factor in
     * `GRAFT_SCALE_FACTORS` (default "3,10"), fork

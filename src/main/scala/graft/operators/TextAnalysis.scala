@@ -327,27 +327,25 @@ object TextAnalysis {
     */
   private def repetitionSignalsWithEntropy(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // Bigrams are built ARRAY-SIDE — zip_with over two shifted slices
-    // of the same token array — instead of the former
+    // Bigrams come from the native [[graft.functions.TextShinglesAll]]
+    // kernel (n = 2: every adjacent pair with multiplicity, leading
+    // empty token skipped) instead of the former
     // posexplode + lead-over-(id, pos) window. The window shape
     // shuffle-SORTED every token in the corpus, twice (the word and
     // bigram aggregates each re-executed the generator+window branch),
     // and curation-chain attribution measured it as the dominant
     // scaling stage of `curation_pipeline` at 10× (the quality stage
-    // was 4.6× at 10× data; every other stage ≤ 2×). Array-side
-    // construction is map-side codegen; the only shuffles left are the
-    // two partial-aggregated groupBys. Pair contents are identical:
+    // was 4.6× at 10× data; every other stage ≤ 2×). The kernel is one
+    // static call per row inside whole-stage codegen (no HOF lambdas —
+    // PlanAuditSpec pins that); the only shuffles left are the two
+    // partial-aggregated groupBys. Pair contents are identical:
     // adjacent non-empty tokens joined by one space, n−1 pairs per
     // doc, none for single-token docs.
-    val toks = filter(tokens(col(textCol)), t => t =!= "")
-    val words = df.select(col(idCol).as("id"), explode(toks).as("w"))
-    val bgArr = when(size(toks) > 1,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      .otherwise(array().cast("array<string>"))
-    val bigrams = df.select(col(idCol).as("id"), explode(bgArr).as("bg"))
+    val words = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val bigrams = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextShinglesAll(col(textCol), 2)).as("bg"))
     val wordAgg = words.groupBy(col("id"), col("w"))
       .agg(count(lit(1)).as("wc"))
       .groupBy(col("id"))
