@@ -235,6 +235,10 @@ object Bench {
       scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val jvms = scala.collection.mutable.ArrayBuffer[String]()
     val errors = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // per-session verdicts kept alongside the OR: one flagged session
+    // out of N is exactly the case the min absorbs, and the artifact
+    // should show WHICH session was noisy rather than just "some were"
+    val sessionContended = scala.collection.mutable.ArrayBuffer[Boolean]()
     var contended = false
     for (s <- 1 to sessions) {
       val detail = java.nio.file.Files
@@ -260,7 +264,9 @@ object Bench {
         val qs = node.get("queries")
         perSession += qs.fieldNames().asScala
           .map(q => q -> qs.get(q).asDouble()).toMap
-        contended ||= Option(node.get("contended")).exists(_.asBoolean())
+        val c = Option(node.get("contended")).exists(_.asBoolean())
+        sessionContended += c
+        contended ||= c
         jvms += Option(node.get("jvm")).map(_.toString).getOrElse("{}")
         val errs = node.get("errors")
         if (errs != null) errs.fieldNames().asScala.foreach(q =>
@@ -287,7 +293,7 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench-sessions] ${errors.size} failures: " +
         errors.map(_._1).mkString(", "))
-    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"sessions","sessions":$sessions,"queries":$qs,"session_queries":$sessJson,"session_jvm":$jvmJson,"contended":$contended,"swing_flagged":$swingJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min-of-sessions"}"""
+    val full = s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","mode":"sessions","sessions":$sessions,"queries":$qs,"session_queries":$sessJson,"session_jvm":$jvmJson,"contended":$contended,"session_contended":${sessionContended.mkString("[", ",", "]")},"swing_flagged":$swingJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"agg":"min-of-sessions"}"""
     writeDetail(full)
     println(full)
     println(compactLine(total, sfDir, contended, merged.toSeq, reps,
