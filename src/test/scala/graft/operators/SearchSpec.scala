@@ -349,6 +349,56 @@ class SearchSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("maxDf differential property: ceiling the index ≡ deleting over-ceiling terms from the queries, across randomized corpora") {
+    // dropping a term's POSTINGS (what maxDf does) and dropping the
+    // term from the QUERY text must give identical results: the
+    // scoring join matches qt ⋈ postings on tok, every other term's
+    // df/len/stats are untouched, and ties break on ids either way.
+    // This pins the knob's exact semantics without re-deriving BM25.
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 12).map(i => s"v$i")
+    for (seed <- 1 to 4) {
+      val nDocs = 12 + seed * 3
+      val docs = (0L until nDocs.toLong).map { i =>
+        val len = 3 + rnd.nextInt(6)
+        (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val queries = docs.filter($"doc_id" % 5 === 1)
+      val ceiling = 2L + seed // small enough to really prune
+      // corpus df per token, computed independently of the operator
+      val df_ = docs
+        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+"))
+          .as("tok")).filter($"tok" =!= "")
+        .distinct().groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keep = df_.filter(_._2 <= ceiling).keySet
+      val prunedQueries = queries.select($"doc_id",
+        concat_ws(" ", org.apache.spark.sql.functions.filter(
+          split(lower(trim($"text")), "\\s+"),
+          t => t.isInCollection(keep))).as("text"))
+      def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._3)).toSeq
+      val ceiled = rows(Search.bm25TopK(docs, queries, "doc_id", "text",
+        k = 5, maxDf = ceiling))
+      val queryPruned = rows(Search.bm25TopK(docs, prunedQueries,
+        "doc_id", "text", k = 5, maxDf = 0L))
+      withClue(s"seed=$seed ceiling=$ceiling kept=${keep.size}/${df_.size}: ") {
+        ceiled shouldBe queryPruned
+        // the property is non-vacuous: something was actually pruned
+        keep.size should be < df_.size
+      }
+      // the store path agrees with the in-flight path under the ceiling
+      val store = java.nio.file.Files
+        .createTempDirectory(s"bm25-prop-$seed-").toString + "/s"
+      Search.writePostingsStore(docs, "doc_id", "text", store, buckets = 4)
+      rows(Search.bm25TopKFromStore(spark, store, queries, "doc_id",
+        "text", k = 5, maxDf = ceiling)) shouldBe ceiled
+      graft.core.CacheScope.releaseAll()
+    }
+  }
+
   test("debris sweep honors minimum retention age: young deferred generation survives, old one reclaims") {
     val wide = (0L until 40L)
       .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 40}"))
