@@ -419,7 +419,11 @@ object Bench {
   private[graft] val DefaultScaleFamilies = Seq(
     "ann_neardup_incremental", "dedup_minhash_forced",
     "dedup_tfidf_forced", "dedup_tfidf_incremental",
-    "search_bm25_segmented", "search_bm25_store_topk")
+    "search_bm25_segmented", "search_bm25_store_topk",
+    // probe-only twin (r20): store build amortized once per leg JVM,
+    // so this curve is the 100 TB-relevant PROBE scaling while
+    // search_bm25_store_topk above keeps pricing build+probe
+    "search_bm25_store_probe")
   // NOT in the default set: the df-ceiling twins
   // (search_bm25_*_maxdf). ScaleCorpus deliberately splits vocabulary
   // per replica (dfs stay constant as N grows), which makes any

@@ -2295,8 +2295,57 @@ object Queries {
     "dedup_tfidf_forced" -> dedupTfidfForced _,
     "ann_neardup_forced" -> annNearDupForced _,
     "sketch_topk_rollup" -> sketchTopkRollup _,
-    "curation_pipeline" -> curationPipeline _
+    "curation_pipeline" -> curationPipeline _,
+    "search_bm25_store_probe" -> searchBm25StoreProbe _,
+    "search_bm25_store_probe_maxdf" -> searchBm25StoreProbeMaxdf _
   )
+
+  /** Once-per-JVM-per-dir postings store for the PROBE-ONLY bench
+    * entries: `search_bm25_store_topk` deliberately prices build +
+    * probe together (the production maintenance cycle), which means
+    * its artifact number can't say which half moved — exactly what
+    * confused the r20 maxdf scale reading until ProfileBm25 split
+    * them by hand. These entries memoize the build, so under
+    * min-of-reps (the first rep pays the build, later reps reuse it)
+    * the recorded value is the probe alone, and build-vs-probe
+    * movement separates mechanically in every future artifact.
+    */
+  private val bm25ProbeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25ProbeStore(spark: SparkSession, dir: String): String =
+    bm25ProbeStores.computeIfAbsent(dir, _ => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_bm25_probe_").toString
+      graft.operators.Search.writePostingsStore(
+        t(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", store, buckets = 8)
+      ivfStoreDirs.add(store) // shutdown-hook cleanup, like every store
+      store
+    })
+
+  /** BENCH-ONLY: the exact store probe with the build amortized (see
+    * [[bm25ProbeStore]]); min-of-reps ≈ probe-only cost.
+    */
+  def searchBm25StoreProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.Search.bm25TopKFromStore(
+      spark, bm25ProbeStore(spark, dir),
+      docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10)
+  }
+
+  /** BENCH-ONLY: the ⌊N/2⌋ df-ceiling probe against the same amortized
+    * store — prices what the pushed df predicate buys on the probe
+    * alone (the oracle-checked `search_bm25_store_maxdf` prices the
+    * full build+probe entry).
+    */
+  def searchBm25StoreProbeMaxdf(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    graft.operators.Search.bm25TopKFromStore(
+      spark, bm25ProbeStore(spark, dir),
+      docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10,
+      maxDf = bm25NDocs(docs) / 2)
+  }
 
   /** BENCH-ONLY: the COMPOSED curation pipeline a pretraining ingest
     * actually runs as one job, driven end-to-end through the JobRunner
