@@ -1905,9 +1905,16 @@ object Queries {
   /** Docs with at least one whitespace token — the `N` every BM25
     * oracle's `st` CTE counts; the df-ceiling entries derive their
     * threshold from it so the ceiling scales with the corpus.
+    * "Has a token" ⇔ "contains a non-whitespace char": NOT
+    * `trim(text) != ''` — Spark's trim strips only 0x20, so a
+    * tab/newline-only document would count here while the oracle's
+    * tokenizer (split on `\s+`, drop empties) yields no tokens for
+    * it, and the two sides would disagree on the ceiling by exactly
+    * those documents.
     */
   private def bm25NDocs(docs: DataFrame): Long =
-    docs.filter(col("text").isNotNull && trim(col("text")) =!= "").count()
+    docs.filter(col("text").isNotNull &&
+      col("text").rlike("\\S")).count()
 
   /** BM25 with the documented-divergence df-ceiling (`maxDf = ⌊N/2⌋`):
     * query terms in more than half the corpus contribute nothing —
