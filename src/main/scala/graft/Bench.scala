@@ -73,9 +73,9 @@ object Bench {
     // the scale probe's interleaved-sessions machinery applied to the
     // whole suite, so the committed artifact is a floor measurement
     // instead of one session's I/O-weather sample.
-    if (sys.env.get("GRAFT_BENCH_SESSIONS").exists(_.trim.toInt > 1)) {
-      runSessions(args, sys.env("GRAFT_BENCH_SESSIONS").trim.toInt); return
-    }
+    val sessionsN = sys.env.get("GRAFT_BENCH_SESSIONS")
+      .flatMap(_.trim.toIntOption).getOrElse(1)
+    if (sessionsN > 1) { runSessions(args, sessionsN); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // min over `reps` runs per query: single-run local[32] timings swing

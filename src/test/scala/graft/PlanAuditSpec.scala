@@ -31,6 +31,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("maxDf store probe pushes the df ceiling into the parquet scan") {
+    // the df-ceiling's store-side claim: df is denormalized per row,
+    // so the ceiling must reach the SCAN as a data filter (row groups
+    // dominated by a stopword's postings then skip on parquet
+    // statistics) — not evaluate post-scan. Inspect the scan node
+    // directly: the rendered PushedFilters string truncates mid-list
+    // (the tok IN (...) set is long), so string-matching the plan
+    // would flake on vocabulary size.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def postingsFilters(name: String): String =
+      Queries.all(name)(spark, dir).queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f }
+        .filter(_.metadata.get("Location").exists(_.contains("postings")))
+        .flatMap(_.dataFilters).map(_.sql).mkString(" ")
+    val ceiled = postingsFilters("search_bm25_store_maxdf")
+    withClue(ceiled) { ceiled should include regex "df.* <= " }
+    // ...and the exact entry pushes no df bound (maxDf = 0 is exact)
+    postingsFilters("search_bm25_store_topk") should not include "<="
+  }
+
   test("parquet scans prune columns (ReadSchema is narrow)") {
     val p = plan("text_fingerprint")
     val read = p.split("\n").find(_.contains("ReadSchema")).getOrElse("")
