@@ -27,6 +27,19 @@ object Bench {
   private[graft] case class Timed(name: String, times: Seq[Double],
       diag: QueryDiag)
 
+  /** Every mode-selector env var, stripped from EVERY forked child so
+    * the forking modes can never nest: a child must always run the
+    * plain suite. Keeping the list in one place is the fix's point —
+    * when the list lived inline at each fork site, adding the sessions
+    * mode left the other two sites forwarding it, and
+    * `GRAFT_BENCH_SCALE=1 GRAFT_BENCH_SESSIONS=3` made every scale leg
+    * silently fork N grandchild sessions.
+    */
+  private val ModeVars =
+    Seq("GRAFT_BENCH_ISOLATED", "GRAFT_BENCH_SCALE", "GRAFT_BENCH_SESSIONS")
+  private def stripModeVars(pb: ProcessBuilder): Unit =
+    ModeVars.foreach(pb.environment().remove(_))
+
   private def gcTimeMs: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -246,7 +259,7 @@ object Bench {
       val logFile = java.io.File.createTempFile(s"bench-sess-$s-", ".log")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench") ++ args
       val pb = new ProcessBuilder(cmd.asJava)
-      pb.environment().remove("GRAFT_BENCH_SESSIONS")
+      stripModeVars(pb)
       pb.environment().put("GRAFT_BENCH_DETAIL", detail.toString)
       pb.environment().put("GRAFT_BENCH_REPS", reps.toString)
       pb.redirectErrorStream(true)
@@ -256,10 +269,19 @@ object Bench {
       val body = try new String(java.nio.file.Files.readAllBytes(detail),
         java.nio.charset.StandardCharsets.UTF_8)
       catch { case _: Throwable => "" }
-      if (rc != 0 || body.isEmpty)
+      if (rc != 0 || body.isEmpty) {
         errors += s"session_$s" -> (s"child exit $rc, log: $logFile | " +
           logTail(logFile))
-      else {
+        // keep the per-session arrays index-aligned with the session
+        // NUMBER: a reader correlating session_contended[i] with a
+        // session_N error key must not see session 3's verdict in
+        // slot 2 because session 2 died. Empty placeholders fall out
+        // of the min-merge naturally (no values to contribute).
+        perSession += Map.empty[String, Double]
+        sessionContended += false
+        jvms += "{}"
+        java.nio.file.Files.deleteIfExists(detail) // log kept for autopsy
+      } else {
         val node = mapper.readTree(body)
         val qs = node.get("queries")
         perSession += qs.fieldNames().asScala
@@ -354,7 +376,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("GRAFT_BENCH_DETAIL", detail.toString)
       pb.environment().put("GRAFT_BENCH_REPS", reps.toString)
-      pb.environment().remove("GRAFT_BENCH_ISOLATED")
+      stripModeVars(pb)
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))
       System.err.println(s"[bench-isolated] ${i + 1}/${names.size} $name")
@@ -460,7 +482,8 @@ object Bench {
     val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "2").toInt.max(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("GRAFT_SCALE_FACTORS", "3,10")
-      .split(",").map(_.trim.toInt).filter(_ > 1).distinct.sorted.toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .filter(_ > 1).distinct.sorted.toSeq
     val families = if (args.nonEmpty) args.toSeq else DefaultScaleFamilies
     val work = sys.env.getOrElse("GRAFT_SCALE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_scale")
@@ -476,8 +499,7 @@ object Bench {
       val logFile = java.io.File.createTempFile(s"bench-scale-$label-", ".log")
       val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, mainClass) ++ mainArgs
       val pb = new ProcessBuilder(cmd.asJava)
-      pb.environment().remove("GRAFT_BENCH_SCALE")
-      pb.environment().remove("GRAFT_BENCH_ISOLATED")
+      stripModeVars(pb)
       env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))

@@ -2318,16 +2318,22 @@ object Queries {
     * movement separates mechanically in every future artifact.
     */
   private val bm25ProbeStores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def bm25ProbeStore(spark: SparkSession, dir: String): String =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def bm25ProbeStore(spark: SparkSession,
+      dir: String): (String, Long) =
     bm25ProbeStores.computeIfAbsent(dir, _ => {
       val store = java.nio.file.Files
         .createTempDirectory("graft_bm25_probe_").toString
+      val docs = t(spark, dir, "documents").select("doc_id", "text")
       graft.operators.Search.writePostingsStore(
-        t(spark, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text", store, buckets = 8)
+        docs, "doc_id", "text", store, buckets = 8)
       ivfStoreDirs.add(store) // shutdown-hook cleanup, like every store
-      store
+      // N memoized WITH the store: the maxdf twin's ceiling derivation
+      // is a full text-column regex count, and unlike the build it
+      // would recur inside every timed rep — the probe-vs-probe
+      // comparison these twins exist for must not charge one side a
+      // corpus scan the other doesn't pay
+      (store, bm25NDocs(docs))
     })
 
   /** BENCH-ONLY: the exact store probe with the build amortized (see
@@ -2336,7 +2342,7 @@ object Queries {
   def searchBm25StoreProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     graft.operators.Search.bm25TopKFromStore(
-      spark, bm25ProbeStore(spark, dir),
+      spark, bm25ProbeStore(spark, dir)._1,
       docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10)
   }
 
@@ -2348,10 +2354,11 @@ object Queries {
   def searchBm25StoreProbeMaxdf(spark: SparkSession,
       dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val (store, n) = bm25ProbeStore(spark, dir)
     graft.operators.Search.bm25TopKFromStore(
-      spark, bm25ProbeStore(spark, dir),
+      spark, store,
       docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10,
-      maxDf = bm25NDocs(docs) / 2)
+      maxDf = n / 2)
   }
 
   /** BENCH-ONLY: the COMPOSED curation pipeline a pretraining ingest

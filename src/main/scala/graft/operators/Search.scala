@@ -596,6 +596,25 @@ object Search {
         lit(metas.map(_.getAs[Long]("total_len")).sum).as("total_len"),
         lit(bucketSizes.head).as("buckets"))
       .write.parquet(s"$storePath/_meta_next")
+    // (3a) stamp the about-to-be-merged-away dirs' mtime BEFORE the
+    // flip, so the sweep's retention clock starts no later than the
+    // moment they become unreferenced — a segment written hours ago
+    // but merged away this second must still survive the full
+    // retention window. Before, not after: a crash BETWEEN the flip
+    // and a post-flip stamp would leave the now-unreferenced dirs
+    // carrying ancient write-time mtimes, and the next sweep would
+    // reclaim them instantly — exactly the reader race the window
+    // exists to close; stamping still-LIVE dirs is harmless on the
+    // other side (live dirs are never swept), so a crash here merely
+    // re-stamps on the retried compaction. Best-effort: an FS without
+    // directory mtimes (object stores) falls back to write-time age,
+    // which reclaims EARLIER, i.e. degrades toward the pre-retention
+    // behavior, never toward stranding files.
+    val flipMs = System.currentTimeMillis()
+    liveSegs.foreach { s =>
+      try fs.setTimes(hp(s"$storePath/postings/segment=$s"), flipMs, -1)
+      catch { case _: Exception => () }
+    }
     // (3) the flip
     renameOrFail(fs, hp(s"$storePath/_meta"), hp(s"$storePath/_meta_prev"))
     renameOrFail(fs, hp(s"$storePath/_meta_next"), hp(s"$storePath/_meta"))
@@ -603,18 +622,7 @@ object Search {
     // (4) the merged-away segment dirs stay until a LATER compaction's
     // step-0 debris sweep ages them out: unfenced concurrent readers
     // still scanning the pre-flip view keep their files (see scaladoc);
-    // fresh probes never see them (not in _meta). Stamp their mtime NOW
-    // so the sweep's retention clock starts at the moment they became
-    // unreferenced — a segment written hours ago but merged away this
-    // second must still survive the full retention window. Best-effort:
-    // an FS without directory mtimes (object stores) falls back to
-    // write-time age, which reclaims EARLIER, i.e. degrades toward the
-    // pre-retention behavior, never toward stranding files.
-    val flipMs = System.currentTimeMillis()
-    liveSegs.foreach { s =>
-      try fs.setTimes(hp(s"$storePath/postings/segment=$s"), flipMs, -1)
-      catch { case _: Exception => () }
-    }
+    // fresh probes never see them (not in _meta)
     fs.delete(hp(tmp), true)
   }
 

@@ -64,8 +64,11 @@ object ProfileBm25 {
       // configuration) against the SAME store: what the knob buys on
       // the probe alone, with the (linear, amortized-in-production)
       // build cost out of the frame
+      // same "has a token" predicate as Queries.bm25NDocs (rlike \S,
+      // NOT trim != '' — Spark trim strips only 0x20), so this probe
+      // prices exactly the search_bm25_store_maxdf ceiling
       val nd = docs.filter(col("text").isNotNull &&
-        trim(col("text")) =!= "").count()
+        col("text").rlike("\\S")).count()
       timed(s"probe_maxdf rep$rep") {
         graft.operators.Search.bm25TopKFromStore(
           spark, store, q, "doc_id", "text", k = 10, maxDf = nd / 2)
