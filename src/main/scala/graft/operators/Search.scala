@@ -51,43 +51,64 @@ object Search {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
 
-  /** The three index tables every BM25 path composes: per-(doc, token)
-    * term frequencies, per-doc lengths, per-token document frequencies.
-    * Shared so the build surfaces can keep `dl` SEPARATE: corpus stats
-    * (n_docs, Σlen) are an aggregate of the tiny per-doc table, and a
-    * caller that persists `dl` gets them for one cached scan instead of
-    * re-deriving the whole joined index a second time (the stats pass
-    * used to recompute tokenize + three shuffles + two joins).
+  /** (tok, doc_id, tf, len) postings WITHOUT df, fully MAP-SIDE: one
+    * [[graft.functions.TokenTfLen]] kernel call per row computes the
+    * per-document term frequencies and length inside whole-stage
+    * codegen, then one explode of the per-doc slice. The former
+    * formulation derived the same rows with two corpus-wide exchanges
+    * and a join (explode every token → groupBy(doc, tok) → groupBy(doc)
+    * → tf ⋈ dl) — all of it per-DOCUMENT work (every group key held the
+    * doc id), i.e. aggregation that never mixed rows of different
+    * documents. Tokenless docs vanish at the explode (null `tfs`
+    * generates no rows), exactly where the former aggregation had no
+    * rows. Zero shuffles at any scale.
+    *
+    * `len` and `tfs` are extracted in their own projection BELOW the
+    * explode (the repetitionNgramSignals rule: non-generator expressions
+    * sharing a select with a generator are evaluated once per generated
+    * row), and CollapseProject keeps the multi-use non-cheap kernel
+    * alias materialized once.
     */
-  private def postingParts(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col("__doc").as("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
-    val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    (tf, dl, df_)
-  }
+  private def postingsNoDf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TokenTfLen(col(textCol)).as("__k"))
+      .select(col("doc_id"), col("__k.len").as("len"),
+        col("__k.tfs").as("__tfs"))
+      .select(col("doc_id"), col("len"), explode(col("__tfs")).as("__p"))
+      .select(col("__p.tok").as("tok"), col("doc_id"), col("__p.tf").as("tf"),
+        col("len"))
 
   /** The inverted index as data: one row per (token, document) with the
     * term frequency, the document's total token count, and the token's
     * document frequency — length and df DENORMALIZED into the posting
-    * row so a probe needs no corpus-sized side joins. Two shuffles on
-    * fixed-width keys ((doc, tok) then tok); text never shuffles.
+    * row so a probe needs no corpus-sized side joins. tf and len are
+    * map-side ([[postingsNoDf]]); only the df aggregate and its join
+    * shuffle, on fixed-width keys; text never shuffles.
     */
   def bm25Postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (tf, dl, df_) = postingParts(docs, idCol, textCol)
-    tf.join(dl, "doc_id").join(df_, "tok")
+    val p0 = postingsNoDf(docs, idCol, textCol)
+    p0.join(p0.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
       .select("tok", "doc_id", "tf", "len", "df")
   }
 
-  /** (n_docs, Σlen) from a (cached) per-doc length table — one row per
-    * document by construction, so no distinct is needed; values are
-    * identical to the old distinct-over-postings pass.
+  /** (n_docs with ≥1 token, Σlen) in ONE cheap map-side pass. A doc's
+    * length is its non-empty token count: `size(split(...))` minus the
+    * single leading empty token `split` emits when the trimmed text
+    * starts with non-0x20 whitespace — plain codegen arithmetic, no
+    * per-doc hash maps (the TokenTfLen kernel would rebuild the tf map
+    * just to read its length). count(len) skips null text; the `len >
+    * 0` guard drops tokenless docs — values identical to the old
+    * per-doc-table aggregate.
     */
-  private def statsFromDl(dl: DataFrame): (Long, Long) = {
-    val r = dl.agg(count(lit(1)).cast("long"),
-      coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
+  private def corpusStats(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val ts = split(lower(trim(col(textCol))), "\\s+")
+    val len = (size(ts) -
+      when(element_at(ts, 1) === "", 1).otherwise(0)).cast("long")
+    val r = docs.select(len.as("len")).filter(col("len") > 0)
+      .agg(count(col("len")).cast("long"),
+        coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
     (r.getLong(0), r.getLong(1))
   }
 
@@ -126,25 +147,24 @@ object Search {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = DefaultK1,
       b: Double = DefaultB, maxDf: Long = 0L): DataFrame = {
-    // dl persisted: the stats collect below materializes it, and the
-    // scoring plan's length join then reads the cache — previously the
-    // stats pass re-derived the ENTIRE joined index a second time
-    val (tf, dl0, df_) = postingParts(corpus, idCol, textCol)
-    val dl = graft.core.CacheScope.persist(dl0)
-    // the df-ceiling prunes via the INNER join — and prunes FIRST:
-    // with the tok join ahead of the length join, a stopword's tf rows
-    // drop before the wide doc_id join ever sees them (join order
-    // follows syntax — CBO reorder is off), so the ceiling saves the
-    // join volume too, not just the scoring aggregate
-    val postings =
-      if (maxDf > 0)
-        tf.join(df_.filter(col("df") <= maxDf), "tok").join(dl, "doc_id")
-          .select("tok", "doc_id", "tf", "len", "df")
-      else
-        tf.join(dl, "doc_id").join(df_, "tok")
-          .select("tok", "doc_id", "tf", "len", "df")
-    scoreTopK(postings, queryTerms(queries, idCol, textCol),
-      statsFromDl(dl), k, k1, b)
+    // Probe-shaped like the segmented index (r21): postings are
+    // map-side ([[postingsNoDf]]) and prune to the QUERY TERMS before
+    // any df work — df recomputed over the pruned postings equals the
+    // global df of exactly those terms (a term's pruned postings are
+    // all its postings), so scores are bit-identical while the former
+    // full-vocabulary df aggregate and the corpus-wide tf ⋈ dl ⋈ df
+    // join chain disappear. The pruned set persists (CacheScope) for
+    // its two consumers; the df-ceiling (maxDf > 0) filters the ≤
+    // |query terms| df rows before the broadcast join, so stopword
+    // postings drop before scoring exactly as before.
+    val qt = queryTerms(queries, idCol, textCol)
+    val pruned = graft.core.CacheScope.persist(
+      postingsNoDf(corpus, idCol, textCol)
+        .join(broadcast(qt.select("tok").distinct()), Seq("tok"), "left_semi"))
+    val dfc0 = pruned.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfc = if (maxDf > 0) dfc0.filter(col("df") <= maxDf) else dfc0
+    scoreTopK(pruned.join(broadcast(dfc), "tok"), qt,
+      corpusStats(corpus, idCol, textCol), k, k1, b)
   }
 
   /** (query_id, tok) distinct pairs of the query documents. */
@@ -186,22 +206,25 @@ object Search {
     */
   def writePostingsStore(docs: DataFrame, idCol: String, textCol: String,
       storePath: String, buckets: Int = 64): Unit = {
-    val (tf, dl0, df_) = postingParts(docs, idCol, textCol)
-    val dl = graft.core.CacheScope.persist(dl0) // per-doc rows: tiny; stats read it back
-    val postings = tf.join(dl, "doc_id").join(df_, "tok")
-      .select("tok", "doc_id", "tf", "len", "df")
-    postings
+    // ONE exchange for the whole build (r21): tf/len are map-side
+    // ([[postingsNoDf]]); the bucket repartition both aligns the write
+    // with the partition layout (one file per (task, owned bucket) —
+    // without it the dynamic-partition write fans out tasks × buckets
+    // small files) AND serves the df aggregate and its join: bucket is
+    // a function of tok, so grouping/joining on (bucket, tok) over the
+    // bucket-partitioned frame satisfies both distributions with zero
+    // further shuffles (df per (bucket, tok) ≡ df per tok), and the
+    // self-use of `bucketed` reuses the same exchange. df values and
+    // row contents are identical to the former 4-exchange chain.
+    val bucketed = postingsNoDf(docs, idCol, textCol)
       .withColumn("bucket", tokenBucket(col("tok"), buckets))
-      // align the write with the partition layout: WITHOUT this, every
-      // task holds rows of every bucket (the last shuffle is on tok)
-      // and the dynamic-partition write fans out tasks × buckets small
-      // files — 2048 at local 32×64, unbounded on a cluster. One
-      // narrow-row shuffle buys one file per (task, owned bucket),
-      // which is also what a probe then lists and opens.
       .repartition(col("bucket"))
+    val df_ = bucketed.groupBy("bucket", "tok").agg(count(lit(1)).as("df"))
+    bucketed.join(df_, Seq("bucket", "tok"))
+      .select("tok", "doc_id", "tf", "len", "df", "bucket")
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$storePath/postings")
-    val (nDocs, totalLen) = statsFromDl(dl)
+    val (nDocs, totalLen) = corpusStats(docs, idCol, textCol)
     docs.sparkSession
       .range(1).select(lit(nDocs).as("n_docs"), lit(totalLen).as("total_len"),
         lit(buckets).as("buckets"))
@@ -381,22 +404,20 @@ object Search {
     // `_meta` is mid-rename would orphan every pre-crash segment
     repairMetaFlip(docs.sparkSession, storePath)
     val seg = java.util.UUID.randomUUID().toString
-    val (tf, dl0, _) = postingParts(docs, idCol, textCol)
-    val dl = graft.core.CacheScope.persist(dl0) // stats below read the cache
-    val postings = tf.join(dl, "doc_id").select("tok", "doc_id", "tf", "len")
-    postings
+    // ONE exchange (r21): postings are map-side ([[postingsNoDf]] — a
+    // segment stores no df, so nothing corpus-wide remains), and the
+    // bucket repartition is the write-alignment shuffle — one file per
+    // (task, owned bucket) per segment instead of tasks × buckets.
+    postingsNoDf(docs, idCol, textCol)
       .withColumn("segment", lit(seg))
       .withColumn("bucket", tokenBucket(col("tok"), buckets))
-      // bucket-aligned write: see writePostingsStore — one file per
-      // (task, owned bucket) per segment instead of tasks × buckets
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("segment", "bucket")
       .parquet(s"$storePath/postings")
-    val stats = dl.agg(count(lit(1)).cast("long"),
-      coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
+    val (nDocs, totalLen) = corpusStats(docs, idCol, textCol)
     docs.sparkSession.range(1)
-      .select(lit(seg).as("segment"), lit(stats.getLong(0)).as("n_docs"),
-        lit(stats.getLong(1)).as("total_len"), lit(buckets).as("buckets"))
+      .select(lit(seg).as("segment"), lit(nDocs).as("n_docs"),
+        lit(totalLen).as("total_len"), lit(buckets).as("buckets"))
       .write.mode("append").parquet(s"$storePath/_meta")
   }
 

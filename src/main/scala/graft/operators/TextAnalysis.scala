@@ -274,10 +274,15 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       t: GopherThresholds = GopherThresholds()): DataFrame = {
+    // The repetition signals come from the per-row kernel (see
+    // [[repetitionSignalsWithEntropy]]), so the former base ⋈ rep left
+    // join — one exchange per side — collapses into a single map-side
+    // projection: a tokenless doc's kernel fields are null exactly
+    // where the left join found no rep row. One pass, zero shuffles.
     val base = withQualitySignals(df.select(col(idCol), col(textCol)), textCol)
-    val rep = repetitionSignals(df, idCol, textCol)
-      .select(col(idCol), col("dup_word_frac"), col("top_word_frac"),
-        col("top_bigram_frac"))
+      .withColumn("__r", graft.functions.WordRepetitionStats(col(textCol)))
+      .select((col(idCol) +: col("token_count") +: col("mean_token_len") +:
+        col("punct_ratio") +: repFracCols): _*)
     val failWordCount = !col("token_count").between(t.minWords, t.maxWords)
     val failMeanLen = !col("mean_token_len")
       .between(t.minMeanTokenLen, t.maxMeanTokenLen)
@@ -289,7 +294,7 @@ object TextAnalysis {
       coalesce(col("top_word_frac") > t.maxTopWordFrac, lit(false))
     val failTopBigram =
       coalesce(col("top_bigram_frac") > t.maxTopBigramFrac, lit(false))
-    base.join(rep, Seq(idCol), "left")
+    base
       .select(col(idCol),
         failWordCount.as("fail_word_count"),
         failMeanLen.as("fail_mean_token_len"),
@@ -309,10 +314,50 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       t: GopherThresholds = GopherThresholds()): DataFrame =
-    df.join(
-      gopherQualityReport(df, idCol, textCol, t)
-        .filter(col("keep")).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    filterByGopherKeep(df, textCol, t, entropyMinNats = None)
+
+  /** The gate form shared by [[gopherQualityFilter]] and
+    * [[gopherEntropyFilter]]: judge each ROW's text with the per-row
+    * kernel signals and keep survivors — a map-side filter running at
+    * scan speed, replacing the former report semi-join (whose report
+    * side re-derived the same per-row verdict and then paid an
+    * exchange + join to apply it). Verdicts per row are identical to
+    * the former keep set; `__r` materializes in its own projection so
+    * the kernel runs once per row (CollapseProject keeps multi-use
+    * non-cheap aliases; pinned by PlanAuditSpec).
+    */
+  private def filterByGopherKeep(df: DataFrame, textCol: String,
+      t: GopherThresholds, entropyMinNats: Option[Double]): DataFrame = {
+    val c = col(textCol)
+    val failWordCount = !tokenCount(c).between(t.minWords, t.maxWords)
+    val failMeanLen = !meanTokenLen(c)
+      .between(t.minMeanTokenLen, t.maxMeanTokenLen)
+    val failPunct = coalesce(punctRatio(c) > t.maxPunctRatio, lit(false))
+    val dupWord = lit(1.0) - col("__r.n_distinct").cast("double") /
+      col("__r.n_words").cast("double")
+    val topWord = col("__r.max_wc").cast("double") /
+      col("__r.n_words").cast("double")
+    val topBigram = col("__r.max_bc").cast("double") /
+      col("__r.n_bigrams").cast("double")
+    val failDupWord = coalesce(dupWord > t.maxDupWordFrac, lit(false))
+    val failTopWord = coalesce(topWord > t.maxTopWordFrac, lit(false))
+    val failTopBigram = coalesce(topBigram > t.maxTopBigramFrac, lit(false))
+    val gopherKeep = !(failWordCount || failMeanLen || failPunct ||
+      failDupWord || failTopWord || failTopBigram)
+    val keep = entropyMinNats match {
+      case None => gopherKeep
+      case Some(minNats) =>
+        // entropyFilter's keep, verbatim: tokenless docs (null fields) drop
+        val entMicro = floor(col("__r.n_words") * log(col("__r.n_words"))
+          * 1e6 + 0.5).cast("long") - col("__r.ent_s")
+        gopherKeep && coalesce(entMicro.cast("double") /
+          (col("__r.n_words").cast("double") * 1e6) >= minNats, lit(false))
+    }
+    df.withColumn("__r", graft.functions.OptimizerBarrier(
+        graft.functions.WordRepetitionStats(c)))
+      .filter(keep)
+      .drop("__r")
+  }
 
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
     repetitionSignalsWithEntropy(df, idCol, textCol).drop("__ent_micro")
@@ -326,51 +371,40 @@ object TextAnalysis {
     * so the fused entropy is bit-equal to the standalone one.
     */
   private def repetitionSignalsWithEntropy(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    // Bigrams come from the native [[graft.functions.TextShinglesAll]]
-    // kernel (n = 2: every adjacent pair with multiplicity, leading
-    // empty token skipped) instead of the former
-    // posexplode + lead-over-(id, pos) window. The window shape
-    // shuffle-SORTED every token in the corpus, twice (the word and
-    // bigram aggregates each re-executed the generator+window branch),
-    // and curation-chain attribution measured it as the dominant
-    // scaling stage of `curation_pipeline` at 10× (the quality stage
-    // was 4.6× at 10× data; every other stage ≤ 2×). The kernel is one
-    // static call per row inside whole-stage codegen (no HOF lambdas —
-    // PlanAuditSpec pins that); the only shuffles left are the two
-    // partial-aggregated groupBys. Pair contents are identical:
-    // adjacent non-empty tokens joined by one space, n−1 pairs per
-    // doc, none for single-token docs.
-    val words = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-    val bigrams = df.select(col(idCol).as("id"),
-      explode(graft.functions.TextShinglesAll(col(textCol), 2)).as("bg"))
-    val wordAgg = words.groupBy(col("id"), col("w"))
-      .agg(count(lit(1)).as("wc"))
-      .groupBy(col("id"))
-      .agg(sum(col("wc")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max(col("wc")).as("max_wc"),
-        sum(floor(col("wc") * log(col("wc")) * 1e6 + 0.5).cast("long"))
-          .as("__ent_s"))
-    val bigramAgg = bigrams
-      .groupBy(col("id"), col("bg"))
-      .agg(count(lit(1)).as("bc"))
-      .groupBy(col("id"))
-      .agg(sum(col("bc")).as("n_bigrams"), max(col("bc")).as("max_bc"))
-    wordAgg.join(bigramAgg, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        col("n_words"),
-        (lit(1.0) - col("n_distinct").cast("double") /
-          col("n_words").cast("double")).as("dup_word_frac"),
-        (col("max_wc").cast("double") / col("n_words").cast("double"))
-          .as("top_word_frac"),
-        (col("max_bc").cast("double") / col("n_bigrams").cast("double"))
-          .as("top_bigram_frac"),
-        (floor(col("n_words") * log(col("n_words")) * 1e6 + 0.5)
-          .cast("long") - col("__ent_s")).as("__ent_micro"))
-  }
+      textCol: String): DataFrame =
+    // ONE per-row kernel call ([[graft.functions.WordRepetitionStats]])
+    // inside whole-stage codegen replaces two explode → groupBy(id,
+    // token) → groupBy(id) chains and their join: every replaced group
+    // key contained the id, so the aggregation only ever mixed rows of
+    // the same document — per-row work paying two corpus-wide
+    // exchanges. Counts group by the exact token/bigram string (same
+    // keys), the entropy quantization is the same floor(c·ln c·1e6+0.5)
+    // per term, and the frac arithmetic below is the identical Column
+    // expression over the kernel's integers, so outputs are bit-equal.
+    // Tokenless docs return null fields and are filtered exactly where
+    // the former aggregation produced no row. Zero shuffles.
+    df.select(col(idCol),
+        graft.functions.OptimizerBarrier(
+          graft.functions.WordRepetitionStats(col(textCol))).as("__r"))
+      .filter(col("__r.n_words").isNotNull)
+      .select(col(idCol) +: repFracCols: _*)
+
+  /** The repetition/entropy output columns from a `__r` kernel struct —
+    * shared by [[repetitionSignalsWithEntropy]] and the fused gate
+    * below so the arithmetic exists once. `top_bigram_frac` is a null
+    * division for sub-2-token docs, matching the former left join's
+    * missing bigram row.
+    */
+  private def repFracCols: Seq[Column] = Seq(
+    col("__r.n_words").as("n_words"),
+    (lit(1.0) - col("__r.n_distinct").cast("double") /
+      col("__r.n_words").cast("double")).as("dup_word_frac"),
+    (col("__r.max_wc").cast("double") / col("__r.n_words").cast("double"))
+      .as("top_word_frac"),
+    (col("__r.max_bc").cast("double") / col("__r.n_bigrams").cast("double"))
+      .as("top_bigram_frac"),
+    (floor(col("__r.n_words") * log(col("__r.n_words")) * 1e6 + 0.5)
+      .cast("long") - col("__r.ent_s")).as("__ent_micro"))
 
   /** FUSED gopher + entropy gate: both are per-document predicates over
     * token statistics, so stacking them as separate stages pays two full
@@ -390,33 +424,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       entropyMinNats: Double,
-      t: GopherThresholds = GopherThresholds()): DataFrame = {
-    val base = withQualitySignals(df.select(col(idCol), col(textCol)), textCol)
-    val rep = repetitionSignalsWithEntropy(df, idCol, textCol)
-      .select(col(idCol), col("dup_word_frac"), col("top_word_frac"),
-        col("top_bigram_frac"), col("n_words"), col("__ent_micro"))
-    val failWordCount = !col("token_count").between(t.minWords, t.maxWords)
-    val failMeanLen = !col("mean_token_len")
-      .between(t.minMeanTokenLen, t.maxMeanTokenLen)
-    val failPunct =
-      coalesce(col("punct_ratio") > t.maxPunctRatio, lit(false))
-    val failDupWord =
-      coalesce(col("dup_word_frac") > t.maxDupWordFrac, lit(false))
-    val failTopWord =
-      coalesce(col("top_word_frac") > t.maxTopWordFrac, lit(false))
-    val failTopBigram =
-      coalesce(col("top_bigram_frac") > t.maxTopBigramFrac, lit(false))
-    // entropyFilter's keep, verbatim: tokenless docs (null rep row) drop
-    val entropyKeep = coalesce(
-      col("__ent_micro").cast("double") /
-        (col("n_words").cast("double") * 1e6) >= entropyMinNats,
-      lit(false))
-    val keep = base.join(rep, Seq(idCol), "left")
-      .filter(!(failWordCount || failMeanLen || failPunct || failDupWord ||
-        failTopWord || failTopBigram) && entropyKeep)
-      .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
-  }
+      t: GopherThresholds = GopherThresholds()): DataFrame =
+    filterByGopherKeep(df, textCol, t, Some(entropyMinNats))
 
   /** The n-gram half of Gopher's repetition rules (Rae et al. 2021,
     * Table A1) — the word-level signals above cover duplicate/top WORD
@@ -459,62 +468,24 @@ object TextAnalysis {
     */
   def repetitionNgramSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val topNs = Seq(2, 3, 4)
-    val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val allNs = topNs ++ dupNs
-    // `total` MUST be computed in its own projection BELOW the explode:
-    // non-generator expressions sharing a select with a generator land
-    // in the Project ABOVE the Generate, i.e. evaluated once per GRAM —
-    // a full-document regex ~400× per doc (measured 1.2 s → 20 s at
-    // sf0.1 when fused into the explode select)
-    val tall = df
-      .select(col(idCol).as("id"),
-        length(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-          .cast("long").as("total"),
-        col(textCol).as("__text"))
-      .select(col("id"), col("total"),
-        explode(graft.functions.TextShinglesHashed(col("__text"), allNs))
-          .as("s"))
-      .select(col("id"), col("total"),
-        col("s.n").as("n"), col("s.h").as("h"), col("s.len").as("len"))
-    val counts = tall.groupBy("id", "total", "n", "h")
-      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
-      .withColumn("cov", col("c") * col("len"))
-    // top gram = argmax (c, len): highest COUNT first (the published
-    // most-frequent-gram rule), the longer gram only between equal
-    // counts (ties there share c·len, so the coverage is deterministic
-    // either way). The lexicographic max is packed into ONE long —
-    // c·2³¹ + len, order-isomorphic while both < 2³¹ (c and len are
-    // bounded by the doc's char count) — keeping the aggregate a plain
-    // long max instead of an interpreted struct ordering (bench-neutral
-    // at sf0.1 where the kernel dominates, but it stays inside codegen)
-    val perN = counts.groupBy("id", "total", "n").agg(
-      max(col("c") * lit(1L << 31) + col("len")).as("m"),
-      sum(when(col("c") >= 2, col("cov")).otherwise(0L)).as("dup_cov"))
-      .withColumn("top_cov",
-        shiftright(col("m"), 31) * (col("m").bitwiseAND(lit((1L << 31) - 1))))
-      .drop("m")
-    def frac(cov: Column): Column =
-      cov.cast("double") / when(col("total") > 0, col("total").cast("double"))
-    val aggCols =
-      topNs.map(n => max(when(col("n") === n, frac(col("top_cov"))))
-        .as(s"top${n}gram_char_frac")) ++
-        dupNs.map(n => max(when(col("n") === n, frac(col("dup_cov"))))
-          .as(s"dup${n}gram_char_frac"))
-    val wide = perN.groupBy(col("id"), col("total"))
-      .agg(aggCols.head, aggCols.tail: _*)
-    // docs whose longest gram size has no gram (fewer than n tokens)
-    // have no (id, n) row — their fraction is 0.0, not NULL (the rule
-    // applies and finds nothing); tokenless docs never reach `words`
-    // and are restored with NULL via the left join
-    val zeroed = wide.select(
-      col("id").as(idCol) +:
-        (topNs.map(n => coalesce(col(s"top${n}gram_char_frac"), lit(0.0))
-            .as(s"top${n}gram_char_frac")) ++
-          dupNs.map(n => coalesce(col(s"dup${n}gram_char_frac"), lit(0.0))
-            .as(s"dup${n}gram_char_frac"))): _*)
-    df.select(col(idCol)).distinct()
-      .join(zeroed, Seq(idCol), "left")
+    // ONE per-row kernel call ([[graft.functions.RepetitionNgramStats]])
+    // computes every fraction inside whole-stage codegen: the former
+    // plan exploded 9 grams per token into a corpus-wide tall stream
+    // and hash-aggregated it back per document across two exchanges —
+    // per-DOCUMENT work by construction (the group keys all contained
+    // the id), and the r20 scale probe measured it super-linear at the
+    // 10× leg (interval exponent 1.15) from aggregation/spill pressure
+    // on the tall side. The kernel keeps the identical grouping keys
+    // (seed-42 xxhash64 of the gram bytes, max-len collision merge) and
+    // the identical packed-max/dup-sum arithmetic, so outputs are
+    // bit-equal; docs with no grams (fewer than 2 tokens — the left
+    // join's NULL restore) come back as the kernel's all-null fields.
+    // Zero shuffles at any scale.
+    val names = Seq(2, 3, 4).map(n => s"top${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup${n}gram_char_frac")
+    df.select(col(idCol),
+      graft.functions.RepetitionNgramStats(col(textCol)).as("__g"))
+      .select(col(idCol) +: names.map(f => col(s"__g.$f").as(f)): _*)
   }
 
   /** Gopher's published n-gram repetition thresholds (Rae et al. 2021,
@@ -534,13 +505,19 @@ object TextAnalysis {
     */
   def gopherNgramFilter(df: DataFrame, idCol: String, textCol: String,
       t: NgramRepetitionThresholds = NgramRepetitionThresholds()): DataFrame = {
-    val sig = repetitionNgramSignals(df, idCol, textCol)
+    // per-row kernel gate (see filterByGopherKeep): the former signal
+    // semi-join re-derived the same per-row verdict and paid an
+    // exchange + join to apply it; NULL signals (sub-2-token docs) pass
+    // exactly as before (coalesce(null > thr, false) fails nothing)
     val fails = (t.top.toSeq.map { case (n, thr) =>
-      coalesce(col(s"top${n}gram_char_frac") > thr, lit(false))
+      coalesce(col(s"__g.top${n}gram_char_frac") > thr, lit(false))
     } ++ t.dup.toSeq.map { case (n, thr) =>
-      coalesce(col(s"dup${n}gram_char_frac") > thr, lit(false))
+      coalesce(col(s"__g.dup${n}gram_char_frac") > thr, lit(false))
     }).reduce(_ || _)
-    df.join(sig.filter(!fails).select(col(idCol)), Seq(idCol), "left_semi")
+    df.withColumn("__g", graft.functions.OptimizerBarrier(
+        graft.functions.RepetitionNgramStats(col(textCol))))
+      .filter(!fails)
+      .drop("__g")
   }
 
   // ------------------------------------------------------ corpus analytics
@@ -602,21 +579,22 @@ object TextAnalysis {
     * narrow count shuffles, both partial-aggregated.
     */
   def tokenEntropySignals(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val tc = df.select(col(idCol).as(idCol),
-        explode(tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    tc.groupBy(col(idCol)).agg(
-        sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum(floor(col("c") * log(col("c")) * 1e6 + 0.5).cast("long"))
-          .as("__s"))
-      .withColumn("ent_micro",
-        floor(col("n_tokens") * log(col("n_tokens")) * 1e6 + 0.5)
-          .cast("long") - col("__s"))
-      .drop("__s")
-  }
+      textCol: String): DataFrame =
+    // per-row kernel (see [[repetitionSignalsWithEntropy]] — the same
+    // shared (id, word)-count pass, now one codegen call per row): the
+    // per-term floor(c·ln c·1e6+0.5) quantization and the n·ln n
+    // numerator below are the identical expressions, so ent_micro is
+    // bit-equal; tokenless docs had no aggregation row and are filtered
+    // on the kernel's null fields. Zero shuffles.
+    df.select(col(idCol),
+        graft.functions.OptimizerBarrier(
+          graft.functions.WordRepetitionStats(col(textCol))).as("__r"))
+      .filter(col("__r.n_words").isNotNull)
+      .select(col(idCol),
+        col("__r.n_words").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"),
+        (floor(col("__r.n_words") * log(col("__r.n_words")) * 1e6 + 0.5)
+          .cast("long") - col("__r.ent_s")).as("ent_micro"))
 
   /** Drop rows whose per-token entropy (nats) falls below `minNats`
     * (schema preserved; docs with no tokens drop — entropy of nothing
@@ -624,11 +602,16 @@ object TextAnalysis {
     */
   def entropyFilter(df: DataFrame, idCol: String, textCol: String,
       minNats: Double): DataFrame = {
-    val keep = tokenEntropySignals(df, idCol, textCol)
-      .filter(col("ent_micro").cast("double") /
-        (col("n_tokens").cast("double") * 1e6) >= minNats)
-      .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    // per-row kernel gate (see filterByGopherKeep): map-side filter at
+    // scan speed instead of the former signal semi-join; docs with no
+    // tokens drop on the null comparison, as the missing signal row did
+    val entMicro = floor(col("__r.n_words") * log(col("__r.n_words"))
+      * 1e6 + 0.5).cast("long") - col("__r.ent_s")
+    df.withColumn("__r", graft.functions.OptimizerBarrier(
+        graft.functions.WordRepetitionStats(col(textCol))))
+      .filter(entMicro.cast("double") /
+        (col("__r.n_words").cast("double") * 1e6) >= minNats)
+      .drop("__r")
   }
 
   /** Compression-ratio quality signals: raw UTF-8 bytes, DEFLATE bytes

@@ -32,13 +32,19 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Tfidf {
 
-  /** The same tokenizer every text operator here uses (DSIR, LM, vocab):
-    * lower, trim, split on runs of whitespace, drop empties.
+  /** Distinct (id, xxhash64(token)) rows, fully MAP-SIDE: one
+    * [[graft.functions.DistinctTokenHashes]] kernel call per row
+    * dedups the document's tokens in place and hashes them (same
+    * tokenizer — lower, trim, split on `\s+`, drop empties; distinct
+    * by token STRING, then seed-42 xxhash64). Replaces
+    * explode → distinct → xxhash64, whose distinct was a corpus-wide
+    * exchange of (id, token-string) rows — per-DOCUMENT work, since
+    * the distinct never mixed rows of different documents.
     */
-  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def distinctTokenHashes(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
+      explode(graft.functions.DistinctTokenHashes(col(textCol))).as("t"))
 
   /** Feature bucket of a token: md5-60 % buckets — the oracle-replayable
     * hash shared with [[Sampling.dsirBucket]].
@@ -99,10 +105,13 @@ object Tfidf {
   def idfMilli(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): Map[Long, Long] = {
     val n = docs.count()
-    val fitted = tokens(docs, idCol, textCol)
-      .select(col("id"), bucketOf(col("tok"), buckets).as("b"))
-      .distinct()
-      .groupBy("b").agg(count(lit(1)).as("df"))
+    // the kernel emits each bucket ONCE per document, so the former
+    // (id, bucket) distinct exchange is already done per row — the df
+    // count aggregates the exploded rows directly (same values)
+    val fitted = docs
+      .select(explode(
+        graft.functions.TfidfBucketTfs(col(textCol), buckets)).as("__bt"))
+      .groupBy(col("__bt.bucket").as("b")).agg(count(lit(1)).as("df"))
       .collect()
       .map { r =>
         val b = r.getLong(0)
@@ -133,9 +142,15 @@ object Tfidf {
     */
   def hashedVectorsWithIdf(docs: DataFrame, idCol: String, textCol: String,
       idf: Map[Long, Long], buckets: Int): DataFrame =
-    tokens(docs, idCol, textCol)
-      .select(col("id"), bucketOf(col("tok"), buckets).as("bucket"))
-      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+    // per-row kernel ([[graft.functions.TfidfBucketTfs]]): the former
+    // groupBy(id, bucket) tf count only ever mixed rows of the same
+    // document — now map-side, zero shuffles; the idf stays a literal
+    // CASE over the bucket column
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.TfidfBucketTfs(col(textCol), buckets))
+          .as("__bt"))
+      .select(col("id"), col("__bt.bucket").as("bucket"),
+        col("__bt.tf").as("tf"))
       // idf clamps BEFORE the multiply so the product itself can't wrap
       // (ANSI overflow) even under an adversarial injected fit:
       // tf ≤ 2^31 (a string column's char bound) and idf ≤ wCap keep
@@ -191,8 +206,7 @@ object Tfidf {
   def cosinePairsWithIdf(docs: DataFrame, idCol: String, textCol: String,
       idf: Map[Long, Long], buckets: Int, maxTokenDf: Int,
       tauNum: Int, tauDen: Int): DataFrame = {
-    val toks = tokens(docs, idCol, textCol).distinct()
-      .select(col("id"), xxhash64(col("tok")).as("t"))
+    val toks = distinctTokenHashes(docs, idCol, textCol)
     // Hot tokens (df > cap) are removed via broadcast ANTI-join — the hot
     // set is small BY DEFINITION (each member needs > maxTokenDf docs),
     // so the broadcast is bounded at any corpus size. The inverse —
@@ -261,8 +275,7 @@ object Tfidf {
     val vec = hashedVectorsWithIdf(corpus, idCol, textCol, idf, buckets)
     vec.join(squaredNorms(vec), "id")
       .write.mode("overwrite").parquet(s"$storePath/vectors")
-    val toks = tokens(corpus, idCol, textCol).distinct()
-      .select(col("id"), xxhash64(col("tok")).as("t"))
+    val toks = distinctTokenHashes(corpus, idCol, textCol)
     // df cap applied by ANTI-joining the (small-by-definition) hot set —
     // never by broadcasting the vocabulary-scale kept set (see
     // cosinePairsWithIdf)
@@ -289,8 +302,7 @@ object Tfidf {
     val vec = hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets)
     vec.join(squaredNorms(vec), "id")
       .write.mode("append").parquet(s"$storePath/vectors")
-    val toks = tokens(batch, idCol, textCol).distinct()
-      .select(col("id"), xxhash64(col("tok")).as("t"))
+    val toks = distinctTokenHashes(batch, idCol, textCol)
     val hot = toks.groupBy("t").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxTokenDf).select("t")
     toks.join(broadcast(hot), Seq("t"), "left_anti").select("t", "id")
@@ -329,8 +341,7 @@ object Tfidf {
     // AND the within-batch pair search (a per-phase recompute measured
     // ~4× the batch-side work at sf0.1)
     val bToks = graft.core.CacheScope.persist(
-      tokens(batch, idCol, textCol).distinct()
-        .select(col("id"), xxhash64(col("tok")).as("t")))
+      distinctTokenHashes(batch, idCol, textCol))
     val bVec = graft.core.CacheScope.persist(
       hashedVectorsWithIdf(batch, idCol, textCol, idf, buckets))
     val bN2 = graft.core.CacheScope.persist(squaredNorms(bVec))

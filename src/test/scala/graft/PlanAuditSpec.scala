@@ -134,25 +134,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("n-gram repetition: map-side kernel gram build — no window sort, no gram strings shuffled") {
+  test("n-gram repetition is ONE map-side kernel projection — zero shuffles") {
     val p = plan("text_repetition_ngrams")
-    // grams come from the fused TextShinglesHashed kernel (one
-    // tokenize per row, all nine sizes pre-hashed in the kernel),
-    // never from a posexplode + lead() window (a per-document sort the
-    // operator doesn't need) and never as materialized gram strings
-    p should include("textshingleshashed")
+    // r21: all nine fractions come from the per-row RepetitionNgramStats
+    // kernel (the per-document aggregation the former tall explode +
+    // two exchanges re-derived corpus-wide — the r20 scale probe
+    // measured that shape super-linear at 10× from aggregation/spill
+    // pressure); the plan must stay a pure scan + project
+    p.toLowerCase should include("repetitionngramstats")
+    p should not include "Exchange"
     p should not include "Window"
-    p should include("HashAggregate")
+    p should not include "Generate"
     p should not include "CartesianProduct"
   }
 
-  test("repetition signals keep partial (map-side) aggregation") {
+  test("repetition signals are ONE map-side kernel projection — zero shuffles") {
     val p = plan("text_repetition")
-    p should include("HashAggregate")
+    // r21: word/bigram counts from the per-row WordRepetitionStats
+    // kernel; no token explode, no (doc, word) exchange
+    p.toLowerCase should include("wordrepetitionstats")
+    p should not include "Exchange"
+    p should not include "Generate"
     p should not include "CartesianProduct"
-    // (doc, word) counts partial-aggregate before the doc-id shuffle —
-    // the corpus shuffles narrow count rows, never raw text columns
-    "HashAggregate".r.findAllIn(p).length should be >= 4
+  }
+
+  test("kernel gates evaluate the stats kernel ONCE per row") {
+    // the gate filters reference many fields of the kernel struct; if
+    // alias substitution ever inlines the kernel into each reference
+    // (predicate pushdown through the materializing projection), the
+    // scan pays 6+ tokenize passes per row — pin one kernel occurrence
+    for (name <- Seq("text_gopher_filter", "text_token_entropy")) {
+      withClue(s"$name: ") {
+        val p = plan(name).toLowerCase
+        "wordrepetitionstats".r.findAllIn(p).length shouldBe 1
+      }
+    }
   }
 
   test("paragraph dedup shuffles fingerprints, not paragraph-free text") {

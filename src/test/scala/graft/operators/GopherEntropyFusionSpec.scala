@@ -42,12 +42,15 @@ class GopherEntropyFusionSpec extends SparkSpec {
     }
   }
 
-  test("fusion saves exchanges: one token pass instead of two") {
+  test("both gate forms are shuffle-free map-side filters (r21 kernel)") {
+    // r21: the per-row WordRepetitionStats kernel made BOTH forms
+    // exchange-free scan-speed filters (the fusion used to save the
+    // second token pass; now there is no token pass to save — the spec
+    // pins that neither form regresses back to a shuffle)
     def exchanges(df: DataFrame): Int =
       "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
-    val s = exchanges(sequential(1.0))
-    val f = exchanges(fused(1.0))
-    withClue(s"fused=$f sequential=$s: ") { f should be < s }
+    withClue("fused: ") { exchanges(fused(1.0)) shouldBe 0 }
+    withClue("sequential: ") { exchanges(sequential(1.0)) shouldBe 0 }
   }
 
   test("curation block fuses ADJACENT [gopher, entropy] with identical results") {
