@@ -288,6 +288,43 @@ object TokenStatKernels {
 
   private val TfNullRow = new GenericInternalRow(Array[Any](null, null))
 
+  /** [[BigramTfs]] row kernel: distinct adjacent token pairs with their
+    * within-document occurrence counts, first-occurrence order. Empty
+    * array for docs with fewer than 2 tokens (the replaced
+    * transform+explode produced no rows).
+    */
+  def bigramTfs(text: UTF8String): ArrayData = {
+    if (text == null) return EmptyArray
+    val toks = nonEmptyTokens(text)
+    val m = toks.length
+    if (m < 2) return EmptyArray
+    val counts = new java.util.LinkedHashMap[String, Array[Long]](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m - 1) {
+      sb.setLength(0)
+      // tokens never contain whitespace (they were split on it), so
+      // "w1 w2" is an injective key and the FIRST space recovers w1
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      val e = counts.get(sb.toString)
+      if (e == null) counts.put(sb.toString, Array(1L)) else e(0) += 1
+      i += 1
+    }
+    val arr = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val sep = e.getKey.indexOf(' ')
+      arr(k) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.getKey.substring(0, sep)),
+        UTF8String.fromString(e.getKey.substring(sep + 1)),
+        e.getValue()(0)))
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   // --------------------------------------------------- tfidf buckets
 
   /** [[TfidfBucketTfs]] row kernel: term frequency per feature-hash
@@ -549,6 +586,45 @@ object TfidfBucketTfs {
   def apply(text: Column, buckets: Int): Column =
     GraftExpressionBridge.column(
       TfidfBucketTfs(GraftExpressionBridge.expression(text), buckets))
+}
+
+/** Per-document adjacent-bigram counts as ONE codegen'd
+  * array<(w1, w2, n)> (distinct pairs, within-doc occurrence counts,
+  * first-occurrence order; empty for sub-2-token docs). Replaces the
+  * transform+explode → groupBy(id, w1, w2) count of the LM scorer —
+  * per-document work that paid a corpus-wide exchange — and feeds the
+  * fit's (w1, w2) count as map-side pre-aggregated rows.
+  */
+case class BigramTfs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    TokenStatKernels.bigramTfs(child.eval(input).asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val cls = TokenStatKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $cls.bigramTfs(${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramTfs = copy(child = newChild)
+}
+
+object BigramTfs {
+  def apply(text: Column): Column =
+    GraftExpressionBridge.column(
+      BigramTfs(GraftExpressionBridge.expression(text)))
 }
 
 /** Distinct-token seed-42 xxhash64 values of a document as ONE

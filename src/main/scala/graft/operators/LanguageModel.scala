@@ -62,36 +62,37 @@ object LanguageModel {
     * '\s+'), t -> t <> '')`), kept as an ARRAY so bigrams can pair
     * adjacent positions without a positional self-join.
     */
-  private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      filter(split(lower(trim(col(textCol))), "\\s+"),
-        t => t =!= lit("")).as("__l"))
-
-  /** One row per adjacent token pair: (id, w1, w2). Documents with
-    * fewer than two tokens contribute nothing (sequence is empty).
-    * Pure codegen — explode over a transform, no shuffle.
+  /** Per-document distinct adjacent bigram counts: (id, w1, w2, n),
+    * fully MAP-SIDE — one [[graft.functions.BigramTfs]] kernel call per
+    * row (same tokenizer as the former filter(split(...)) + transform;
+    * sub-2-token docs yield no rows). The former per-occurrence explode
+    * paid a corpus-wide groupBy(id, w1, w2) exchange in the scorer;
+    * the kernel pre-aggregates within the document, which is all that
+    * grouping ever mixed.
     */
-  def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenArrays(df, idCol, textCol)
-      .filter(size(col("__l")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(__l) - 1), " +
-          "i -> struct(__l[i-1] AS w1, __l[i] AS w2))")).as("__p"))
-      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  def bigramCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.BigramTfs(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"),
+        col("__p.n").as("n"))
 
   /** Fit the model on a corpus: bigram counts, context counts
     * (denormalized onto the bigram row), unigram counts, and the (T, V)
     * scalars — the scalars are the only driver-side collect (one row,
-    * two longs).
+    * two longs). Both count aggregates consume the per-document
+    * pre-aggregated kernel rows (sum of within-doc counts ≡ the former
+    * per-occurrence count), so the exchanges carry one row per distinct
+    * (doc, gram), never one per occurrence.
     */
   def fitBigramModel(corpus: DataFrame, idCol: String, textCol: String): BigramModel = {
-    val cb = bigramRows(corpus, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cb = bigramCounts(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("n").as("cb"))
     val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
     val bigrams = cb.join(c1, "w1").select("w1", "w2", "cb", "c1")
-    val unigrams = tokenArrays(corpus, idCol, textCol)
-      .select(explode(col("__l")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val unigrams = corpus
+      .select(explode(graft.functions.TokenTfLen(col(textCol))
+        .getField("tfs")).as("__t"))
+      .groupBy(col("__t.tok").as("w")).agg(sum(col("__t.tf")).as("cu"))
     val r = unigrams
       .agg(coalesce(sum("cu"), lit(0L)).cast("long"), count(lit(1)).cast("long"))
       .collect()(0)
@@ -108,9 +109,10 @@ object LanguageModel {
   def scoreBigrams(batch: DataFrame, model: BigramModel, idCol: String,
       textCol: String, backoff: Double = DefaultBackoff): DataFrame = {
     val denom = (model.totalTokens + model.vocabSize).toDouble
-    val bgn = bigramRows(batch, idCol, textCol)
-      .groupBy(col(idCol), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
+    // per-doc (w1, w2, n) is map-side (kernel) — the former
+    // groupBy(id, w1, w2) exchange is gone; only the model joins and
+    // the final per-doc rollup shuffle
+    val bgn = bigramCounts(batch, idCol, textCol)
     // association pinned to the oracle: ln(cb/c1); ln((α·(cu+1))/(T+V))
     val lp = when(col("cb").isNotNull,
         floor(log(col("cb").cast("double") / col("c1").cast("double"))
@@ -249,12 +251,13 @@ object LanguageModel {
     */
   def appendModelCounts(corpus: DataFrame, idCol: String, textCol: String,
       storePath: String): Unit = {
-    bigramRows(corpus, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigramCounts(corpus, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("n").as("cb"))
       .write.mode("append").parquet(s"$storePath/deltas/bigrams")
-    tokenArrays(corpus, idCol, textCol)
-      .select(explode(col("__l")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
+    corpus
+      .select(explode(graft.functions.TokenTfLen(col(textCol))
+        .getField("tfs")).as("__t"))
+      .groupBy(col("__t.tok").as("w")).agg(sum(col("__t.tf")).as("cu"))
       .write.mode("append").parquet(s"$storePath/deltas/unigrams")
   }
 

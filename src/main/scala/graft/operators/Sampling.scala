@@ -272,12 +272,18 @@ object Sampling {
     */
   def microNats(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
 
-  private def tokenized(df: DataFrame, idCol: String, textCol: String,
+  /** Per-document (bucket, tf) rows, fully MAP-SIDE via the shared
+    * [[graft.functions.TfidfBucketTfs]] kernel (same md5-60 feature
+    * hash as [[dsirBucket]], md5 run once per DISTINCT token per doc) —
+    * replaces the per-token explode + per-occurrence md5. Every
+    * consumer aggregates Σtf, which equals the former per-token-row
+    * count exactly.
+    */
+  private def bucketTfs(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
     df.select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__tok"))
-      .filter(col("__tok") =!= "")
-      .withColumn("__b", dsirBucket(col("__tok"), buckets))
+      explode(graft.functions.TfidfBucketTfs(col(textCol), buckets))
+        .as("__bt"))
 
   /** Per-document importance score: `score` = Σ over the document's
     * tokens of the quantized log p_target/p_raw of the token's bucket
@@ -304,13 +310,13 @@ object Sampling {
       textCol: String, buckets: Int = 64): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    val rawToks = tokenized(raw, idCol, textCol, buckets)
-    val tgtToks = tokenized(target, idCol, textCol, buckets)
     def counts(t: DataFrame): Map[Long, Long] =
-      t.groupBy("__b").agg(count(lit(1)).as("c")).collect()
+      bucketTfs(t, idCol, textCol, buckets)
+        .groupBy(col("__bt.bucket").as("__b"))
+        .agg(sum(col("__bt.tf")).as("c")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cq = counts(rawToks)
-    val ct = counts(tgtToks)
+    val cq = counts(raw)
+    val ct = counts(target)
     val nq = cq.values.sum
     val nt = ct.values.sum
     cq.toSeq.sortBy(_._1).map { case (b, cqB) =>
@@ -350,10 +356,11 @@ object Sampling {
       (0 until buckets).map(b => m.getOrElse(b.toLong, 0L))
     }
     val iwArr = array(iw.map(lit(_)): _*)
-    tokenized(batch, idCol, textCol, buckets)
+    bucketTfs(batch, idCol, textCol, buckets)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        sum(element_at(iwArr, (col("__b") + 1).cast("int"))).as("score"))
+      .agg(sum(col("__bt.tf")).cast("long").as("n_tokens"),
+        sum(col("__bt.tf") *
+          element_at(iwArr, (col("__bt.bucket") + 1).cast("int"))).as("score"))
   }
 
   /** Gumbel top-k selection over the importance scores: keep the `k`

@@ -12,12 +12,17 @@ class LanguageModelSpec extends SparkSpec {
     (4L, "a dog ran")
   ).toDF("doc_id", "text")
 
-  test("bigramRows pairs adjacent tokens; short docs contribute nothing") {
-    val bg = LanguageModel.bigramRows(
-      Seq((0L, "a b c"), (1L, "solo"), (2L, "  x   y  "), (3L, ""))
+  test("bigramCounts pairs adjacent tokens with counts; short docs contribute nothing") {
+    val bg = LanguageModel.bigramCounts(
+      Seq((0L, "a b c"), (1L, "solo"), (2L, "  x   y  "), (3L, ""),
+        (4L, "p q p q"))
         .toDF("doc_id", "text"), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    bg.toSet shouldBe Set((0L, "a", "b"), (0L, "b", "c"), (2L, "x", "y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    bg.toSet shouldBe Set((0L, "a", "b", 1L), (0L, "b", "c", 1L),
+      (2L, "x", "y", 1L),
+      // within-doc pre-aggregation: "q p" once, "p q" twice, one row each
+      (4L, "p", "q", 2L), (4L, "q", "p", 1L))
   }
 
   test("fit: exact bigram, context, unigram counts and (T, V)") {
