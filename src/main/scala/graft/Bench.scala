@@ -219,7 +219,17 @@ object Bench {
             .map(f => n -> v / f).filter(_._2 > 1.5)
         }.sortBy(-_._2)
       }
-    } catch { case _: Throwable => Nil }
+    } catch {
+      // NonFatal only (ADVICE r20): the intended scope is a missing/
+      // unreadable/wrong-shape floor file. Swallowing a fatal throwable
+      // (OOM, linkage error) here would silently disable the
+      // adjudication machinery — let those propagate. The benign path
+      // is logged once so an absent floor file is visible, not silent.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] swing floors unavailable ($path): " +
+          s"${e.getClass.getSimpleName}; swing flags disabled this run")
+        Nil
+    }
   }
 
   /** `GRAFT_BENCH_SESSIONS=N` (N ≥ 2): run the whole suite N times,
@@ -283,18 +293,32 @@ object Bench {
         java.nio.file.Files.deleteIfExists(detail) // log kept for autopsy
       } else {
         val node = mapper.readTree(body)
-        val qs = node.get("queries")
-        perSession += qs.fieldNames().asScala
-          .map(q => q -> qs.get(q).asDouble()).toMap
-        val c = Option(node.get("contended")).exists(_.asBoolean())
-        sessionContended += c
-        contended ||= c
-        jvms += Option(node.get("jvm")).map(_.toString).getOrElse("{}")
-        val errs = node.get("errors")
-        if (errs != null) errs.fieldNames().asScala.foreach(q =>
-          errors += s"${q}_s$s" -> errs.get(q).asText())
-        java.nio.file.Files.deleteIfExists(detail)
-        logFile.delete()
+        // a zero-exit child whose detail lacks a queries object is a
+        // MALFORMED session, not an NPE that aborts the sessions the
+        // other children already paid for (ADVICE r20) — route it into
+        // the errors map like a dead child, placeholders keep the
+        // per-session arrays index-aligned
+        Option(node.get("queries")).filter(_.isObject) match {
+          case None =>
+            errors += s"session_$s" ->
+              s"child exit 0 but detail has no queries object, log: $logFile"
+            perSession += Map.empty[String, Double]
+            sessionContended += false
+            jvms += "{}"
+            java.nio.file.Files.deleteIfExists(detail)
+          case Some(qs) =>
+            perSession += qs.fieldNames().asScala
+              .map(q => q -> qs.get(q).asDouble()).toMap
+            val c = Option(node.get("contended")).exists(_.asBoolean())
+            sessionContended += c
+            contended ||= c
+            jvms += Option(node.get("jvm")).map(_.toString).getOrElse("{}")
+            val errs = node.get("errors")
+            if (errs != null) errs.fieldNames().asScala.foreach(q =>
+              errors += s"${q}_s$s" -> errs.get(q).asText())
+            java.nio.file.Files.deleteIfExists(detail)
+            logFile.delete()
+        }
       }
     }
     val names = perSession.flatMap(_.keys).distinct.sorted
@@ -320,6 +344,11 @@ object Bench {
     println(full)
     println(compactLine(total, sfDir, contended, merged.toSeq, reps,
       errors.size, mode = "sessions", swing = swing))
+    // when EVERY session failed there is no measurement: "value":0.0
+    // with exit 0 would read as a vacuous 0-second floor downstream
+    // (ADVICE r20) — the artifact above still prints (the errors map is
+    // the autopsy), but the process must not claim success
+    if (names.isEmpty && errors.nonEmpty) sys.exit(1)
   }
 
   private def writeDetail(full: String): Unit = {

@@ -1916,6 +1916,18 @@ object Queries {
     docs.filter(col("text").isNotNull &&
       col("text").rlike("\\S")).count()
 
+  /** ⌊N/2⌋ df-ceiling for the maxdf entries. N < 2 derives a ceiling of
+    * 0 — the engine's 'disabled' sentinel, which would silently flip
+    * the entry to exact mode while the oracle's `HAVING df <= 0` prunes
+    * every term: a ceiling of exactly 0 is inexpressible, so the
+    * degenerate corpus fails loudly instead of diverging (ADVICE r20).
+    */
+  private[graft] def bm25MaxDfCeiling(n: Long): Long = {
+    require(n >= 2, s"df-ceiling floor(N/2) needs N >= 2 token-bearing " +
+      s"docs, got $n: a ceiling of 0 is the exact-mode sentinel")
+    n / 2
+  }
+
   /** BM25 with the documented-divergence df-ceiling (`maxDf = ⌊N/2⌋`):
     * query terms in more than half the corpus contribute nothing —
     * near-zero idf, but they alone make the exact probe's work Σdf ≈
@@ -1928,7 +1940,7 @@ object Queries {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     graft.operators.Search.bm25TopK(
       docs, docs.filter(col("doc_id") % 100 === 7), "doc_id", "text",
-      k = 10, maxDf = bm25NDocs(docs) / 2)
+      k = 10, maxDf = bm25MaxDfCeiling(bm25NDocs(docs)))
   }
 
   /** The df-ceiling through the PERSISTED store: df is denormalized in
@@ -1945,7 +1957,7 @@ object Queries {
     ivfStoreDirs.add(store)
     graft.operators.Search.bm25TopKFromStore(
       spark, store, docs.filter(col("doc_id") % 100 === 7),
-      "doc_id", "text", k = 10, maxDf = bm25NDocs(docs) / 2)
+      "doc_id", "text", k = 10, maxDf = bm25MaxDfCeiling(bm25NDocs(docs)))
   }
 
   /** Hybrid retrieval: the BM25 lexical arm and the embedding cosine
@@ -2358,7 +2370,7 @@ object Queries {
     graft.operators.Search.bm25TopKFromStore(
       spark, store,
       docs.filter(col("doc_id") % 100 === 7), "doc_id", "text", k = 10,
-      maxDf = n / 2)
+      maxDf = bm25MaxDfCeiling(n))
   }
 
   /** BENCH-ONLY: the COMPOSED curation pipeline a pretraining ingest

@@ -121,11 +121,18 @@ object Tfidf {
     fitted + (UnseenKey -> milliNats(math.log(n + 1.0)))
   }
 
-  private def idfLiteral(idf: Map[Long, Long], b: Column): Column =
-    idf.toSeq.filter(_._1 >= 0).sortBy(_._1)
-      .foldLeft(lit(idf.getOrElse(UnseenKey, 0L))) { case (acc, (bk, w)) =>
-        when(b === lit(bk), lit(w)).otherwise(acc)
-      }
+  private def idfLiteral(idf: Map[Long, Long], buckets: Int,
+      b: Column): Column = {
+    // Dense constant-array lookup (r21): the former nested-CASE fold
+    // evaluated up to `buckets` comparisons per posting row; `bucket`
+    // is always in [0, buckets) ([[bucketOf]] / TfidfBucketTfs
+    // contract), so a literal array indexed by bucket+1 returns the
+    // identical value in O(1) — absent buckets (df = 0 in the fit)
+    // carry the UnseenKey default exactly as the CASE's otherwise did.
+    val default = idf.getOrElse(UnseenKey, 0L)
+    val dense = (0L until buckets.toLong).map(bk => idf.getOrElse(bk, default))
+    element_at(array(dense.map(lit(_)): _*), (b + lit(1L)).cast("int"))
+  }
 
   /** Sparse hashed TF-IDF vectors: (id, bucket, tf, w) with
     * w = tf · idf_milli(bucket). One explode + one (id, bucket) shuffle;
@@ -158,7 +165,7 @@ object Tfidf {
       // from idfMilli sit orders of magnitude below the cap, so the
       // oracle's plain LEAST(tf·idf, cap) replays identical values.
       .withColumn("w",
-        least(col("tf") * least(idfLiteral(idf, col("bucket")),
+        least(col("tf") * least(idfLiteral(idf, buckets, col("bucket")),
           lit(wCap(buckets))), lit(wCap(buckets))))
 
   /** Persist the fit (overwrite: the table IS the fit, ≤ `buckets`

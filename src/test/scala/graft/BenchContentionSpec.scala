@@ -130,6 +130,22 @@ class BenchContentionSpec extends AnyFunSuite with Matchers {
     // absent/unreadable floor file: no flags, no crash
     Bench.swingFlags("/root/testdata/sf0.1", results,
       "/nonexistent/floor.json") shouldBe empty
+    // corrupt floor file: the NonFatal-narrowed catch (ADVICE r20)
+    // still degrades to "no flags" — only fatal throwables propagate
+    val corrupt = java.nio.file.Files.createTempFile("floor-bad-", ".json")
+    java.nio.file.Files.writeString(corrupt, "{not json")
+    Bench.swingFlags("/root/testdata/sf0.1", results,
+      corrupt.toString) shouldBe empty
+  }
+
+  test("bm25MaxDfCeiling: degenerate corpora fail loudly, never flip to exact mode") {
+    // N < 2 derives ceiling 0 = the engine's disabled sentinel, while
+    // the oracle's HAVING df <= 0 prunes every term — inexpressible, so
+    // the constructor must throw instead of silently diverging
+    Queries.bm25MaxDfCeiling(2L) shouldBe 1L
+    Queries.bm25MaxDfCeiling(501L) shouldBe 250L
+    an[IllegalArgumentException] should be thrownBy Queries.bm25MaxDfCeiling(1L)
+    an[IllegalArgumentException] should be thrownBy Queries.bm25MaxDfCeiling(0L)
   }
 
   test("swing verdict survives the compact line's budget loop") {
