@@ -103,6 +103,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Janino generated-class cache (STATIC conf, default 100 entries).
+      // Measured (r22, JitProbe): ann_neardup_forced alone generates
+      // ~130 distinct codegen sources per repetition, so at the default
+      // the cache thrashes and EVERY rep recompiles all of them —
+      // 3-10 s of C2 JIT inside every timed rep, which is session cost,
+      // not plan cost (min-of-reps exists to strip exactly this). With
+      // room for the suite's working set, reps 2..n recompile ~0 and
+      // shared shapes reuse ACROSS queries. Same setting is justified
+      // on production drivers/executors: a long-lived JVM running a
+      // multi-operator pipeline holds > 100 codegen units, and an
+      // entry is a few KB of source + bytecode (thousands of entries ≪
+      // one task's working memory). Parameterized, not local[32]-tuned.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time JVM/codegen/IO warm-up outside the timed region
@@ -300,8 +314,11 @@ object Bench {
         // per-session arrays index-aligned
         Option(node.get("queries")).filter(_.isObject) match {
           case None =>
+            // same autopsy strength as the dead-child branch (ADVICE
+            // r21): the log tail rides along, not just the path
             errors += s"session_$s" ->
-              s"child exit 0 but detail has no queries object, log: $logFile"
+              (s"child exit 0 but detail has no queries object, " +
+                s"log: $logFile | " + logTail(logFile))
             perSession += Map.empty[String, Double]
             sessionContended += false
             jvms += "{}"

@@ -218,7 +218,13 @@ object Queries {
     val orders = t(spark, dir, "orders")
     val customer = t(spark, dir, "customer")
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // no broadcast pin (r22 audit): customer is corpus-proportional —
+      // the one side this repo's byte doctrine does NOT let a literal
+      // hint ship unconditionally. Size-based auto-broadcast (AQE)
+      // picks BHJ at every bench SF (same plan, same result) and falls
+      // back to a shuffle join if a production customer side outgrows
+      // the broadcast ceiling.
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .filter(col("c_mktsegment") === "BUILDING")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
@@ -1892,10 +1898,13 @@ object Queries {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val store = java.nio.file.Files
       .createTempDirectory("graft_bm25_segs_").toString
-    (0 to 2).foreach(i =>
-      graft.operators.Search.writeIndexSegment(
-        docs.filter(col("doc_id") % 3 === i), "doc_id", "text", store,
-        buckets = 8))
+    // one batched append (r22): all three segments land in ONE
+    // postings-write job + ONE stats job + ONE _meta append — same
+    // segments, same rows, same probe answer as three sequential
+    // writeIndexSegment calls (SearchSpec pins the equivalence)
+    graft.operators.Search.writeIndexSegments(
+      (0 to 2).map(i => docs.filter(col("doc_id") % 3 === i)),
+      "doc_id", "text", store, buckets = 8)
     ivfStoreDirs.add(store)
     graft.operators.Search.bm25TopKSegmented(
       spark, store, docs.filter(col("doc_id") % 100 === 7),

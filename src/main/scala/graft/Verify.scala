@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same codegen-class cache sizing as the bench (see Bench.scala):
+      // 139 queries in one JVM hold far more than 100 codegen units,
+      // and the default cache thrashes — affects wall time only, never
+      // results
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -93,23 +93,42 @@ object Search {
   }
 
   /** (n_docs with ≥1 token, Σlen) in ONE cheap map-side pass. A doc's
-    * length is its non-empty token count: `size(split(...))` minus the
-    * single leading empty token `split` emits when the trimmed text
-    * starts with non-0x20 whitespace — plain codegen arithmetic, no
+    * length is its NON-EMPTY token count — plain codegen arithmetic, no
     * per-doc hash maps (the TokenTfLen kernel would rebuild the tf map
-    * just to read its length). count(len) skips null text; the `len >
-    * 0` guard drops tokenless docs — values identical to the old
-    * per-doc-table aggregate.
+    * just to read its length). SQL `split` runs with limit −1, which
+    * keeps BOTH the leading empty token (trimmed text starting with
+    * non-0x20 whitespace — SQL `trim` strips only spaces) AND the
+    * trailing one (text ending in `\n`/`\t`), and `\s+` consumes runs,
+    * so empties can ONLY sit at the first and last positions: size
+    * minus those two checks counts exactly the non-empty tokens. The
+    * `size > 1` guard keeps the single-element `[""]` of empty/
+    * whitespace-only text from being subtracted twice. Values align
+    * with the TokenTfLen kernel (whose Java one-arg split drops
+    * trailing empties) and [[graft.Queries.bm25NDocs]]'s `rlike("\\S")`
+    * on every input, trailing whitespace included —
+    * SearchCorpusStatsSpec is the differential witness. count(len)
+    * skips null text; the `len > 0` guard drops tokenless docs.
     */
-  private def corpusStats(docs: DataFrame, idCol: String,
+  private[graft] def corpusStats(docs: DataFrame, idCol: String,
       textCol: String): (Long, Long) = {
-    val ts = split(lower(trim(col(textCol))), "\\s+")
-    val len = (size(ts) -
-      when(element_at(ts, 1) === "", 1).otherwise(0)).cast("long")
-    val r = docs.select(len.as("len")).filter(col("len") > 0)
+    val r = docs.select(nonEmptyLen(textCol).as("len"))
+      .filter(col("len") > 0)
       .agg(count(col("len")).cast("long"),
         coalesce(sum("len"), lit(0L)).cast("long")).collect()(0)
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** The non-empty token count of one document — the single definition
+    * of "document length" [[corpusStats]] and the batched
+    * [[writeIndexSegments]] stats pass share (a drift between them
+    * would skew avgdl between a monolithic and a batched build).
+    */
+  private def nonEmptyLen(textCol: String): Column = {
+    val ts = split(lower(trim(col(textCol))), "\\s+")
+    (size(ts) -
+      when(element_at(ts, 1) === "", 1).otherwise(0) -
+      when(size(ts) > 1 && element_at(ts, -1) === "", 1).otherwise(0))
+      .cast("long")
   }
 
   /** Per-term BM25 contribution in micro-nats. The arithmetic mirrors
@@ -398,26 +417,59 @@ object Search {
     * double-count in df and length stats.
     */
   def writeIndexSegment(docs: DataFrame, idCol: String, textCol: String,
-      storePath: String, buckets: Int = 64): Unit = {
+      storePath: String, buckets: Int = 64): Unit =
+    writeIndexSegments(Seq(docs), idCol, textCol, storePath, buckets)
+
+  /** Append SEVERAL batches as separate immutable segments in ONE
+    * postings-write job + ONE stats job + ONE `_meta` append (r22) —
+    * the per-batch [[writeIndexSegment]] loop paid 3 write jobs, 3
+    * corpus-stats jobs and 3 one-row `_meta` writes for a 3-batch
+    * ingest; the postings rows, per-segment `_meta` rows, and every
+    * probe answer are IDENTICAL to sequential appends (segments only
+    * tag rows — a union of per-segment postings is the same multiset,
+    * and the per-batch stats aggregate grouped by batch equals each
+    * batch's own aggregate). Batches must hold pairwise-disjoint
+    * documents, the same contract the sequential appends carried.
+    */
+  def writeIndexSegments(batches: Seq[DataFrame], idCol: String,
+      textCol: String, storePath: String, buckets: Int = 64): Unit = {
+    require(batches.nonEmpty, "writeIndexSegments needs at least one batch")
+    val spark = batches.head.sparkSession
     // heal a compaction that crashed mid-flip BEFORE appending: the
-    // append writes a new `_meta` row, and appending to a store whose
+    // append writes new `_meta` rows, and appending to a store whose
     // `_meta` is mid-rename would orphan every pre-crash segment
-    repairMetaFlip(docs.sparkSession, storePath)
-    val seg = java.util.UUID.randomUUID().toString
+    repairMetaFlip(spark, storePath)
+    val segs = batches.map(_ => java.util.UUID.randomUUID().toString)
     // ONE exchange (r21): postings are map-side ([[postingsNoDf]] — a
     // segment stores no df, so nothing corpus-wide remains), and the
     // bucket repartition is the write-alignment shuffle — one file per
-    // (task, owned bucket) per segment instead of tasks × buckets.
-    postingsNoDf(docs, idCol, textCol)
-      .withColumn("segment", lit(seg))
+    // (task, owned bucket, segment) instead of tasks × buckets.
+    batches.zip(segs).map { case (docs, seg) =>
+      postingsNoDf(docs, idCol, textCol).withColumn("segment", lit(seg))
+    }.reduce(_.unionByName(_))
       .withColumn("bucket", tokenBucket(col("tok"), buckets))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("segment", "bucket")
       .parquet(s"$storePath/postings")
-    val (nDocs, totalLen) = corpusStats(docs, idCol, textCol)
-    docs.sparkSession.range(1)
-      .select(lit(seg).as("segment"), lit(nDocs).as("n_docs"),
-        lit(totalLen).as("total_len"), lit(buckets).as("buckets"))
+    // per-batch corpus stats in one aggregation job: tag each batch's
+    // rows with its index and group — a batch with zero token-bearing
+    // docs yields no group row and falls back to (0, 0), exactly what
+    // its own empty-input aggregate returned
+    val stats = batches.zipWithIndex.map { case (docs, i) =>
+      docs.select(lit(i).as("__seg_i"), nonEmptyLen(textCol).as("len"))
+    }.reduce(_.unionByName(_))
+      .filter(col("len") > 0)
+      .groupBy("__seg_i")
+      .agg(count(col("len")).cast("long").as("n"),
+        coalesce(sum("len"), lit(0L)).cast("long").as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import spark.implicits._
+    segs.zipWithIndex.map { case (seg, i) =>
+      val (nDocs, totalLen) = stats.getOrElse(i, (0L, 0L))
+      (seg, nDocs, totalLen, buckets)
+    }.toDF("segment", "n_docs", "total_len", "buckets")
+      .coalesce(1)
       .write.mode("append").parquet(s"$storePath/_meta")
   }
 

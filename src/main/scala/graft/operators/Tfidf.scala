@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.DecimalType
   * the correctness gate hash-compares whole rows:
   *
   *  - idf is quantized to MILLI-nats (×1e3, half-up) and embedded as a
-  *    B-entry literal CASE — the fit is B longs, never a join. Milli (not
+  *    dense B-entry literal array indexed by bucket (O(1) per row) —
+  *    the fit is B longs, never a join. Milli (not
   *    the micro used for scalar scores) keeps typical products small, and
   *    the [[wCap]] clamp makes the bound UNCONDITIONAL: w ≤ √(Long.Max/B),
   *    so n2 = Σw² and every dot provably fit BIGINT for any document
@@ -129,14 +130,22 @@ object Tfidf {
     // contract), so a literal array indexed by bucket+1 returns the
     // identical value in O(1) — absent buckets (df = 0 in the fit)
     // carry the UnseenKey default exactly as the CASE's otherwise did.
+    // The array materializes exactly `buckets` literals regardless of
+    // fit sparsity — B-proportional PLAN size (fine at the repo-wide
+    // B = 64; a few thousand is still a few-KB projection). The bound
+    // below makes a large-B caller fail loudly instead of silently
+    // planning a multi-MB literal array per posting projection.
+    require(buckets <= 65536,
+      s"idfLiteral materializes one literal per bucket; $buckets buckets " +
+        "would blow up the plan - use a broadcast join for large-B fits")
     val default = idf.getOrElse(UnseenKey, 0L)
     val dense = (0L until buckets.toLong).map(bk => idf.getOrElse(bk, default))
     element_at(array(dense.map(lit(_)): _*), (b + lit(1L)).cast("int"))
   }
 
   /** Sparse hashed TF-IDF vectors: (id, bucket, tf, w) with
-    * w = tf · idf_milli(bucket). One explode + one (id, bucket) shuffle;
-    * the idf is a literal CASE, map-side.
+    * w = tf · idf_milli(bucket). One explode, zero shuffles; the idf is
+    * a dense literal-array lookup, map-side.
     */
   def hashedVectors(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int = 64): DataFrame =
@@ -151,8 +160,8 @@ object Tfidf {
       idf: Map[Long, Long], buckets: Int): DataFrame =
     // per-row kernel ([[graft.functions.TfidfBucketTfs]]): the former
     // groupBy(id, bucket) tf count only ever mixed rows of the same
-    // document — now map-side, zero shuffles; the idf stays a literal
-    // CASE over the bucket column
+    // document — now map-side, zero shuffles; the idf stays a dense
+    // literal-array lookup over the bucket column
     docs.select(col(idCol).as("id"),
         explode(graft.functions.TfidfBucketTfs(col(textCol), buckets))
           .as("__bt"))

@@ -358,6 +358,89 @@ class PlanAuditSpec extends SparkSpec {
     exchanges.foreach(l => l should not include "text#")
   }
 
+  test("broadcast byte-doctrine audit: every main-source broadcast( site is vetted") {
+    // The r20-r22 verdicts' standing item: an explicit broadcast() hint
+    // ships the side UNCONDITIONALLY — past Spark's 8 GB / 512M-row
+    // relation ceiling it fails, and below it it can still OOM the
+    // driver — so every hint must be one of
+    //   QUERY  : query/benchmark/batch-side, small by construction
+    //            (seed sets, probed-list unions, phrase rows)
+    //   GATED  : behind a measured row guard (broadcastMaxPairs) and,
+    //            for vector-bearing frames, the byte gate
+    //            (broadcastMaxVecBytes)
+    //   CAPPED : hot-key sets bounded by construction (≤ N/cap
+    //            distinct over-cap keys)
+    //   MODEL  : fixed-size model/dimension tables (bounded vocabulary)
+    //   LITERAL: literal-bounded frames (driver-built, a few rows)
+    // This audit enumerates the call sites FROM SOURCE and fails on any
+    // site not in the vetted list below — an injected unguarded
+    // broadcast fails the suite until it is vetted with a category.
+    val src = new java.io.File("src/main/scala")
+    assume(src.isDirectory, "main sources visible from the launch dir")
+    val vetted: Map[(String, String), (Int, String)] = Map(
+      ("Recall.scala", "broadcast(dBench.select(col(\"embedding\").as(\"bv\"),") -> (1, "QUERY benchmark side"),
+      ("operators/Decontaminate.scala", "broadcast(benchSh), \"g\")") -> (1, "QUERY benchmark shingles"),
+      ("operators/Decontaminate.scala", "broadcast(benchSh), \"gh\")") -> (1, "QUERY benchmark shingles"),
+      ("operators/Decontaminate.scala", "broadcast(bmk), Seq(\"bk\"))") -> (2, "QUERY benchmark bucket keys"),
+      ("operators/Dedup.scala", "broadcast(comps) else comps") -> (1, "GATED losersBroadcastMax"),
+      ("operators/Dedup.scala", "broadcast(d) else d") -> (1, "GATED broadcastMaxPairs"),
+      ("operators/Dedup.scala", "broadcast(df) else df") -> (1, "GATED broadcastMaxPairs"),
+      ("operators/Dedup.scala", "broadcast(hot), Seq(\"blk\", \"s\"), \"left_anti\")") -> (2, "CAPPED hot band keys"),
+      ("operators/Dedup.scala", "broadcast(hot), Seq(keyCol), \"left_anti\")") -> (1, "CAPPED hot keys <= N/cap"),
+      ("operators/Dedup.scala", "broadcast(losers)") -> (2, "GATED losersBroadcastMax/guard"),
+      ("operators/QualityModel.scala", "broadcast(model.weights), Seq(\"token\"), \"left\")") -> (1, "MODEL fixed vocabulary"),
+      ("operators/Search.scala", "broadcast(dfc), \"tok\"), qt,") -> (2, "QUERY <= |query terms| df rows"),
+      ("operators/Search.scala", "broadcast(pt), \"tok\")") -> (2, "QUERY phrase/benchmark rows"),
+      ("operators/Search.scala", "broadcast(qt), \"tok\")") -> (1, "QUERY seed-set terms"),
+      ("operators/Search.scala", "broadcast(qt.select(\"tok\").distinct()), Seq(\"tok\"), \"left_semi\"))") -> (1, "QUERY seed-set terms"),
+      ("operators/Similarity.scala", "broadcast(bBuckets), col(\"bk\") === col(\"cbk\"))") -> (1, "QUERY batch bucket keys (ingest-batch bounded)"),
+      ("operators/Similarity.scala", "broadcast(d)") -> (2, "GATED pinVec row+byte gate"),
+      ("operators/Similarity.scala", "broadcast(d) else d") -> (2, "GATED broadcastMaxPairs"),
+      ("operators/Similarity.scala", "broadcast(losers)") -> (1, "GATED broadcastMaxPairs"),
+      ("operators/Similarity.scala", "broadcast(probes), Seq(\"list\"))") -> (7, "QUERY probed-list union"),
+      ("operators/Similarity.scala", "broadcast(q),") -> (1, "QUERY seed vectors"),
+      ("operators/Similarity.scala", "broadcast(q), col(\"query_id\") =!= col(\"neighbor_id\"))") -> (4, "QUERY seed vectors"),
+      ("operators/Similarity.scala", "broadcast(vecs.select(col(\"id\").as(\"id_a\"),") -> (1, "GATED fused-branch row+byte gate"),
+      ("operators/Similarity.scala", "broadcast(vecs.select(col(\"id\").as(\"id_b\"),") -> (1, "GATED fused-branch row+byte gate"),
+      ("operators/Similarity.scala", "broadcast(withQ), Seq(\"neighbor_id\"))") -> (1, "QUERY shortlist x query vectors (k-bounded)"),
+      ("operators/TextAnalysis.scala", "broadcast(sizes.select(col(\"source\").as(\"source_a\"), col(\"n_a\"))),") -> (1, "MODEL per-source counts (low cardinality)"),
+      ("operators/Tfidf.scala", "broadcast(hits) else hits") -> (1, "GATED broadcastMaxPairs"),
+      ("operators/Tfidf.scala", "broadcast(hot), Seq(\"t\"), \"left_anti\")") -> (2, "CAPPED hot tokens <= N/cap"),
+      ("operators/Tfidf.scala", "broadcast(hot), Seq(\"t\"), \"left_anti\").select(\"t\", \"id\")") -> (2, "CAPPED hot tokens <= N/cap"),
+      ("operators/Tfidf.scala", "broadcast(wHot), Seq(\"t\"), \"left_anti\")") -> (1, "CAPPED hot tokens <= N/cap"),
+      ("tools/ScaleCorpus.scala", "broadcast(reps))") -> (2, "LITERAL factor-many replica rows")
+    )
+    val siteRe = new scala.util.matching.Regex("(?<![.\\w])broadcast\\(")
+    val found = scala.collection.mutable.Map[(String, String), Int]()
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk)
+      else if (f.getName.endsWith(".scala")) {
+        val rel = f.getPath.replace("src/main/scala/graft/", "")
+          .replace("src/main/scala/", "") // non-graft sources keep org/... keys
+        scala.io.Source.fromFile(f, "UTF-8").getLines().foreach { raw =>
+          val s = raw.trim
+          siteRe.findAllMatchIn(s).foreach { m =>
+            if (!s.substring(0, m.start).endsWith("sparkContext.")) {
+              val key = (rel, s.substring(m.start))
+              found(key) = found.getOrElse(key, 0) + 1
+            }
+          }
+        }
+      }
+    walk(new java.io.File("src/main/scala"))
+    val unvetted = found.keys.filterNot(vetted.contains).toSeq.sorted
+    withClue(s"UNVETTED broadcast sites (add to the audit with a doctrine " +
+        s"category only after checking the bound): $unvetted\n") {
+      unvetted shouldBe empty
+    }
+    val gone = vetted.keys.filterNot(found.contains).toSeq.sorted
+    withClue(s"vetted sites no longer in source (remove from the audit): " +
+        s"$gone\n") { gone shouldBe empty }
+    found.foreach { case (k, n) =>
+      withClue(s"$k count drifted: ") { n shouldBe vetted(k)._1 }
+    }
+  }
+
   test("mdkv parse/render runs as native kernels, no encoder round-trip") {
     // the typed-Dataset formulation paid DeserializeToObject /
     // SerializeFromObject stage breaks per parse (the engine's last

@@ -97,6 +97,52 @@ class SearchSpec extends SparkSpec {
     graft.core.CacheScope.releaseAll()
   }
 
+  test("batched writeIndexSegments ≡ sequential writeIndexSegment appends") {
+    val wide = (0L until 90L)
+      .map(i => (i, s"tok$i common${i % 3} tok${(i + 1) % 90}"))
+      .toDF("doc_id", "text")
+    val queries = wide.filter($"doc_id" < 2)
+    val batches = (0 to 2).map(i => wide.filter($"doc_id" % 3 === i))
+    val seqStore = java.nio.file.Files
+      .createTempDirectory("bm25-seq-").toString + "/idx"
+    batches.foreach(b =>
+      Search.writeIndexSegment(b, "doc_id", "text", seqStore, buckets = 16))
+    val batStore = java.nio.file.Files
+      .createTempDirectory("bm25-bat-").toString + "/idx"
+    Search.writeIndexSegments(batches, "doc_id", "text", batStore, buckets = 16)
+    // one _meta row per batch with the per-batch stats, both layouts
+    def metas(p: String) = spark.read.parquet(s"$p/_meta")
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("total_len"),
+        r.getAs[Int]("buckets"))).sorted.toSeq
+    metas(batStore) shouldBe metas(seqStore)
+    metas(batStore).size shouldBe 3
+    // probe answers bit-identical
+    def probe(p: String) = Search.bm25TopKSegmented(spark, p, queries,
+      "doc_id", "text", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    probe(batStore) shouldBe probe(seqStore)
+    graft.core.CacheScope.releaseAll()
+  }
+
+  test("writeIndexSegments: a token-free batch still lands a (0,0) _meta row") {
+    val store = java.nio.file.Files
+      .createTempDirectory("bm25-zero-").toString + "/idx"
+    Search.writeIndexSegments(Seq(
+      Seq((0L, "alpha beta")).toDF("doc_id", "text"),
+      Seq((1L, " \t\n")).toDF("doc_id", "text")), // tokenless batch
+      "doc_id", "text", store, buckets = 4)
+    val metas = spark.read.parquet(s"$store/_meta")
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("total_len")))
+      .sorted.toSeq
+    metas shouldBe Seq((0L, 0L), (1L, 2L))
+    val hits = Search.bm25TopKSegmented(spark, store,
+      Seq((100L, "alpha")).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+      .collect().map(_.getLong(1)).toSeq
+    hits shouldBe Seq(0L)
+    graft.core.CacheScope.releaseAll()
+  }
+
   test("segmented index: appending a segment changes df-sensitive scores") {
     val store = java.nio.file.Files
       .createTempDirectory("bm25-grow-").toString + "/idx"
