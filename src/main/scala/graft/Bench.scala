@@ -531,8 +531,15 @@ object Bench {
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
       .filter(_ > 1).distinct.sorted.toSeq
     val families = if (args.nonEmpty) args.toSeq else DefaultScaleFamilies
+    // corpus model (r22): "split" = per-replica vocabulary (default,
+    // the no-artificial-near-dups model); "dup" = verbatim doc replicas
+    // (df ∝ N - the regime where the BM25 maxDf ceiling is live; BM25
+    // families only). Each model keeps its own corpus tree so
+    // GRAFT_SCALE_REUSE can never serve one model's corpus to the other.
+    val model = sys.env.getOrElse("GRAFT_SCALE_MODEL", "split")
     val work = sys.env.getOrElse("GRAFT_SCALE_DIR",
-      System.getProperty("java.io.tmpdir") + "/graft_scale")
+      System.getProperty("java.io.tmpdir") +
+        (if (model == "split") "/graft_scale" else s"/graft_scale_$model"))
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -563,7 +570,7 @@ object Bench {
       } else {
         System.err.println(s"[bench-scale] synthesize ${f}x corpus -> $out")
         val (rc, log) = fork("graft.tools.ScaleCorpus",
-          Seq(sfDir, out, f.toString), Map.empty, s"corpus-$f")
+          Seq(sfDir, out, f.toString, model), Map.empty, s"corpus-$f")
         if (rc != 0)
           errors += s"corpus_${f}x" -> s"synthesis exit $rc, log: $log | ${logTail(log)}"
         else { legs += f -> out; log.delete() }
@@ -642,16 +649,26 @@ object Bench {
     if (errors.nonEmpty)
       System.err.println(s"[bench-scale] ${errors.size} legs/queries FAILED: " +
         errors.map(_._1).mkString(", "))
+    val modelDesc =
+      if (model == "dup")
+        "corpus model 'dup' (graft.tools.ScaleCorpus): verbatim doc " +
+          "replicas - dfs grow with N (stopword df proportional to N), " +
+          "the production regime where N-relative df ceilings are live; " +
+          "embeddings still rotated. BM25/maxdf families only - every " +
+          "doc is an N-way verbatim duplicate under this model"
+      else
+        "corpus model 'split' (graft.tools.ScaleCorpus): token-prefixed " +
+          "doc replicas, rotated embeddings - no artificial near-dup " +
+          "pairs; dfs constant per replica, so N-relative df ceilings " +
+          "are deliberately inert here"
     val what = "mechanized scale probe: priciest bench families at 1x " +
       "(driver testdata) vs ScaleCorpus-synthesized factors; fresh JVM " +
       "per leg, legs interleaved over " + sessions + " sessions, value " +
       "= per-query min across sessions (store-building families swing " +
       "~2x across same-day sessions; session_queries is the variance " +
       "exhibit); interval exponent e = ln(t_b/t_a)/ln(f_b/f_a), 1.0 " +
-      "linear, 0.0 flat; corpus model in graft.tools.ScaleCorpus " +
-      "(token-prefixed doc replicas, rotated embeddings - no " +
-      "artificial near-dup pairs)"
-    val full = s"""{"metric":"scale","unit":"sec","mode":"scale","what":${jsonStr(what)},"sf":"$sfDir","reps":$reps,"sessions":$sessions,"agg":"min","factors":${legKeys.mkString("[", ",", "]")},"queries":$queriesJson,"ratio":$ratios,"interval_exponent":$exponents,"session_queries":$sessionsJson,"diag":$diagJson,"errors":$errJson}"""
+      "linear, 0.0 flat; " + modelDesc
+    val full = s"""{"metric":"scale","unit":"sec","mode":"scale","what":${jsonStr(what)},"corpus_model":${jsonStr(model)},"sf":"$sfDir","reps":$reps,"sessions":$sessions,"agg":"min","factors":${legKeys.mkString("[", ",", "]")},"queries":$queriesJson,"ratio":$ratios,"interval_exponent":$exponents,"session_queries":$sessionsJson,"diag":$diagJson,"errors":$errJson}"""
     val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL",
       "BENCH_SCALE_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

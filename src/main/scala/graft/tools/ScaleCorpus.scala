@@ -10,13 +10,25 @@ import org.apache.spark.sql.functions._
   * the driver's own parquet): the point is measured scale CURVES per
   * expensive bench family instead of shuffle stories.
   *
-  * Scaling model — a LARGER corpus, not a replicated one:
-  *  - `documents`: each replica r > 0 prefixes every token with `r<r>`,
-  *    so replicas share no vocabulary. Token-level operators (BM25,
-  *    TF-IDF, minhash shingles) see N× the docs and N× the vocab with
-  *    the per-replica df distribution preserved — naive duplication
-  *    would instead make every doc an N-way near-dup and measure an
-  *    artificial all-pairs explosion, not scale.
+  * TWO document scaling models (`model` arg / `GRAFT_SCALE_MODEL`):
+  *
+  *  - `split` (default) — a LARGER corpus, not a replicated one: each
+  *    replica r > 0 prefixes every token with `r<r>`, so replicas share
+  *    no vocabulary. Token-level operators (BM25, TF-IDF, minhash
+  *    shingles) see N× the docs and N× the vocab with the per-replica
+  *    df distribution PRESERVED — naive duplication would make every
+  *    doc an N-way near-dup and measure an artificial all-pairs
+  *    explosion, not scale. The deliberate consequence (r20 NOTES):
+  *    dfs do NOT grow with N, so any N-relative df ceiling (the BM25
+  *    maxDf lever) is inert under this model.
+  *  - `dup` (r22) — verbatim doc replicas: dfs grow ∝ N (a stopword
+  *    present in most docs stays in most docs), the PRODUCTION regime
+  *    for lexical retrieval, where the df-ceiling knob is live. Use it
+  *    ONLY for the BM25/maxdf families — under it every document is an
+  *    N-way verbatim duplicate, so dedup/near-dup families would
+  *    measure an artificial explosion.
+  *
+  * Shared across models:
   *  - `embeddings`: each replica circularly ROTATES the vector by r
   *    positions — norm and coordinate distribution preserved, rotated
   *    vs original cosine ≈ random, so replicas are not artificial
@@ -31,19 +43,23 @@ import org.apache.spark.sql.functions._
 object ScaleCorpus {
 
   def synthesize(spark: SparkSession, inDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, model: String = "split"): Unit = {
     require(factor >= 1, s"factor must be >= 1: $factor")
+    require(model == "split" || model == "dup",
+      s"unknown corpus model '$model' (split | dup)")
     val reps = spark.range(factor).select(col("id").cast("int").as("repl"))
 
     val docs = spark.read.parquet(s"$inDir/documents.parquet")
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val scaledText =
+      if (model == "dup") col("text") // verbatim replicas: df ∝ N
+      else when(col("repl") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit("r"), col("repl").cast("string"), t)), " "))
     docs.crossJoin(broadcast(reps))
       .select(
         (col("doc_id") + col("repl").cast("long") * maxDoc).as("doc_id"),
-        when(col("repl") === 0, col("text")).otherwise(
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit("r"), col("repl").cast("string"), t)), " "))
-          .as("text"),
+        scaledText.as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
@@ -77,9 +93,11 @@ object ScaleCorpus {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleCorpus <inDir> <outDir> <factor>")
-    val Array(inDir, outDir, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleCorpus <inDir> <outDir> <factor> [split|dup]")
+    val Array(inDir, outDir, factorS) = args.take(3)
+    val model = if (args.length == 4) args(3)
+      else sys.env.getOrElse("GRAFT_SCALE_MODEL", "split")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",
@@ -89,7 +107,7 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try synthesize(spark, inDir, outDir, factorS.toInt)
+    try synthesize(spark, inDir, outDir, factorS.toInt, model)
     finally spark.stop()
   }
 }
